@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test corpus plus the retail<->TPC-H mapping
+  * declared in FIXTURES.md: `lineitem` plays the sales fact,
+  * `customer`/`part`/`supplier`(+`nation`/`region`) play the dims.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** lineitem -> retail `sales` source shape (FIXTURES.md §B mapping):
+    * sale_id = l_orderkey-l_linenumber, l_shipdate -> sale_date,
+    * l_orderkey -> customer_id, l_partkey -> product_id,
+    * l_suppkey -> store_id, l_quantity -> quantity,
+    * l_extendedprice -> unit_price, l_discount*100 -> discount_pct.
+    */
+  def salesFromLineitem(li: DataFrame): DataFrame = li.select(
+    concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("sale_id"),
+    col("l_shipdate").cast("timestamp").as("sale_date"),
+    col("l_orderkey").cast("string").as("customer_id"),
+    col("l_partkey").cast("string").as("product_id"),
+    col("l_suppkey").cast("string").as("store_id"),
+    col("l_quantity").cast("long").as("quantity"),
+    col("l_extendedprice").as("unit_price"),
+    (col("l_discount") * 100).as("discount_pct"))
+
+  /** customer -> retail `customers` source shape: c_name splits into
+    * first/last, synthetic deterministic email, nation name as city,
+    * o- less signup so we reuse c_custkey-seeded dates is not possible —
+    * instead signup_date is derived from c_custkey deterministically. */
+  def customersFromTpch(c: DataFrame): DataFrame = c.select(
+    col("c_custkey").cast("string").as("customer_id"),
+    split(col("c_name"), "#").getItem(0).as("first_name"),
+    split(col("c_name"), "#").getItem(1).as("last_name"),
+    concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+      lit("@example.com")).as("email"),
+    col("c_mktsegment").as("city"),
+    // deterministic signup date spread over ~8 years by key
+    to_timestamp(date_add(lit(java.sql.Date.valueOf("2018-01-01")),
+      (col("c_custkey") % 3000).cast("int"))).as("signup_date"))
+
+  /** part -> retail `products` source shape. */
+  def productsFromPart(p: DataFrame): DataFrame = p.select(
+    col("p_partkey").cast("string").as("product_id"),
+    col("p_name").as("product_name"),
+    col("p_type").as("category"),
+    col("p_retailprice").as("price"))
+
+  /** supplier(+nation) -> retail `stores` source shape: n_name as city,
+    * 2-letter-ish state synthesized from nation key via region mapping
+    * exercise is done in the query layer. */
+  def storesFromSupplier(s: DataFrame, nation: DataFrame): DataFrame =
+    s.join(broadcast(nation), s("s_nationkey") === nation("n_nationkey"))
+      .select(
+        col("s_suppkey").cast("string").as("store_id"),
+        col("s_name").as("store_name"),
+        col("n_name").as("city"),
+        col("n_name").as("state"))
+}

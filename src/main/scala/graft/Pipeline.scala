@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.control.ControlPlane
+import graft.control.ControlPlane.{LogSink, RunLog, StageLog}
+import graft.ops.{Clean, Gates, Load, Model}
+import graft.schema.Contracts
+
+/** End-to-end pipeline orchestration (runner/pipeline_runner.py
+  * re-expressed): EXTRACT gates -> T1 clean -> T2 model (+date_dim for
+  * sales) -> LOAD with post-load validation, with run/stage logging and
+  * per-stage row accounting.
+  *
+  * Stage boundaries are the only forced actions; each stage output is
+  * cached before its count so row accounting does not recompute the
+  * lineage (SURVEY §3.1).
+  */
+class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
+               asOf: Timestamp) {
+
+  private val sink = new LogSink(logDir)
+
+  /** Run one named pipeline over an already-extracted source frame.
+    * `source` must carry the contract columns for `table`
+    * (sales/customers/products/stores). Returns the loaded path. */
+  def run(table: String, source: DataFrame): String = {
+    val runId = sink.newRunId()
+    val pipelineName = s"${table}_pipeline"
+    val t0 = sink.now()
+    sink.logRun(RunLog(runId, pipelineName, "STARTED", t0, null, null))
+    try {
+      val pk = Contracts.PrimaryKeys(table)
+      val expected = Contracts.ExpectedColumns(table)
+
+      // EXTRACT gates
+      val (extracted, nIn) = stage(runId, "EXTRACT", -1) {
+        Gates.requireSchemaMatch(source, expected)
+        val n = Gates.requireNonEmpty(source)
+        Gates.requireMaxNullPct(source)
+        Gates.requireNoFullRowDups(source)
+        (source, n)
+      }
+
+      // TRANSFORM_P1 — clean
+      val (cleaned, nClean) = stage(runId, "TRANSFORM_P1", nIn) {
+        val c = Clean.clean(extracted, pk, Contracts.StringDefaults(table),
+          Contracts.NumericDefaults(table), Contracts.DeclaredTypes(table))
+          .cache()
+        (c, c.count())
+      }
+
+      // TRANSFORM_P2 — model + integrity gate
+      val (modeled, nModeled) = stage(runId, "TRANSFORM_P2", nClean) {
+        val m = (table match {
+          case "customers" => Model.customersDim(cleaned, asOf)
+          case "products" => Model.productsDim(cleaned)
+          case "stores" => Model.storesDim(cleaned)
+          case "sales" => Model.salesFact(cleaned)
+        }).cache()
+        val n = m.count()
+        Gates.requireRowCountPreserved(nClean, n)
+        Gates.requireContractSchema(m, Contracts.ExpectedColumns(table),
+          Contracts.DerivedColumns(table))
+        Gates.requireNoNullPk(m, pk)
+        Gates.requireNoDupPk(m, pk)
+        if (table == "stores") Gates.requireNoUnmappedRegion(m)
+        (m, n)
+      }
+
+      // sales also derives + loads date_dim (runner/pipeline_runner.py:248-294)
+      if (table == "sales") {
+        stage(runId, "LOAD_DATE_DIM", -1) {
+          val mm = modeled.agg(
+            min(col("sale_date").cast("date")),
+            max(col("sale_date").cast("date"))).first()
+          val dd = Model.dateDim(spark, mm.getDate(0), mm.getDate(1))
+          Load.fullRefresh(dd, s"$warehouseDir/date_dim")
+          (dd, dd.count())
+        }
+      }
+
+      // LOAD + post-load validation
+      val target = targetTable(table)
+      stage(runId, "LOAD", nModeled) {
+        Load.fullRefresh(modeled, s"$warehouseDir/$target")
+        Load.validateLoaded(spark, s"$warehouseDir/$target", pk, nModeled)
+        (modeled, nModeled)
+      }
+
+      cleaned.unpersist(); modeled.unpersist()
+      sink.logRun(RunLog(runId, pipelineName, "SUCCESS", t0, sink.now(), null))
+      s"$warehouseDir/$target"
+    } catch {
+      case e: Throwable =>
+        sink.logRun(RunLog(runId, pipelineName, "FAILED", t0, sink.now(),
+          e.getMessage))
+        throw e
+    }
+  }
+
+  private def targetTable(table: String): String = table match {
+    case "sales" => "sales_fact"
+    case other => s"${other}_dim"
+  }
+
+  private def stage[A](runId: String, name: String, rowsIn: Long)
+                      (body: => (DataFrame, Long)): (DataFrame, Long) = {
+    val t0 = sink.now()
+    sink.logStage(StageLog(runId, name, "STARTED", rowsIn, -1, t0, null, null))
+    try {
+      val (df, n) = body
+      sink.logStage(StageLog(runId, name, "SUCCESS", rowsIn, n, t0,
+        sink.now(), null))
+      (df, n)
+    } catch {
+      case e: Throwable =>
+        sink.logStage(StageLog(runId, name, "FAILED", rowsIn, -1, t0,
+          sink.now(), e.getMessage))
+        throw e
+    }
+  }
+}
+
+object Pipeline {
+  /** Load order for the full warehouse refresh
+    * (ControlPlane.pipelineTableMap: dims first, date_dim before
+    * sales_fact). */
+  val LoadOrder: Seq[String] = Seq("customers", "products", "stores", "sales")
+}

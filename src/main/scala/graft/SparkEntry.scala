@@ -23,35 +23,18 @@ import graft.ops.Model
   *    accumulation order cannot change the result.
   */
 object SparkEntry {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
-
-  private def sales(s: SparkSession, dir: String): DataFrame =
-    Tables.salesFromLineitem(t(s, dir, "lineitem"))
-
-  private def modeledSales(s: SparkSession, dir: String): DataFrame =
-    Model.salesFact(sales(s, dir))
-
-  /** DuckDB CTE mirroring [[Tables.salesFromLineitem]]. */
-  private val SalesCte =
-    """WITH sales AS (
-      |  SELECT l_orderkey || '-' || l_linenumber AS sale_id,
-      |         l_shipdate AS sale_date,
-      |         CAST(l_orderkey AS VARCHAR) AS customer_id,
-      |         CAST(l_partkey AS VARCHAR) AS product_id,
-      |         CAST(l_suppkey AS VARCHAR) AS store_id,
-      |         CAST(l_quantity AS BIGINT) AS quantity,
-      |         l_extendedprice AS unit_price,
-      |         l_discount * 100 AS discount_pct
-      |  FROM lineitem)""".stripMargin
+  import graft.registry.RetailQueries
+  import graft.registry.RetailQueries.{SalesCte, modeledSales}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     modeledSales(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RetailQueries.queries ++ fQueries
+
+  private def fQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.6 sales_fact derivations F1-F7 ----
     "derive_gross_amount" -> ((s, dir) =>
       modeledSales(s, dir).select(col("sale_id"), col("gross_amount"))),
@@ -81,7 +64,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    RetailQueries.oracleSql ++ fOracle
+
+  private def fOracle: Map[String, String] = Map(
     "derive_gross_amount" -> s"""$SalesCte
       SELECT sale_id, quantity * unit_price AS gross_amount FROM sales""",
     "derive_discount_amount" -> s"""$SalesCte

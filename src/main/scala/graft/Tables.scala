@@ -42,12 +42,14 @@ object Tables {
     to_timestamp(date_add(lit(java.sql.Date.valueOf("2018-01-01")),
       (col("c_custkey") % 3000).cast("int"))).as("signup_date"))
 
-  /** part -> retail `products` source shape. */
+  /** part -> retail `products` source shape. Price is spread over the
+    * LOW/MEDIUM/HIGH bands (p_retailprice is 900..1000 in the corpus,
+    * which would land every row in MEDIUM). */
   def productsFromPart(p: DataFrame): DataFrame = p.select(
     col("p_partkey").cast("string").as("product_id"),
     col("p_name").as("product_name"),
     col("p_type").as("category"),
-    col("p_retailprice").as("price"))
+    (col("p_retailprice") * (col("p_partkey") % 4)).as("price"))
 
   /** supplier(+nation) -> retail `stores` source shape: n_name as city,
     * 2-letter-ish state synthesized from nation key via region mapping

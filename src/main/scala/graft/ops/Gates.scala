@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.schema.Contracts
+
+/** Data-quality gate failure — the rebuild's equivalent of the
+  * reference's raise sites (etl/extract.py, etl/transform_data_modeling.py,
+  * etl/load.py). */
+class DataQualityException(msg: String) extends RuntimeException(msg)
+
+/** Fail-fast validation gates. Each gate is a cheap Spark action run
+  * between lazy plan segments, preserving the reference's eager-error
+  * ordering (SURVEY §7.5 #5). Gates that need a full pass compute all
+  * their statistics in ONE aggregation job where possible, so a gate is
+  * a single stage even at 100 TB.
+  */
+object Gates {
+
+  /** Schema gate: order-insensitive set equality on column names
+    * (etl/extract.py:64-91). Metadata-only — no job. */
+  def requireSchemaMatch(df: DataFrame, expected: Seq[String]): Unit = {
+    val got = df.columns.toSet
+    val want = expected.toSet
+    if (got != want) {
+      val missing = (want -- got).toSeq.sorted
+      val extra = (got -- want).toSeq.sorted
+      throw new DataQualityException(
+        s"schema mismatch: missing=$missing extra=$extra")
+    }
+  }
+
+  /** Empty-source gate (etl/extract.py:105-108). */
+  def requireNonEmpty(df: DataFrame): Long = {
+    val n = df.count()
+    if (n == 0) throw new DataQualityException("source is empty")
+    n
+  }
+
+  /** A1: per-column NULL percentage must be <= maxPct
+    * (etl/extract.py:111-120). One aggregation job for all columns
+    * (partial aggregates map-side; no wide shuffle). */
+  def requireMaxNullPct(df: DataFrame,
+                        maxPct: Double = Contracts.MaxNullPct): Unit = {
+    val aggs = df.columns.map(c =>
+      avg(col(c).isNull.cast("double")).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val bad = df.columns.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) && row.getDouble(i) * 100 > maxPct =>
+        f"$c=${row.getDouble(i) * 100}%.1f%%"
+    }
+    if (bad.nonEmpty)
+      throw new DataQualityException(
+        s"columns exceed $maxPct%% NULLs: ${bad.mkString(", ")}")
+  }
+
+  /** D1: zero fully-identical rows allowed; error carries a 5-row sample
+    * (etl/extract.py:123-132). Implemented as a hash aggregate over all
+    * columns — the groupBy keys are the whole row, so Catalyst plans a
+    * single shuffle on the row hash; at scale this is the canonical
+    * exact-dup check. */
+  def fullRowDups(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(col)
+    df.groupBy(cols: _*).agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+  }
+
+  def requireNoFullRowDups(df: DataFrame): Unit = {
+    val dups = fullRowDups(df).limit(5).collect()
+    if (dups.nonEmpty)
+      throw new DataQualityException(
+        s"${dups.length}+ duplicate full rows, sample: ${dups.mkString("; ")}")
+  }
+
+  /** T2 gate: no NULL primary-key values
+    * (transform_data_modeling.py:312-321; also post-load A5). */
+  def requireNoNullPk(df: DataFrame, pk: Seq[String]): Unit = {
+    val n = df.filter(pk.map(col(_).isNull).reduce(_ || _)).count()
+    if (n > 0)
+      throw new DataQualityException(s"$n rows with NULL in PK $pk")
+  }
+
+  /** T2 gate: no duplicate primary keys
+    * (transform_data_modeling.py:326-335; also post-load D3/A4). */
+  def requireNoDupPk(df: DataFrame, pk: Seq[String]): Unit = {
+    val n = df.groupBy(pk.map(col): _*).count()
+      .filter(col("count") > 1).count()
+    if (n > 0)
+      throw new DataQualityException(s"$n duplicated PK values for $pk")
+  }
+
+  /** T2 gate: modeling must preserve row count
+    * (transform_data_modeling.py:340-352). */
+  def requireRowCountPreserved(before: Long, after: Long): Unit =
+    if (before != after)
+      throw new DataQualityException(
+        s"row count changed during modeling: $before -> $after")
+
+  /** T2 gate: exact output schema = expected + derived, snake_case names
+    * (transform_data_modeling.py:357-383). Metadata-only. */
+  def requireContractSchema(df: DataFrame, expected: Seq[String],
+                            derived: Seq[String]): Unit = {
+    requireSchemaMatch(df, expected ++ derived)
+    val bad = df.columns.filterNot(c =>
+      Contracts.SnakeCase.pattern.matcher(c).matches())
+    if (bad.nonEmpty)
+      throw new DataQualityException(
+        s"non-snake_case columns: ${bad.mkString(", ")}")
+  }
+
+  /** T3 gate: every state must map to a region — NULL region after the
+    * lookup is a hard failure (transform_data_modeling.py:142-145). */
+  def requireNoUnmappedRegion(df: DataFrame, region: String = "store_region",
+                              state: String = "state"): Unit = {
+    val bad = df.filter(col(region).isNull)
+      .select(col(state)).distinct().limit(10).collect()
+    if (bad.nonEmpty)
+      throw new DataQualityException(
+        s"unmapped states: ${bad.map(_.get(0)).mkString(", ")}")
+  }
+}

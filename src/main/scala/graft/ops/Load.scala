@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Warehouse sink (etl/load.py re-expressed Spark-first).
+  *
+  * The reference's DELETE+INSERT transaction becomes an atomic
+  * `mode("overwrite")` parquet/table write — Spark's commit protocol
+  * gives the same idempotent full-refresh semantics without a
+  * warehouse-wide lock, and scales to any partition count.
+  */
+object Load {
+
+  /** S4: pre-insert type normalization — timestamps to ISO-8601 strings
+    * (etl/load.py:213-226). Only needed when targeting a text store;
+    * native TimestampType is kept otherwise. */
+  def typeNormalize(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss").as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+
+  /** S3: idempotent full-refresh load to a parquet dir
+    * (etl/load.py:59-97). */
+  def fullRefresh(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Post-load validation (etl/load.py:144-210): loaded count equals
+    * source count, zero NULL PKs, zero duplicate PKs — run against the
+    * loaded table, in the reference's eager order. */
+  def validateLoaded(spark: SparkSession, path: String, pk: Seq[String],
+                     expectedCount: Long): Unit = {
+    val loaded = spark.read.parquet(path)
+    val n = loaded.count()
+    if (n != expectedCount)
+      throw new DataQualityException(
+        s"loaded count $n != source count $expectedCount")
+    Gates.requireNoNullPk(loaded, pk)
+    Gates.requireNoDupPk(loaded, pk)
+  }
+
+  /** FK referential-integrity check via left-anti join
+    * (README.md:166-171; SURVEY §2.5): fact keys absent from the dim
+    * must be zero. Broadcast the dim when it is small — the planner
+    * does this automatically under the broadcast threshold; callers
+    * can force it by passing `broadcast(dim)`. */
+  def requireReferentialIntegrity(fact: DataFrame, factKey: Column,
+                                  dim: DataFrame, dimKey: Column): Unit = {
+    val orphans = fact.join(dim, factKey === dimKey, "left_anti").count()
+    if (orphans > 0)
+      throw new DataQualityException(s"$orphans fact rows violate FK")
+  }
+}

@@ -43,8 +43,10 @@ object Model {
       .otherwise("LOYAL")
 
   /** C4: substring after '@'; NULL when no '@' present — split semantics,
-    * not substring_index (transform_data_modeling.py:77). */
-  def emailDomain(email: Column): Column = split(email, "@").getItem(1)
+    * not substring_index (transform_data_modeling.py:77). `get` (not
+    * `getItem`) so an absent '@' yields NULL instead of an ANSI
+    * out-of-bounds error. */
+  def emailDomain(email: Column): Column = get(split(email, "@"), lit(1))
 
   /** R1: price band at 500/2000, boundary-inclusive lower band
     * (transform_data_modeling.py:391-396). */
@@ -59,17 +61,19 @@ object Model {
 
   /** T2: metro membership, evaluated on the uppercased city
     * (transform_data_modeling.py:137-138). */
-  def isMetro(cityUpper: Column): Column =
-    cityUpper.isin(Contracts.MetroCities: _*)
+  def isMetro(cityUpper: Column,
+              metros: Seq[String] = Contracts.MetroCities): Column =
+    cityUpper.isin(metros: _*)
 
   /** T3: state -> region via a broadcast map literal (scale-safe: the
-    * lookup is a 36-entry constant, so `element_at` on a `typedLit` map
+    * lookup is a small constant, so `element_at` on a `typedLit` map
     * stays a scalar expression — no shuffle, no join, fully codegen'd).
     * Unmapped states yield NULL here; [[Gates.requireNoUnmappedRegion]]
     * turns that into the reference's hard failure
     * (transform_data_modeling.py:140-145). */
-  def storeRegion(state: Column): Column =
-    element_at(typedLit(Contracts.StateRegionMap), state)
+  def storeRegion(state: Column,
+                  map: Map[String, String] = Contracts.StateRegionMap): Column =
+    element_at(typedLit(map), state)
 
   /** Pandas day-of-week (Monday=0..Sunday=6) from Spark's dayofweek
     * (Sunday=1..Saturday=7) — SURVEY §7.5 #2. */

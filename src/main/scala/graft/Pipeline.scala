@@ -20,14 +20,20 @@ import graft.schema.Contracts
   * lineage (SURVEY §3.1).
   */
 class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
-               asOf: Timestamp) {
+               asOf: Timestamp,
+               metros: Seq[String] = Contracts.MetroCities,
+               regionMap: Map[String, String] = Contracts.StateRegionMap) {
 
   private val sink = new LogSink(logDir)
 
   /** Run one named pipeline over an already-extracted source frame.
     * `source` must carry the contract columns for `table`
-    * (sales/customers/products/stores). Returns the loaded path. */
-  def run(table: String, source: DataFrame): String = {
+    * (sales/customers/products/stores). `dedupOrder` optionally fixes
+    * the keep-first order (default: file order). Returns the loaded
+    * path. */
+  def run(table: String, source: DataFrame,
+          dedupOrder: Option[Seq[org.apache.spark.sql.Column]] = None)
+      : String = {
     val runId = sink.newRunId()
     val pipelineName = s"${table}_pipeline"
     val t0 = sink.now()
@@ -48,8 +54,8 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
       // TRANSFORM_P1 — clean
       val (cleaned, nClean) = stage(runId, "TRANSFORM_P1", nIn) {
         val c = Clean.clean(extracted, pk, Contracts.StringDefaults(table),
-          Contracts.NumericDefaults(table), Contracts.DeclaredTypes(table))
-          .cache()
+          Contracts.NumericDefaults(table), Contracts.DeclaredTypes(table),
+          dedupOrder).cache()
         (c, c.count())
       }
 
@@ -58,7 +64,7 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
         val m = (table match {
           case "customers" => Model.customersDim(cleaned, asOf)
           case "products" => Model.productsDim(cleaned)
-          case "stores" => Model.storesDim(cleaned)
+          case "stores" => Model.storesDim(cleaned, metros, regionMap)
           case "sales" => Model.salesFact(cleaned)
         }).cache()
         val n = m.count()

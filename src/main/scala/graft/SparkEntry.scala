@@ -32,7 +32,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RetailQueries.queries ++ fQueries
+    RetailQueries.queries ++ graft.registry.ExtQueries.queries ++
+      graft.registry.PipelineQueries.queries ++ fQueries
 
   private def fQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.6 sales_fact derivations F1-F7 ----
@@ -65,7 +66,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RetailQueries.oracleSql ++ fOracle
+    RetailQueries.oracleSql ++ graft.registry.ExtQueries.oracleSql ++
+      graft.registry.PipelineQueries.oracleSql ++ fOracle
 
   private def fOracle: Map[String, String] = Map(
     "derive_gross_amount" -> s"""$SalesCte

@@ -11,6 +11,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events table with its NANOS-precision timestamp surfaced as a
+    * microsecond TimestampType. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (Spark
+    * has no TIMESTAMP(NANOS) type); `div 1000` floors to micros exactly
+    * like engines that read the column natively. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** lineitem -> retail `sales` source shape (FIXTURES.md §B mapping):
     * sale_id = l_orderkey-l_linenumber, l_shipdate -> sale_date,
     * l_orderkey -> customer_id, l_partkey -> product_id,

@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design notes:
+  *  - exact dedup is a single hash-aggregate on the content hash — the
+  *    canonical 100 TB dedup job (shuffle keyed on a 128-bit digest,
+  *    perfectly balanced unless the corpus contains giant duplicate
+  *    groups, which the digest key handles by definition);
+  *  - candidate generation for near-dup is always index-shaped
+  *    (explode -> shuffle on token/band/bucket -> pair join), never an
+  *    O(n^2) cross join;
+  *  - hot tokens are dropped with a document-frequency cap before the
+  *    pair join (the classic quadratic-blowup guard in inverted-index
+  *    joins).
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: one representative (min id) per
+    * distinct md5, with the group size. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextOps.contentFingerprint(text).as("content_md5"))
+      .agg(min(id).as("doc_id_kept"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the min-id row per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.contentFingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Distinct whitespace tokens per document, document-frequency capped:
+    * tokens present in more than maxDf documents are dropped before any
+    * pair join (guards the inverted index against quadratic hot
+    * buckets). Returns (id, token). */
+  def docTokens(df: DataFrame, id: Column, text: Column,
+                maxDf: Long): DataFrame = {
+    val exploded = df.select(id.as("doc_id"),
+      explode(array_distinct(TextOps.tokens(text))).as("token"))
+    val hot = exploded.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxDf)
+      .select(col("token"))
+    exploded.join(broadcast(hot), Seq("token"), "left_anti")
+  }
+
+  /** Exact n-gram (token-set) Jaccard similar pairs: inverted-index
+    * self-join on distinct tokens, pair-grouped intersection counts,
+    * Jaccard >= threshold, a < b. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, maxDf: Long = 1000000L): DataFrame = {
+    val toks = docTokens(df, col(idCol), col(textCol), maxDf).cache()
+    val sizes = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val a = toks.as("a"); val b = toks.as("b")
+    val inter = a.join(b, col("a.token") === col("b.token")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_tokens", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_tokens", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns: for each of k hash functions, the min
+    * over the document's distinct shingles of xxhash64(seed_i, shingle).
+    * One explode + one hash-aggregate -> k-column signature per doc. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        shingleN: Int, k: Int): DataFrame = {
+    val shingled = df.select(id.as("doc_id"),
+      explode(array_distinct(TextOps.wordShingles(text, shingleN)))
+        .as("shingle"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard: band the
+    * k-column signature into `bands` groups, bucket-join on (band,
+    * band-hash), then estimate similarity as the fraction of matching
+    * minhash components. Shuffle is keyed on band buckets — at scale
+    * this is the standard sub-quadratic near-dup join. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(df, col(idCol), col(textCol), shingleN, k)
+      .cache()
+    val mhCols = (0 until k).map(i => col(s"mh_$i"))
+    // (doc_id, band, band_key)
+    val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i")): _*).as(s"band_$b")
+    }: _*)
+    val long = banded.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        col(s"band_$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cands = long.as("x").join(long.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // estimate similarity from full signatures
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("est_jaccard", matches * 1.0 / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash from token hashes: per bit, sign of the vote sum.
+    * Computed entirely with integer Column ops. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val mask = lit(1L << bit)
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64-bit simhash into 4
+    * 16-bit chunks; any equal chunk makes a candidate (Hamming <= 48
+    * guarantee; real filter by popcount of xor <= maxHamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("sh")).cache()
+    val chunks = sh.select(col("doc_id"), col("sh"), explode(array(
+      (0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
+          .as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.key"))
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sh").as("sh_a"),
+        col("y.doc_id").as("doc_b"), col("y.sh").as("sh_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Candidate pairs come
+    * from the same-sign LSH bucketing in [[Similarity.hyperplaneLsh]];
+    * this brute-force variant (bounded id range) is the correctness
+    * baseline. */
+  def embeddingNearDupBrute(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

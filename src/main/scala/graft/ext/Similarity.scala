@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the correctness baseline, hyperplane-LSH
+  * bucketing and an IVF coarse quantizer as the scale paths.
+  *
+  * Dot products are strict left-fold `aggregate` over `zip_with`
+  * products in double — deterministic order, codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Strict in-order dot product of two float vectors, computed in
+    * double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against the whole
+    * corpus. The query side is broadcast (it is the small side by
+    * construction), so the corpus is scanned exactly once with no
+    * shuffle — the right baseline shape even at 100 TB corpus scale.
+    * Ties broken by corpus id for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                     cId: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
+    * derived from a hash — reproducible across sessions with no RNG
+    * state. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+    (h.toDouble / Int.MaxValue) // in [-1, 1]
+  }
+
+  /** Sign-of-projection LSH signature: `planes` bits packed in a long.
+    * The plane weights are literal arrays, so the projection is a
+    * per-row map over the corpus — no shuffle, no model state. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+    require(planes <= 63)
+    (0 until planes).map { p =>
+      val weights = typedlit((0 until dim).map(d => planeWeight(p, d)))
+      val proj = aggregate(
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs: same full signature
+    * -> candidate bucket; cosine computed only inside buckets. Shuffle
+    * is keyed on the signature — sub-quadratic at scale. */
+  def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, planes: Int,
+                       threshold: Double): DataFrame = {
+    val sig = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), dim, planes).as("sig"))
+    sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cosine"))
+  }
+
+  /** IVF coarse quantizer: centroid ids are a deterministic sample
+    * (lowest `nCentroids` ids), every vector is assigned to its nearest
+    * centroid by cosine. Queries then probe only `nProbe` centroid
+    * cells. This is the classic two-level ANN layout: the assignment
+    * is one broadcast join + per-row argmax, the search a bucket join.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int): DataFrame = {
+    val centroids = broadcast(
+      df.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
+    val scored = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(centroids)
+      .withColumn("cos_c", cosine(col("v"), col("centroid_vec")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("v"))
+  }
+
+  /** IVF top-k search: assign queries and corpus to cells, probe only
+    * the query's cell (nProbe=1 variant), rank within probed cells. */
+  def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, nCentroids: Int, k: Int): DataFrame = {
+    val corpusCells = ivfAssign(df, idCol, vecCol, nCentroids)
+    val queryCells = ivfAssign(queries, idCol, vecCol, nCentroids)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("v").as("qv"))
+    val scored = broadcast(queryCells)
+      .join(corpusCells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: token
+  * counting, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is pure Column algebra (codegen'd, no UDFs), so each
+  * operator is a narrow per-row map — embarrassingly parallel at any
+  * scale, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs count 1 each, digits 1 each,
+    * punctuation 1 each — a cheap deterministic proxy for tokenizer
+    * budget accounting. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Stopword lists for the n-gram language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"))
+
+  /** Occurrences of ` word ` in the space-padded lowered text —
+    * replace-based counting, no regex, identical semantics in any SQL
+    * engine. */
+  def keywordHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+  }
+
+  /** Per-language stopword-hit score. */
+  def langScore(text: Column, lang: String): Column =
+    LangStopwords.toMap.apply(lang)
+      .map(w => keywordHits(text, w))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: argmax of stopword hits with a fixed
+    * priority order (en > es > de > fr) for ties. */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val es = langScore(text, "es")
+    val de = langScore(text, "de"); val fr = langScore(text, "fr")
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Quality-score components: n_chars, n_tokens, avg token length,
+    * punctuation ratio, stopword ratio, composite score in [0,1]-ish. */
+  def withQualityScore(df: DataFrame, text: Column): DataFrame = {
+    val nChars = length(text).cast("long")
+    val nTokens = tokenCount(text)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        length(regexp_replace(text, " ", "")) * 1.0 / col("n_tokens"))
+      .withColumn("punct_ratio",
+        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+          * 1.0 / col("n_chars"))
+      .withColumn("stopword_ratio",
+        langScore(text, "en") * 1.0 / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / 50.0) * 0.4
+          + least(lit(1.0), col("stopword_ratio") * 5.0) * 0.3
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3)
+  }
+
+  /** Normalized-content fingerprint: md5 of lower(trim(ws-collapsed)).
+    * Identical output in any engine with md5. */
+  def contentFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Word n-shingles of the whitespace tokens (n >= 1): array of
+    * space-joined n-grams, one per starting offset. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing-style set fingerprint: min over md5(shingle) — a
+    * deterministic, order-free representative of the shingle set
+    * (the "rolling hash" document fingerprint at set granularity). */
+  def shingleFingerprint(text: Column, n: Int): Column = {
+    val hashes = transform(wordShingles(text, n), s => md5(s))
+    array_min(hashes)
+  }
+}

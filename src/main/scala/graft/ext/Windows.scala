@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table (batch form; the
+  * streaming twins live in [[graft.streaming.StreamOps]]).
+  *
+  * Sums over doubles are accumulated as DECIMAL(38,6) so the result is
+  * independent of partitioning/accumulation order, then surfaced as
+  * DOUBLE — an engine-portable determinism contract.
+  */
+object Windows {
+
+  /** Order- and rounding-proof sum of a double column: quantize to
+    * integer micro-units (floor — no tie-breaking mode involved), sum
+    * exactly as integers, surface as double. The determinism contract
+    * for cross-engine sums. */
+  def stableSum(c: Column): Column =
+    sum(floor(c * 1000000).cast("long")) / 1000000.0
+
+  /** Tumbling window aggregation: one row per (window_start, extra
+    * keys), with count and stable value sum. */
+  def tumbling(df: DataFrame, ts: Column, widthSeconds: Long,
+               keys: Seq[Column]): DataFrame = {
+    val wstart = timestamp_seconds(
+      floor(ts.cast("double") / widthSeconds).cast("long") * widthSeconds)
+    df.groupBy((wstart.as("window_start") +: keys): _*)
+      .agg(count(lit(1)).as("n_events"), stableSum(col("value")).as("sum_value"))
+  }
+
+  /** Sliding window aggregation via explicit window enumeration: each
+    * event belongs to width/slide windows; explode them, then a single
+    * tumbling-style group-by. Equivalent to Spark's `window(ts, w, s)`
+    * but with an engine-portable formulation. */
+  def sliding(df: DataFrame, ts: Column, widthSeconds: Long,
+              slideSeconds: Long): DataFrame = {
+    require(widthSeconds % slideSeconds == 0)
+    val nWin = (widthSeconds / slideSeconds).toInt
+    val base = floor(ts.cast("double") / slideSeconds).cast("long")
+    val wstarts = sequence(base - (nWin - 1), base)
+      .cast("array<long>")
+    df.withColumn("_wstart", explode(wstarts))
+      .groupBy(timestamp_seconds(col("_wstart") * slideSeconds)
+        .as("window_start"))
+      .agg(count(lit(1)).as("n_events"), stableSum(col("value")).as("sum_value"))
+  }
+
+  /** Gap-based sessionization (batch): a new session starts when the
+    * gap to the previous event of the same user exceeds `gapSeconds`.
+    * Classic lag + running-sum formulation — two window passes over a
+    * single shuffle on user. */
+  def sessionize(df: DataFrame, user: Column, ts: Column,
+                 gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(user).orderBy(ts)
+    val prev = lag(ts, 1).over(byUser)
+    val sessionStart =
+      when(prev.isNull ||
+        ts.cast("double") - prev.cast("double") > gapSeconds, 1).otherwise(0)
+    val withId = df.withColumn("_new_session", sessionStart)
+      .withColumn("session_seq",
+        sum(col("_new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withId.groupBy(user.as("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(ts), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(ts), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        stableSum(col("value")).as("sum_value"))
+  }
+}

@@ -80,15 +80,24 @@ object Clean {
 
   /** Full T1 stage in the reference's order
     * (etl/transform_data_cleaning.py:146-179):
-    * rename -> drop null PK -> fill defaults -> dedup keep-first -> cast. */
+    * rename -> drop null PK -> fill defaults -> dedup keep-first -> cast.
+    *
+    * `dedupOrder`: explicit deterministic keep-"first" order; None means
+    * file order via the read ordinal (the reference's semantics, which
+    * no replayable oracle can express — callers that need cross-engine
+    * determinism pass a total order instead). */
   def clean(df: DataFrame, pk: Seq[String],
             stringDefaults: Map[String, String],
             numericDefaults: Map[String, Double],
-            declared: Map[String, DataType]): DataFrame = {
-    val renamed = renameSnakeCase(withOrdinal(df))
+            declared: Map[String, DataType],
+            dedupOrder: Option[Seq[Column]] = None): DataFrame = {
+    // ordinal attaches after the rename (normalizeName would strip the
+    // marker's leading underscore)
+    val renamed = withOrdinal(renameSnakeCase(df))
     val noNullPk = dropNullPk(renamed, pk)
     val filled = fillDefaults(noNullPk, stringDefaults, numericDefaults)
-    val deduped = dedupKeepFirst(filled, pk, col(OrdinalCol)).drop(OrdinalCol)
+    val order = dedupOrder.map(struct(_: _*)).getOrElse(col(OrdinalCol))
+    val deduped = dedupKeepFirst(filled, pk, order).drop(OrdinalCol)
     castDeclaredTypes(deduped, declared)
   }
 }

@@ -103,12 +103,17 @@ object Model {
       .withColumn("category_normalized", upper(col("category")))
 
   /** stores_dim (transform_data_modeling.py:112-148). City/state are
-    * uppercased in place before the derived flags. */
-  def storesDim(df: DataFrame): DataFrame =
+    * uppercased in place before the derived flags. The metro set and
+    * region map default to the retail contracts but are injectable for
+    * other domains. */
+  def storesDim(df: DataFrame,
+                metros: Seq[String] = Contracts.MetroCities,
+                regionMap: Map[String, String] = Contracts.StateRegionMap)
+      : DataFrame =
     df.withColumn("city", upper(col("city")))
       .withColumn("state", upper(col("state")))
-      .withColumn("is_metro_store", isMetro(col("city")))
-      .withColumn("store_region", storeRegion(col("state")))
+      .withColumn("is_metro_store", isMetro(col("city"), metros))
+      .withColumn("store_region", storeRegion(col("state"), regionMap))
 
   /** sales_fact derived measures F1-F7
     * (transform_data_modeling.py:154-185). */

@@ -1,0 +1,327 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps, Windows}
+
+/** The LLM-data-pipeline extension surface: dedup, similarity search,
+  * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
+  * is provided wherever DuckDB can express the operator with provably
+  * identical arithmetic (probed: in-order float folds and `md5` are
+  * bit-identical across engines); sub-quadratic candidate generators
+  * whose hashes are engine-specific (xxhash64 banding) are rows-only
+  * and covered by recall specs instead.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared SQL fragments ----
+
+  /** DuckDB in-order dot product over 64-dim float lists (probed
+    * bit-identical to Spark's zip_with+aggregate fold). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Engine-portable stable sum (see Windows.stableSum). */
+  private def stableSumSql(c: String): String =
+    s"(SUM(CAST(FLOOR($c*1000000) AS BIGINT)) / 1000000.0)"
+
+  private def hitsSql(w: String): String =
+    s"CAST((length(p)-length(replace(p,' $w ','')))/${w.length + 2} AS BIGINT)"
+  private def scoreSql(lang: String): String =
+    TextOps.LangStopwords.toMap.apply(lang).map(hitsSql)
+      .mkString("(", " + ", ")")
+
+  private val DocsNormCte =
+    """WITH t AS (SELECT doc_id, text,
+      |  ' ' || lower(text) || ' ' AS p FROM documents)""".stripMargin
+
+  // =====================================================================
+  // Queries
+  // =====================================================================
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis ----
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeCount(col("text")).as("n_bpe_tokens"))),
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+    "text_quality_score" -> ((s, dir) =>
+      TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text")).drop("text")),
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.contentFingerprint(col("text")).as("content_md5"),
+        TextOps.shingleFingerprint(col("text"), 3).as("shingle_md5_min"))),
+
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.exactGroups(docs.union(copies), col("doc_id"), col("text"))
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", maxHamming = 8)),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDupBrute(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "vec_id", "embedding", threshold = 0.3)),
+
+    // ---- similarity search ----
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+    }),
+    "sim_lsh_ann" -> ((s, dir) =>
+      Similarity.lshNearNeighbors(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, planes = 8, threshold = 0.2)),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nCentroids = 16, k = 5)
+    }),
+
+    // ---- multimodal plumbing ----
+    "mm_payload_stats" -> ((s, dir) =>
+      Multimodal.payloadStats(t(s, dir, "documents"))),
+    "mm_decode_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+
+    // ---- event-time windows (batch) ----
+    "window_tumbling" -> ((s, dir) =>
+      Windows.tumbling(Tables.events(s, dir), col("ts"), 3600,
+        Seq(col("event_type")))
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start")),
+    "window_sliding" -> ((s, dir) =>
+      Windows.sliding(Tables.events(s, dir), col("ts"), 3600, 1800)
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start")),
+    "window_session" -> ((s, dir) =>
+      Windows.sessionize(Tables.events(s, dir), col("user_id"), col("ts"),
+        1800)),
+    "events_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+
+    // ---- analytics over the fact table ----
+    "analytics_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Windows.stableSum(col("l_quantity")).as("sum_qty"),
+          Windows.stableSum(col("l_extendedprice")).as("sum_base_price"),
+          Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))),
+    "analytics_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          (sum(floor(col("l_extendedprice") * 1000000).cast("long")).over(w)
+            / 1000000.0).as("running_revenue"))
+    }),
+    "analytics_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank").cast("long").as("rank"))
+    })
+  )
+
+  // =====================================================================
+  // Oracle SQL
+  // =====================================================================
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+          AS BIGINT) AS n_bpe_tokens
+        FROM documents""",
+    "text_lang_id" -> s"""$DocsNormCte,
+      s AS (SELECT doc_id,
+              ${scoreSql("en")} AS c_en, ${scoreSql("es")} AS c_es,
+              ${scoreSql("de")} AS c_de, ${scoreSql("fr")} AS c_fr
+            FROM t)
+      SELECT doc_id,
+             CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                  WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                  WHEN c_de >= c_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM s""",
+    "text_quality_score" -> s"""$DocsNormCte,
+      m AS (SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                AS n_tokens,
+              length(replace(text, ' ', '')) AS n_nonspace,
+              length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                AS n_punct,
+              ${scoreSql("en")} AS c_en
+            FROM t)
+      SELECT doc_id, n_chars, n_tokens,
+             n_nonspace * 1.0 / n_tokens AS avg_token_len,
+             n_punct * 1.0 / n_chars AS punct_ratio,
+             c_en * 1.0 / n_tokens AS stopword_ratio,
+             least(1.0, n_tokens / 50.0) * 0.4
+               + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+               + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+               AS quality_score
+      FROM m""",
+    "text_fingerprint" ->
+      """WITH tok AS (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks,
+            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5
+          FROM documents)
+        SELECT doc_id, content_md5,
+               list_min(list_transform(range(len(toks) - 2),
+                 i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS shingle_md5_min
+        FROM tok""",
+
+    "dedup_exact" ->
+      """WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0)
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5,
+               min(doc_id) AS doc_id_kept, count(*) AS n_copies
+        FROM all_docs GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE doc_id < 1000),
+        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter, sa.n_tokens AS n_a, sb.n_tokens AS n_b,
+               n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
+    "dedup_embedding_cosine" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${cosineSql("a.embedding", "b.embedding")} AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3""",
+
+    "sim_bruteforce_topk" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${cosineSql("qv", "e.embedding")} AS cosine
+        FROM q, embeddings e WHERE query_id <> e.vec_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5""",
+
+    "mm_payload_stats" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        FROM documents""",
+
+    "window_tumbling" -> s"""
+      SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
+             event_type, count(*) AS n_events,
+             ${stableSumSql("value")} AS sum_value
+      FROM events GROUP BY 1, 2""",
+    "window_sliding" -> s"""
+      WITH w AS (
+        SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - k) * 1800 AS window_epoch,
+               value
+        FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS off(k))
+      SELECT window_epoch, count(*) AS n_events,
+             ${stableSumSql("value")} AS sum_value
+      FROM w GROUP BY 1""",
+    "window_session" -> s"""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      ids AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             ${stableSumSql("value")} AS sum_value
+      FROM ids GROUP BY 1, 2""",
+    "events_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        FROM events""",
+
+    "analytics_q1" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             ${stableSumSql("l_quantity")} AS sum_qty,
+             ${stableSumSql("l_extendedprice")} AS sum_base_price,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2""",
+    "analytics_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*1000000) AS BIGINT))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) / 1000000.0
+                 AS running_revenue
+        FROM lineitem WHERE l_suppkey < 10""",
+    "analytics_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+        WHERE rank <= 3"""
+  )
+}

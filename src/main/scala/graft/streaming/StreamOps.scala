@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch window operators in
+  * [[graft.ext.Windows]]: tumbling/sliding event-time aggregation with
+  * watermarks, built-in session windows, and a custom
+  * flatMapGroupsWithState sessionizer for state logic the built-ins
+  * can't express.
+  *
+  * Batch/stream parity is the design invariant: the same aggregation
+  * expressions run in both modes, and the specs assert the streaming
+  * output equals the batch result on the same input.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Tumbling event-time aggregation with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding event-time aggregation. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Built-in session windows (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  case class SessionAgg(user_id: Long, n_events: Long, start_ms: Long,
+                        end_ms: Long)
+  private case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Custom sessionizer via flatMapGroupsWithState: emits a session
+    * when the processing-time timeout fires — the escape hatch for
+    * per-key state machines beyond session_window's semantics. */
+  def statefulSessions(events: Dataset[Event], gapMs: Long): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(user, s.n, s.start, s.last))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionAgg]()
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.start, t))
+                case Some(s) =>
+                  out += SessionAgg(user, s.n, s.start, s.last)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach(s => state.update(s))
+            state.setTimeoutDuration(gapMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Run a streaming query over a bounded source to completion into an
+    * in-memory table, returning the result — used by specs to assert
+    * batch/stream parity. */
+  def runToMemory(stream: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

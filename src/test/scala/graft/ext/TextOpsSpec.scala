@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val got = Seq("hello world, 42 times!")
+      .toDF("t")
+      .select(TextOps.tokenCount(col("t")),
+        TextOps.bpeCount(col("t")))
+      .as[(Long, Long)].head()
+    // ws: [hello, world,, 42, times!] = 4
+    // bpe: hello world , 4 2 times ! = 7
+    assert(got == ((4L, 7L)))
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val got = Seq(
+      "the cat and the dog of a house",
+      "el gato de la casa que los perros",
+      "der hund und die katze ist das haus",
+      "le chat et les chiens des maisons")
+      .toDF("t").select(TextOps.langId(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "de", "fr"))
+  }
+
+  test("content fingerprint normalizes whitespace and case") {
+    val fp = Seq("Hello   World", "hello world", "HELLO WORLD  ")
+      .toDF("t").select(TextOps.contentFingerprint(col("t")))
+      .as[String].collect()
+    assert(fp.distinct.length == 1)
+  }
+
+  test("word shingles: inclusive offsets, empty when too short") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("quality score is bounded and penalizes punctuation soup") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and then the end",
+      "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")
+      .toDF("t")
+    val scores = TextOps.withQualityScore(rows, col("t"))
+      .select(col("quality_score")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("multimodal fake codec is deterministic and batch-shaped") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(r => r.n_bytes > 0 && r.brightness >= 0.0
+      && r.brightness <= 1.0))
+    assert(f1.map(_.modality).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+}

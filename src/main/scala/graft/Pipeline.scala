@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.control.ControlPlane
 import graft.control.ControlPlane.{LogSink, RunLog, StageLog}
-import graft.ops.{Clean, Gates, Load, Model}
+import graft.ops.{Clean, DataQualityException, Gates, Load, Model}
 import graft.schema.Contracts
 
 /** End-to-end pipeline orchestration (runner/pipeline_runner.py
@@ -42,11 +42,12 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
       val pk = Contracts.PrimaryKeys(table)
       val expected = Contracts.ExpectedColumns(table)
 
-      // EXTRACT gates
+      // EXTRACT gates: fuse count+null-stats into one job, hash-based
+      // dup check. The source is re-scanned per gate — for columnar
+      // sources that is cheaper than materializing a row cache.
       val (extracted, nIn) = stage(runId, "EXTRACT", -1) {
         Gates.requireSchemaMatch(source, expected)
-        val n = Gates.requireNonEmpty(source)
-        Gates.requireMaxNullPct(source)
+        val n = Gates.requireSourceStats(source)
         Gates.requireNoFullRowDups(source)
         (source, n)
       }
@@ -67,11 +68,17 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
           case "stores" => Model.storesDim(cleaned, metros, regionMap)
           case "sales" => Model.salesFact(cleaned)
         }).cache()
-        val n = m.count()
+        // fused: row count + NULL-PK count in one job
+        val nullPred = pk.map(col(_).isNull).reduce(_ || _)
+        val row = m.agg(count(lit(1)).as("n"),
+          count(when(nullPred, 1)).as("n_null")).first()
+        val n = row.getLong(0)
         Gates.requireRowCountPreserved(nClean, n)
         Gates.requireContractSchema(m, Contracts.ExpectedColumns(table),
           Contracts.DerivedColumns(table))
-        Gates.requireNoNullPk(m, pk)
+        if (row.getLong(1) > 0)
+          throw new DataQualityException(
+            s"${row.getLong(1)} rows with NULL in PK $pk")
         Gates.requireNoDupPk(m, pk)
         if (table == "stores") Gates.requireNoUnmappedRegion(m)
         (m, n)
@@ -84,7 +91,7 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
             min(col("sale_date").cast("date")),
             max(col("sale_date").cast("date"))).first()
           val dd = Model.dateDim(spark, mm.getDate(0), mm.getDate(1))
-          Load.fullRefresh(dd, s"$warehouseDir/date_dim")
+          Load.fullRefresh(dd, s"$warehouseDir/date_dim", 1L)
           (dd, dd.count())
         }
       }
@@ -92,7 +99,7 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
       // LOAD + post-load validation
       val target = targetTable(table)
       stage(runId, "LOAD", nModeled) {
-        Load.fullRefresh(modeled, s"$warehouseDir/$target")
+        Load.fullRefresh(modeled, s"$warehouseDir/$target", nModeled)
         Load.validateLoaded(spark, s"$warehouseDir/$target", pk, nModeled)
         (modeled, nModeled)
       }

@@ -129,17 +129,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash from token hashes: per bit, sign of the vote sum.
-    * Computed entirely with integer Column ops. */
+  /** 64-bit SimHash from token hashes, via the native codegen'd
+    * [[graft.functions.SimHash64]] expression (one pass over the token
+    * array instead of 64 interpreted folds). */
   def simhash(text: Column): Column = {
     val toks = array_distinct(TextOps.tokens(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val mask = lit(1L << bit)
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
-      when(votes > 0, mask).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.functions.VectorFunctions.simhash64(transform(toks, t => xxhash64(t)))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit simhash into 4
@@ -172,10 +167,11 @@ object Dedup {
     * baseline. */
   def embeddingNearDupBrute(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    val normed = Similarity.withNormalized(df, vecCol, "nv")
+    val a = normed.select(col(idCol).as("vec_a"), col("nv").as("va"))
+    val b = normed.select(col(idCol).as("vec_b"), col("nv").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }

@@ -4,39 +4,51 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.dotNative
+
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the correctness baseline, hyperplane-LSH
   * bucketing and an IVF coarse quantizer as the scale paths.
   *
-  * Dot products are strict left-fold `aggregate` over `zip_with`
-  * products in double — deterministic order, codegen'd, no UDF.
+  * Dot products run through the native codegen'd [[graft.functions.DotProduct]]
+  * expression (strict left-fold in double — bit-identical to the
+  * `aggregate(zip_with(...))` formulation but whole-stage compiled).
+  * Pair-scoring paths pre-normalize each side once, so the inner loop
+  * per candidate pair is a single dot product.
   */
 object Similarity {
 
-  /** Strict in-order dot product of two float vectors, computed in
-    * double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Strict in-order dot product of two float/double vectors (double
+    * accumulation, codegen'd). */
+  def dot(a: Column, b: Column): Column = dotNative(a, b)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity (un-normalized inputs). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Attach a unit-normalized double vector column (norm computed once
+    * per row, not per element). */
+  def withNormalized(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("_graft_norm", norm(col(vec)))
+      .withColumn(out,
+        transform(col(vec), x => x.cast("double") / col("_graft_norm")))
+      .drop("_graft_norm")
+
   /** Brute-force cosine top-k: every query row against the whole
-    * corpus. The query side is broadcast (it is the small side by
-    * construction), so the corpus is scanned exactly once with no
-    * shuffle — the right baseline shape even at 100 TB corpus scale.
-    * Ties broken by corpus id for determinism. */
+    * corpus. Both sides are unit-normalized once; the query side is
+    * broadcast (small by construction), so the corpus is scanned
+    * exactly once with no shuffle — the right baseline shape even at
+    * 100 TB corpus scale. Ties broken by corpus id for determinism. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                      cId: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(vecCol).as("qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(withNormalized(queries, vecCol, "qv")
+      .select(col(qId).as("query_id"), col("qv")))
+    val c = withNormalized(corpus, vecCol, "cv")
+      .select(col(cId).as("neighbor_id"), col("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -60,9 +72,7 @@ object Similarity {
     require(planes <= 63)
     (0 until planes).map { p =>
       val weights = typedlit((0 until dim).map(d => planeWeight(p, d)))
-      val proj = aggregate(
-        zip_with(vec, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, weights)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
@@ -73,11 +83,12 @@ object Similarity {
   def lshNearNeighbors(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, planes: Int,
                        threshold: Double): DataFrame = {
-    val sig = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("sig"))
+    val sig = withNormalized(df, vecCol, "v")
+      .select(col(idCol).as("vec_id"), col("v"),
+        hyperplaneSignature(col(vecCol), dim, planes).as("sig"))
     sig.as("a").join(sig.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine", dot(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("cosine"))
@@ -85,18 +96,17 @@ object Similarity {
 
   /** IVF coarse quantizer: centroid ids are a deterministic sample
     * (lowest `nCentroids` ids), every vector is assigned to its nearest
-    * centroid by cosine. Queries then probe only `nProbe` centroid
-    * cells. This is the classic two-level ANN layout: the assignment
-    * is one broadcast join + per-row argmax, the search a bucket join.
-    */
+    * centroid by cosine over unit vectors. This is the classic
+    * two-level ANN layout: assignment is one broadcast join + per-row
+    * argmax, search a bucket join. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int): DataFrame = {
-    val centroids = broadcast(
-      df.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
-    val scored = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .join(centroids)
-      .withColumn("cos_c", cosine(col("v"), col("centroid_vec")))
+    val normed = withNormalized(df, vecCol, "v")
+      .select(col(idCol).as("vec_id"), col("v"))
+    val centroids = broadcast(normed.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("centroid_vec")))
+    val scored = normed.join(centroids)
+      .withColumn("cos_c", dot(col("v"), col("centroid_vec")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -114,7 +124,7 @@ object Similarity {
     val scored = broadcast(queryCells)
       .join(corpusCells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("cosine", dot(col("qv"), col("v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

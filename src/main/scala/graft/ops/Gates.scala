@@ -66,11 +66,49 @@ object Gates {
       .filter(col("n_dup") > 1)
   }
 
+  /** Gate form of D1, two-phase for scale: shuffle 8-byte row hashes
+    * first (narrow shuffle, map-side combined), then exactly confirm
+    * only the collided groups. At 100 TB the wide-row groupBy of
+    * [[fullRowDups]] shuffles the whole dataset; this shuffles one long
+    * per row. */
   def requireNoFullRowDups(df: DataFrame): Unit = {
-    val dups = fullRowDups(df).limit(5).collect()
-    if (dups.nonEmpty)
+    val cols = df.columns.map(col)
+    val withH = df.withColumn("_graft_h", xxhash64(cols: _*))
+    val candHashes = withH.groupBy(col("_graft_h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("_graft_h")).limit(1001).collect().map(_.getLong(0))
+    if (candHashes.length > 1000)
       throw new DataQualityException(
-        s"${dups.length}+ duplicate full rows, sample: ${dups.mkString("; ")}")
+        ">1000 candidate duplicate row groups (by content hash)")
+    if (candHashes.nonEmpty) {
+      val dups = fullRowDups(
+        withH.filter(col("_graft_h").isin(candHashes.toSeq: _*))
+          .drop("_graft_h"))
+        .limit(5).collect()
+      if (dups.nonEmpty)
+        throw new DataQualityException(
+          s"${dups.length}+ duplicate full rows, sample: ${dups.mkString("; ")}")
+    }
+  }
+
+  /** Fused extract gate: ONE aggregation job computes the row count and
+    * every column's NULL fraction (A1+A2); raises on empty input or any
+    * column above maxPct. Returns the row count. */
+  def requireSourceStats(df: DataFrame,
+                         maxPct: Double = Contracts.MaxNullPct): Long = {
+    val aggs = count(lit(1)).as("_n") +:
+      df.columns.map(c => avg(col(c).isNull.cast("double")).as(c)).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val n = row.getLong(0)
+    if (n == 0) throw new DataQualityException("source is empty")
+    val bad = df.columns.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i + 1) && row.getDouble(i + 1) * 100 > maxPct =>
+        f"$c=${row.getDouble(i + 1) * 100}%.1f%%"
+    }
+    if (bad.nonEmpty)
+      throw new DataQualityException(
+        s"columns exceed $maxPct%% NULLs: ${bad.mkString(", ")}")
+    n
   }
 
   /** T2 gate: no NULL primary-key values

@@ -26,9 +26,19 @@ object Load {
     }: _*)
 
   /** S3: idempotent full-refresh load to a parquet dir
-    * (etl/load.py:59-97). */
-  def fullRefresh(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    * (etl/load.py:59-97). When the caller knows the row count, output
+    * files are right-sized (~1M rows per file) instead of inheriting
+    * the upstream shuffle's partition count — small dims become one
+    * file, large facts keep parallelism. */
+  def fullRefresh(df: DataFrame, path: String, nRows: Long = -1L): Unit = {
+    val sized =
+      if (nRows < 0) df
+      else {
+        val parts = math.max(1L, math.min(nRows / 1000000L + 1, 10000L)).toInt
+        if (parts < df.rdd.getNumPartitions) df.coalesce(parts) else df
+      }
+    sized.write.mode("overwrite").parquet(path)
+  }
 
   /** Post-load validation (etl/load.py:144-210): loaded count equals
     * source count, zero NULL PKs, zero duplicate PKs — run against the
@@ -36,11 +46,16 @@ object Load {
   def validateLoaded(spark: SparkSession, path: String, pk: Seq[String],
                      expectedCount: Long): Unit = {
     val loaded = spark.read.parquet(path)
-    val n = loaded.count()
-    if (n != expectedCount)
+    // one pass: row count + NULL-PK count
+    val nullPred = pk.map(col(_).isNull).reduce(_ || _)
+    val row = loaded.agg(count(lit(1)).as("n"),
+      count(when(nullPred, 1)).as("n_null")).first()
+    if (row.getLong(0) != expectedCount)
       throw new DataQualityException(
-        s"loaded count $n != source count $expectedCount")
-    Gates.requireNoNullPk(loaded, pk)
+        s"loaded count ${row.getLong(0)} != source count $expectedCount")
+    if (row.getLong(1) > 0)
+      throw new DataQualityException(
+        s"${row.getLong(1)} rows with NULL in PK $pk")
     Gates.requireNoDupPk(loaded, pk)
   }
 

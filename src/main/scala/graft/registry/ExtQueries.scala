@@ -23,12 +23,16 @@ object ExtQueries {
 
   // ---- shared SQL fragments ----
 
-  /** DuckDB in-order dot product over 64-dim float lists (probed
-    * bit-identical to Spark's zip_with+aggregate fold). */
+  /** DuckDB in-order dot product over 64-dim double lists (probed
+    * bit-identical to Spark's strict left-fold). */
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
-  private def cosineSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    s"list_sum(list_transform(range(1,65), i -> $a[i]*$b[i]))"
+  /** Unit-normalized double vector (norm = sqrt of in-order self-dot,
+    * matching Similarity.withNormalized exactly). */
+  private val NormSql =
+    """list_transform(embedding, x -> CAST(x AS DOUBLE)
+      | / sqrt(list_sum(list_transform(embedding,
+      |     y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))))""".stripMargin
 
   /** Engine-portable stable sum (see Windows.stableSum). */
   private def stableSumSql(c: String): String =
@@ -242,19 +246,20 @@ object ExtQueries {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
     "dedup_embedding_cosine" -> s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+      WITH e AS (SELECT vec_id, $NormSql AS nv
+                 FROM embeddings WHERE vec_id < 1000)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ${cosineSql("a.embedding", "b.embedding")} AS cosine
+             ${dotSql("a.nv", "b.nv")} AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3""",
+      WHERE ${dotSql("a.nv", "b.nv")} >= 0.3""",
 
     "sim_bruteforce_topk" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                 WHERE vec_id < 10),
+      WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+      q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
       scored AS (
         SELECT query_id, e.vec_id AS neighbor_id,
-               ${cosineSql("qv", "e.embedding")} AS cosine
-        FROM q, embeddings e WHERE query_id <> e.vec_id)
+               ${dotSql("qv", "e.nv")} AS cosine
+        FROM q, n e WHERE query_id <> e.vec_id)
       SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)

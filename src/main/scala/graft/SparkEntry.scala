@@ -33,7 +33,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RetailQueries.queries ++ graft.registry.ExtQueries.queries ++
-      graft.registry.PipelineQueries.queries ++ fQueries
+      graft.registry.PipelineQueries.queries ++
+      graft.registry.StreamQueries.queries ++ fQueries
 
   private def fQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.6 sales_fact derivations F1-F7 ----
@@ -67,7 +68,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RetailQueries.oracleSql ++ graft.registry.ExtQueries.oracleSql ++
-      graft.registry.PipelineQueries.oracleSql ++ fOracle
+      graft.registry.PipelineQueries.oracleSql ++
+      graft.registry.StreamQueries.oracleSql ++ fOracle
 
   private def fOracle: Map[String, String] = Map(
     "derive_gross_amount" -> s"""$SalesCte

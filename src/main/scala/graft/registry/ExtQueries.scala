@@ -166,7 +166,44 @@ object ExtQueries {
         .filter(col("rank") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rank").cast("long").as("rank"))
-    })
+    }),
+    // fact x dim join-aggregate: revenue by order priority. The orders
+    // side is the smaller input -> broadcast by the planner (verified
+    // in plans); one shuffle for the final group-by.
+    "analytics_priority_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
+    // star join through three broadcast dims: revenue per region
+    "analytics_region_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
+    // rollup subtotals (counts only -- engine-portable)
+    "analytics_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))),
+    "analytics_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+    "events_from_json_struct" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k_num")))
   )
 
   // =====================================================================
@@ -327,6 +364,33 @@ object ExtQueries {
                 row_number() OVER (PARTITION BY o_custkey
                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders)
-        WHERE rank <= 3"""
+        WHERE rank <= 3""",
+    "analytics_priority_revenue" -> s"""
+      SELECT o_orderpriority,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "analytics_region_revenue" -> s"""
+      SELECT r_name,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1""",
+    "analytics_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "analytics_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem""",
+    "events_from_json_struct" ->
+      """SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        FROM events"""
   )
 }

@@ -1,0 +1,82 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Tables
+import graft.streaming.StreamOps
+
+/** Structured Streaming queries, driven to completion over a bounded
+  * file source so the result is deterministic and oracle-checkable:
+  * the streaming output must equal the equivalent batch SQL — the
+  * batch/stream parity contract.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stage the (ns->us converted) events as a parquet stream source and
+    * run the given streaming transform to completion. */
+  private def runStream(s: SparkSession, dir: String, name: String)
+                       (mk: DataFrame => DataFrame): DataFrame = {
+    val events = Tables.events(s, dir)
+    val stage = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$name").toString
+    events.write.mode("overwrite").parquet(stage)
+    val src = s.readStream.schema(events.schema).parquet(stage)
+    StreamOps.runToMemory(mk(src), s"graft_mem_$name", OutputMode.Complete())
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, dir) =>
+      runStream(s, dir, "tumbling")(src =>
+        StreamOps.tumblingCounts(src, "1 hour"))
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start")),
+    "stream_session" -> ((s, dir) =>
+      runStream(s, dir, "session")(src =>
+        StreamOps.sessionCounts(src, "30 minutes"))
+        .withColumn("session_start",
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))),
+    "stream_sliding" -> ((s, dir) =>
+      runStream(s, dir, "sliding")(src =>
+        StreamOps.slidingCounts(src, "1 hour", "30 minutes"))
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start"))
+  )
+
+  private def stableSumSql(c: String): String =
+    s"(SUM(CAST(FLOOR($c*1000000) AS BIGINT)) / 1000000.0)"
+
+  val oracleSql: Map[String, String] = Map(
+    // identical to the batch tumbling aggregation — parity is the spec
+    "stream_tumbling" -> s"""
+      SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
+             event_type, count(*) AS n_events,
+             ${stableSumSql("value")} AS sum_value
+      FROM events GROUP BY 1, 2""",
+    // session_window(gap) == batch gap-based sessionization
+    "stream_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      ids AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id, count(*) AS n_events
+      FROM ids GROUP BY user_id, session_seq""",
+    "stream_sliding" -> """
+      WITH w AS (
+        SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - k) * 1800 AS window_epoch
+        FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS off(k))
+      SELECT window_epoch, count(*) AS n_events
+      FROM w GROUP BY 1"""
+  )
+}

@@ -19,14 +19,17 @@ object StreamOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
-  /** Tumbling event-time aggregation with a watermark. */
+  /** Tumbling event-time aggregation with a watermark. Sums use the
+    * same order-proof micro-quantization as the batch twin
+    * (graft.ext.Windows.stableSum). */
   def tumblingCounts(events: DataFrame, width: String,
                      watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        (sum(floor(col("value") * 1000000).cast("long")) / 1000000.0)
+          .as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -15,7 +15,8 @@ class StreamOpsSpec extends SparkSpec {
     val batch = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        (sum(floor(col("value") * 1000000).cast("long")) / 1000000.0)
+          .as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     // stream the same rows through a memory sink

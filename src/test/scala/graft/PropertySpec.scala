@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ops.{Clean, Model}
+
+/** Property-based invariants (SURVEY §5.2) driven by ScalaCheck
+  * generators (sampled directly — the scalatest bridge artifact is not
+  * in the offline cache): cleaning idempotence and uniqueness, modeling
+  * arithmetic identities, date-dim structure, permutation-invariance of
+  * the stable sum, and native-expression equivalence.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("normalizeName is idempotent and always snake_case") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val once = Clean.normalizeName(s)
+      assert(Clean.normalizeName(once) == once, s"input: ${s.take(40)}")
+      assert(once.isEmpty ||
+        graft.schema.Contracts.SnakeCase.pattern.matcher(once).matches(),
+        s"not snake_case: $once")
+    }
+  }
+
+  test("dedupKeepFirst leaves primary keys unique and is idempotent") {
+    samples(Gen.nonEmptyListOf(Gen.choose(1, 20)), 5).foreach { keys =>
+      val df = keys.zipWithIndex.toDF("pk", "ord")
+      val once = Clean.dedupKeepFirst(df, Seq("pk"), col("ord")).cache()
+      val maxCount = once.groupBy("pk").count().agg(max("count")).as[Long].head()
+      assert(maxCount == 1L)
+      assert(Clean.dedupKeepFirst(once, Seq("pk"), col("ord")).count()
+        == once.count())
+      once.unpersist()
+    }
+  }
+
+  test("sales modeling identities: net = gross - discount, 0 <= discount <= gross") {
+    val rowGen = for {
+      q <- Gen.choose(1L, 50L)
+      p <- Gen.choose(1.0, 10000.0)
+      d <- Gen.choose(0.0, 100.0)
+    } yield (q, p, d)
+    val rows = samples(rowGen, 200)
+    val df = rows.toDF("quantity", "unit_price", "discount_pct")
+      .withColumn("sale_id", lit("x"))
+      .withColumn("sale_date", lit("2026-01-01").cast("timestamp"))
+    Model.salesFact(df)
+      .select($"gross_amount", $"discount_amount", $"net_amount")
+      .as[(Double, Double, Double)].collect()
+      .foreach { case (g, d2, n) =>
+        assert(math.abs(n - (g - d2)) < 1e-9)
+        assert(d2 >= -1e-9 && d2 <= g + 1e-9)
+      }
+  }
+
+  test("date dim: row count equals inclusive day span; weekend iff dow >= 5") {
+    val gen = for {
+      start <- Gen.choose(0L, 20000L)
+      span <- Gen.choose(0L, 400L)
+    } yield (start, span)
+    samples(gen, 5).foreach { case (start, span) =>
+      val d0 = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(start))
+      val d1 = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(start + span))
+      val dd = Model.dateDim(spark, d0, d1).cache()
+      assert(dd.count() == span + 1)
+      assert(dd.filter(col("is_weekend") =!= (col("day_of_week") >= 5))
+        .count() == 0)
+      dd.unpersist()
+    }
+  }
+
+  test("stableSum is invariant under row permutation and partitioning") {
+    samples(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)), 5).foreach { xs =>
+      val a = xs.toDF("v").repartition(7)
+        .agg(graft.ext.Windows.stableSum(col("v"))).as[Double].head()
+      val b = scala.util.Random.shuffle(xs).toDF("v").repartition(3)
+        .agg(graft.ext.Windows.stableSum(col("v"))).as[Double].head()
+      assert(a == b)
+    }
+  }
+
+  test("DotProduct native expression equals the fold formulation exactly") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    emb.select(
+      graft.ext.Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("fold"))
+      .as[(Double, Double)].collect()
+      .foreach { case (n, f) => assert(n == f) }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the most recent right row of
+  * the same key with right.ts <= left.ts.
+  *
+  * Implemented with the union+window technique: tag both inputs, union
+  * them, sort per key by (ts, side) and carry the last seen right
+  * payload forward with `last_value(ignoreNulls)`. This is the
+  * scale-correct shape — ONE shuffle on the key and a per-partition
+  * sort, no range-condition join (which Spark would plan as a
+  * broadcast-nested-loop or an exploding theta join). Equivalent to
+  * engines' native ASOF JOIN semantics (ties on ts: the right row
+  * sorts before the left row, so same-instant rights match).
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich
+    * @param right     reference rows (must be unique per (key, ts);
+    *                  pre-aggregate otherwise)
+    * @param key       equi-key column name present on both sides
+    * @param ts        event-time column name present on both sides
+    * @param payload   right-side columns to carry (renamed as-is onto
+    *                  the output)
+    */
+  def asofLe(left: DataFrame, right: DataFrame, key: String, ts: String,
+             payload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // side 0 = right, 1 = left: at equal ts the right row sorts first,
+    // so last_value at the left row sees it (<= semantics)
+    val l = left.withColumn("_side", lit(1))
+      .select((lCols.map(col) :+ col("_side")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right.select(
+      (Seq(col(key), col(ts)) ++
+        lCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("_side")) ++ payload.map(col): _*)
+      .select((lCols.map(col) :+ col("_side")) ++ payload.map(col): _*)
+    val unioned = l.unionByName(r)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+}

@@ -57,6 +57,30 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Brute-force top-k via the [[graft.functions.TopKByScore]]
+    * TypedImperativeAggregate instead of a window: the bounded heap
+    * participates in partial aggregation, so each task forwards at most
+    * k pairs per query instead of shuffling and sorting every candidate
+    * — the shape that survives a 100x corpus scale-up. Identical output
+    * to [[bruteForceTopK]] (same total order). */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, qId: String,
+                        cId: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(withNormalized(queries, vecCol, "qv")
+      .select(col(qId).as("query_id"), col("qv")))
+    val c = withNormalized(corpus, vecCol, "cv")
+      .select(col(cId).as("neighbor_id"), col("cv"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), dot(col("qv"), col("cv")).as("cosine"),
+        col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(col("cosine"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
     * derived from a hash — reproducible across sessions with no RNG
     * state. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps, Windows}
+import graft.ext.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -99,6 +99,12 @@ object ExtQueries {
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+    }),
+    "sim_bruteforce_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
         "embedding", k = 5)
     }),
@@ -203,7 +209,19 @@ object ExtQueries {
       Tables.events(s, dir).select(col("event_id"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").cast("long").as("k_num")))
+          .getField("k").cast("long").as("k_num"))),
+    // as-of join: every event enriched with its user's most recent
+    // (<= ts) purchase — union+window implementation, one shuffle
+    "asof_join_last_purchase" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumn("purchase_epoch", col("ts").cast("double"))
+      AsOfJoin.asofLe(events, purchases, "user_id", "ts",
+          Seq("purchase_value", "purchase_epoch"))
+        .select(col("event_id"), col("purchase_value"), col("purchase_epoch"))
+    })
   )
 
   // =====================================================================
@@ -291,6 +309,18 @@ object ExtQueries {
       WHERE ${dotSql("a.nv", "b.nv")} >= 0.3""",
 
     "sim_bruteforce_topk" -> s"""
+      WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+      q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${dotSql("qv", "e.nv")} AS cosine
+        FROM q, n e WHERE query_id <> e.vec_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5""",
+
+    "sim_bruteforce_topk_agg" -> s"""
       WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
       q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
       scored AS (
@@ -391,6 +421,14 @@ object ExtQueries {
     "events_from_json_struct" ->
       """SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
-        FROM events"""
+        FROM events""",
+    "asof_join_last_purchase" ->
+      """WITH p AS (
+          SELECT user_id, ts, max(value) AS purchase_value,
+                 epoch(ts) AS purchase_epoch
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT e.event_id, p.purchase_value, p.purchase_epoch
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts"""
   )
 }

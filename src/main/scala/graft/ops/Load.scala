@@ -59,6 +59,25 @@ object Load {
     Gates.requireNoDupPk(loaded, pk)
   }
 
+  /** Incremental (watermark) load — the strategy the reference's
+    * metadata reserves but never implements (table_md.watermark_column /
+    * last_loaded_value, SURVEY §1.4): append only rows strictly past
+    * the last loaded watermark value, return the new high watermark.
+    * At scale this is a partition-pruned append instead of a full
+    * rewrite; idempotent re-runs with an unchanged watermark append
+    * nothing. */
+  def incrementalAppend(df: DataFrame, path: String, watermarkCol: String,
+                        lastValue: Option[String]): Option[String] = {
+    val batch = lastValue match {
+      case Some(v) => df.filter(col(watermarkCol) > lit(v).cast(
+        df.schema(watermarkCol).dataType))
+      case None => df
+    }
+    batch.write.mode("append").parquet(path)
+    val mx = batch.agg(max(col(watermarkCol)).cast("string")).first()
+    if (mx.isNullAt(0)) lastValue else Some(mx.getString(0))
+  }
+
   /** FK referential-integrity check via left-anti join
     * (README.md:166-171; SURVEY §2.5): fact keys absent from the dim
     * must be zero. Broadcast the dim when it is small — the planner

@@ -210,6 +210,35 @@ object ExtQueries {
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").cast("long").as("k_num"))),
+    // exact interpolated percentiles (probed bit-identical to DuckDB's
+    // quantile_cont)
+    "analytics_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))),
+    // incremental watermark load (the strategy the reference's metadata
+    // reserves): initial batch to a cutoff, then append past the high
+    // watermark; the final table must equal the full source
+    "incremental_watermark_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr").toString + "/orders"
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val batch1 = src.filter(col("o_orderdate") <= lit("1998-01-01")
+        .cast("timestamp"))
+      val wm1 = graft.ops.Load.incrementalAppend(batch1, tmp,
+        "o_orderdate", None)
+      // re-run with unchanged watermark: must append nothing
+      graft.ops.Load.incrementalAppend(batch1, tmp, "o_orderdate", wm1)
+      // second batch: everything past the watermark
+      graft.ops.Load.incrementalAppend(src, tmp, "o_orderdate", wm1)
+      s.read.parquet(tmp).select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_iso"),
+        col("o_totalprice"))
+    }),
     // as-of join: every event enriched with its user's most recent
     // (<= ts) purchase — union+window implementation, one shuffle
     "asof_join_last_purchase" -> ((s, dir) => {
@@ -422,6 +451,18 @@ object ExtQueries {
       """SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
         FROM events""",
+    "analytics_percentiles" ->
+      """SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY 1""",
+    "incremental_watermark_load" ->
+      """SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_iso,
+               o_totalprice
+        FROM orders""",
     "asof_join_last_purchase" ->
       """WITH p AS (
           SELECT user_id, ts, max(value) AS purchase_value,

@@ -20,6 +20,10 @@ object Probe {
         Similarity.dot(col("embedding"), col("embedding")).as("dot_self"),
         Similarity.norm(col("embedding")).as("norm"))
       .coalesce(1).write.mode("overwrite").parquet("/tmp/probe_dot")
+    // percentile probe: Spark exact interpolated percentiles
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .selectExpr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99)) as p")
+      .show(false)
     // events ts conversion probe
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     ev.printSchema()

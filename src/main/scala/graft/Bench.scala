@@ -33,6 +33,9 @@ object Bench {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // queries own caches for intra-query reuse; drop them so one
+      // query's cache residue cannot throttle the next
+      spark.catalog.clearCache()
       (name, sec, n)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -16,14 +16,22 @@ object StreamQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Stage the (ns->us converted) events as a parquet stream source and
-    * run the given streaming transform to completion. */
+  /** Staged (ns->us converted) events parquet per (session, sfDir) —
+    * written once, shared by all streaming queries in the run. */
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Stage the events as a parquet stream source and run the given
+    * streaming transform to completion. */
   private def runStream(s: SparkSession, dir: String, name: String)
                        (mk: DataFrame => DataFrame): DataFrame = {
     val events = Tables.events(s, dir)
-    val stage = java.nio.file.Files
-      .createTempDirectory(s"graft_stream_$name").toString
-    events.write.mode("overwrite").parquet(stage)
+    val stage = staged.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_stream_src").toString
+      events.write.mode("overwrite").parquet(d)
+      d
+    })
     val src = s.readStream.schema(events.schema).parquet(stage)
     StreamOps.runToMemory(mk(src), s"graft_mem_$name", OutputMode.Complete())
   }

@@ -210,6 +210,16 @@ object ExtQueries {
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").cast("long").as("k_num"))),
+    // salted equi-join for known-hot keys: identical semantics to the
+    // plain join (same oracle as analytics_priority_revenue)
+    "join_salted_skew" -> ((s, dir) =>
+      graft.ext.Skew.saltedJoin(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", saltFactor = 8,
+          spread = col("l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
     // exact interpolated percentiles (probed bit-identical to DuckDB's
     // quantile_cont)
     "analytics_percentiles" -> ((s, dir) =>
@@ -451,6 +461,12 @@ object ExtQueries {
       """SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
         FROM events""",
+    "join_salted_skew" -> s"""
+      SELECT o_orderpriority,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
     "analytics_percentiles" ->
       """SELECT l_returnflag,
                quantile_cont(l_extendedprice, 0.25) AS p25,

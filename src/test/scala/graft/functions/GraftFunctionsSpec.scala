@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions: graft_dot, graft_simhash64, graft_topk") {
+    GraftFunctions.registerSql(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("emb_v")
+
+    // graft_dot in SQL equals the Column API
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM emb_v")
+      .orderBy("vec_id").as[(Long, Double)].collect()
+    val viaApi = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.ext.Similarity.dot(col("embedding"), col("embedding")))
+      .orderBy("vec_id").as[(Long, Double)].collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+
+    // graft_simhash64: identical token arrays hash identically
+    val sh = spark.sql(
+      """SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS h1,
+                graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS h2""")
+      .as[(Long, Long)].head()
+    assert(sh._1 == sh._2)
+
+    // graft_topk as a SQL aggregate: top-2 per group, best first
+    val top = spark.sql(
+      """SELECT k, graft_topk(s, id, 2) AS top FROM VALUES
+           ('a', 1.0D, 10L), ('a', 3.0D, 11L), ('a', 2.0D, 12L),
+           ('b', 5.0D, 20L) AS t(k, s, id)
+         GROUP BY k ORDER BY k""")
+      .select(col("k"), col("top.score"), col("top.id"))
+      .as[(String, Seq[Double], Seq[Long])].collect()
+    assert(top(0) == (("a", Seq(3.0, 2.0), Seq(11L, 12L))))
+    assert(top(1) == (("b", Seq(5.0), Seq(20L))))
+  }
+
+  test("salted join equals the plain join") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val salted = graft.ext.Skew.saltedJoin(li, o, "l_orderkey",
+      "o_orderkey", 8, col("l_linenumber"))
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}

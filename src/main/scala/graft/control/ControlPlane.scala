@@ -93,6 +93,65 @@ object ControlPlane {
   def listActivePipelines(spark: SparkSession): DataFrame =
     pipelineMdDf(spark).filter(col("is_active")).select(col("pipeline_name"))
 
+  /** Mutable metadata store — the full CRUD API of
+    * utils/metadata_table_helpers.py (:44-214), driver-side (metadata
+    * is tiny; a Spark job per lookup would be anti-scale). Reads are
+    * also exposed as DataFrames for J1-style joins.
+    */
+  class MetadataStore(initPipelines: Seq[PipelineMd] = pipelines,
+                      initTables: Seq[TableMd] = tables,
+                      initMap: Seq[PipelineTableMap] = pipelineTableMap) {
+    private val ps = scala.collection.mutable.LinkedHashMap(
+      initPipelines.map(p => p.pipeline_name -> p): _*)
+    private val ts = scala.collection.mutable.LinkedHashMap(
+      initTables.map(t => t.table_name -> t): _*)
+    private var ptm = initMap.toVector
+
+    /** get_pipeline (:44-57) */
+    def getPipeline(name: String): Option[PipelineMd] = ps.get(name)
+    /** list_active_pipelines (:60-70) */
+    def listActivePipelines(): Seq[PipelineMd] =
+      ps.values.filter(_.is_active).toSeq
+    /** register_pipeline (:73-104) — upsert, reactivates if present */
+    def registerPipeline(p: PipelineMd): Unit = ps(p.pipeline_name) = p
+    /** deactivate_pipeline (:107-127) */
+    def deactivatePipeline(name: String): Boolean =
+      ps.get(name) match {
+        case Some(p) => ps(name) = p.copy(is_active = false); true
+        case None => false
+      }
+    /** get_table (:132-145) */
+    def getTable(name: String): Option[TableMd] = ts.get(name)
+    /** list_active_tables_for_source (:148-164) */
+    def listActiveTablesForSource(source: String): Seq[TableMd] =
+      ts.values.filter(t => t.is_active && t.source_name == source).toSeq
+    /** update_table_watermark (:167-189) */
+    def updateTableWatermark(table: String, column: String,
+                             value: String): Boolean =
+      ts.get(table) match {
+        case Some(t) =>
+          ts(table) = t.copy(watermark_column = column,
+            last_loaded_value = value); true
+        case None => false
+      }
+    /** list_tables_for_pipeline (:194-214) — J1 join + load_order sort */
+    def listTablesForPipeline(pipeline: String): Seq[(TableMd, String)] =
+      ptm.filter(m => m.pipeline_name == pipeline && m.is_active)
+        .flatMap(m => ts.get(m.table_name).filter(_.is_active)
+          .map(t => (t, m.load_order)))
+        .sortBy(_._2)
+    def addMapping(m: PipelineTableMap): Unit = ptm = ptm :+ m
+
+    def pipelinesDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      ps.values.toSeq.toDF()
+    }
+    def tablesDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      ts.values.toSeq.toDF()
+    }
+  }
+
   // ---- Run/stage log (S5; utils/log_table_helpers.py:51-196) ----
   case class RunLog(run_id: String, pipeline_name: String, status: String,
                     start_time: String, end_time: String, error: String)

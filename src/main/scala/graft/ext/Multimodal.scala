@@ -90,4 +90,21 @@ object Multimodal {
       length(col("text").cast("binary")).cast("long").as("n_bytes"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"))
+
+  /** Frame sampling over an opaque payload: fixed-size chunks ("frames")
+    * taken every `stride`-th, fingerprinted. Pure Column algebra — the
+    * video-pipeline shape (chunk, stride-sample, hash) without a codec,
+    * and a per-row map at any scale. */
+  def frameSample(docs: DataFrame, chunkChars: Int, stride: Int): DataFrame = {
+    val nChunks = floor((length(col("text")) + (chunkChars - 1))
+      / (chunkChars * 1.0)).cast("long")
+    docs.select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+      .withColumn("sampled", transform(
+        sequence(lit(0L), col("n_chunks") - 1, lit(stride.toLong)),
+        i => col("text").substr((i * chunkChars + 1).cast("int"),
+          lit(chunkChars))))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("sampled")).cast("long").as("n_sampled"),
+        md5(concat_ws("", col("sampled"))).as("sample_md5"))
+  }
 }

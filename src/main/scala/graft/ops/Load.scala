@@ -34,7 +34,7 @@ object Load {
     val sized =
       if (nRows < 0) df
       else {
-        val parts = math.max(1L, math.min(nRows / 1000000L + 1, 10000L)).toInt
+        val parts = math.max(1L, math.min(nRows / 250000L + 1, 10000L)).toInt
         if (parts < df.rdd.getNumPartitions) df.coalesce(parts) else df
       }
     sized.write.mode("overwrite").parquet(path)

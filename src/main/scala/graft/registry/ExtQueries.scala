@@ -123,6 +123,9 @@ object ExtQueries {
     "mm_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(t(s, dir, "documents"), chunkChars = 32,
+        stride = 2)),
 
     // ---- event-time windows (batch) ----
     "window_tumbling" -> ((s, dir) =>
@@ -377,6 +380,18 @@ object ExtQueries {
                     WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         FROM documents""",
 
+    "mm_frame_sample" ->
+      """WITH c AS (SELECT doc_id, text,
+            CAST(FLOOR((length(text) + 31) / 32.0) AS BIGINT) AS n_chunks
+          FROM documents),
+        s AS (SELECT doc_id, n_chunks,
+            list_transform(range(0, n_chunks, 2),
+              i -> substr(text, CAST(i*32 + 1 AS INTEGER), 32)) AS sampled
+          FROM c)
+        SELECT doc_id, n_chunks,
+               CAST(len(sampled) AS BIGINT) AS n_sampled,
+               md5(array_to_string(sampled, '')) AS sample_md5
+        FROM s""",
     "window_tumbling" -> s"""
       SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
              event_type, count(*) AS n_events,

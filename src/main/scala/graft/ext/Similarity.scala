@@ -137,14 +137,26 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("v"))
   }
 
-  /** IVF top-k search: assign queries and corpus to cells, probe only
-    * the query's cell (nProbe=1 variant), rank within probed cells. */
+  /** IVF top-k search: assign corpus vectors to their nearest cell,
+    * probe each query's `nProbe` nearest cells, rank within the probed
+    * cells. Recall grows with nProbe at proportional probe cost; the
+    * search stays a bucket join keyed on centroid id. */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, nCentroids: Int, k: Int): DataFrame = {
+              vecCol: String, nCentroids: Int, k: Int,
+              nProbe: Int = 1): DataFrame = {
     val corpusCells = ivfAssign(df, idCol, vecCol, nCentroids)
-    val queryCells = ivfAssign(queries, idCol, vecCol, nCentroids)
-      .select(col("vec_id").as("query_id"), col("centroid_id"),
-        col("v").as("qv"))
+    val queryNormed = withNormalized(queries, vecCol, "qv")
+      .select(col(idCol).as("query_id"), col("qv"))
+    val centroids = broadcast(
+      withNormalized(df, vecCol, "cvec").orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col("cvec")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    val queryCells = queryNormed.join(centroids)
+      .withColumn("cos_c", dot(col("qv"), col("cvec")))
+      .withColumn("probe_rn", row_number().over(probeW))
+      .filter(col("probe_rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"), col("qv"))
     val scored = broadcast(queryCells)
       .join(corpusCells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -114,7 +114,7 @@ object ExtQueries {
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", nCentroids = 16, k = 5)
+        "vec_id", "embedding", nCentroids = 16, k = 5, nProbe = 2)
     }),
 
     // ---- multimodal plumbing ----

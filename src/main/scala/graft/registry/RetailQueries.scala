@@ -155,6 +155,38 @@ object RetailQueries {
       Load.fullRefresh(src, tmp) // idempotent overwrite, twice
       s.read.parquet(tmp)
     }),
+    "scan_json" -> ((s, dir) => {
+      // JSON round trip: write a projection as JSONL, read back with an
+      // explicit schema
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_json/orders"
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))).json(tmp)
+    }),
+    "sink_scan_orc" -> ((s, dir) => {
+      // ORC round trip
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc/nation"
+      val src = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    }),
+    "sink_partitioned_pruned" -> ((s, dir) => {
+      // hive-style partitioned write + partition-pruned read: only the
+      // selected year's files are scanned (PartitionFilters in the plan)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_part/sales"
+      val modeled = modeledSales(s, dir)
+        .select(col("sale_id"), col("net_amount"), col("order_year"))
+      modeled.write.mode("overwrite").partitionBy("order_year").parquet(tmp)
+      val years = modeled.select(min(col("order_year"))).first().getLong(0)
+      s.read.parquet(tmp).filter(col("order_year") === years)
+        .select(col("sale_id"), col("net_amount"),
+          col("order_year").cast("long").as("order_year"))
+    }),
     "sink_type_normalize" -> ((s, dir) =>
       Load.typeNormalize(sales(s, dir).select(col("sale_id"), col("sale_date")))),
     "control_log_sink" -> ((s, dir) => {
@@ -355,6 +387,18 @@ object RetailQueries {
     "sink_full_refresh" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
+    "scan_json" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "sink_scan_orc" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation",
+    "sink_partitioned_pruned" -> s"""$SalesCte,
+      m AS (SELECT sale_id,
+              (quantity * unit_price)
+                - ((quantity * unit_price) * (discount_pct / 100)) AS net_amount,
+              CAST(year(sale_date) AS BIGINT) AS order_year
+            FROM sales)
+      SELECT sale_id, net_amount, order_year FROM m
+      WHERE order_year = (SELECT min(order_year) FROM m)""",
     "sink_type_normalize" -> s"""$SalesCte
       SELECT sale_id,
              strftime(sale_date, '%Y-%m-%dT%H:%M:%S') AS sale_date

@@ -94,6 +94,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val hits = ivf.select("query_id", "cosine").as[(Long, Double)].collect()
     assert(hits.nonEmpty)
     hits.foreach { case (q, c) => assert(c <= best(q) + 1e-12) }
+    // recall@5 against brute force must not decrease with more probes
+    def recall(n: Int): Double = {
+      val truth = bf.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        nCentroids = 8, k = 5, nProbe = n)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r4 >= r1)
+    assert(r4 > 0.5, s"recall@5 with nProbe=4 too low: $r4")
   }
 
   test("token df-cap guards the inverted index against hot tokens") {

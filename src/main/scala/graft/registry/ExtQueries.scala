@@ -213,6 +213,54 @@ object ExtQueries {
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").cast("long").as("k_num"))),
+    // funnel: per user, did signup -> click -> purchase happen in order
+    "analytics_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstOf = (t: String) => min(when(col("event_type") === t,
+        col("ts").cast("double"))).as(s"first_$t")
+      ev.groupBy(col("user_id"))
+        .agg(firstOf("signup"), firstOf("click"), firstOf("purchase"))
+        .select(col("user_id"),
+          col("first_signup").isNotNull.as("did_signup"),
+          (col("first_click") > col("first_signup")).as("clicked_after_signup"),
+          (col("first_purchase") > col("first_click")
+            && col("first_click") > col("first_signup"))
+            .as("purchased_after_click"))
+    }),
+    // weekly cohort retention: users by first-activity week x active week
+    "analytics_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val week = (c: org.apache.spark.sql.Column) =>
+        floor(c.cast("double") / 604800).cast("long")
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(week(col("ts"))).as("cohort_week"))
+      ev.select(col("user_id"), week(col("ts")).as("active_week"))
+        .distinct()
+        .join(firstWeek, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("active_week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // tf-idf-ish top terms per doc: score = tf * N / df, rational (no
+    // log -- cross-engine exact), top 3 by (score desc, term)
+    "text_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", col("tf") * lit(n * 1.0) / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }),
     // salted equi-join for known-hot keys: identical semantics to the
     // plain join (same oracle as analytics_priority_revenue)
     "join_salted_skew" -> ((s, dir) =>
@@ -476,6 +524,47 @@ object ExtQueries {
       """SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
         FROM events""",
+    "analytics_funnel" ->
+      """WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN epoch(ts) END) AS s,
+                 min(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS c,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS p
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               s IS NOT NULL AS did_signup,
+               c > s AS clicked_after_signup,
+               p > c AND c > s AS purchased_after_click
+        FROM f""",
+    "analytics_cohort_retention" ->
+      """WITH w AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(ts)/604800) AS BIGINT) AS active_week
+          FROM events),
+        fw AS (SELECT user_id, min(active_week) AS cohort_week
+               FROM w GROUP BY user_id),
+        dw AS (SELECT DISTINCT user_id, active_week FROM w)
+        SELECT cohort_week, active_week - cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM dw JOIN fw USING (user_id)
+        GROUP BY 1, 2""",
+    "text_top_terms" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000),
+        terms AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM docs),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM terms GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM docs),
+        scored AS (
+          SELECT doc_id, term, tf * (n * 1.0) / df AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf * (n * 1.0) / df DESC, term) AS rank
+          FROM tf JOIN dfreq USING (term), n)
+        SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+        FROM scored WHERE rank <= 3""",
     "join_salted_skew" -> s"""
       SELECT o_orderpriority,
              ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -34,7 +34,7 @@ object Load {
     val sized =
       if (nRows < 0) df
       else {
-        val parts = math.max(1L, math.min(nRows / 250000L + 1, 10000L)).toInt
+        val parts = math.max(1L, math.min(nRows / 100000L + 1, 10000L)).toInt
         if (parts < df.rdd.getNumPartitions) df.coalesce(parts) else df
       }
     sized.write.mode("overwrite").parquet(path)
@@ -76,6 +76,28 @@ object Load {
     batch.write.mode("append").parquet(path)
     val mx = batch.agg(max(col(watermarkCol)).cast("string")).first()
     if (mx.isNullAt(0)) lastValue else Some(mx.getString(0))
+  }
+
+  /** Small-file compaction: rewrite a parquet dir into right-sized
+    * files (~targetRows per file) via a staging dir + atomic directory
+    * swap. The small-files problem is the classic lakehouse decay mode
+    * — a 100 TB table accreting thousands of tiny incremental-append
+    * files scans orders of magnitude slower than the same bytes in
+    * right-sized files. On an object store the swap becomes a
+    * table-format metadata commit; the data motion is identical. */
+  def compact(spark: SparkSession, path: String,
+              targetRows: Long = 1000000L): Long = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val parts = math.max(1L, math.min(n / targetRows + 1, 10000L)).toInt
+    val tmp = path + "_compacting"
+    df.coalesce(parts).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    n
   }
 
   /** FK referential-integrity check via left-anti join

@@ -213,6 +213,40 @@ object ExtQueries {
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").cast("long").as("k_num"))),
+    // pivot: event counts per user, one column per event type
+    "analytics_pivot" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+    // cube: subtotals over both grouping dimensions
+    "analytics_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))),
+    // moving 7-day revenue per supplier: RANGE frame over event-time
+    "analytics_moving_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("long").as("epoch_s"),
+          floor(col("l_extendedprice") * 1000000).cast("long").as("micros"))
+        .withColumn("moving_7d_revenue",
+          (sum(col("micros")).over(w) / 1000000.0))
+        .drop("micros")
+    }),
+    // except all (multiset difference)
+    "setop_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val b = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1).select(col("l_orderkey"))
+      a.exceptAll(b)
+    }),
     // funnel: per user, did signup -> click -> purchase happen in order
     "analytics_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -524,6 +558,29 @@ object ExtQueries {
       """SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
         FROM events""",
+    "analytics_pivot" ->
+      """SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id""",
+    "analytics_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "analytics_moving_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*1000000) AS BIGINT))
+                 OVER (PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+                       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) / 1000000.0 AS moving_7d_revenue
+        FROM lineitem WHERE l_suppkey < 5""",
+    "setop_except_all" ->
+      """SELECT l_orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1""",
     "analytics_funnel" ->
       """WITH f AS (
           SELECT user_id,

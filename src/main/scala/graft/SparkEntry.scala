@@ -108,7 +108,10 @@ object SparkEntry {
       FROM sales"""
   )
 
-  /** Headline queries for graft.Bench (subset that exercises the heavy
-    * paths; Bench counts each). */
-  def headline: Seq[String] = Seq("model_sales_fact")
+  /** Headline queries — the heavy representative paths (Bench times
+    * every registered query; these are the ones to read first). */
+  def headline: Seq[String] = Seq(
+    "pipeline_sales_e2e", "model_sales_fact", "analytics_q1",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_bruteforce_topk_agg",
+    "window_session", "stream_tumbling", "asof_join_last_purchase")
 }

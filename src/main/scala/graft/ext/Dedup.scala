@@ -165,6 +165,48 @@ object Dedup {
     * from the same-sign LSH bucketing in [[Similarity.hyperplaneLsh]];
     * this brute-force variant (bounded id range) is the correctness
     * baseline. */
+  /** Connected components over near-dup pairs: every node is labeled
+    * with the MINIMUM id reachable in its component — turning pairwise
+    * similarity hits into duplicate clusters with a canonical
+    * representative (the dedup keep-list).
+    *
+    * Iterative min-label propagation: per round, each node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Each round is one join + one
+    * aggregate — the standard large-graph CC shape (label frames are
+    * (node, label) pairs, never adjacency materialized on the driver).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component"))
+        .union(viaEdges)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
+        .cache()
+      // converged when no label decreased (sum of labels is monotone
+      // non-increasing and strictly decreases while changing)
+      val before = labels.agg(sum(col("component"))).first().getLong(0)
+      val after = next.agg(sum(col("component"))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = before == after
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   def embeddingNearDupBrute(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
     val normed = Similarity.withNormalized(df, vecCol, "nv")

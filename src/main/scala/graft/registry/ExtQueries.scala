@@ -90,6 +90,12 @@ object ExtQueries {
       Dedup.simhashPairs(
         t(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", maxHamming = 8)),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+    }),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupBrute(
         t(s, dir, "embeddings").filter(col("vec_id") < 1000),
@@ -424,6 +430,31 @@ object ExtQueries {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node)
+        SELECT node AS doc_id, min(lbl) AS component
+        FROM walk GROUP BY node""",
     "dedup_embedding_cosine" -> s"""
       WITH e AS (SELECT vec_id, $NormSql AS nv
                  FROM embeddings WHERE vec_id < 1000)

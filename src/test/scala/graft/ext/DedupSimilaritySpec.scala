@@ -108,6 +108,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r4 > 0.5, s"recall@5 with nProbe=4 too low: $r4")
   }
 
+  test("connected components label every node with its component minimum") {
+    val nodes = (1L to 8L).toDF("doc_id")
+    // components: {1,2,3} via chain, {4,5} pair, {6,7,8} star on 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (6L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L))
+  }
+
   test("token df-cap guards the inverted index against hot tokens") {
     val toks = Dedup.docTokens(docs, col("doc_id"), col("text"), maxDf = 50)
     val maxDf = toks.groupBy("token").count().agg(max("count")).as[Long].head()

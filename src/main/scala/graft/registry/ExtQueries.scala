@@ -146,6 +146,15 @@ object ExtQueries {
     "window_session" -> ((s, dir) =>
       Windows.sessionize(Tables.events(s, dir), col("user_id"), col("ts"),
         1800)),
+    // built-in session_window in BATCH mode — same semantics as the
+    // lag+cumsum sessionization and the streaming twin
+    "window_session_builtin" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"))),
     "events_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
@@ -535,6 +544,21 @@ object ExtQueries {
              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
              ${stableSumSql("value")} AS sum_value
       FROM ids GROUP BY 1, 2""",
+    "window_session_builtin" ->
+      """WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      ids AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id, count(*) AS n_events
+      FROM ids GROUP BY user_id, session_seq""",
     "events_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num

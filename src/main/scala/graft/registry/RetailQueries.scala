@@ -367,6 +367,10 @@ object RetailQueries {
     "limit_dup_sample" -> ((s, dir) =>
       Gates.fullRowDups(dupBase(s, dir)).orderBy(col("sale_id")).limit(5)),
 
+    // table profiling (extension of the A1 stats gate)
+    "profile_table" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "customer"))),
+
     // ---- §2.9 set ops (Spark built-ins; not in the reference) ----
     "setop_union_except" -> ((s, dir) => {
       val a = t(s, dir, "orders").filter(col("o_custkey") % 3 === 0)
@@ -561,6 +565,15 @@ object RetailQueries {
     "limit_dup_sample" -> s"""$DupBaseSql
       SELECT * FROM dups ORDER BY sale_id LIMIT 5""",
 
+    "profile_table" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           count(*) - count($c) AS n_null,
+           count(DISTINCT $c) AS n_distinct FROM customer""")
+        .mkString(" UNION ALL ")
+    },
     "setop_union_except" ->
       """WITH a AS (SELECT o_orderkey FROM orders WHERE o_custkey % 3 = 0),
         b AS (SELECT o_orderkey FROM orders WHERE o_custkey % 2 = 0),

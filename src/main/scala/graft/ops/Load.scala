@@ -78,6 +78,31 @@ object Load {
     if (mx.isNullAt(0)) lastValue else Some(mx.getString(0))
   }
 
+  /** Write-audit-publish: write to a staging dir, run the post-load
+    * validation against the STAGED data, and only then atomically
+    * promote it to the target path. A failed audit leaves the previous
+    * published data untouched — the reference's DELETE+INSERT+validate
+    * transaction, reshaped so readers never observe unvalidated rows.
+    * On an object store the promote becomes a table-format commit. */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
+                        pk: Seq[String], expectedCount: Long): Unit = {
+    val staging = path + "_staging"
+    fullRefresh(df, staging, expectedCount)
+    try validateLoaded(spark, staging, pk, expectedCount)
+    catch {
+      case e: Throwable =>
+        org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(staging), true)
+        throw e
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+  }
+
   /** Small-file compaction: rewrite a parquet dir into right-sized
     * files (~targetRows per file) via a staging dir + atomic directory
     * swap. The small-files problem is the classic lakehouse decay mode

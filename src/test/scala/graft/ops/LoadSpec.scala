@@ -41,6 +41,21 @@ class LoadSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("write-audit-publish keeps the previous data when the audit fails") {
+    val dir = java.nio.file.Files.createTempDirectory("wap").toString + "/t"
+    val good = Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
+    Load.writeAuditPublish(spark, good, dir, Seq("pk"), 2L)
+    assert(spark.read.parquet(dir).count() == 2)
+    // dup PKs fail the audit; the published table must be unchanged
+    val bad = Seq((9L, "x"), (9L, "y")).toDF("pk", "v")
+    assertThrows[DataQualityException] {
+      Load.writeAuditPublish(spark, bad, dir, Seq("pk"), 2L)
+    }
+    assert(spark.read.parquet(dir).orderBy("pk").select("pk")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(!new java.io.File(dir + "_staging").exists())
+  }
+
   test("type normalize formats timestamps as ISO strings") {
     val df = Seq(("a", "2026-01-09 12:34:56"))
       .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))

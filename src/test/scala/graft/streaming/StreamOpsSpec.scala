@@ -48,6 +48,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.agg(sum("n_events")).as[Long].head() == events.count())
   }
 
+  test("watermark drops data later than the threshold in append mode") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val schema = "ts TIMESTAMP, v DOUBLE"
+    // batch 1: on-time events up to 10:00; batch 2: an event 3h late
+    Seq(("2026-01-01 09:00:00", 1.0), ("2026-01-01 10:00:00", 2.0))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$dir/b1")
+    val src = spark.readStream.schema(schema).parquet(s"$dir/b*")
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_test").start()
+    q.processAllAvailable()
+    // advance the watermark past 09:xx with a 12:00 event, then try to
+    // sneak in a 07:00 event — it must be dropped
+    Seq(("2026-01-01 12:00:00", 3.0)).toDF("ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    Seq(("2026-01-01 07:00:00", 9.0)).toDF("ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.parquet(s"$dir/b3")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test")
+      .select(date_format(col("ws"), "HH:mm"), col("n"))
+      .as[(String, Long)].collect().toMap
+    // the 07:00 window never appears: its event arrived after the
+    // watermark passed 11:00
+    assert(!out.contains("07:00"), s"late event not dropped: $out")
+    assert(out.get("09:00").contains(1L))
+  }
+
   test("stateful flatMapGroupsWithState sessionizer matches batch sessionization") {
     val ds = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value")).as[StreamOps.Event]

@@ -84,6 +84,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKBuffer matches sort-based top-k under random inserts and merges") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.zip(
+        Gen.choose(0.0, 10.0).map(d => math.rint(d * 4) / 4), // force ties
+        Gen.choose(0L, 50L)))
+      split <- Gen.choose(0, math.max(xs.size, 1))
+    } yield (k, xs, split)
+    samples(gen, 300).foreach { case (k, xs, split) =>
+      val (xa, xb) = xs.splitAt(math.min(split, xs.size))
+      val a = new graft.functions.TopKBuffer(k)
+      val b = new graft.functions.TopKBuffer(k)
+      xa.foreach { case (s, id) => a.insert(s, id) }
+      xb.foreach { case (s, id) => b.insert(s, id) }
+      (0 until b.size).foreach(i => a.insert(b.scores(i), b.ids(i)))
+      val got = a.sortedDesc.toSeq
+      // reference: full multiset sorted by (score desc, id asc), top k
+      val ref = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got == ref, s"k=$k xs=$xs")
+    }
+  }
+
   test("DotProduct native expression equals the fold formulation exactly") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     emb.select(

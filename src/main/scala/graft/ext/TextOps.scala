@@ -101,4 +101,33 @@ object TextOps {
     val hashes = transform(wordShingles(text, n), s => md5(s))
     array_min(hashes)
   }
+
+  /** Rolling polynomial hash parameters: base/modulus sized so every
+    * intermediate fits exactly in a double (cross-engine exact). */
+  val RollBase = 257L
+  val RollMod = 1000003L
+  val RollWindow = 16
+
+  /** Character-level rolling-hash fingerprint (winnowing): the minimum
+    * over all `RollWindow`-char windows of the polynomial hash
+    * sum(code(c_j) * B^(w-1-j)) mod M. Column-algebra formulation —
+    * engine-portable; NULL for texts shorter than the window.
+    * [[graft.functions.RollingMinHash]] is the codegen'd equivalent for
+    * hot paths. */
+  def rollingFingerprint(text: Column): Column = {
+    val w = RollWindow
+    val powers = (0 until w).map(j =>
+      Seq.fill(w - 1 - j)(RollBase).foldLeft(1L)((a, b) => a * b % RollMod))
+    val n = length(text).cast("long")
+    // char code at 1-based position p (substr-based: identical
+    // semantics in any engine, no split() edge cases)
+    val codeAt = (p: Column) => ascii(text.substr(p.cast("int"), lit(1)))
+      .cast("long")
+    val windowHash = (i: Column) =>
+      (0 until w).map(j => codeAt(i + j) * powers(j) % RollMod)
+        .reduce(_ + _) % RollMod
+    when(n >= w,
+      array_min(transform(sequence(lit(1L), n - (w - 1)), i => windowHash(i))))
+      .otherwise(lit(null).cast("long"))
+  }
 }

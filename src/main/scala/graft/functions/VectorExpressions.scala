@@ -127,6 +127,76 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** Native winnowing fingerprint: minimum over all `window`-char windows
+  * of the polynomial hash sum(code(c_j) * base^(w-1-j)) mod modulus.
+  * True O(n) rolling evaluation (incremental add/drop per step) —
+  * semantically identical to TextOps.rollingFingerprint's O(n*w)
+  * Column-algebra form, but codegen'd and linear for hot paths.
+  * NULL for inputs shorter than the window.
+  */
+case class RollingMinHash(child: Expression, window: Int, base: Long,
+                          modulus: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private val topPower: Long = // base^(window-1) mod modulus
+    (1 until window).foldLeft(1L)((a, _) => a * base % modulus)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    if (n < window) null
+    else {
+      var h = 0L
+      var i = 0
+      while (i < window) { h = (h * base + s.charAt(i)) % modulus; i += 1 }
+      var min = h
+      while (i < n) {
+        h = (h - s.charAt(i - window) * topPower % modulus + modulus) % modulus
+        h = (h * base + s.charAt(i)) % modulus
+        if (h < min) min = h
+        i += 1
+      }
+      java.lang.Long.valueOf(min)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = nullSafeCodeGen(ctx, ev, str => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val mn = ctx.freshName("mn")
+      val i = ctx.freshName("i")
+      s"""
+         |String $s = $str.toString();
+         |int $n = $s.length();
+         |if ($n < $window) { ${ev.isNull} = true; } else {
+         |  long $h = 0L;
+         |  int $i = 0;
+         |  for (; $i < $window; $i++) {
+         |    $h = ($h * ${base}L + $s.charAt($i)) % ${modulus}L;
+         |  }
+         |  long $mn = $h;
+         |  for (; $i < $n; $i++) {
+         |    $h = ($h - $s.charAt($i - $window) * ${topPower}L % ${modulus}L
+         |      + ${modulus}L) % ${modulus}L;
+         |    $h = ($h * ${base}L + $s.charAt($i)) % ${modulus}L;
+         |    if ($h < $mn) $mn = $h;
+         |  }
+         |  ${ev.value} = $mn;
+         |}
+       """.stripMargin
+    })
+    res
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge
   /** Column wrapper for [[DotProduct]]. */
@@ -138,4 +208,9 @@ object VectorFunctions {
   def simhash64(tokenHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(
       GraftColumnBridge.expression(tokenHashes)))
+  /** Column wrapper for [[RollingMinHash]]. */
+  def rollingMinHash(text: Column, window: Int, base: Long,
+                     modulus: Long): Column =
+    GraftColumnBridge.column(RollingMinHash(
+      GraftColumnBridge.expression(text), window, base, modulus))
 }

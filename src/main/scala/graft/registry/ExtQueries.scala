@@ -69,6 +69,12 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.contentFingerprint(col("text")).as("content_md5"),
         TextOps.shingleFingerprint(col("text"), 3).as("shingle_md5_min"))),
+    // true rolling-hash (winnowing) fingerprint over character windows;
+    // the native codegen'd RollingMinHash computes the identical value
+    // in O(n) (asserted equal in specs)
+    "text_rolling_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("roll_min"))),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) => {
@@ -415,6 +421,20 @@ object ExtQueries {
                  i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS shingle_md5_min
         FROM tok""",
 
+    "text_rolling_fingerprint" -> {
+      // window hash per 1-based offset i: sum_j unicode(s[i+j]) * B^(15-j) mod M
+      val powers = (0 until 16).map(j =>
+        Seq.fill(15 - j)(257L).foldLeft(1L)((a, b) => a * b % 1000003L))
+      val terms = (0 until 16).map(j =>
+        s"(CAST(unicode(substr(text, CAST(i+$j AS INTEGER), 1)) AS BIGINT) * ${powers(j)} % 1000003)")
+        .mkString(" + ")
+      s"""SELECT doc_id,
+            CASE WHEN length(text) >= 16 THEN
+              list_min(list_transform(range(1, length(text) - 14),
+                i -> ($terms) % 1000003))
+            ELSE NULL END AS roll_min
+          FROM documents"""
+    },
     "dedup_exact" ->
       """WITH all_docs AS (
           SELECT doc_id, text FROM documents

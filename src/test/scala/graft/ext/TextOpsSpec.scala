@@ -53,6 +53,22 @@ class TextOpsSpec extends SparkSpec {
     assert(scores(0) > scores(1))
   }
 
+  test("native RollingMinHash equals the Column-algebra rolling fingerprint") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val both = docs.select(
+      TextOps.rollingFingerprint(col("text")).as("algebra"),
+      graft.functions.VectorFunctions.rollingMinHash(col("text"),
+        TextOps.RollWindow, TextOps.RollBase, TextOps.RollMod).as("native"))
+      .as[(Option[Long], Option[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (a, n) => assert(a == n) }
+    // shorter than the window -> NULL
+    val short = Seq("tiny").toDF("text")
+      .select(graft.functions.VectorFunctions.rollingMinHash(col("text"),
+        16, 257L, 1000003L)).as[Option[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("multimodal fake codec is deterministic and batch-shaped") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)

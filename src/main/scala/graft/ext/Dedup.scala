@@ -178,22 +178,43 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cache the pair set first: the union below references it twice and
+    // would otherwise evaluate the (possibly expensive) candidate
+    //-generation subtree once per branch
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val viaEdges = edges
+      // 1) gather: each node takes the min of its own and its
+      //    neighbors' labels (one hop)
+      val minNbr = edges
         .join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("component"))
-      val next = labels.select(col("doc_id"), col("component"))
-        .union(viaEdges)
-        .groupBy(col("doc_id"))
-        .agg(min(col("component")).as("component"))
-        .cache()
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("nbr_min"))
+      val gathered = labels
+        .join(minNbr, labels("doc_id") === minNbr("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("component"),
+            coalesce(col("nbr_min"), labels("component"))).as("component"))
+      // 2) pointer jump: label(x) := min(label(x), label(label(x))) —
+      //    halves the remaining path per round, so convergence is
+      //    O(log diameter) instead of O(diameter)
+      val ptrs = gathered.select(col("doc_id").as("c_id"),
+        col("component").as("c_comp"))
+      // localCheckpoint (eager) truncates the logical plan — without it
+      // every iteration re-analyzes a strictly growing tree and planning
+      // time dominates (the classic iterative-DataFrame pitfall)
+      val next = gathered.as("x")
+        .join(ptrs, col("x.component") === col("c_id"), "left")
+        .select(col("x.doc_id"),
+          least(col("x.component"),
+            coalesce(col("c_comp"), col("x.component"))).as("component"))
+        .localCheckpoint(true)
       // converged when no label decreased (sum of labels is monotone
       // non-increasing and strictly decreases while changing)
       val before = labels.agg(sum(col("component"))).first().getLong(0)
@@ -203,7 +224,7 @@ object Dedup {
       converged = before == after
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(); p.unpersist()
     labels
   }
 

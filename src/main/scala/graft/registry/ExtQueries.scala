@@ -97,7 +97,7 @@ object ExtQueries {
         t(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", maxHamming = 8)),
     "dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
         .select(col("doc_a"), col("doc_b"))
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
@@ -461,7 +461,7 @@ object ExtQueries {
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
     "dedup_clusters" ->
       """WITH RECURSIVE
-        docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
         toks AS (
           SELECT DISTINCT doc_id,
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -44,9 +44,15 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_side")
+    // carry the payload as ONE struct so all columns come from the SAME
+    // right row — per-column carry would mix rows whenever a payload
+    // value is legitimately NULL
+    val packed = unioned.withColumn("_payload",
+      when(col("_side") === 0, struct(payload.map(col): _*)))
+    val carried = packed.withColumn("_payload",
+      last(col("_payload"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("_payload").getField(p))
+    }.filter(col("_side") === 1).drop("_side", "_payload")
   }
 }

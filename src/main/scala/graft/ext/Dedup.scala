@@ -138,10 +138,12 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit simhash into 4
-    * 16-bit chunks; any equal chunk makes a candidate (Hamming <= 48
-    * guarantee; real filter by popcount of xor <= maxHamming). */
+    * 16-bit chunks; any equal chunk makes a candidate. By pigeonhole, 4
+    * bands GUARANTEE a shared chunk only for Hamming <= 3 — the default
+    * maxHamming matches that bound (guaranteeing Hamming <= k requires
+    * k+1 bands; a larger maxHamming makes the result best-effort). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("sh")).cache()
     val chunks = sh.select(col("doc_id"), col("sh"), explode(array(
@@ -216,9 +218,14 @@ object Dedup {
             coalesce(col("c_comp"), col("x.component"))).as("component"))
         .localCheckpoint(true)
       // converged when no label decreased (sum of labels is monotone
-      // non-increasing and strictly decreases while changing)
-      val before = labels.agg(sum(col("component"))).first().getLong(0)
-      val after = next.agg(sum(col("component"))).first().getLong(0)
+      // non-increasing and strictly decreases while changing); NULL sum
+      // means an empty node set — trivially converged
+      def labelSum(df: DataFrame): Option[Long] = {
+        val r = df.agg(sum(col("component"))).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      val before = labelSum(labels)
+      val after = labelSum(next)
       labels.unpersist()
       labels = next
       converged = before == after

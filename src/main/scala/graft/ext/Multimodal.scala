@@ -99,10 +99,11 @@ object Multimodal {
     val nChunks = floor((length(col("text")) + (chunkChars - 1))
       / (chunkChars * 1.0)).cast("long")
     docs.select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
-      .withColumn("sampled", transform(
+      .withColumn("sampled", when(col("n_chunks") >= 1, transform(
         sequence(lit(0L), col("n_chunks") - 1, lit(stride.toLong)),
         i => col("text").substr((i * chunkChars + 1).cast("int"),
           lit(chunkChars))))
+        .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("n_chunks"),
         size(col("sampled")).cast("long").as("n_sampled"),
         md5(concat_ws("", col("sampled"))).as("sample_md5"))

@@ -49,6 +49,9 @@ object Similarity {
       .select(col(cId).as("neighbor_id"), col("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")))
+      // zero vectors normalize to NaN; exclude them so the window and
+      // heap-aggregate formulations share one total order
+      .filter(!isnan(col("cosine")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -72,6 +75,7 @@ object Similarity {
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), dot(col("qv"), col("cv")).as("cosine"),
         col("neighbor_id"))
+      .filter(!isnan(col("cosine")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.topkByScore(col("cosine"),
         col("neighbor_id"), k).as("top"))

@@ -34,7 +34,9 @@ object TextOps {
 
   /** Occurrences of ` word ` in the space-padded lowered text —
     * replace-based counting, no regex, identical semantics in any SQL
-    * engine. */
+    * engine. Matches are non-overlapping, so immediately repeated words
+    * ("the the the") count n/2 rounded up, not n — acceptable for the
+    * ratio heuristics these scores feed. */
   def keywordHits(text: Column, word: String): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val needle = s" $word "

@@ -82,7 +82,10 @@ case class TopKByScore(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    // NaN scores are excluded (they have no place in the total order);
+    // callers wanting window-function NaN-first semantics must filter
+    // or normalize upstream
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

@@ -145,17 +145,19 @@ case class RollingMinHash(child: Expression, window: Int, base: Long,
     (1 until window).foldLeft(1L)((a, _) => a * base % modulus)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = s.length
+    // codepoints, not UTF-16 units — matches length()/substr()/ascii()
+    // semantics used by the Column-algebra twin and SQL oracles
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
     if (n < window) null
     else {
       var h = 0L
       var i = 0
-      while (i < window) { h = (h * base + s.charAt(i)) % modulus; i += 1 }
+      while (i < window) { h = (h * base + cps(i)) % modulus; i += 1 }
       var min = h
       while (i < n) {
-        h = (h - s.charAt(i - window) * topPower % modulus + modulus) % modulus
-        h = (h * base + s.charAt(i)) % modulus
+        h = (h - cps(i - window) * topPower % modulus + modulus) % modulus
+        h = (h * base + cps(i)) % modulus
         if (h < min) min = h
         i += 1
       }
@@ -165,25 +167,25 @@ case class RollingMinHash(child: Expression, window: Int, base: Long,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val res = nullSafeCodeGen(ctx, ev, str => {
-      val s = ctx.freshName("s")
+      val cps = ctx.freshName("cps")
       val n = ctx.freshName("n")
       val h = ctx.freshName("h")
       val mn = ctx.freshName("mn")
       val i = ctx.freshName("i")
       s"""
-         |String $s = $str.toString();
-         |int $n = $s.length();
+         |int[] $cps = $str.toString().codePoints().toArray();
+         |int $n = $cps.length;
          |if ($n < $window) { ${ev.isNull} = true; } else {
          |  long $h = 0L;
          |  int $i = 0;
          |  for (; $i < $window; $i++) {
-         |    $h = ($h * ${base}L + $s.charAt($i)) % ${modulus}L;
+         |    $h = ($h * ${base}L + $cps[$i]) % ${modulus}L;
          |  }
          |  long $mn = $h;
          |  for (; $i < $n; $i++) {
-         |    $h = ($h - $s.charAt($i - $window) * ${topPower}L % ${modulus}L
+         |    $h = ($h - $cps[$i - $window] * ${topPower}L % ${modulus}L
          |      + ${modulus}L) % ${modulus}L;
-         |    $h = ($h * ${base}L + $s.charAt($i)) % ${modulus}L;
+         |    $h = ($h * ${base}L + $cps[$i]) % ${modulus}L;
          |    if ($h < $mn) $mn = $h;
          |  }
          |  ${ev.value} = $mn;

@@ -26,16 +26,19 @@ object Extract {
       throw new DataQualityException(s"source file not found: $path")
     if (!Files.isRegularFile(p))
       throw new DataQualityException(s"source path is not a file: $path")
-    val sniffLen = math.min(Files.size(p), 64 * 1024L).toInt
+    val fileLen = Files.size(p)
+    val sniffLen = math.min(fileLen, 64 * 1024L).toInt
     val in = Files.newInputStream(p)
     try {
       val buf = in.readNBytes(sniffLen)
+      // Decode strictly, but exclude the trailing <=3 bytes when the
+      // window is truncated mid-file — only a cut-off multibyte char is
+      // tolerated, never malformed bytes inside the window.
+      val strictLen =
+        if (sniffLen < fileLen) math.max(0, buf.length - 3) else buf.length
       val dec = StandardCharsets.UTF_8.newDecoder()
-      // decode strictly; truncated trailing multibyte char is tolerated
-      try dec.decode(java.nio.ByteBuffer.wrap(buf))
+      try dec.decode(java.nio.ByteBuffer.wrap(buf, 0, strictLen))
       catch {
-        case e: java.nio.charset.MalformedInputException
-            if buf.length == sniffLen && sniffLen == 64 * 1024 => ()
         case _: java.nio.charset.CharacterCodingException =>
           throw new DataQualityException(s"source file is not UTF-8: $path")
       }

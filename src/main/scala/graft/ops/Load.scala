@@ -27,9 +27,11 @@ object Load {
 
   /** S3: idempotent full-refresh load to a parquet dir
     * (etl/load.py:59-97). When the caller knows the row count, output
-    * files are right-sized (~1M rows per file) instead of inheriting
-    * the upstream shuffle's partition count — small dims become one
-    * file, large facts keep parallelism. */
+    * files are right-sized (~100k rows per file, capped at 10k files)
+    * instead of inheriting the upstream shuffle's partition count —
+    * small dims become one file, large facts keep write parallelism.
+    * Periodic [[compact]] (1M-row default) consolidates further once a
+    * table stops changing. */
   def fullRefresh(df: DataFrame, path: String, nRows: Long = -1L): Unit = {
     val sized =
       if (nRows < 0) df

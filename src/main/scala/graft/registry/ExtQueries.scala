@@ -95,7 +95,7 @@ object ExtQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
         t(s, dir, "documents").filter(col("doc_id") < 1000),
-        "doc_id", "text", maxHamming = 8)),
+        "doc_id", "text", maxHamming = 3)),
     "dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
@@ -501,7 +501,8 @@ object ExtQueries {
         FROM q, n e WHERE query_id <> e.vec_id)
       SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+              ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored WHERE NOT isnan(cosine))
       WHERE rank <= 5""",
 
     "sim_bruteforce_topk_agg" -> s"""
@@ -513,7 +514,8 @@ object ExtQueries {
         FROM q, n e WHERE query_id <> e.vec_id)
       SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+              ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored WHERE NOT isnan(cosine))
       WHERE rank <= 5""",
 
     "mm_payload_stats" ->

@@ -28,8 +28,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        (sum(floor(col("value") * 1000000).cast("long")) / 1000000.0)
-          .as("sum_value"))
+        graft.ext.Windows.stableSum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class ExtractSpec extends SparkSpec {
+
+  private def tmpFile(name: String, bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("extract_spec")
+    val p = dir.resolve(name)
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  test("precheck rejects missing paths and directories") {
+    assertThrows[DataQualityException] {
+      Extract.precheckSource("/nonexistent/file.csv")
+    }
+    val dir = Files.createTempDirectory("as_dir").toString
+    assertThrows[DataQualityException] { Extract.precheckSource(dir) }
+  }
+
+  test("precheck accepts valid UTF-8 of any size") {
+    val small = tmpFile("small.csv", "a,b\n1,2\n".getBytes("UTF-8"))
+    Extract.precheckSource(small)
+    // > 64 KiB with multibyte chars spread through it
+    val big = ("héllo,wörld\n" * 20000).getBytes("UTF-8")
+    assert(big.length > 64 * 1024)
+    Extract.precheckSource(tmpFile("big.csv", big))
+  }
+
+  test("precheck rejects invalid UTF-8 inside the sniff window, even for large files") {
+    // 100 KiB file with a raw Latin-1 0xE9 at offset ~100: the gate must
+    // fire although the file exceeds the 64 KiB sniff window
+    val good = ("x" * 100).getBytes("UTF-8")
+    val bad = Array[Byte](0xE9.toByte)
+    val rest = ("y" * (100 * 1024)).getBytes("UTF-8")
+    val path = tmpFile("latin1.csv", good ++ bad ++ rest)
+    assertThrows[DataQualityException] { Extract.precheckSource(path) }
+  }
+
+  test("precheck tolerates a multibyte char cut at the sniff boundary") {
+    // place a 2-byte char straddling the 64 KiB boundary: first byte at
+    // offset 65535, continuation at 65536 (outside the window)
+    val prefix = ("a" * 65535).getBytes("UTF-8")
+    val multibyte = "é".getBytes("UTF-8") // 0xC3 0xA9
+    val suffix = ("b" * 1000).getBytes("UTF-8")
+    val path = tmpFile("boundary.csv", prefix ++ multibyte ++ suffix)
+    Extract.precheckSource(path)
+  }
+}

@@ -83,6 +83,25 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic down-"scaling" of the payload (every
+    * factor-th byte) with metadata scaled to match — the plumbing shape
+    * of a real resize (new binary payload + consistent metadata),
+    * batched per partition like [[decodeFeatures]]. */
+  def resizeStub(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val resized = r.payload.indices.collect {
+          case i if i % factor == 0 => r.payload(i)
+        }.toArray
+        r.copy(payload = resized, width = r.width / factor,
+          height = r.height / factor,
+          format = s"${r.format};resized/$factor")
+      }
+    }
+  }
+
   /** Pure-Column variant of the byte-level features that IS
     * SQL-expressible (oracle-checkable): payload size per record. */
   def payloadStats(docs: DataFrame): DataFrame =

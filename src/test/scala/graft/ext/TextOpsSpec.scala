@@ -78,5 +78,13 @@ class TextOpsSpec extends SparkSpec {
     assert(f1.forall(r => r.n_bytes > 0 && r.brightness >= 0.0
       && r.brightness <= 1.0))
     assert(f1.map(_.modality).toSet.subsetOf(Set("image", "audio", "video")))
+    // resize stub: payload shrinks by the factor, metadata stays consistent
+    val resized = Multimodal.resizeStub(media, 4).collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id)
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(r.payload.length == (o.payload.length + 3) / 4)
+      assert(r.width == o.width / 4 && r.height == o.height / 4)
+      assert(r.format.endsWith("resized/4"))
+    }
   }
 }

@@ -38,6 +38,10 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
     val pipelineName = s"${table}_pipeline"
     val t0 = sink.now()
     sink.logRun(RunLog(runId, pipelineName, "STARTED", t0, null, null))
+    // caches are tracked here and released in the finally below, so a
+    // gate failure cannot leak cached frames into a long-lived session
+    var cachedClean: DataFrame = null
+    var cachedModel: DataFrame = null
     try {
       val pk = Contracts.PrimaryKeys(table)
       val expected = Contracts.ExpectedColumns(table)
@@ -57,6 +61,7 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
         val c = Clean.clean(extracted, pk, Contracts.StringDefaults(table),
           Contracts.NumericDefaults(table), Contracts.DeclaredTypes(table),
           dedupOrder).cache()
+        cachedClean = c
         (c, c.count())
       }
 
@@ -68,6 +73,7 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
           case "stores" => Model.storesDim(cleaned, metros, regionMap)
           case "sales" => Model.salesFact(cleaned)
         }).cache()
+        cachedModel = m
         // fused: row count + NULL-PK count in one job
         val nullPred = pk.map(col(_).isNull).reduce(_ || _)
         val row = m.agg(count(lit(1)).as("n"),
@@ -104,7 +110,6 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
         (modeled, nModeled)
       }
 
-      cleaned.unpersist(); modeled.unpersist()
       sink.logRun(RunLog(runId, pipelineName, "SUCCESS", t0, sink.now(), null))
       s"$warehouseDir/$target"
     } catch {
@@ -112,6 +117,9 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
         sink.logRun(RunLog(runId, pipelineName, "FAILED", t0, sink.now(),
           e.getMessage))
         throw e
+    } finally {
+      if (cachedClean != null) cachedClean.unpersist()
+      if (cachedModel != null) cachedModel.unpersist()
     }
   }
 

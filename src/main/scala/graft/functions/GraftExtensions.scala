@@ -21,11 +21,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$name expects $n arguments, got ${exprs.length}"))
+
+  /** The k argument must be a foldable INT/BIGINT literal in Int range
+    * (a bounded heap cannot be sized per-row). */
+  private def literalK(exprs: Seq[Expression]): Int = {
+    val e = exprs(2)
+    def bad(msg: String) = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"graft_topk k argument: $msg"))
+    if (!e.foldable) bad("must be a literal, got a non-foldable expression")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l < 1L || l > Int.MaxValue) bad(s"out of range: $l")
+        l.intValue()
+      case null => bad("must not be NULL")
+      case other => bad(s"must be INT or BIGINT, got $other")
+    }
+  }
+
   val descriptions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
-    "graft_topk" -> (exprs => TopKByScore(exprs(0), exprs(1),
-      exprs(2).eval().asInstanceOf[Int]))
+    "graft_dot" -> (exprs => { arity("graft_dot", exprs, 2)
+      DotProduct(exprs(0), exprs(1)) }),
+    "graft_simhash64" -> (exprs => { arity("graft_simhash64", exprs, 1)
+      SimHash64(exprs.head) }),
+    "graft_topk" -> (exprs => { arity("graft_topk", exprs, 3)
+      TopKByScore(exprs(0), exprs(1), literalK(exprs)) })
   )
 
   /** Register the functions on a live session. */

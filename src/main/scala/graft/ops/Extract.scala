@@ -31,11 +31,12 @@ object Extract {
     val in = Files.newInputStream(p)
     try {
       val buf = in.readNBytes(sniffLen)
-      // Decode strictly, but exclude the trailing <=3 bytes when the
-      // window is truncated mid-file — only a cut-off multibyte char is
-      // tolerated, never malformed bytes inside the window.
+      // When the window cuts the file mid-stream, shrink it to the last
+      // complete UTF-8 boundary and strict-decode everything up to it:
+      // ONLY a well-formed multibyte char cut off by the window edge is
+      // tolerated — malformed bytes anywhere in the window still fail.
       val strictLen =
-        if (sniffLen < fileLen) math.max(0, buf.length - 3) else buf.length
+        if (sniffLen < fileLen) lastCompleteUtf8Boundary(buf) else buf.length
       val dec = StandardCharsets.UTF_8.newDecoder()
       try dec.decode(java.nio.ByteBuffer.wrap(buf, 0, strictLen))
       catch {
@@ -43,6 +44,30 @@ object Extract {
           throw new DataQualityException(s"source file is not UTF-8: $path")
       }
     } finally in.close()
+  }
+
+  /** Length of the longest prefix of `buf` ending on a complete UTF-8
+    * character boundary. Backs over at most 3 trailing continuation
+    * bytes; the trailing sequence is excluded only when it is a valid
+    * lead byte with fewer continuations than it declares (a char cut
+    * off by the window). Any other trailing shape (invalid lead, bare
+    * continuations, a complete char) is kept so strict decoding judges
+    * it. */
+  private[ops] def lastCompleteUtf8Boundary(buf: Array[Byte]): Int = {
+    val n = buf.length
+    var i = n - 1
+    var cont = 0
+    while (i >= 0 && cont < 3 && (buf(i) & 0xC0) == 0x80) { i -= 1; cont += 1 }
+    if (i < 0) return n // all continuation bytes: malformed, decode fails
+    val b = buf(i) & 0xFF
+    val declared =
+      if (b < 0x80) 1
+      else if ((b & 0xE0) == 0xC0) 2
+      else if ((b & 0xF0) == 0xE0) 3
+      else if ((b & 0xF8) == 0xF0) 4
+      else 1 // invalid lead byte: keep it, strict decode fails
+    val have = n - i
+    if (declared > have) i else n
   }
 
   /** S1: read a headered CSV with an explicit schema

@@ -80,12 +80,34 @@ object Load {
     if (mx.isNullAt(0)) lastValue else Some(mx.getString(0))
   }
 
+  /** Promote `staging` to `target` without a window where the table is
+    * gone: rename the published data aside first, rename staging into
+    * place, then drop the old copy. Every rename result is checked; a
+    * failed promote restores the previous table so readers never
+    * observe a missing or half-published state. On an object store this
+    * whole swap becomes a table-format metadata commit. */
+  private def promote(fs: org.apache.hadoop.fs.FileSystem,
+                      staging: org.apache.hadoop.fs.Path,
+                      target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "_old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"cannot clear previous backup $old")
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
+      throw new java.io.IOException(s"cannot move $target aside to $old")
+    if (!fs.rename(staging, target)) {
+      // roll back: restore the previous published data
+      if (hadTarget) fs.rename(old, target)
+      throw new java.io.IOException(s"cannot promote $staging to $target")
+    }
+    if (hadTarget) fs.delete(old, true)
+  }
+
   /** Write-audit-publish: write to a staging dir, run the post-load
     * validation against the STAGED data, and only then atomically
     * promote it to the target path. A failed audit leaves the previous
     * published data untouched — the reference's DELETE+INSERT+validate
-    * transaction, reshaped so readers never observe unvalidated rows.
-    * On an object store the promote becomes a table-format commit. */
+    * transaction, reshaped so readers never observe unvalidated rows. */
   def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
                         pk: Seq[String], expectedCount: Long): Unit = {
     val staging = path + "_staging"
@@ -100,9 +122,8 @@ object Load {
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    promote(fs, new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
   }
 
   /** Small-file compaction: rewrite a parquet dir into right-sized
@@ -121,9 +142,8 @@ object Load {
     df.coalesce(parts).write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    promote(fs, new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
     n
   }
 

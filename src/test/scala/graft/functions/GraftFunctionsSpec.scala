@@ -41,6 +41,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(top(1) == (("b", Seq(5.0), Seq(20L))))
   }
 
+  test("graft_topk argument validation: BIGINT k works, bad k fails clearly") {
+    GraftFunctions.registerSql(spark)
+    // BIGINT literal k (e.g. 2L) must work like INT k
+    val viaLong = spark.sql(
+      """SELECT graft_topk(s, id, CAST(2 AS BIGINT)) AS top FROM VALUES
+           (1.0D, 10L), (3.0D, 11L), (2.0D, 12L) AS t(s, id)""")
+      .select(col("top.id")).as[Seq[Long]].head()
+    assert(viaLong == Seq(11L, 12L))
+    // wrong arity -> AnalysisException, not IndexOutOfBounds
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(1.0D, 2L) AS t")
+    }
+    assert(e1.getMessage.contains("3 arguments"))
+    // non-foldable k -> AnalysisException
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_topk(s, id, CAST(id AS INT)) FROM VALUES
+             (1.0D, 10L) AS t(s, id) GROUP BY 1""")
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("salted join equals the plain join") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val o = spark.read.parquet(s"$sf0001/orders.parquet")

@@ -49,4 +49,28 @@ class ExtractSpec extends SparkSpec {
     val path = tmpFile("boundary.csv", prefix ++ multibyte ++ suffix)
     Extract.precheckSource(path)
   }
+
+  test("precheck tolerates a 4-byte char cut at the sniff boundary") {
+    // lead + 2 of 3 continuations inside the window, last outside
+    val prefix = ("a" * 65533).getBytes("UTF-8")
+    val emoji = Array(0xF0, 0x9F, 0x98, 0x80).map(_.toByte) // U+1F600
+    val suffix = ("b" * 1000).getBytes("UTF-8")
+    Extract.precheckSource(tmpFile("cut4.csv", prefix ++ emoji ++ suffix))
+  }
+
+  test("precheck rejects malformed bytes in the final 3 bytes of the window") {
+    // an invalid lead byte (0xFF) at the very last window offset is NOT
+    // a cut-off char and must fail
+    val p1 = ("a" * 65535).getBytes("UTF-8") ++ Array(0xFF.toByte) ++
+      ("b" * 1000).getBytes("UTF-8")
+    assertThrows[DataQualityException] {
+      Extract.precheckSource(tmpFile("badlead.csv", p1))
+    }
+    // a bare continuation byte after ASCII in the window tail must fail
+    val p2 = ("a" * 65534).getBytes("UTF-8") ++ Array(0x80.toByte) ++
+      ("b" * 1000).getBytes("UTF-8")
+    assertThrows[DataQualityException] {
+      Extract.precheckSource(tmpFile("barecont.csv", p2))
+    }
+  }
 }

@@ -35,10 +35,16 @@ object Dedup {
       .drop("_rn")
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
+
   /** Distinct whitespace tokens per document, document-frequency capped:
     * tokens present in more than maxDf documents are dropped before any
     * pair join (guards the inverted index against quadratic hot
-    * buckets). Returns (id, token). */
+    * buckets — a token shared by d documents alone yields d*(d-1)/2
+    * candidate pairs). The number of dropped tokens is LOGGED, never
+    * silent: the cap trades recall on stopword-only overlap for a
+    * bounded join, and the operator says so when it does. Returns
+    * (id, token). */
   def docTokens(df: DataFrame, id: Column, text: Column,
                 maxDf: Long): DataFrame = {
     val exploded = df.select(id.as("doc_id"),
@@ -47,14 +53,27 @@ object Dedup {
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") > maxDf)
       .select(col("token"))
+      .cache()
+    val nHot = hot.count()
+    if (nHot > 0)
+      log.warn(s"docTokens: dropping $nHot tokens with df > $maxDf " +
+        "before the pair join (bounded-index guard; raise maxDf to keep them)")
     exploded.join(broadcast(hot), Seq("token"), "left_anti")
   }
 
   /** Exact n-gram (token-set) Jaccard similar pairs: inverted-index
     * self-join on distinct tokens, pair-grouped intersection counts,
-    * Jaccard >= threshold, a < b. */
+    * Jaccard >= threshold, a < b.
+    *
+    * The default df-cap is deliberately O(10^2): a single token shared
+    * by 10^6 documents would alone generate ~5*10^11 candidate pairs,
+    * so an uncapped inverted-index join dies long before 100 TB. High-
+    * threshold near-dup pairs always share many LOW-df tokens, so
+    * dropping ubiquitous tokens costs recall only for pairs whose
+    * entire overlap is stopwords (which a 0.8-threshold query does not
+    * want anyway). Dropped tokens are logged by [[docTokens]]. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, maxDf: Long = 1000000L): DataFrame = {
+                   threshold: Double, maxDf: Long = 500L): DataFrame = {
     val toks = docTokens(df, col(idCol), col(textCol), maxDf).cache()
     val sizes = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"))
@@ -76,15 +95,19 @@ object Dedup {
   }
 
   /** MinHash signature columns: for each of k hash functions, the min
-    * over the document's distinct shingles of xxhash64(seed_i, shingle).
-    * One explode + one hash-aggregate -> k-column signature per doc. */
+    * over the document's distinct shingles of the seeded portable hash
+    * hex60(md5("i:" + shingle)). One explode + one hash-aggregate ->
+    * k-column signature per doc. The hash is [[TextOps.hex60]] so the
+    * whole signature is reproducible in any md5-capable engine — that
+    * is what lets the LSH output be oracle-verified instead of
+    * rows-only. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         shingleN: Int, k: Int): DataFrame = {
     val shingled = df.select(id.as("doc_id"),
       explode(array_distinct(TextOps.wordShingles(text, shingleN)))
         .as("shingle"))
     val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      min(TextOps.hex60(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i"))
     shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -129,12 +152,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash from token hashes, via the native codegen'd
-    * [[graft.functions.SimHash64]] expression (one pass over the token
-    * array instead of 64 interpreted folds). */
+  /** SimHash from 60-bit portable token hashes, via the native
+    * codegen'd [[graft.functions.SimHash64]] expression (one pass over
+    * the token array instead of 64 interpreted folds). Token hashes are
+    * [[TextOps.hex60]], so bits 60-63 are always zero (they vote 0 on
+    * every token) and the whole value is reproducible in any
+    * md5-capable engine — effective width 60 bits, oracle-checkable. */
   def simhash(text: Column): Column = {
     val toks = array_distinct(TextOps.tokens(text))
-    graft.functions.VectorFunctions.simhash64(transform(toks, t => xxhash64(t)))
+    graft.functions.VectorFunctions.simhash64(
+      transform(toks, t => TextOps.hex60(t)))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit simhash into 4
@@ -158,7 +185,8 @@ object Dedup {
         col("y.doc_id").as("doc_b"), col("y.sh").as("sh_b"))
       .distinct()
     cands
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
@@ -179,7 +207,7 @@ object Dedup {
     * (node, label) pairs, never adjacency materialized on the driver).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 25): DataFrame = {
     // cache the pair set first: the union below references it twice and
     // would otherwise evaluate the (possibly expensive) candidate
     //-generation subtree once per branch
@@ -187,8 +215,19 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(true)
+    // Plan truncation per round is mandatory (without it every
+    // iteration re-analyzes a strictly growing tree and planning time
+    // dominates — the classic iterative-DataFrame pitfall). With a
+    // checkpoint dir configured, use a RELIABLE checkpoint: on a real
+    // cluster a lost executor then costs a partition re-read instead of
+    // restarting the whole iteration (localCheckpoint pins state to
+    // executor-local storage). Local runs fall back to localCheckpoint.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var labels = materialize(
+      nodes.select(col("doc_id"), col("doc_id").as("component")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -200,37 +239,34 @@ object Dedup {
         .agg(min(col("component")).as("nbr_min"))
       val gathered = labels
         .join(minNbr, labels("doc_id") === minNbr("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), labels("component").as("prev"),
           least(labels("component"),
             coalesce(col("nbr_min"), labels("component"))).as("component"))
       // 2) pointer jump: label(x) := min(label(x), label(label(x))) —
-      //    halves the remaining path per round, so convergence is
-      //    O(log diameter) instead of O(diameter)
+      //    halves the remaining path per round, so the rounds needed
+      //    are <= ceil(log2(max component diameter)) + 1; the default
+      //    maxIter = 25 therefore covers any graph with < 2^24 nodes
+      //    per component
       val ptrs = gathered.select(col("doc_id").as("c_id"),
         col("component").as("c_comp"))
-      // localCheckpoint (eager) truncates the logical plan — without it
-      // every iteration re-analyzes a strictly growing tree and planning
-      // time dominates (the classic iterative-DataFrame pitfall)
-      val next = gathered.as("x")
+      val next = materialize(gathered.as("x")
         .join(ptrs, col("x.component") === col("c_id"), "left")
-        .select(col("x.doc_id"),
+        .select(col("x.doc_id"), col("x.prev"),
           least(col("x.component"),
-            coalesce(col("c_comp"), col("x.component"))).as("component"))
-        .localCheckpoint(true)
-      // converged when no label decreased (sum of labels is monotone
-      // non-increasing and strictly decreases while changing); NULL sum
-      // means an empty node set — trivially converged
-      def labelSum(df: DataFrame): Option[Long] = {
-        val r = df.agg(sum(col("component"))).first()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
-      }
-      val before = labelSum(labels)
-      val after = labelSum(next)
+            coalesce(col("c_comp"), col("x.component"))).as("component")))
+      // single cheap convergence probe per round: the materialize above
+      // already ran the round's job, so counting changed labels scans
+      // the checkpointed partitions without recomputing anything
+      // (labels only ever decrease, so changed == (component != prev))
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
       labels.unpersist()
-      labels = next
-      converged = before == after
+      labels = next.drop("prev")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed ~ log2 of the largest component)")
     edges.unpersist(); p.unpersist()
     labels
   }

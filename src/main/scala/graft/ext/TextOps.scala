@@ -86,6 +86,24 @@ object TextOps {
   def contentFingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** 60-bit integer hash: the first 15 hex chars of md5, parsed base-16.
+    * ENGINE-PORTABLE by construction — any engine with md5 computes the
+    * identical value (DuckDB: `CAST('0x'||substr(md5(s),1,15) AS
+    * BIGINT)`), which is what makes minhash/simhash oracle-checkable
+    * where xxhash64 was not. 15 hex digits < 2^63, so the parse is
+    * exact and non-negative. */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side twin of [[hex60]] (used to derive deterministic
+    * constants like LSH plane weights that must match the SQL oracle). */
+  def hex60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Word n-shingles of the whitespace tokens (n >= 1): array of
     * space-joined n-grams, one per starting offset. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -94,21 +94,33 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
-  /** MinHash signature columns: for each of k hash functions, the min
-    * over the document's distinct shingles of the seeded portable hash
-    * hex60(md5("i:" + shingle)). One explode + one hash-aggregate ->
-    * k-column signature per doc. The hash is [[TextOps.hex60]] so the
-    * whole signature is reproducible in any md5-capable engine — that
-    * is what lets the LSH output be oracle-verified instead of
-    * rows-only. */
+  /** Universal-hash family modulus (Mersenne prime 2^31 - 1): products
+    * a_i * base stay under 2^62, so the whole family is exact 64-bit
+    * integer arithmetic in ANY engine. */
+  val MinhashP = 2147483647L
+  /** Multiplier / offset of the i-th universal hash — md5-derived
+    * constants, identical on the SQL oracle side. */
+  def minhashA(i: Int): Long = TextOps.hex60Local(s"mh_a:$i") % (MinhashP - 1) + 1
+  def minhashB(i: Int): Long = TextOps.hex60Local(s"mh_b:$i") % MinhashP
+
+  /** MinHash signature columns: ONE portable md5 per distinct shingle
+    * (hex60, reduced mod 2^31-1), then k derived universal hashes
+    * h_i(s) = (a_i * base + b_i) mod 2^31-1 — hashing cost is one
+    * digest per shingle, not k, and every value is reproducible in any
+    * md5-capable engine (that is what lets the LSH output be
+    * oracle-verified instead of rows-only). One explode + one
+    * hash-aggregate -> k-column signature per doc. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         shingleN: Int, k: Int): DataFrame = {
     val shingled = df.select(id.as("doc_id"),
       explode(array_distinct(TextOps.wordShingles(text, shingleN)))
         .as("shingle"))
+    val based = shingled.select(col("doc_id"),
+      (TextOps.hex60(col("shingle")) % MinhashP).as("b"))
     val aggs = (0 until k).map(i =>
-      min(TextOps.hex60(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i"))
-    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min((lit(minhashA(i)) * col("b") + lit(minhashB(i))) % MinhashP)
+        .as(s"mh_$i"))
+    based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard: band the
@@ -191,10 +203,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold. Candidate pairs come
-    * from the same-sign LSH bucketing in [[Similarity.hyperplaneLsh]];
-    * this brute-force variant (bounded id range) is the correctness
-    * baseline. */
   /** Connected components over near-dup pairs: every node is labeled
     * with the MINIMUM id reachable in its component — turning pairwise
     * similarity hits into duplicate clusters with a canonical
@@ -271,6 +279,13 @@ object Dedup {
     labels
   }
 
+  /** Embedding near-dup pairs by brute force: cosine >= threshold over
+    * ALL pairs via a non-equi self-join (planned as a nested-loop join
+    * — O(n^2) compares). SPEC-ONLY recall baseline: the registered
+    * query is [[Similarity.lshNearDupPairs]], whose bucketed candidate
+    * join survives corpus scale; this form exists to measure that
+    * query's recall on small corpora and must never ship in a
+    * production plan. */
   def embeddingNearDupBrute(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
     val normed = Similarity.withNormalized(df, vecCol, "nv")

@@ -85,24 +85,76 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
-    * derived from a hash — reproducible across sessions with no RNG
-    * state. */
-  private def planeWeight(p: Int, d: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
-    (h.toDouble / Int.MaxValue) // in [-1, 1]
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight in
+    * [-1, 1], derived from the ENGINE-PORTABLE md5 hash
+    * ([[TextOps.hex60Local]]) — reproducible across sessions with no
+    * RNG state, and recomputable inside any md5-capable SQL engine,
+    * which is what makes the LSH output oracle-checkable. */
+  def planeWeight(p: Int, d: Int): Double =
+    (TextOps.hex60Local(s"$p,$d") % 2000001L - 1000000L).toDouble / 1000000.0
+
+  /** Plane count for a corpus of n vectors: enough sign bits that the
+    * EXPECTED bucket holds ~targetBucket vectors (buckets halve per
+    * plane), clamped to [minPlanes, maxPlanes]. Pure integer formula
+    * (ceil-log2 via bit length) so a SQL oracle derives the identical
+    * count from count(*). Within-bucket pairing is O(bucket^2), so the
+    * plane count MUST grow with the corpus — a fixed plane count
+    * degenerates quadratic at 100x. */
+  def autoPlanes(n: Long, targetBucket: Long = 64L, minPlanes: Int = 4,
+                 maxPlanes: Int = 16): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    val ceilLog2 =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(minPlanes, math.min(maxPlanes, ceilLog2))
   }
 
   /** Sign-of-projection LSH signature: `planes` bits packed in a long.
     * The plane weights are literal arrays, so the projection is a
-    * per-row map over the corpus — no shuffle, no model state. */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+    * per-row map over the corpus — no shuffle, no model state.
+    * `planeOffset` shifts the plane ids, giving independent signature
+    * tables for multi-table LSH (table l uses planes
+    * [l*planes, (l+1)*planes)). */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int,
+                          planeOffset: Int = 0): Column = {
     require(planes <= 63)
     (0 until planes).map { p =>
-      val weights = typedlit((0 until dim).map(d => planeWeight(p, d)))
+      val weights =
+        typedlit((0 until dim).map(d => planeWeight(planeOffset + p, d)))
       val proj = dot(vec, weights)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Multi-table LSH near-dup pairs with EXACT cosine verification:
+    * `tables` independent signature tables (disjoint plane sets); any
+    * shared (table, signature) bucket makes a candidate pair, then every
+    * candidate is verified with the exact cosine on unit vectors. This
+    * is the scale-safe registered shape for embedding near-dup — the
+    * shuffle is keyed on (table, signature), candidate volume is
+    * sum-of-squared-bucket-sizes per table (bounded via [[autoPlanes]]),
+    * and there is NO nested-loop join anywhere in the plan. More tables
+    * buy recall at linear candidate cost; more planes shrink buckets. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, planes: Int, tables: Int,
+                      threshold: Double): DataFrame = {
+    val base = withNormalized(df, vecCol, "nv")
+      .select(col(idCol).as("vec_id"), col(vecCol).as("rv"), col("nv"))
+    val sigs = base.select(col("vec_id"), explode(array(
+      (0 until tables).map(l => struct(lit(l).as("tbl"),
+        hyperplaneSignature(col("rv"), dim, planes, planeOffset = l * planes)
+          .as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = base.select(col("vec_id").as("vec_a"), col("nv").as("va"))
+    val vb = base.select(col("vec_id").as("vec_b"), col("nv").as("vb"))
+    cands.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
   /** LSH-bucketed approximate near-neighbor pairs: same full signature

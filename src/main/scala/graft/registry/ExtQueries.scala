@@ -105,10 +105,16 @@ object ExtQueries {
         .select(col("doc_a"), col("doc_b"))
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
     }),
-    "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingNearDupBrute(
-        t(s, dir, "embeddings").filter(col("vec_id") < 1000),
-        "vec_id", "embedding", threshold = 0.3)),
+    // multi-table LSH candidates -> exact cosine verify: the scale-safe
+    // registered shape (bucket-keyed shuffle, NO nested-loop join; the
+    // all-pairs brute form survives only as the spec-side recall
+    // baseline). Plane count grows with the corpus via autoPlanes.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+        planes = Similarity.autoPlanes(emb.count()), tables = 4,
+        threshold = 0.3)
+    }),
 
     // ---- similarity search ----
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -123,9 +129,11 @@ object ExtQueries {
         emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
         "embedding", k = 5)
     }),
-    "sim_lsh_ann" -> ((s, dir) =>
-      Similarity.lshNearNeighbors(t(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, planes = 8, threshold = 0.2)),
+    "sim_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshNearNeighbors(emb, "vec_id", "embedding", dim = 64,
+        planes = Similarity.autoPlanes(emb.count()), threshold = 0.2)
+    }),
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -393,9 +401,12 @@ object ExtQueries {
       |          FROM tok),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM shraw)""".stripMargin
 
-  /** The 32 minhash signature aggregates (seeded portable hashes). */
+  /** The 32 minhash signature aggregates: universal hashes
+    * (a_i * base + b_i) mod 2^31-1 over the per-shingle md5 base —
+    * exact integer twins of Dedup.minhashSignatures. */
   private val MinhashSigCols = (0 until 32).map(i =>
-    s"min(${hex60Sql(s"'$i:' || shingle")}) AS mh_$i").mkString(",\n       ")
+    s"min((${Dedup.minhashA(i)} * b + ${Dedup.minhashB(i)}) % " +
+      s"${Dedup.MinhashP}) AS mh_$i").mkString(",\n       ")
   /** 8 bands x 4 rows: band structs for the bucket join. */
   private val MinhashBandStructs = (0 until 8).map(b =>
     s"{b: $b, k: [${(4 * b until 4 * b + 4).map(i => s"mh_$i").mkString(", ")}]}")
@@ -409,6 +420,45 @@ object ExtQueries {
   private val SimhashBitSum = (0 until 60).map(b =>
     s"(CASE WHEN SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
       s"THEN ${1L << b} ELSE 0 END)").mkString("\n         + ")
+
+  /** Hyperplane-LSH near-dup pairs in SQL — exact twin of
+    * Similarity.lshNearDupPairs/lshNearNeighbors: the plane count is
+    * derived from count(*) with the same integer ceil-log2 formula as
+    * autoPlanes, plane weights are recomputed from md5 exactly as
+    * Similarity.planeWeight, projections fold left in declared order
+    * (probed bit-identical to the native DotProduct), and candidates
+    * are verified with the exact unit-vector cosine. */
+  private def lshPairsSql(tables: Int, threshold: Double): String = s"""
+      WITH np_t AS (
+        SELECT GREATEST(4, LEAST(16,
+                 CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS np
+        FROM (SELECT (count(*) + 63) // 64 AS m FROM embeddings)),
+      pl AS (SELECT unnest(range(0, $tables * np)) AS pi FROM np_t),
+      w AS (SELECT pi, list_transform(range(0, 64), d ->
+              (CAST('0x' || substr(md5(CAST(pi AS VARCHAR) || ',' ||
+                 CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2000001 - 1000000) / 1000000.0) AS wv
+            FROM pl),
+      proj AS (SELECT e.vec_id, w.pi,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS proj
+               FROM embeddings e CROSS JOIN w),
+      sigs AS (SELECT vec_id, pi // np AS tbl,
+                 SUM(CASE WHEN proj >= 0
+                     THEN (CAST(1 AS BIGINT) << CAST(pi % np AS INTEGER))
+                     ELSE CAST(0 AS BIGINT) END) AS sig
+               FROM proj CROSS JOIN np_t GROUP BY vec_id, pi // np),
+      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+               FROM sigs x JOIN sigs y
+                 ON x.tbl = y.tbl AND x.sig = y.sig
+                AND x.vec_id < y.vec_id),
+      nv AS (SELECT vec_id, $NormSql AS nv FROM embeddings)
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, ${dotSql("a.nv", "b.nv")} AS cosine
+        FROM cand
+        JOIN nv a ON a.vec_id = cand.vec_a
+        JOIN nv b ON b.vec_id = cand.vec_b)
+      WHERE cosine >= $threshold"""
 
   val oracleSql: Map[String, String] = Map(
     "text_token_count" ->
@@ -483,9 +533,11 @@ object ExtQueries {
         FROM all_docs GROUP BY 1""",
     "dedup_minhash_lsh" -> s"""
       WITH $ShinglesCte,
+      bs AS (SELECT doc_id, ${hex60Sql("shingle")} % ${Dedup.MinhashP} AS b
+             FROM sh),
       sig AS (SELECT doc_id,
        $MinhashSigCols
-       FROM sh GROUP BY doc_id),
+       FROM bs GROUP BY doc_id),
       bands AS (SELECT doc_id, unnest([
          $MinhashBandStructs]) AS bk FROM sig),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -566,13 +618,8 @@ object ExtQueries {
           SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node)
         SELECT node AS doc_id, min(lbl) AS component
         FROM walk GROUP BY node""",
-    "dedup_embedding_cosine" -> s"""
-      WITH e AS (SELECT vec_id, $NormSql AS nv
-                 FROM embeddings WHERE vec_id < 1000)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ${dotSql("a.nv", "b.nv")} AS cosine
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ${dotSql("a.nv", "b.nv")} >= 0.3""",
+    "dedup_embedding_cosine" -> lshPairsSql(tables = 4, threshold = 0.3),
+    "sim_lsh_ann" -> lshPairsSql(tables = 1, threshold = 0.2),
 
     "sim_bruteforce_topk" -> s"""
       WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),

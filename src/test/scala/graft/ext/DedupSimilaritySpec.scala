@@ -119,6 +119,74 @@ class DedupSimilaritySpec extends SparkSpec {
       6L -> 6L, 7L -> 6L, 8L -> 6L))
   }
 
+  test("lsh near-dup pairs: exact-verified subset of brute force, recall measured") {
+    val brute = Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.3)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, planes = Similarity.autoPlanes(emb.count()), tables = 4,
+        threshold = 0.3)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)]
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(brute.contains((a, b)), s"false positive pair ($a,$b)")
+      assert(brute((a, b)) == c, "candidate cosine must be EXACT, not estimated")
+    }
+    // the corpus's similar pairs top out near cosine 0.3-0.5 — far from
+    // near-dup territory, so modest recall is expected here; the
+    // near-identical-copy test below pins the recall that matters
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall vs brute too low: $recall")
+  }
+
+  test("lsh near-dup recall on near-identical copies is high at two corpus sizes") {
+    def recallOn(df: org.apache.spark.sql.DataFrame): Double = {
+      val n = df.count()
+      // deterministic near-copies: nudge the first component by 0.1%
+      val copies = df.withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(i === 0, (x * 1.001).cast("float")).otherwise(x)))
+      val all = df.unionByName(copies)
+      val found = Similarity.lshNearDupPairs(all, "vec_id", "embedding",
+          dim = 64, planes = Similarity.autoPlanes(2 * n), tables = 4,
+          threshold = 0.99)
+        .filter($"vec_b" === $"vec_a" + 1000000).count()
+      found.toDouble / n
+    }
+    val rSmall = recallOn(emb)
+    val rBig = recallOn(
+      spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet"))
+    assert(rSmall >= 0.9, s"near-dup recall at n=500 too low: $rSmall")
+    assert(rBig >= 0.9, s"near-dup recall at n=2000 too low: $rBig")
+  }
+
+  test("lsh near-dup plan has no nested-loop join; the brute baseline does") {
+    val lshPlan = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, planes = 4, tables = 4, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin")
+      && !lshPlan.contains("CartesianProduct"), "scale-killer join in LSH plan")
+    val brutePlan = Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoopJoin")
+      || brutePlan.contains("CartesianProduct"))
+  }
+
+  test("autoPlanes scales with corpus size and bounds bucket occupancy at sf0.1") {
+    assert(Similarity.autoPlanes(500) == 4)
+    assert(Similarity.autoPlanes(2000) == 5)
+    assert(Similarity.autoPlanes(1000000000L) == 16) // default clamp
+    assert(Similarity.autoPlanes(1000000000L, maxPlanes = 48) == 24)
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = big.count()
+    val planes = Similarity.autoPlanes(n)
+    val maxBucket = big.select(
+        Similarity.hyperplaneSignature(col("embedding"), 64, planes).as("sig"))
+      .groupBy("sig").count().agg(max("count")).as[Long].head()
+    assert(maxBucket <= n / 8, s"hot bucket: $maxBucket of $n")
+  }
+
   test("token df-cap guards the inverted index against hot tokens") {
     val toks = Dedup.docTokens(docs, col("doc_id"), col("text"), maxDf = 50)
     val maxDf = toks.groupBy("token").count().agg(max("count")).as[Long].head()

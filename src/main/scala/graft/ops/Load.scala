@@ -147,6 +147,102 @@ object Load {
     n
   }
 
+  /** JDBC warehouse sink with the reference's literal transaction shape
+    * (etl/load.py:59-97): one connection, DELETE FROM table + batched
+    * INSERTs, a single commit — concurrent readers observe the old rows
+    * or the new rows, never a mix, and a failure rolls back to the old
+    * table. Deliberately a DRIVER-side path for small dims and metadata
+    * tables (the reference's warehouse is single-file SQLite, an
+    * inherently single-writer store); large facts take
+    * [[writeAuditPublish]], which scales writers. Returns rows written.
+    */
+  def jdbcFullRefresh(df: DataFrame, url: String, table: String,
+                      createDdl: Option[String] = None,
+                      batchSize: Int = 1000): Long = {
+    val schema = df.schema
+    val rows = df.collect() // small-table path by contract (see Scaladoc)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      createDdl.foreach { ddl =>
+        val meta = conn.getMetaData.getTables(null, null,
+          table.toUpperCase, null)
+        val exists = meta.next(); meta.close()
+        if (!exists) { val st = conn.createStatement()
+          try st.executeUpdate(ddl) finally st.close() }
+      }
+      val del = conn.createStatement()
+      try del.executeUpdate(s"DELETE FROM $table") finally del.close()
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $table VALUES (${schema.map(_ => "?").mkString(", ")})")
+      try {
+        var inBatch = 0
+        rows.foreach { row =>
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (row.isNullAt(i)) ps.setObject(i + 1, null)
+            else f.dataType match {
+              case org.apache.spark.sql.types.LongType => ps.setLong(i + 1, row.getLong(i))
+              case org.apache.spark.sql.types.IntegerType => ps.setInt(i + 1, row.getInt(i))
+              case org.apache.spark.sql.types.DoubleType => ps.setDouble(i + 1, row.getDouble(i))
+              case org.apache.spark.sql.types.FloatType => ps.setFloat(i + 1, row.getFloat(i))
+              case org.apache.spark.sql.types.BooleanType => ps.setBoolean(i + 1, row.getBoolean(i))
+              case org.apache.spark.sql.types.StringType => ps.setString(i + 1, row.getString(i))
+              case TimestampType | TimestampNTZType =>
+                ps.setTimestamp(i + 1, java.sql.Timestamp.valueOf(
+                  row.getAs[Any](i) match {
+                    case t: java.sql.Timestamp => t.toLocalDateTime
+                    case d: java.time.LocalDateTime => d
+                    case i2: java.time.Instant =>
+                      java.time.LocalDateTime.ofInstant(i2, java.time.ZoneOffset.UTC)
+                  }))
+              case org.apache.spark.sql.types.DateType =>
+                ps.setDate(i + 1, row.getAs[java.sql.Date](i))
+              case _: org.apache.spark.sql.types.DecimalType =>
+                ps.setBigDecimal(i + 1, row.getDecimal(i))
+              case other => throw new IllegalArgumentException(
+                s"jdbcFullRefresh: unsupported type $other for column ${f.name}")
+            }
+          }
+          ps.addBatch(); inBatch += 1
+          if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
+        }
+        if (inBatch > 0) ps.executeBatch()
+      } finally ps.close()
+      conn.commit()
+      rows.length.toLong
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  /** Post-load validation against the JDBC warehouse — the reference's
+    * eager order (etl/load.py:144-210) expressed as SQL against the
+    * loaded table: count match, zero NULL PKs, zero duplicate PKs. */
+  def jdbcValidateLoaded(url: String, table: String, pk: Seq[String],
+                         expectedCount: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      def one(sql: String): Long = {
+        val rs = st.executeQuery(sql)
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      }
+      val n = one(s"SELECT count(*) FROM $table")
+      if (n != expectedCount)
+        throw new DataQualityException(
+          s"loaded count $n != source count $expectedCount")
+      val nullPred = pk.map(c => s"$c IS NULL").mkString(" OR ")
+      val nNull = one(s"SELECT count(*) FROM $table WHERE $nullPred")
+      if (nNull > 0)
+        throw new DataQualityException(s"$nNull rows with NULL in PK $pk")
+      val dups = one(s"SELECT count(*) FROM (SELECT 1 AS c FROM $table " +
+        s"GROUP BY ${pk.mkString(", ")} HAVING count(*) > 1) d")
+      if (dups > 0)
+        throw new DataQualityException(s"$dups duplicate PK groups in $table")
+      st.close()
+    } finally conn.close()
+  }
+
   /** FK referential-integrity check via left-anti join
     * (README.md:166-171; SURVEY §2.5): fact keys absent from the dim
     * must be zero. Broadcast the dim when it is small — the planner

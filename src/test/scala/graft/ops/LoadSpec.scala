@@ -56,6 +56,68 @@ class LoadSpec extends SparkSpec {
     assert(!new java.io.File(dir + "_staging").exists())
   }
 
+  test("jdbc full refresh: transactional DELETE+INSERT round trip with validation") {
+    val url = "jdbc:derby:memory:graft_load_spec;create=true"
+    val ddl = "CREATE TABLE products_dim (product_id BIGINT, name VARCHAR(64), " +
+      "price DOUBLE, active BOOLEAN)"
+    val v1 = Seq((1L, "a", 10.0, true), (2L, "b", 20.0, false))
+      .toDF("product_id", "name", "price", "active")
+    assert(Load.jdbcFullRefresh(v1, url, "products_dim", Some(ddl)) == 2L)
+    Load.jdbcValidateLoaded(url, "products_dim", Seq("product_id"), 2L)
+    // full refresh replaces, never appends
+    val v2 = Seq((3L, "c", 30.0, true)).toDF("product_id", "name", "price", "active")
+    assert(Load.jdbcFullRefresh(v2, url, "products_dim") == 1L)
+    Load.jdbcValidateLoaded(url, "products_dim", Seq("product_id"), 1L)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT product_id FROM products_dim")
+      rs.next()
+      assert(rs.getLong(1) == 3L)
+      assert(!rs.next())
+    } finally conn.close()
+    // count mismatch -> DataQualityException (post-load gate parity)
+    assertThrows[DataQualityException] {
+      Load.jdbcValidateLoaded(url, "products_dim", Seq("product_id"), 99L)
+    }
+  }
+
+  test("jdbc full refresh rolls back on failure, keeping the old rows") {
+    val url = "jdbc:derby:memory:graft_load_rb;create=true"
+    val ddl = "CREATE TABLE t (pk BIGINT NOT NULL PRIMARY KEY, v VARCHAR(8))"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
+    Load.jdbcFullRefresh(v1, url, "t", Some(ddl))
+    // duplicate PK violates the table constraint mid-transaction; the
+    // DELETE must roll back with it
+    val bad = Seq((9L, "x"), (9L, "y")).toDF("pk", "v")
+    assertThrows[Throwable] { Load.jdbcFullRefresh(bad, url, "t") }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery("SELECT count(*) FROM t")
+      rs.next()
+      assert(rs.getLong(1) == 2L, "old rows must survive a failed refresh")
+    } finally conn.close()
+  }
+
+  test("rotating text logger rotates at the size cap and keeps N backups") {
+    val dir = java.nio.file.Files.createTempDirectory("rotlog").toString
+    val lg = new graft.control.RotatingTextLogger(dir, maxBytes = 500,
+      backupCount = 2)
+    (1 to 40).foreach(i => lg.info("rid", "p", "m", s"message number $i"))
+    val base = java.nio.file.Paths.get(dir, "etl_logs.log")
+    assert(java.nio.file.Files.exists(base))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "etl_logs.log.1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "etl_logs.log.2")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "etl_logs.log.3")), "backupCount respected")
+    // line format parity: ts | LEVEL | module | pipeline | run_id | msg
+    val line = java.nio.file.Files.readAllLines(base).get(0)
+    assert(line.matches(
+      """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} \| INFO \| m \| p \| rid \| message number \d+"""))
+  }
+
   test("type normalize formats timestamps as ISO strings") {
     val df = Seq(("a", "2026-01-09 12:34:56"))
       .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))

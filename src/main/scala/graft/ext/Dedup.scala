@@ -112,11 +112,13 @@ object Dedup {
     * hash-aggregate -> k-column signature per doc. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         shingleN: Int, k: Int): DataFrame = {
+    // native one-pass shingle hashing (value-identical to
+    // hex60(array_distinct(wordShingles)) but codegen'd — the
+    // interpreted HOF chain was the dominant cost of the whole LSH job)
     val shingled = df.select(id.as("doc_id"),
-      explode(array_distinct(TextOps.wordShingles(text, shingleN)))
-        .as("shingle"))
-    val based = shingled.select(col("doc_id"),
-      (TextOps.hex60(col("shingle")) % MinhashP).as("b"))
+      explode(graft.functions.VectorFunctions.shingleHex60(text, shingleN))
+        .as("h"))
+    val based = shingled.select(col("doc_id"), (col("h") % MinhashP).as("b"))
     val aggs = (0 until k).map(i =>
       min((lit(minhashA(i)) * col("b") + lit(minhashB(i))) % MinhashP)
         .as(s"mh_$i"))

@@ -199,6 +199,83 @@ case class RollingMinHash(child: Expression, window: Int, base: Long,
     copy(child = c)
 }
 
+/** Static helpers callable from generated code. */
+object TextHashUtil {
+  /** Distinct word-n-shingle hashes of `text` in one pass: tokenize on
+    * whitespace (space-only trim + `\s+` split — byte-identical to
+    * `split(trim(text), "\\s+")`), join every n consecutive tokens with
+    * single spaces, md5 each shingle and keep the first 15 hex digits
+    * as a long ([[graft.ext.TextOps.hex60]] semantics, value-identical
+    * to the Column-algebra form and to SQL oracles). Deduplicates via a
+    * hash set — min/equality consumers are unaffected by multiset
+    * collapse. Returns an empty array for texts with < n tokens. */
+  def shingleHex60(s: org.apache.spark.unsafe.types.UTF8String,
+                   n: Int): ArrayData = {
+    val str = s.toString
+    // Spark/DuckDB trim() strips ASCII space ONLY (Java's trim strips
+    // all control chars — subtly different, so hand-roll it)
+    var st = 0; var en = str.length
+    while (st < en && str.charAt(st) == ' ') st += 1
+    while (en > st && str.charAt(en - 1) == ' ') en -= 1
+    val toks = str.substring(st, en).split("\\s+", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xF0L) >> 4)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Distinct word-n-shingle hex60 hashes in one codegen'd pass —
+  * value-identical to
+  * `transform(array_distinct(wordShingles(text, n)), s => hex60(s))`
+  * but ~10x faster: the Column-algebra form runs four nested
+  * interpreted higher-order functions per row (CodegenFallback), this
+  * is one tight JVM loop (asserted equal in specs).
+  */
+case class ShingleHex60(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingleHex60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.shingleHex60($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge
   /** Column wrapper for [[DotProduct]]. */
@@ -215,4 +292,8 @@ object VectorFunctions {
                      modulus: Long): Column =
     GraftColumnBridge.column(RollingMinHash(
       GraftColumnBridge.expression(text), window, base, modulus))
+  /** Column wrapper for [[ShingleHex60]]. */
+  def shingleHex60(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHex60(
+      GraftColumnBridge.expression(text), n))
 }

@@ -187,6 +187,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(maxBucket <= n / 8, s"hot bucket: $maxBucket of $n")
   }
 
+  test("native ShingleHex60 equals the Column-algebra shingle hashing") {
+    val native = docs.select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.shingleHex60(col("text"), 3))
+          .as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val algebra = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.wordShingles(col("text"), 3)))
+          .as("shingle"))
+      .select(col("doc_id"), TextOps.hex60(col("shingle")).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(native == algebra)
+    // whitespace/short-text edges: tabs+spaces trim, exactly n tokens,
+    // fewer than n tokens, empty
+    val edge = Seq((1L, "  a\tb c  d "), (2L, "x y z"), (3L, "x y"),
+      (4L, "")).toDF("doc_id", "text")
+    val nat = edge.select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleHex60(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val alg = edge.select(col("doc_id"),
+        transform(array_distinct(TextOps.wordShingles(col("text"), 3)),
+          s => TextOps.hex60(s)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nat.view.mapValues(_.toSet).toMap == alg.view.mapValues(_.toSet).toMap)
+    assert(nat(3L).isEmpty && nat(4L).isEmpty)
+  }
+
   test("token df-cap guards the inverted index against hot tokens") {
     val toks = Dedup.docTokens(docs, col("doc_id"), col("text"), maxDf = 50)
     val maxDf = toks.groupBy("token").count().agg(max("count")).as[Long].head()

@@ -174,23 +174,65 @@ object Similarity {
         col("cosine"))
   }
 
-  /** IVF coarse quantizer: centroid ids are a deterministic sample
-    * (lowest `nCentroids` ids), every vector is assigned to its nearest
-    * centroid by cosine over unit vectors. This is the classic
-    * two-level ANN layout: assignment is one broadcast join + per-row
-    * argmax, search a bucket join. */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int): DataFrame = {
-    val normed = withNormalized(df, vecCol, "v")
-      .select(col(idCol).as("vec_id"), col("v"))
-    val centroids = broadcast(normed.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("centroid_vec")))
-    val scored = normed.join(centroids)
-      .withColumn("cos_c", dot(col("v"), col("centroid_vec")))
+  /** Nearest-centroid assignment: broadcast the (small) centroid table,
+    * score every (vector, centroid) pair with the codegen'd dot
+    * product, keep the argmax (ties by centroid id — a total order any
+    * SQL engine replays). */
+  private def assignTo(normed: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    normed.join(broadcast(centroids))
+      .withColumn("cos_c", dot(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("v"))
+  }
+
+  /** IVF coarse quantizer with Lloyd refinement: deterministic init
+    * (the lowest `nCentroids` ids' unit vectors), then `iters` rounds
+    * of assign -> per-dimension micro-quantized mean -> renormalize.
+    * Every arithmetic step is engine-portable (integer-micro sums are
+    * order-proof, the norm is the same in-order fold the oracle uses),
+    * so even the ITERATIVE model fit is hash-verifiable in SQL. Cells
+    * that lose all members keep their previous centroid. Returns
+    * (centroid_id, cv) with cv unit-normalized.
+    *
+    * Scale shape: each round is one broadcast-join argmax over the
+    * corpus plus a (centroid, dim)-keyed aggregation — no iteration
+    * state ever exceeds nCentroids x dim doubles. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int, iters: Int = 2): DataFrame = {
+    val normed = withNormalized(df, vecCol, "v")
+      .select(col(idCol).as("vec_id"), col("v"))
+    var centroids = normed.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(normed, centroids)
+      // per-dimension mean, micro-quantized so accumulation order can
+      // never change the result (the stableSum contract)
+      val dims = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg((Windows.stableSum(col("x")) / count(lit(1))).as("m"))
+      val means = dims.groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), e => e.getField("m")).as("mv"))
+      val renormed = means.select(col("centroid_id"),
+        transform(col("mv"), x => x / sqrt(dot(col("mv"), col("mv"))))
+          .as("new_cv"))
+      centroids = centroids.join(renormed, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_cv"), col("cv")).as("cv"))
+    }
+    centroids
+  }
+
+  /** IVF cell assignment over Lloyd-refined centroids. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int, iters: Int = 2): DataFrame = {
+    val normed = withNormalized(df, vecCol, "v")
+      .select(col(idCol).as("vec_id"), col("v"))
+    assignTo(normed, ivfCentroids(df, idCol, vecCol, nCentroids, iters))
   }
 
   /** IVF top-k search: assign corpus vectors to their nearest cell,
@@ -199,17 +241,17 @@ object Similarity {
     * search stays a bucket join keyed on centroid id. */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, nCentroids: Int, k: Int,
-              nProbe: Int = 1): DataFrame = {
-    val corpusCells = ivfAssign(df, idCol, vecCol, nCentroids)
+              nProbe: Int = 1, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCentroids, iters)
+    val normed = withNormalized(df, vecCol, "v")
+      .select(col(idCol).as("vec_id"), col("v"))
+    val corpusCells = assignTo(normed, centroids)
     val queryNormed = withNormalized(queries, vecCol, "qv")
       .select(col(idCol).as("query_id"), col("qv"))
-    val centroids = broadcast(
-      withNormalized(df, vecCol, "cvec").orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("centroid_id"), col("cvec")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("centroid_id"))
-    val queryCells = queryNormed.join(centroids)
-      .withColumn("cos_c", dot(col("qv"), col("cvec")))
+    val queryCells = queryNormed.join(broadcast(centroids))
+      .withColumn("cos_c", dot(col("qv"), col("cv")))
       .withColumn("probe_rn", row_number().over(probeW))
       .filter(col("probe_rn") <= nProbe)
       .select(col("query_id"), col("centroid_id"), col("qv"))

@@ -460,7 +460,66 @@ object ExtQueries {
         JOIN nv b ON b.vec_id = cand.vec_b)
       WHERE cosine >= $threshold"""
 
+  /** DuckDB twin of Similarity.ivfTopK with Lloyd-refined centroids:
+    * the same deterministic init, `iters` rounds of argmax assignment
+    * (row_number total order), micro-quantized per-dimension means
+    * (order-proof integer sums) and in-order renormalization — an
+    * ITERATIVE model fit that still hash-matches across engines. */
+  private def ivfTopKSql(nCentroids: Int, k: Int, nProbe: Int,
+                         iters: Int): String = {
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (SELECT vec_id, centroid_id, v FROM (
+         |    SELECT nv.vec_id, $prev.centroid_id, nv.v,
+         |           row_number() OVER (PARTITION BY nv.vec_id
+         |             ORDER BY ${dotSql("nv.v", s"$prev.cv")} DESC,
+         |                      $prev.centroid_id) AS rn
+         |    FROM nv CROSS JOIN $prev) WHERE rn = 1),
+         |m$it AS (SELECT centroid_id, d,
+         |       (SUM(CAST(FLOOR(v[d+1]*1000000) AS BIGINT)) / 1000000.0)
+         |         / count(*) AS m
+         |     FROM a$it CROSS JOIN range(0, 64) r(d)
+         |     GROUP BY centroid_id, d),
+         |g$it AS (SELECT centroid_id, list(m ORDER BY d) AS mv
+         |       FROM m$it GROUP BY centroid_id),
+         |n$it AS (SELECT centroid_id, list_transform(mv,
+         |         x -> x / sqrt(list_sum(list_transform(mv, y -> y*y))))
+         |         AS cv FROM g$it),
+         |c$it AS (SELECT p.centroid_id, COALESCE(n$it.cv, p.cv) AS cv
+         |       FROM $prev p LEFT JOIN n$it USING (centroid_id))"""
+        .stripMargin
+    }.mkString(",\n      ")
+    s"""
+      WITH nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM nv
+             ORDER BY vec_id LIMIT $nCentroids),
+      $iterCtes,
+      ca AS (SELECT vec_id, centroid_id, v FROM (
+          SELECT nv.vec_id, c$iters.centroid_id, nv.v,
+                 row_number() OVER (PARTITION BY nv.vec_id
+                   ORDER BY ${dotSql("nv.v", s"c$iters.cv")} DESC,
+                            c$iters.centroid_id) AS rn
+          FROM nv CROSS JOIN c$iters) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+      qp AS (SELECT query_id, centroid_id, qv FROM (
+          SELECT q.query_id, c$iters.centroid_id, q.qv,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSql("q.qv", s"c$iters.cv")} DESC,
+                            c$iters.centroid_id) AS rn
+          FROM q CROSS JOIN c$iters) WHERE rn <= $nProbe),
+      scored AS (SELECT query_id, ca.vec_id AS neighbor_id,
+                   ${dotSql("qp.qv", "ca.v")} AS cosine
+                 FROM qp JOIN ca USING (centroid_id)
+                 WHERE query_id <> ca.vec_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= $k"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_ivf_topk" -> ivfTopKSql(nCentroids = 16, k = 5, nProbe = 2,
+      iters = 2),
     "text_token_count" ->
       """SELECT doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)

@@ -108,6 +108,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r4 > 0.5, s"recall@5 with nProbe=4 too low: $r4")
   }
 
+  test("Lloyd refinement improves centroid fit over the deterministic init") {
+    def fit(iters: Int): Double = {
+      val cs = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = iters)
+      val normed = Similarity.withNormalized(emb, "embedding", "v")
+        .select(col("vec_id"), col("v"))
+      // mean best-cosine to any centroid: higher = tighter cells
+      normed.join(broadcast(cs))
+        .withColumn("c", Similarity.dot(col("v"), col("cv")))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+        .agg(avg(col("best"))).as[Double].head()
+    }
+    val init = fit(0)
+    val refined = fit(2)
+    assert(refined >= init,
+      s"k-means refinement must not worsen fit: $init -> $refined")
+    assert(refined > init + 1e-3,
+      s"k-means refinement should measurably improve fit: $init -> $refined")
+  }
+
   test("connected components label every node with its component minimum") {
     val nodes = (1L to 8L).toDF("doc_id")
     // components: {1,2,3} via chain, {4,5} pair, {6,7,8} star on 6

@@ -23,7 +23,8 @@ object StreamQueries {
 
   /** Stage the events as a parquet stream source and run the given
     * streaming transform to completion. */
-  private def runStream(s: SparkSession, dir: String, name: String)
+  private def runStream(s: SparkSession, dir: String, name: String,
+                        mode: OutputMode = OutputMode.Complete())
                        (mk: DataFrame => DataFrame): DataFrame = {
     val events = Tables.events(s, dir)
     val stage = staged.getOrElseUpdate((s.sparkContext.applicationId, dir), {
@@ -33,7 +34,7 @@ object StreamQueries {
       d
     })
     val src = s.readStream.schema(events.schema).parquet(stage)
-    StreamOps.runToMemory(mk(src), s"graft_mem_$name", OutputMode.Complete())
+    StreamOps.runToMemory(mk(src), s"graft_mem_$name", mode)
   }
 
   val queries: Map[String, Q] = Map(
@@ -51,7 +52,13 @@ object StreamQueries {
       runStream(s, dir, "sliding")(src =>
         StreamOps.slidingCounts(src, "1 hour", "30 minutes"))
         .withColumn("window_epoch", col("window_start").cast("long"))
-        .drop("window_start"))
+        .drop("window_start")),
+    // streaming exact dedup: first arrival per key wins; emitted key
+    // set equals batch DISTINCT (append mode — dedup is stateful but
+    // not an aggregation)
+    "stream_dedup" -> ((s, dir) =>
+      runStream(s, dir, "dedup", OutputMode.Append())(src =>
+        StreamOps.streamingDedup(src, Seq("user_id", "event_type"))))
   )
 
   private def stableSumSql(c: String): String =
@@ -85,6 +92,9 @@ object StreamQueries {
         SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - k) * 1800 AS window_epoch
         FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS off(k))
       SELECT window_epoch, count(*) AS n_events
-      FROM w GROUP BY 1"""
+      FROM w GROUP BY 1""",
+    // first-arrival streaming dedup emits exactly the distinct key set
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

@@ -92,6 +92,28 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup on a key subset: keeps the FIRST arrival
+    * per key, state bounded by the watermark horizon. Only the key
+    * columns are emitted — arrival order across partitions is not
+    * deterministic, so first-arrival PAYLOADS are not replayable, but
+    * the emitted KEY SET equals batch `SELECT DISTINCT keys` exactly
+    * (the batch/stream parity contract for dedup). At 100 TB this is
+    * the ingest-side guard that keeps re-delivered records from ever
+    * reaching the corpus; state is per-key and evicted by watermark. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermark: String = "1 hour",
+                     withinWatermark: Boolean = false): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    // withinWatermark bounds state (keys evict once older than the
+    // horizon) at the cost of re-admitting a key that reappears after
+    // the horizon — the right trade for unbounded streams; the exact
+    // global variant keeps all keys in state and equals batch DISTINCT
+    val deduped =
+      if (withinWatermark) wm.dropDuplicatesWithinWatermark(keys)
+      else wm.dropDuplicates(keys)
+    deduped.select(keys.map(col): _*)
+  }
+
   /** Run a streaming query over a bounded source to completion into an
     * in-memory table, returning the result — used by specs to assert
     * batch/stream parity. */

@@ -106,6 +106,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ShingleHex60 equals the Column-algebra shingling on random texts") {
+    // texts mixing words, repeated shingles, unicode, tabs/newlines,
+    // leading/trailing spaces and degenerate lengths
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("héllo", "wörld", "日本語", "a", "", "x,y"))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+      lead <- Gen.oneOf("", " ", "  ")
+      tail <- Gen.oneOf("", " ")
+    } yield lead + ws.zipAll(ss, "", "").map { case (w, s) => w + s }
+      .mkString + tail
+    val texts = samples(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleHex60(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val algebra = df.select(col("doc_id"),
+        transform(array_distinct(graft.ext.TextOps.wordShingles(col("text"), 3)),
+          s => graft.ext.TextOps.hex60(s)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    assert(native == algebra)
+  }
+
   test("DotProduct native expression equals the fold formulation exactly") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     emb.select(

@@ -36,6 +36,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("streaming dedup emits exactly the batch-distinct key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    events.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(events.schema).parquet(dir)
+    val got = StreamOps.runToMemory(
+        StreamOps.streamingDedup(src, Seq("user_id", "event_type")),
+        "sdedup_test", OutputMode.Append())
+      .as[(Long, String)].collect().toSet
+    val want = events.select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got == want)
+    // bounded-state variant: a subset (keys can re-admit past the
+    // horizon, never emit keys that do not exist)
+    val src2 = spark.readStream.schema(events.schema).parquet(dir)
+    val within = StreamOps.runToMemory(
+        StreamOps.streamingDedup(src2, Seq("user_id", "event_type"),
+          withinWatermark = true),
+        "sdedup_within_test", OutputMode.Append())
+      .as[(Long, String)].collect().toSet
+    assert(within.subsetOf(want))
+    assert(within.nonEmpty)
+  }
+
   test("streaming session windows produce plausible sessions") {
     val schema = events.schema
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString

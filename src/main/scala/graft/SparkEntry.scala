@@ -112,6 +112,7 @@ object SparkEntry {
     * every registered query; these are the ones to read first). */
   def headline: Seq[String] = Seq(
     "pipeline_sales_e2e", "model_sales_fact", "analytics_q1",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_bruteforce_topk_agg",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_embedding_cosine", "sim_bruteforce_topk_agg", "sim_ivf_topk",
     "window_session", "stream_tumbling", "asof_join_last_purchase")
 }

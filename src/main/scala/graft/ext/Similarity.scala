@@ -223,8 +223,22 @@ object Similarity {
       centroids = centroids.join(renormed, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new_cv"), col("cv")).as("cv"))
+      // The centroid table is bounded (nCentroids x dim doubles) by
+      // contract, so collect + re-literalize each round: without this
+      // every downstream reference re-executes the whole Lloyd lineage
+      // (the assignment subtree DOUBLES per iteration), and the final
+      // search plan re-ran the corpus scoring 8x for iters=2.
+      centroids = relit(centroids)
     }
     centroids
+  }
+
+  /** Truncate a small DataFrame's lineage by collecting it and
+    * recreating it as a literal local relation (values unchanged). */
+  private def relit(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
   /** IVF cell assignment over Lloyd-refined centroids. */

@@ -20,6 +20,17 @@ object Windows {
   def stableSum(c: Column): Column =
     sum(floor(c * 1000000).cast("long")) / 1000000.0
 
+  /** Approximate percentiles — the 100 TB quantile path: a bounded
+    * sketch per group (one pass, mergeable in partial aggregation)
+    * instead of `percentile()`'s full per-group value collection,
+    * which at corpus scale concentrates whole groups in memory. The
+    * exact form stays the oracle-checked query; this is the documented
+    * swap once group cardinality outgrows executor memory (same
+    * pattern as approx_count_distinct in Profile). */
+  def approxPercentiles(c: Column, ps: Seq[Double],
+                        accuracy: Int = 10000): Column =
+    percentile_approx(c, typedlit(ps), lit(accuracy))
+
   /** Tumbling window aggregation: one row per (window_start, extra
     * keys), with count and stable value sum. */
   def tumbling(df: DataFrame, ts: Column, widthSeconds: Long,

@@ -47,13 +47,38 @@ object GraftFunctions {
     }
   }
 
+  /** Evaluate a foldable INT literal argument (window sizes, shingle
+    * widths) with a clear error otherwise. */
+  private def literalInt(name: String, e: Expression): Int = {
+    def bad(msg: String) = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"$name: $msg"))
+    if (!e.foldable) bad("argument must be a literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l < 1L || l > Int.MaxValue) bad(s"out of range: $l")
+        l.intValue()
+      case other => bad(s"must be INT, got $other")
+    }
+  }
+
   val descriptions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => { arity("graft_dot", exprs, 2)
       DotProduct(exprs(0), exprs(1)) }),
     "graft_simhash64" -> (exprs => { arity("graft_simhash64", exprs, 1)
       SimHash64(exprs.head) }),
     "graft_topk" -> (exprs => { arity("graft_topk", exprs, 3)
-      TopKByScore(exprs(0), exprs(1), literalK(exprs)) })
+      TopKByScore(exprs(0), exprs(1), literalK(exprs)) }),
+    "graft_shingle_hex60" -> (exprs => {
+      arity("graft_shingle_hex60", exprs, 2)
+      ShingleHex60(exprs(0),
+        literalInt("graft_shingle_hex60 n", exprs(1))) }),
+    "graft_rolling_minhash" -> (exprs => {
+      arity("graft_rolling_minhash", exprs, 2)
+      RollingMinHash(exprs(0),
+        literalInt("graft_rolling_minhash window", exprs(1)),
+        graft.ext.TextOps.RollBase, graft.ext.TextOps.RollMod) })
   )
 
   /** Register the functions on a live session. */

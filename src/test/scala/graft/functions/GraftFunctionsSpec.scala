@@ -63,6 +63,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("graft_shingle_hex60 and graft_rolling_minhash work from SQL") {
+    GraftFunctions.registerSql(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_shingle_hex60('a b c d', 3) AS hs").as[Seq[Long]].head()
+    val viaApi = Seq(("a b c d")).toDF("t")
+      .select(graft.functions.VectorFunctions.shingleHex60(col("t"), 3))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaApi && viaSql.size == 2)
+    val roll = spark.sql(
+      "SELECT graft_rolling_minhash('abcdefghijklmnopq', 16) AS r")
+      .as[Long].head()
+    val rollApi = Seq(("abcdefghijklmnopq")).toDF("t")
+      .select(graft.ext.TextOps.rollingFingerprint(col("t")))
+      .as[Long].head()
+    assert(roll == rollApi)
+  }
+
   test("salted join equals the plain join") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val o = spark.read.parquet(s"$sf0001/orders.parquet")

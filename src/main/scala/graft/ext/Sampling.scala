@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training corpora.
+  *
+  * `df.sample()` draws from a per-partition RNG: re-reading the corpus
+  * with different partitioning (or adding one file) reshuffles who is
+  * sampled — poison for train/val hygiene, where a row must NEVER
+  * migrate between splits across runs. Everything here instead keys
+  * the decision on an engine-portable content/id hash
+  * ([[TextOps.hex60]] of the key, reduced into [0, 1e6)): the same row
+  * maps to the same bucket on any cluster, any partitioning, any
+  * engine — and therefore the sample itself is oracle-checkable SQL.
+  *
+  * Scale shape: every operator is a per-row filter/projection — narrow
+  * maps, no shuffle, fully codegen'd.
+  */
+object Sampling {
+
+  /** Number of hash buckets; rates quantize to 1/1e6. */
+  val Buckets = 1000000L
+
+  /** The row's deterministic bucket in [0, Buckets): hex60 of
+    * (salt + key-as-string) mod Buckets. Distinct salts give
+    * independent drawings from the same key space. */
+  def bucket(key: Column, salt: String = ""): Column =
+    TextOps.hex60(concat(lit(salt), key.cast("string"))) % Buckets
+
+  /** Deterministic Bernoulli sample: keeps a row iff its bucket falls
+    * below fraction * Buckets. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.filter(bucket(key, salt) < (fraction * Buckets).toLong)
+  }
+
+  /** Deterministic train/val/test assignment: the canonical split
+    * column for corpus hygiene. Bucket layout: [0, test) -> "test",
+    * [test, test+val) -> "val", rest -> "train". */
+  def splitColumn(key: Column, valPct: Double, testPct: Double,
+                  salt: String = ""): Column = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 1.0)
+    val b = bucket(key, salt)
+    when(b < (testPct * Buckets).toLong, "test")
+      .when(b < ((testPct + valPct) * Buckets).toLong, "val")
+      .otherwise("train")
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates (e.g.
+    * downsample dominant languages, keep all rare ones). Strata
+    * without a configured rate use `default`. Rates are converted to
+    * integer bucket thresholds at PLAN time (one double multiply on
+    * the driver, never per-row float math an oracle could round
+    * differently) and ride in a literal map — no join, still a narrow
+    * filter. */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       rates: Map[String, Double], default: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val thresholds = rates.map { case (k, r) => k -> (r * Buckets).toLong }
+    val th = coalesce(
+      element_at(typedlit(thresholds), strata.cast("string")),
+      lit((default * Buckets).toLong))
+    df.filter(bucket(key, salt) < th)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps, Windows}
+import graft.ext.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextOps, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -50,6 +50,11 @@ object ExtQueries {
   private val DocsNormCte =
     """WITH t AS (SELECT doc_id, text,
       |  ' ' || lower(text) || ' ' AS p FROM documents)""".stripMargin
+
+  /** Stratified sampling rates for the registered query (dominant
+    * event types downsampled, purchases kept whole). */
+  private val SampleRates =
+    Map("view" -> 0.1, "click" -> 0.2, "purchase" -> 1.0)
 
   // =====================================================================
   // Queries
@@ -115,6 +120,22 @@ object ExtQueries {
         planes = Similarity.autoPlanes(emb.count()), tables = 4,
         threshold = 0.3)
     }),
+
+    // ---- deterministic sampling / split assignment ----
+    // hash-bucket decisions: the same row samples identically on any
+    // partitioning, any run, any engine (df.sample's per-partition RNG
+    // does not survive a re-read — poison for train/val hygiene)
+    "sample_deterministic" -> ((s, dir) =>
+      Sampling.deterministicSample(t(s, dir, "documents"), col("doc_id"),
+        fraction = 0.1).select(col("doc_id"))),
+    "sample_train_val_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), valPct = 0.1, testPct = 0.1)
+          .as("split"))),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.events(s, dir), col("event_type"),
+        col("event_id"), rates = SampleRates, default = 0.05)
+        .select(col("event_id"), col("event_type"))),
 
     // ---- similarity search ----
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -517,7 +538,28 @@ object ExtQueries {
       WHERE rank <= $k"""
   }
 
+  /** SQL twin of Sampling.bucket (salt ""). */
+  private def bucketSql(key: String): String =
+    s"${hex60Sql(s"CAST($key AS VARCHAR)")} % ${Sampling.Buckets}"
+
   val oracleSql: Map[String, String] = Map(
+    "sample_deterministic" -> s"""
+      SELECT doc_id FROM documents
+      WHERE ${bucketSql("doc_id")} < ${(0.1 * Sampling.Buckets).toLong}""",
+    "sample_train_val_split" -> s"""
+      SELECT doc_id,
+             CASE WHEN ${bucketSql("doc_id")}
+                    < ${(0.1 * Sampling.Buckets).toLong} THEN 'test'
+                  WHEN ${bucketSql("doc_id")}
+                    < ${(0.2 * Sampling.Buckets).toLong} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents""",
+    "sample_stratified" -> s"""
+      SELECT event_id, event_type FROM events
+      WHERE ${bucketSql("event_id")} < ${
+        SampleRates.toSeq.sortBy(_._1).map { case (k, r) =>
+          s"WHEN '$k' THEN ${(r * Sampling.Buckets).toLong}"
+        }.mkString("CASE event_type ", " ", s" ELSE ${(0.05 * Sampling.Buckets).toLong} END")}""",
     "sim_ivf_topk" -> ivfTopKSql(nCentroids = 16, k = 5, nProbe = 2,
       iters = 2),
     "text_token_count" ->

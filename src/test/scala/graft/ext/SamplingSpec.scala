@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("deterministic sample is invariant under repartitioning and re-reads") {
+    val a = Sampling.deterministicSample(docs, col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample membership must not depend on partitioning")
+    assert(a.nonEmpty && a.size < docs.count())
+    // df.sample (RNG-based) does NOT have this property with a changed
+    // partitioning — that contrast is the reason this operator exists
+    val frac = a.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.2) < 0.1, s"fraction far off: $frac")
+  }
+
+  test("larger fractions strictly contain smaller ones (nested samples)") {
+    val small = Sampling.deterministicSample(docs, col("doc_id"), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.deterministicSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big),
+      "bucket thresholding must nest: sample(0.1) within sample(0.3)")
+  }
+
+  test("train/val/test split is exhaustive, disjoint and stable") {
+    val split = docs.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), valPct = 0.1, testPct = 0.1)
+        .as("split"))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // stability: same assignment on a re-read
+    val again = docs.repartition(7).select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), 0.1, 0.1).as("split"))
+      .as[(Long, String)].collect().toMap
+    val first = split.as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("independent salts draw independent samples") {
+    val s1 = Sampling.deterministicSample(docs, col("doc_id"), 0.5, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, col("doc_id"), 0.5, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s2)
+    // overlap should be near 25% of the corpus, not 0% or 50%
+    val overlap = (s1 & s2).size.toDouble / docs.count()
+    assert(overlap > 0.1 && overlap < 0.4, s"suspicious overlap: $overlap")
+  }
+
+  test("stratified sample respects per-stratum rates") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val rates = Map("view" -> 0.1, "purchase" -> 1.0)
+    val out = Sampling.stratifiedSample(ev, col("event_type"),
+      col("event_id"), rates, default = 0.0)
+    val got = out.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val base = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    // all purchases kept, views near 10%, everything else dropped
+    assert(got("purchase") == base("purchase"))
+    val viewFrac = got("view").toDouble / base("view")
+    assert(math.abs(viewFrac - 0.1) < 0.07, s"view rate off: $viewFrac")
+    assert(got.keySet == Set("view", "purchase"))
+  }
+}

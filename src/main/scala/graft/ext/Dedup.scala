@@ -281,6 +281,39 @@ object Dedup {
     labels
   }
 
+  /** Cross-corpus contamination detection: training documents that
+    * share at least one word n-gram with a held-out/benchmark set —
+    * the decontamination pass every training pipeline needs before a
+    * corpus ships. Long shingles (13 words by default, the common
+    * benchmark-decontamination choice) make accidental collisions
+    * rare, so ANY shared shingle is signal.
+    *
+    * Shape: one-pass native shingle hashing on both sides
+    * ([[graft.functions.ShingleHex60]]), inverted join keyed on the
+    * 60-bit shingle hash, count per (train, test) pair. Hot shingles
+    * (train-df above maxDf — boilerplate headers etc.) are dropped
+    * and LOGGED before the join, the same quadratic-bucket guard as
+    * [[jaccardPairs]]. Never an all-pairs document comparison. */
+  def crossCorpusOverlap(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 13,
+                         maxDf: Long = 500L): DataFrame = {
+    def shingles(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.VectorFunctions
+          .shingleHex60(col(textCol), shingleN)).as("h"))
+    val tr = shingles(train, "train_id")
+    val hot = tr.groupBy(col("h")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxDf).select(col("h")).cache()
+    val nHot = hot.count()
+    if (nHot > 0)
+      log.warn(s"crossCorpusOverlap: dropping $nHot shingles with " +
+        s"train-df > $maxDf before the contamination join")
+    tr.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(shingles(test, "test_id"), Seq("h"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Embedding near-dup pairs by brute force: cosine >= threshold over
     * ALL pairs via a non-equi self-join (planned as a nested-loop join
     * — O(n^2) compares). SPEC-ONLY recall baseline: the registered

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextOps, Windows}
+import graft.ext.{AsOfJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -136,6 +136,20 @@ object ExtQueries {
       Sampling.stratifiedSample(Tables.events(s, dir), col("event_type"),
         col("event_id"), rates = SampleRates, default = 0.05)
         .select(col("event_id"), col("event_type"))),
+
+    // ---- corpus preparation: packing + decontamination ----
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), col("doc_id"),
+        col("text"), budgetTokens = 512, nGroups = 8)),
+    // contamination: training docs sharing a 13-gram with the held-out
+    // slice (doc_id % 20 == 0 plays the benchmark set)
+    "contamination_check" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusOverlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 13)
+    }),
 
     // ---- similarity search ----
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -540,9 +554,45 @@ object ExtQueries {
 
   /** SQL twin of Sampling.bucket (salt ""). */
   private def bucketSql(key: String): String =
-    s"${hex60Sql(s"CAST($key AS VARCHAR)")} % ${Sampling.Buckets}"
+    s"(${hex60Sql(s"CAST($key AS VARCHAR)")} % ${Sampling.Buckets})"
+
+  /** Distinct (id, word-n-shingle) rows over a filtered documents
+    * slice — the generalized ShinglesCte (any n, any filter). */
+  private def shingleSetSql(n: Int, filter: String, idAs: String): String =
+    s"""(SELECT DISTINCT doc_id AS $idAs,
+       |    unnest(list_transform(
+       |      range(len(regexp_split_to_array(trim(text), '\\s+')) - ${n - 1}),
+       |      i -> array_to_string(
+       |        (regexp_split_to_array(trim(text), '\\s+'))[i+1:i+$n], ' ')))
+       |      AS shingle
+       |  FROM documents WHERE $filter)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pack_sequences" -> s"""
+      WITH g AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+          ${bucketSql("doc_id")} % 8 AS pack_group
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens, pack_group,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS tokens_before
+        FROM g)
+      SELECT doc_id, n_tokens, pack_group,
+             CAST(FLOOR(tokens_before / 512) AS BIGINT) AS bin_id
+      FROM c""",
+    "contamination_check" -> s"""
+      WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB)
+      SELECT train_id, test_id, count(*) AS n_shared_shingles
+      FROM hA2 JOIN hB USING (h) GROUP BY 1, 2""",
     "sample_deterministic" -> s"""
       SELECT doc_id FROM documents
       WHERE ${bucketSql("doc_id")} < ${(0.1 * Sampling.Buckets).toLong}""",

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("sequence packing: greedy per-group bins, stable under repartitioning") {
+    val packed = Packing.packSequences(docs, col("doc_id"), col("text"),
+      budgetTokens = 512, nGroups = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.nonEmpty)
+    assert(packed.map(_._3).distinct.forall(g => g >= 0 && g < 8))
+    // replay the greedy fold per group locally and compare bin ids
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      var before = 0L
+      rows.sortBy(_._1).foreach { case (_, n, _, bin) =>
+        assert(bin == before / 512, s"bin mismatch at before=$before")
+        before += n
+      }
+    }
+    // deterministic under a different partitioning
+    val again = Packing.packSequences(docs.repartition(13), col("doc_id"),
+        col("text"), budgetTokens = 512, nGroups = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == again.toSeq)
+  }
+
+  test("contamination check finds 13-gram overlap and nothing else") {
+    val span = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val test = Seq((100L, s"benchmark question $span answer"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $span suffix words here"), // contaminated
+      (2L, "completely different content with no overlap at all " +
+        "padding padding padding padding padding padding padding"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusOverlap(train, test, "doc_id", "text",
+        shingleN = 13)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) == Seq((1L, 100L)))
+    assert(hits.head._3 >= 1L)
+  }
+
+  test("contamination survives the hot-shingle cap only below the df threshold") {
+    val span = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = (1L to 10L).map(i => (i, s"doc $i has $span inside"))
+      .toDF("doc_id", "text")
+    val test = Seq((99L, s"held out $span text")).toDF("doc_id", "text")
+    // df of the shared shingle is 10 > maxDf=5 -> dropped (and logged)
+    val capped = Dedup.crossCorpusOverlap(train, test, "doc_id", "text",
+      shingleN = 13, maxDf = 5)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.crossCorpusOverlap(train, test, "doc_id", "text",
+      shingleN = 13, maxDf = 500)
+    assert(uncapped.count() == 10)
+  }
+}

@@ -122,6 +122,40 @@ object TextOps {
     array_min(hashes)
   }
 
+  /** PII redaction patterns (RE2-safe subset — no backrefs or
+    * lookarounds, so the same pattern runs in Spark's Java regex and
+    * RE2-based engines identically): emails, 7+-digit runs (phones,
+    * account numbers), IPv4. Deliberately conservative — a corpus
+    * scrubber prefers false positives on digit runs over leaks. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiDigits = "[0-9][0-9 ()+.-]{5,}[0-9]"
+  val PiiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact PII spans with typed placeholders. Pure per-row regex maps
+    * — narrow, codegen'd, no shuffle. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, PiiEmail, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, PiiIpv4, "<IP>")
+    regexp_replace(noIp, PiiDigits, "<NUMBER>")
+  }
+
+  /** Repetition signals: the highest single-token share of a document
+    * (`top_token_ratio`) and distinct-token fraction (`ttr`, type-token
+    * ratio) — boilerplate/spam detectors that complement
+    * [[withQualityScore]]. One explode + one two-level aggregate. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_tf") * 1.0 / col("n_tokens")).as("top_token_ratio"),
+        (col("n_distinct") * 1.0 / col("n_tokens")).as("ttr"))
+  }
+
   /** Rolling polynomial hash parameters: base/modulus sized so every
     * intermediate fits exactly in a double (cross-engine exact). */
   val RollBase = 257L

@@ -77,6 +77,12 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.contentFingerprint(col("text")).as("content_md5"),
         TextOps.shingleFingerprint(col("text"), 3).as("shingle_md5_min"))),
+    "text_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_md5"))),
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
     // true rolling-hash (winnowing) fingerprint over character windows;
     // the native codegen'd RollingMinHash computes the identical value
     // in O(n) (asserted equal in specs)
@@ -659,6 +665,22 @@ object ExtQueries {
                  i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS shingle_md5_min
         FROM tok""",
 
+    "text_redact_pii" -> s"""
+      SELECT doc_id,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '${TextOps.PiiEmail}', '<EMAIL>', 'g'),
+               '${TextOps.PiiIpv4}', '<IP>', 'g'),
+               '${TextOps.PiiDigits}', '<NUMBER>', 'g')) AS redacted_md5
+      FROM documents""",
+    "text_repetition" -> """
+      WITH toks AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             MAX(tf) * 1.0 / CAST(SUM(tf) AS BIGINT) AS top_token_ratio,
+             COUNT(*) * 1.0 / CAST(SUM(tf) AS BIGINT) AS ttr
+      FROM tf GROUP BY doc_id""",
     "text_rolling_fingerprint" -> {
       // window hash per 1-based offset i: sum_j unicode(s[i+j]) * B^(15-j) mod M
       val powers = (0 until 16).map(j =>

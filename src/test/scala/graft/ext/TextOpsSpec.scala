@@ -69,6 +69,33 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("PII redaction replaces emails, IPs and digit runs; clean text untouched") {
+    val rows = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or call 555-123 4567"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "perfectly clean prose with the number seven spelled out"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "contact me at <EMAIL> or call <NUMBER>")
+    assert(rows(2L) == "server at <IP> responded")
+    assert(rows(3L) == "perfectly clean prose with the number seven spelled out")
+  }
+
+  test("repetition stats flag degenerate documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all tokens here are different words"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (id, n, top, ttr) => id -> ((n, top, ttr)) }.toMap
+    val (n1, top1, ttr1) = got(1L)
+    assert(n1 == 5L && top1 == 1.0 && ttr1 == 0.2)
+    val (n2, top2, ttr2) = got(2L)
+    assert(n2 == 6L && top2 == 1.0 / 6 && ttr2 == 1.0)
+  }
+
   test("multimodal fake codec is deterministic and batch-shaped") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)

@@ -37,28 +37,55 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
 
-  /** Distinct whitespace tokens per document, document-frequency capped:
-    * tokens present in more than maxDf documents are dropped before any
-    * pair join (guards the inverted index against quadratic hot
-    * buckets — a token shared by d documents alone yields d*(d-1)/2
-    * candidate pairs). The number of dropped tokens is LOGGED, never
-    * silent: the cap trades recall on stopword-only overlap for a
-    * bounded join, and the operator says so when it does. Returns
-    * (id, token). */
-  def docTokens(df: DataFrame, id: Column, text: Column,
-                maxDf: Long): DataFrame = {
-    val exploded = df.select(id.as("doc_id"),
+  /** Distinct whitespace tokens per document. Returns (doc_id, token). */
+  def docTokens(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
       explode(array_distinct(TextOps.tokens(text))).as("token"))
-    val hot = exploded.groupBy(col("token"))
+
+  /** [[docTokens]] with tokens above the df-cap removed (and logged) —
+    * the candidate-generation input; see [[jaccardPairs]] for why
+    * sizes must NOT come from this. */
+  def docTokensCapped(df: DataFrame, id: Column, text: Column,
+                      maxDf: Long): DataFrame = {
+    val all = docTokens(df, id, text)
+    all.join(broadcast(hotTokens(all, "token", maxDf, "tokens")),
+      Seq("token"), "left_anti")
+  }
+
+  /** Tokens whose document frequency exceeds maxDf, COLLECTED to the
+    * driver (the hot set is tiny by construction: at most
+    * total-token-occurrences / maxDf entries, stopword-scale in
+    * practice) and LOGGED, never silently dropped. Collecting instead
+    * of caching avoids leaking a cached frame per invocation into
+    * long-lived sessions; the one eager job here is the price of the
+    * logged-drop contract. */
+  private def hotTokens(exploded: DataFrame, keyCol: String,
+                        maxDf: Long, what: String): DataFrame = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val hot = exploded.groupBy(col(keyCol))
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") > maxDf)
-      .select(col("token"))
-      .cache()
-    val nHot = hot.count()
-    if (nHot > 0)
-      log.warn(s"docTokens: dropping $nHot tokens with df > $maxDf " +
-        "before the pair join (bounded-index guard; raise maxDf to keep them)")
-    exploded.join(broadcast(hot), Seq("token"), "left_anti")
+      .select(col(keyCol))
+    val rows = hot.as[String].collect()
+    if (rows.nonEmpty)
+      log.warn(s"dropping ${rows.length} $what with df > $maxDf before " +
+        "the pair join (bounded-index guard; raise maxDf to keep them)")
+    rows.toSeq.toDF(keyCol)
+  }
+  private def hotHashes(exploded: DataFrame, keyCol: String,
+                        maxDf: Long, what: String): DataFrame = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val hot = exploded.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxDf)
+      .select(col(keyCol))
+    val rows = hot.as[Long].collect()
+    if (rows.nonEmpty)
+      log.warn(s"dropping ${rows.length} $what with df > $maxDf before " +
+        "the pair join (bounded-index guard; raise maxDf to keep them)")
+    rows.toSeq.toDF(keyCol)
   }
 
   /** Exact n-gram (token-set) Jaccard similar pairs: inverted-index
@@ -67,16 +94,21 @@ object Dedup {
     *
     * The default df-cap is deliberately O(10^2): a single token shared
     * by 10^6 documents would alone generate ~5*10^11 candidate pairs,
-    * so an uncapped inverted-index join dies long before 100 TB. High-
-    * threshold near-dup pairs always share many LOW-df tokens, so
-    * dropping ubiquitous tokens costs recall only for pairs whose
-    * entire overlap is stopwords (which a 0.8-threshold query does not
-    * want anyway). Dropped tokens are logged by [[docTokens]]. */
+    * so an uncapped inverted-index join dies long before 100 TB.
+    * Dropped tokens are logged, never silent. The cap applies ONLY to
+    * the intersection join — document sizes come from the UNCAPPED
+    * token sets, so the reported jaccard is a LOWER bound of the true
+    * value (capping can hide shared hot tokens, never shrink the
+    * union): the cap costs recall on stopword-heavy overlap but can
+    * never create a false-positive pair. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, maxDf: Long = 500L): DataFrame = {
-    val toks = docTokens(df, col(idCol), col(textCol), maxDf).cache()
-    val sizes = toks.groupBy(col("doc_id"))
+    val all = docTokens(df, col(idCol), col(textCol))
+    // true set sizes (pre-cap): the jaccard denominator must not shrink
+    val sizes = all.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"))
+    val hot = hotTokens(all, "token", maxDf, "tokens")
+    val toks = all.join(broadcast(hot), Seq("token"), "left_anti")
     val a = toks.as("a"); val b = toks.as("b")
     val inter = a.join(b, col("a.token") === col("b.token")
         && col("a.doc_id") < col("b.doc_id"))
@@ -228,14 +260,35 @@ object Dedup {
     // Plan truncation per round is mandatory (without it every
     // iteration re-analyzes a strictly growing tree and planning time
     // dominates — the classic iterative-DataFrame pitfall). With a
-    // checkpoint dir configured, use a RELIABLE checkpoint: on a real
-    // cluster a lost executor then costs a partition re-read instead of
-    // restarting the whole iteration (localCheckpoint pins state to
-    // executor-local storage). Local runs fall back to localCheckpoint.
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // checkpoint dir configured, rounds persist RELIABLY as managed
+    // parquet snapshots under it: a lost executor costs a partition
+    // re-read instead of restarting the iteration (localCheckpoint
+    // pins state to executor-local storage), and each round's snapshot
+    // is DELETED once the next one lands — df.checkpoint would leak
+    // one corpus-sized snapshot per round (the context-wide
+    // cleanCheckpoints flag defaults to off). The final round's files
+    // back the returned frame and remain, like any checkpoint output.
+    val sc = nodes.sparkSession.sparkContext
+    val ckptBase = sc.getCheckpointDir.map(d =>
+      s"$d/graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
+    var roundIdx = 0
+    var prevPath: Option[String] = None
+    def materialize(df: DataFrame): DataFrame = ckptBase match {
+      case Some(base) =>
+        val spark = df.sparkSession
+        val path = s"$base/round_$roundIdx"
+        roundIdx += 1
+        df.write.mode("overwrite").parquet(path)
+        val reread = spark.read.parquet(path)
+        prevPath.foreach { p =>
+          org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(p), true)
+        }
+        prevPath = Some(path)
+        reread
+      case None => df.localCheckpoint(true)
+    }
     var labels = materialize(
       nodes.select(col("doc_id"), col("doc_id").as("component")))
     var iter = 0
@@ -302,12 +355,7 @@ object Dedup {
         explode(graft.functions.VectorFunctions
           .shingleHex60(col(textCol), shingleN)).as("h"))
     val tr = shingles(train, "train_id")
-    val hot = tr.groupBy(col("h")).agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") > maxDf).select(col("h")).cache()
-    val nHot = hot.count()
-    if (nHot > 0)
-      log.warn(s"crossCorpusOverlap: dropping $nHot shingles with " +
-        s"train-df > $maxDf before the contamination join")
+    val hot = hotHashes(tr, "h", maxDf, "train shingles")
     tr.join(broadcast(hot), Seq("h"), "left_anti")
       .join(shingles(test, "test_id"), Seq("h"))
       .groupBy(col("train_id"), col("test_id"))

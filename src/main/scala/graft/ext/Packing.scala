@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for training-batch construction: assign documents
@@ -9,31 +8,44 @@ import org.apache.spark.sql.functions._
   * instead of re-shuffling documents.
   *
   * A GLOBAL greedy first-fit is inherently sequential (a single-
-  * partition window — the classic accidental scale-killer), so packing
+  * partition scan — the classic accidental scale-killer), so packing
   * here is partitioned: documents land in `nGroups` deterministic hash
-  * groups ([[Sampling.bucket]] — stable across runs/engines), and the
-  * greedy token cumsum runs per group in parallel. Bins never cross
-  * groups; per-bin utilization stays near budget as long as documents
-  * are small relative to it (oversized documents overflow their own
-  * bin, the standard first-fit-by-order behavior). */
+  * groups ([[Sampling.bucket]] — stable across runs/engines), and an
+  * EXACT greedy fold runs per group in parallel: a bin closes when the
+  * next document would overflow the budget, so no bin ever exceeds
+  * budgetTokens unless a single oversized document owns it. Bins never
+  * cross groups.
+  *
+  * The per-group fold holds only (doc_id, n_tokens) tuples — never
+  * text — so memory per group is ~16 bytes x docs/group; scale nGroups
+  * with the corpus to bound it (10^5 groups puts a 10^9-doc corpus at
+  * ~160 KB per task). */
 object Packing {
 
-  /** (doc_id, n_tokens, pack_group, bin_id): bin = floor(tokens-before
-    * / budget) within the doc's hash group, documents in id order. */
+  /** (doc_id, n_tokens, pack_group, bin_id), documents packed greedily
+    * in id order within their hash group. */
   def packSequences(df: DataFrame, id: Column, text: Column,
                     budgetTokens: Long, nGroups: Int = 256): DataFrame = {
     require(budgetTokens > 0 && nGroups > 0)
-    val grouped = df.select(id.as("doc_id"),
-      TextOps.bpeCount(text).as("n_tokens"),
-      (Sampling.bucket(id) % nGroups).as("pack_group"))
-    val w = Window.partitionBy(col("pack_group")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    grouped
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin_id",
-        floor(col("tokens_before") / budgetTokens).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("pack_group"),
-        col("bin_id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df.select(id.cast("long").as("doc_id"),
+        TextOps.bpeCount(text).as("n_tokens"),
+        (Sampling.bucket(id) % nGroups).as("pack_group"))
+      .as[(Long, Long, Long)]
+    grouped.groupByKey(_._3)
+      .flatMapGroups { (g: Long, it: Iterator[(Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._1)
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        rows.iterator.map { case (docId, n, _) =>
+          if (!first && fill + n > budgetTokens) { bin += 1; fill = 0L }
+          first = false
+          fill += n
+          (docId, n, g, bin)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "pack_group", "bin_id")
   }
 }

@@ -38,7 +38,9 @@ object GraftFunctions {
       messageParameters = Map("message" -> s"graft_topk k argument: $msg"))
     if (!e.foldable) bad("must be a literal, got a non-foldable expression")
     e.eval() match {
-      case i: java.lang.Integer => i.intValue()
+      case i: java.lang.Integer =>
+        if (i < 1) bad(s"out of range: $i")
+        i.intValue()
       case l: java.lang.Long =>
         if (l < 1L || l > Int.MaxValue) bad(s"out of range: $l")
         l.intValue()
@@ -55,7 +57,9 @@ object GraftFunctions {
       messageParameters = Map("message" -> s"$name: $msg"))
     if (!e.foldable) bad("argument must be a literal")
     e.eval() match {
-      case i: java.lang.Integer => i.intValue()
+      case i: java.lang.Integer =>
+        if (i < 1) bad(s"out of range: $i")
+        i.intValue()
       case l: java.lang.Long =>
         if (l < 1L || l > Int.MaxValue) bad(s"out of range: $l")
         l.intValue()

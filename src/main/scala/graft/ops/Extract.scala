@@ -48,11 +48,15 @@ object Extract {
 
   /** Length of the longest prefix of `buf` ending on a complete UTF-8
     * character boundary. Backs over at most 3 trailing continuation
-    * bytes; the trailing sequence is excluded only when it is a valid
-    * lead byte with fewer continuations than it declares (a char cut
-    * off by the window). Any other trailing shape (invalid lead, bare
-    * continuations, a complete char) is kept so strict decoding judges
-    * it. */
+    * bytes; the trailing sequence is excluded only when it is a VALID
+    * PARTIAL character — a well-formed lead whose present continuation
+    * bytes all fall in their constrained ranges (RFC 3629 table:
+    * C2-DF, E0 A0-BF, E1-EC 80-BF, ED 80-9F, EE-EF 80-BF, F0 90-BF,
+    * F1-F3 80-BF, F4 80-8F) but with fewer than it declares (a char
+    * cut off by the window). Any other trailing shape — invalid or
+    * overlong lead (C0/C1/F5+), an out-of-range second byte like
+    * E0 80 or F4 90, bare continuations, a complete char — is kept so
+    * strict decoding judges it. */
   private[ops] def lastCompleteUtf8Boundary(buf: Array[Byte]): Int = {
     val n = buf.length
     var i = n - 1
@@ -61,13 +65,27 @@ object Extract {
     if (i < 0) return n // all continuation bytes: malformed, decode fails
     val b = buf(i) & 0xFF
     val declared =
-      if (b < 0x80) 1
-      else if ((b & 0xE0) == 0xC0) 2
-      else if ((b & 0xF0) == 0xE0) 3
-      else if ((b & 0xF8) == 0xF0) 4
-      else 1 // invalid lead byte: keep it, strict decode fails
+      if (b >= 0xC2 && b <= 0xDF) 2
+      else if (b >= 0xE0 && b <= 0xEF) 3
+      else if (b >= 0xF0 && b <= 0xF4) 4
+      else 1 // ASCII, bare continuation, or invalid lead (C0/C1/F5+):
+             // keep everything, strict decode gives the verdict
     val have = n - i
-    if (declared > have) i else n
+    if (declared <= have) return n // complete (or invalid): decode judges
+    // cut-off candidate: every present continuation must be in range
+    val second = if (have >= 2) buf(i + 1) & 0xFF else -1
+    val secondOk = second == -1 || (b match {
+      case 0xE0 => second >= 0xA0 && second <= 0xBF
+      case 0xED => second >= 0x80 && second <= 0x9F
+      case 0xF0 => second >= 0x90 && second <= 0xBF
+      case 0xF4 => second >= 0x80 && second <= 0x8F
+      case _ => second >= 0x80 && second <= 0xBF
+    })
+    val restOk = (2 until have).forall { j =>
+      val c = buf(i + j) & 0xFF; c >= 0x80 && c <= 0xBF
+    }
+    if (secondOk && restOk) i // genuine cut-off char: tolerate
+    else n // malformed prefix: keep it so strict decoding fails
   }
 
   /** S1: read a headered CSV with an explicit schema

@@ -96,9 +96,16 @@ object Load {
     if (hadTarget && !fs.rename(target, old))
       throw new java.io.IOException(s"cannot move $target aside to $old")
     if (!fs.rename(staging, target)) {
-      // roll back: restore the previous published data
-      if (hadTarget) fs.rename(old, target)
-      throw new java.io.IOException(s"cannot promote $staging to $target")
+      // roll back: restore the previous published data — and if THAT
+      // fails too, say exactly where the data is stranded instead of
+      // reporting only the promote failure
+      val restored = !hadTarget || fs.rename(old, target)
+      if (!restored)
+        throw new java.io.IOException(
+          s"cannot promote $staging to $target AND rollback failed: " +
+            s"previous data stranded at $old — restore it manually")
+      throw new java.io.IOException(s"cannot promote $staging to $target" +
+        (if (hadTarget) " (previous data restored)" else ""))
     }
     if (hadTarget) fs.delete(old, true)
   }
@@ -165,9 +172,15 @@ object Load {
     try {
       conn.setAutoCommit(false)
       createDdl.foreach { ddl =>
-        val meta = conn.getMetaData.getTables(null, null,
-          table.toUpperCase, null)
-        val exists = meta.next(); meta.close()
+        // probe under every identifier folding (exact / upper / lower):
+        // Derby folds unquoted names to upper, Postgres to lower — a
+        // single-case probe would re-run CREATE against a live table
+        def tableExists(name: String): Boolean = {
+          val meta = conn.getMetaData.getTables(null, null, name, null)
+          try meta.next() finally meta.close()
+        }
+        val exists = tableExists(table) || tableExists(table.toUpperCase) ||
+          tableExists(table.toLowerCase)
         if (!exists) { val st = conn.createStatement()
           try st.executeUpdate(ddl) finally st.close() }
       }

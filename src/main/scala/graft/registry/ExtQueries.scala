@@ -574,21 +574,28 @@ object ExtQueries {
        |  FROM documents WHERE $filter)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact greedy first-fit replayed as a recursive walk per group
     "pack_sequences" -> s"""
-      WITH g AS (SELECT doc_id,
+      WITH RECURSIVE g AS (SELECT doc_id,
           CAST(len(regexp_extract_all(text,
             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
-          ${bucketSql("doc_id")} % 8 AS pack_group
+          ${bucketSql("doc_id")} % 8 AS pack_group,
+          row_number() OVER (PARTITION BY ${bucketSql("doc_id")} % 8
+            ORDER BY doc_id) AS rn
         FROM documents),
-      c AS (SELECT doc_id, n_tokens, pack_group,
-          COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
-            ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS tokens_before
-        FROM g)
-      SELECT doc_id, n_tokens, pack_group,
-             CAST(FLOOR(tokens_before / 512) AS BIGINT) AS bin_id
-      FROM c""",
+      walk(pack_group, rn, doc_id, n_tokens, bin_id, fill) AS (
+        SELECT pack_group, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT), n_tokens
+        FROM g WHERE rn = 1
+        UNION ALL
+        SELECT g.pack_group, g.rn, g.doc_id, g.n_tokens,
+               CASE WHEN w.fill + g.n_tokens > 512
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.fill + g.n_tokens > 512
+                    THEN g.n_tokens ELSE w.fill + g.n_tokens END
+        FROM walk w JOIN g
+          ON g.pack_group = w.pack_group AND g.rn = w.rn + 1)
+      SELECT doc_id, n_tokens, pack_group, bin_id FROM walk""",
     "contamination_check" -> s"""
       WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
       hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
@@ -751,7 +758,7 @@ object ExtQueries {
           SELECT doc_id, token FROM tokraw
           WHERE token NOT IN (SELECT token FROM tokraw
                               GROUP BY token HAVING count(*) > 500)),
-        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM tokraw GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -773,7 +780,7 @@ object ExtQueries {
           SELECT doc_id, token FROM tokraw
           WHERE token NOT IN (SELECT token FROM tokraw
                               GROUP BY token HAVING count(*) > 500)),
-        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM tokraw GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id

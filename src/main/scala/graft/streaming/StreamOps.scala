@@ -93,13 +93,19 @@ object StreamOps {
   }
 
   /** Streaming exact dedup on a key subset: keeps the FIRST arrival
-    * per key, state bounded by the watermark horizon. Only the key
-    * columns are emitted — arrival order across partitions is not
-    * deterministic, so first-arrival PAYLOADS are not replayable, but
-    * the emitted KEY SET equals batch `SELECT DISTINCT keys` exactly
-    * (the batch/stream parity contract for dedup). At 100 TB this is
-    * the ingest-side guard that keeps re-delivered records from ever
-    * reaching the corpus; state is per-key and evicted by watermark. */
+    * per key. Only the key columns are emitted — arrival order across
+    * partitions is not deterministic, so first-arrival PAYLOADS are
+    * not replayable, but the emitted KEY SET equals batch
+    * `SELECT DISTINCT keys` for every key whose rows arrive within the
+    * watermark discipline: rows later than the advanced watermark are
+    * dropped as late data BEFORE the dedup operator, like any
+    * watermarked stateful op. (On a bounded source processed in one
+    * micro-batch — the registered stream_dedup run — the watermark
+    * never drops anything and the equality is exact.) At 100 TB this
+    * is the ingest-side guard that keeps re-delivered records from
+    * reaching the corpus; with `withinWatermark` the per-key state is
+    * also EVICTED at the horizon, trading re-admission of long-gone
+    * keys for bounded state. */
   def streamingDedup(events: DataFrame, keys: Seq[String],
                      watermark: String = "1 hour",
                      withinWatermark: Boolean = false): DataFrame = {

@@ -10,7 +10,7 @@ class CorpusPrepSpec extends SparkSpec {
   private lazy val docs =
     spark.read.parquet(s"$sf0001/documents.parquet").cache()
 
-  test("sequence packing: greedy per-group bins, stable under repartitioning") {
+  test("sequence packing: greedy per-group bins never exceed the budget") {
     val packed = Packing.packSequences(docs, col("doc_id"), col("text"),
       budgetTokens = 512, nGroups = 8)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
@@ -18,11 +18,20 @@ class CorpusPrepSpec extends SparkSpec {
     assert(packed.map(_._3).distinct.forall(g => g >= 0 && g < 8))
     // replay the greedy fold per group locally and compare bin ids
     packed.groupBy(_._3).foreach { case (_, rows) =>
-      var before = 0L
-      rows.sortBy(_._1).foreach { case (_, n, _, bin) =>
-        assert(bin == before / 512, s"bin mismatch at before=$before")
-        before += n
+      var bin = 0L; var fill = 0L; var first = true
+      rows.sortBy(_._1).foreach { case (_, n, _, gotBin) =>
+        if (!first && fill + n > 512) { bin += 1; fill = 0L }
+        first = false
+        fill += n
+        assert(gotBin == bin, s"bin mismatch (expected $bin got $gotBin)")
       }
+    }
+    // THE packing contract: a bin's total stays within budget unless a
+    // single oversized document owns it
+    packed.groupBy(r => (r._3, r._4)).foreach { case ((g, b), rows) =>
+      val total = rows.map(_._2).sum
+      assert(total <= 512 || rows.size == 1,
+        s"bin ($g,$b) holds $total tokens across ${rows.size} docs")
     }
     // deterministic under a different partitioning
     val again = Packing.packSequences(docs.repartition(13), col("doc_id"),

@@ -236,8 +236,51 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("token df-cap guards the inverted index against hot tokens") {
-    val toks = Dedup.docTokens(docs, col("doc_id"), col("text"), maxDf = 50)
+    val toks = Dedup.docTokensCapped(docs, col("doc_id"), col("text"),
+      maxDf = 50)
     val maxDf = toks.groupBy("token").count().agg(max("count")).as[Long].head()
     assert(maxDf <= 50)
+  }
+
+  test("df-cap can only lower jaccard, never inflate it (sizes are pre-cap)") {
+    // two docs sharing ONLY a hot token must not become a pair when the
+    // cap hides that token: sizes stay full, intersection shrinks
+    val rows = (1L to 30L).map(i => (i, s"hot unique$i filler$i pad$i")) ++
+      Seq((100L, "hot aaa bbb ccc"), (101L, "hot ddd eee fff"),
+        (200L, "hot xxx yyy zzz"), (201L, "hot xxx yyy www"))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text",
+      threshold = 0.01, maxDf = 10)
+    val hit = pairs.filter($"doc_a" === 100L && $"doc_b" === 101L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(hit.isEmpty,
+      "a pair overlapping only on a capped token must not surface")
+    // and surviving pairs report full (uncapped) set sizes
+    val sizes = pairs.select($"n_a").as[Long].collect()
+    assert(sizes.forall(_ == 4), s"sizes must be pre-cap: ${sizes.toSeq}")
+  }
+
+  test("connected components with a checkpoint dir: reliable rounds, cleaned up") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 5L))
+    // intermediate rounds are deleted: at most the final snapshot
+    // remains under each run dir (getCheckpointDir includes the UUID
+    // subdir Spark appends to the configured path)
+    val base = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    val runDirs = base.listFiles()
+      .filter(_.getName.startsWith("graft_cc_"))
+    assert(runDirs.nonEmpty)
+    runDirs.foreach { d =>
+      val rounds = d.listFiles().filter(_.getName.startsWith("round_"))
+      assert(rounds.length <= 1,
+        s"leaked round snapshots: ${rounds.map(_.getName).toSeq}")
+    }
   }
 }

@@ -73,4 +73,28 @@ class ExtractSpec extends SparkSpec {
       Extract.precheckSource(tmpFile("barecont.csv", p2))
     }
   }
+
+  test("precheck window tail distinguishes valid from invalid partial sequences") {
+    def file(tail: Int*): String =
+      tmpFile(s"tail${tail.map(b => f"$b%02x").mkString}.csv",
+        ("a" * (65536 - tail.size)).getBytes("UTF-8") ++
+          tail.map(_.toByte).toArray ++ ("b" * 1000).getBytes("UTF-8"))
+    // overlong/illegal prefixes cut at the boundary must FAIL
+    assertThrows[DataQualityException] {
+      Extract.precheckSource(file(0xE0, 0x80)) // E0 needs A0-BF second
+    }
+    assertThrows[DataQualityException] {
+      Extract.precheckSource(file(0xF4, 0x90)) // F4 needs 80-8F second
+    }
+    assertThrows[DataQualityException] {
+      Extract.precheckSource(file(0xF5, 0x80)) // F5 is never a valid lead
+    }
+    assertThrows[DataQualityException] {
+      Extract.precheckSource(file(0xC0)) // overlong 2-byte lead
+    }
+    // genuine cut-off chars must PASS
+    Extract.precheckSource(file(0xE0, 0xA0)) // valid 3-byte prefix
+    Extract.precheckSource(file(0xED, 0x9F)) // valid (below surrogates)
+    Extract.precheckSource(file(0xF4, 0x8F, 0xBF)) // valid 4-byte prefix
+  }
 }

@@ -313,6 +313,23 @@ object ExtQueries {
           (sum(col("micros")).over(w) / 1000000.0))
         .drop("micros")
     }),
+    // lead/lag/ntile/first_value over an event-time order — the
+    // remaining window-function family in one pass (single shuffle on
+    // the partition key, all four functions share the frame)
+    "analytics_lead_lag_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+          lead(col("l_extendedprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("l_extendedprice")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("first_price"))
+    }),
     // except all (multiset difference)
     "setop_except_all" -> ((s, dir) => {
       val a = t(s, dir, "lineitem").select(col("l_orderkey"))
@@ -963,6 +980,19 @@ object ExtQueries {
                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
                  AS BIGINT) / 1000000.0 AS moving_7d_revenue
         FROM lineitem WHERE l_suppkey < 5""",
+    "analytics_lead_lag_ntile" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+               lag(l_extendedprice, 1) OVER w AS prev_price,
+               lead(l_extendedprice, 1) OVER w AS next_price,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               first_value(l_extendedprice) OVER
+                 (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_price
+        FROM lineitem WHERE l_suppkey < 5
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
     "setop_except_all" ->
       """SELECT l_orderkey FROM lineitem
         EXCEPT ALL

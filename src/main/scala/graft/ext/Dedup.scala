@@ -48,44 +48,32 @@ object Dedup {
   def docTokensCapped(df: DataFrame, id: Column, text: Column,
                       maxDf: Long): DataFrame = {
     val all = docTokens(df, id, text)
-    all.join(broadcast(hotTokens(all, "token", maxDf, "tokens")),
+    all.join(hotKeys(all, "token", maxDf, "tokens"),
       Seq("token"), "left_anti")
   }
 
-  /** Tokens whose document frequency exceeds maxDf, COLLECTED to the
-    * driver (the hot set is tiny by construction: at most
-    * total-token-occurrences / maxDf entries, stopword-scale in
-    * practice) and LOGGED, never silently dropped. Collecting instead
-    * of caching avoids leaking a cached frame per invocation into
-    * long-lived sessions; the one eager job here is the price of the
-    * logged-drop contract. */
-  private def hotTokens(exploded: DataFrame, keyCol: String,
-                        maxDf: Long, what: String): DataFrame = {
-    val spark = exploded.sparkSession
-    import spark.implicits._
+  /** Keys (tokens or shingle hashes) whose document frequency exceeds
+    * maxDf, kept as a DISTRIBUTED DataFrame for the caller's anti-join
+    * — never collected to the driver. On a web-scale corpus every
+    * common-vocabulary word exceeds any useful df-cap, so the hot set
+    * is itself millions of entries: a driver collect (or a forced
+    * broadcast) of it is an OOM at 100x. Only the COUNT crosses to the
+    * driver, which keeps the logged-drop contract (hot keys are
+    * reported, never silently dropped) at the price of one extra
+    * aggregate job; the anti-join side is left unhinted so the planner
+    * (with AQE) picks broadcast when the set is actually small and a
+    * shuffled hash anti-join when it is not. */
+  private def hotKeys(exploded: DataFrame, keyCol: String,
+                      maxDf: Long, what: String): DataFrame = {
     val hot = exploded.groupBy(col(keyCol))
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") > maxDf)
       .select(col(keyCol))
-    val rows = hot.as[String].collect()
-    if (rows.nonEmpty)
-      log.warn(s"dropping ${rows.length} $what with df > $maxDf before " +
+    val n = hot.count()
+    if (n > 0)
+      log.warn(s"dropping $n $what with df > $maxDf before " +
         "the pair join (bounded-index guard; raise maxDf to keep them)")
-    rows.toSeq.toDF(keyCol)
-  }
-  private def hotHashes(exploded: DataFrame, keyCol: String,
-                        maxDf: Long, what: String): DataFrame = {
-    val spark = exploded.sparkSession
-    import spark.implicits._
-    val hot = exploded.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") > maxDf)
-      .select(col(keyCol))
-    val rows = hot.as[Long].collect()
-    if (rows.nonEmpty)
-      log.warn(s"dropping ${rows.length} $what with df > $maxDf before " +
-        "the pair join (bounded-index guard; raise maxDf to keep them)")
-    rows.toSeq.toDF(keyCol)
+    hot
   }
 
   /** Exact n-gram (token-set) Jaccard similar pairs: inverted-index
@@ -107,8 +95,8 @@ object Dedup {
     // true set sizes (pre-cap): the jaccard denominator must not shrink
     val sizes = all.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"))
-    val hot = hotTokens(all, "token", maxDf, "tokens")
-    val toks = all.join(broadcast(hot), Seq("token"), "left_anti")
+    val hot = hotKeys(all, "token", maxDf, "tokens")
+    val toks = all.join(hot, Seq("token"), "left_anti")
     val a = toks.as("a"); val b = toks.as("b")
     val inter = a.join(b, col("a.token") === col("b.token")
         && col("a.doc_id") < col("b.doc_id"))
@@ -167,8 +155,15 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
+    // The signature frame feeds three consumers (banding + both sides
+    // of the estimate join). An eager localCheckpoint materializes it
+    // ONCE into executor-managed blocks that the ContextCleaner frees
+    // when the result frame is no longer referenced — unlike .cache(),
+    // which pinned a corpus-sized entry in the cache manager per call
+    // until someone remembered to unpersist (a leak in long-lived
+    // sessions).
     val sigs = minhashSignatures(df, col(idCol), col(textCol), shingleN, k)
-      .cache()
+      .localCheckpoint(true)
     val mhCols = (0 until k).map(i => col(s"mh_$i"))
     // (doc_id, band, band_key)
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
@@ -217,8 +212,11 @@ object Dedup {
     * k+1 bands; a larger maxHamming makes the result best-effort). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // eager localCheckpoint, not .cache(): materialized once for the
+    // self-join, blocks freed by the ContextCleaner on GC (see
+    // minhashLshPairs)
     val sh = df.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh")).cache()
+      simhash(col(textCol)).as("sh")).localCheckpoint(true)
     val chunks = sh.select(col("doc_id"), col("sh"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
@@ -355,8 +353,8 @@ object Dedup {
         explode(graft.functions.VectorFunctions
           .shingleHex60(col(textCol), shingleN)).as("h"))
     val tr = shingles(train, "train_id")
-    val hot = hotHashes(tr, "h", maxDf, "train shingles")
-    tr.join(broadcast(hot), Seq("h"), "left_anti")
+    val hot = hotKeys(tr, "h", maxDf, "train shingles")
+    tr.join(hot, Seq("h"), "left_anti")
       .join(shingles(test, "test_id"), Seq("h"))
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))

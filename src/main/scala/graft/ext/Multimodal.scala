@@ -31,15 +31,22 @@ object Multimodal {
   /** STUB codec: deterministic pseudo-decode.
     * A real implementation would decode payload -> pixels/samples;
     * this computes byte-level stand-ins so the distributed shape is
-    * exercised with real data flow. */
+    * exercised with real data flow. Every output is ENGINE-PORTABLE
+    * arithmetic over the payload bytes — the checksum is the 60-bit
+    * md5-prefix (TextOps.hex60 over bytes), the brightness an exact
+    * integer mean of every sampleEvery-th byte — so the whole decode
+    * surface is replayable in any md5-capable SQL engine and the query
+    * is hash-verifiable, not rows-only. */
   object FakeCodec {
     def decode(payload: Array[Byte], sampleEvery: Int): (Long, Double, Int) = {
-      var checksum = 0L
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDigest = md.digest(payload).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val checksum = java.lang.Long.parseLong(hexDigest.substring(0, 15), 16)
       var sum = 0L
       var sampled = 0
       var i = 0
       while (i < payload.length) {
-        checksum = checksum * 31 + (payload(i) & 0xff)
         if (i % sampleEvery == 0) { sum += (payload(i) & 0xff); sampled += 1 }
         i += 1
       }

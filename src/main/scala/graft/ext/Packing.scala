@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   * ~160 KB per task). */
 object Packing {
 
+  /** Pack-group count for a corpus of n documents: the power of two
+    * that puts ~targetPerGroup docs in each hash group, clamped to
+    * [minG, maxG]. Pure integer formula (ceil-log2 via bit length) so
+    * a SQL oracle derives the identical count from count(*). Per-group
+    * fold memory is ~16 bytes x targetPerGroup regardless of corpus
+    * size — the group count, not the group size, absorbs growth. */
+  def autoGroups(n: Long, targetPerGroup: Long = 64L, minG: Int = 8,
+                 maxG: Int = 1 << 20): Int = {
+    val m = (n + targetPerGroup - 1) / targetPerGroup
+    val ceilLog2 =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(minG, math.min(maxG, 1 << ceilLog2))
+  }
+
   /** (doc_id, n_tokens, pack_group, bin_id), documents packed greedily
     * in id order within their hash group. */
   def packSequences(df: DataFrame, id: Column, text: Column,

@@ -108,6 +108,21 @@ object Similarity {
     math.max(minPlanes, math.min(maxPlanes, ceilLog2))
   }
 
+  /** Centroid count for an IVF index over n vectors: the power of two
+    * nearest ~sqrt(n) (cells then hold ~sqrt(n) vectors each, so probe
+    * cost — nProbe cells scanned — grows with sqrt of the corpus
+    * instead of linearly, the standard IVF sizing), clamped to
+    * [minC, maxC]. Pure integer formula (ceil-log2 via bit length,
+    * halved) so a SQL oracle derives the identical count from
+    * count(*). A FIXED centroid count degenerates at scale: cells hold
+    * n/const vectors and the within-cell scan is linear again. */
+  def autoCentroids(n: Long, minC: Int = 4, maxC: Int = 4096): Int = {
+    val ceilLog2 =
+      if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val c = 1 << ((ceilLog2 + 1) / 2)
+    math.max(minC, math.min(maxC, c))
+  }
+
   /** Sign-of-projection LSH signature: `planes` bits packed in a long.
     * The plane weights are literal arrays, so the projection is a
     * per-row map over the corpus — no shuffle, no model state.

@@ -62,13 +62,21 @@ object Dedup {
     * reported, never silently dropped) at the price of one extra
     * aggregate job; the anti-join side is left unhinted so the planner
     * (with AQE) picks broadcast when the set is actually small and a
-    * shuffled hash anti-join when it is not. */
-  private def hotKeys(exploded: DataFrame, keyCol: String,
-                      maxDf: Long, what: String): DataFrame = {
-    val hot = exploded.groupBy(col(keyCol))
+    * shuffled hash anti-join when it is not.
+    *
+    * The hot frame is MATERIALIZED before the count: without that, the
+    * logged count() runs the full-corpus aggregate once and the
+    * caller's anti-join recomputes it from scratch — two full shuffles
+    * of the exploded token table on exactly the corpora the cap
+    * exists for. Materializing pays one (df-capped, corpus-small)
+    * intermediate instead; the count then scans materialized blocks
+    * and the anti-join reuses them. */
+  private[ext] def hotKeys(exploded: DataFrame, keyCol: String,
+                           maxDf: Long, what: String): DataFrame = {
+    val hot = Materialize.eager(exploded.groupBy(col(keyCol))
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") > maxDf)
-      .select(col(keyCol))
+      .select(col(keyCol)))
     val n = hot.count()
     if (n > 0)
       log.warn(s"dropping $n $what with df > $maxDf before " +
@@ -156,14 +164,14 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     // The signature frame feeds three consumers (banding + both sides
-    // of the estimate join). An eager localCheckpoint materializes it
-    // ONCE into executor-managed blocks that the ContextCleaner frees
-    // when the result frame is no longer referenced — unlike .cache(),
-    // which pinned a corpus-sized entry in the cache manager per call
-    // until someone remembered to unpersist (a leak in long-lived
-    // sessions).
-    val sigs = minhashSignatures(df, col(idCol), col(textCol), shingleN, k)
-      .localCheckpoint(true)
+    // of the estimate join): materialize it ONCE, with the
+    // executor-churn-aware policy in [[Materialize.eager]] (reliable
+    // checkpoint under dynamic allocation, ContextCleaner-freed local
+    // blocks otherwise) — unlike .cache(), which pinned a corpus-sized
+    // cache-manager entry per call until someone remembered to
+    // unpersist (a leak in long-lived sessions).
+    val sigs = Materialize.eager(
+      minhashSignatures(df, col(idCol), col(textCol), shingleN, k))
     val mhCols = (0 until k).map(i => col(s"mh_$i"))
     // (doc_id, band, band_key)
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
@@ -212,11 +220,10 @@ object Dedup {
     * k+1 bands; a larger maxHamming makes the result best-effort). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // eager localCheckpoint, not .cache(): materialized once for the
-    // self-join, blocks freed by the ContextCleaner on GC (see
-    // minhashLshPairs)
-    val sh = df.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh")).localCheckpoint(true)
+    // materialized once for the self-join, not .cache()'d (see
+    // minhashLshPairs / [[Materialize.eager]] for the policy)
+    val sh = Materialize.eager(df.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("sh")))
     val chunks = sh.select(col("doc_id"), col("sh"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
@@ -285,7 +292,7 @@ object Dedup {
         }
         prevPath = Some(path)
         reread
-      case None => df.localCheckpoint(true)
+      case None => Materialize.eager(df)
     }
     var labels = materialize(
       nodes.select(col("doc_id"), col("doc_id").as("component")))

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager one-shot materialization of an intermediate frame that feeds
+  * multiple consumers inside ONE returned plan (LSH signatures, hot-key
+  * sets): compute it once, hand back a leaf the downstream joins reuse.
+  *
+  * Why not `.cache()`: a cached Dataset pins an entry in the session's
+  * CacheManager until someone calls unpersist — and a library function
+  * that returns a lazy frame has no post-action hook to do so, so every
+  * call leaks a corpus-sized cache entry in a long-lived session.
+  *
+  * Why not always `.localCheckpoint(true)`: local checkpoints store
+  * NON-REPLICATED blocks on the executors that computed them and
+  * truncate lineage, so losing one executor (dynamic allocation, spot
+  * nodes, decommission) kills every downstream stage instead of
+  * recomputing — Spark's own docs warn against localCheckpoint under
+  * dynamic allocation, and executor churn is the norm on the large
+  * clusters this library targets.
+  *
+  * Policy: under dynamic allocation WITH a checkpoint dir configured,
+  * use a RELIABLE checkpoint (managed files survive executor loss; set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+  * ContextCleaner deletes them when the frame is GC'd). Otherwise use
+  * an eager localCheckpoint — on a static-executor cluster (and
+  * local[*] test/bench sessions) its blocks are both safe and freed
+  * automatically by the ContextCleaner, with no files to manage.
+  * Dynamic allocation with NO checkpoint dir falls back to
+  * localCheckpoint with a loud warning: the caller chose elasticity
+  * but gave the session nowhere durable to materialize.
+  */
+object Materialize {
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.ext.Materialize")
+
+  def eager(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val dynamic = sc.getConf.getBoolean("spark.dynamicAllocation.enabled",
+      defaultValue = false)
+    if (!dynamic) df.localCheckpoint(eager = true)
+    else if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else {
+      log.warn("dynamic allocation is on but no checkpoint dir is set: " +
+        "falling back to localCheckpoint, whose executor-local blocks do " +
+        "NOT survive executor loss — call sc.setCheckpointDir to make " +
+        "materialized intermediates churn-safe")
+      df.localCheckpoint(eager = true)
+    }
+  }
+}

@@ -38,8 +38,14 @@ object Multimodal {
     * surface is replayable in any md5-capable SQL engine and the query
     * is hash-verifiable, not rows-only. */
   object FakeCodec {
-    def decode(payload: Array[Byte], sampleEvery: Int): (Long, Double, Int) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+    /** One codec "handle" per partition (a real decoder would hold
+      * native contexts/buffers here); the digest is reused across
+      * records via reset-on-digest instead of a per-row JCA lookup. */
+    def open(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+
+    def decode(md: java.security.MessageDigest, payload: Array[Byte],
+               sampleEvery: Int): (Long, Double, Int) = {
       val hexDigest = md.digest(payload).take(8)
         .map(b => f"${b & 0xff}%02x").mkString
       val checksum = java.lang.Long.parseLong(hexDigest.substring(0, 15), 16)
@@ -80,10 +86,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here
+      // per-partition codec init: one digest instance per partition
+      // (MessageDigest.digest() resets it after each record)
+      val md = FakeCodec.open()
       it.map { r =>
         val (checksum, brightness, sampled) =
-          FakeCodec.decode(r.payload, sampleEvery)
+          FakeCodec.decode(md, r.payload, sampleEvery)
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
           checksum, brightness, sampled)
       }

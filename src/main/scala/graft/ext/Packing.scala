@@ -33,7 +33,10 @@ object Packing {
     val m = (n + targetPerGroup - 1) / targetPerGroup
     val ceilLog2 =
       if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    math.max(minG, math.min(maxG, 1 << ceilLog2))
+    // shift in LONG: the SQL twin shifts a BIGINT, and an Int shift
+    // wraps mod 32 — at n >= ~2^31*targetPerGroup docs it would return
+    // minG (per-group memory blowup) exactly where maxG is the answer
+    math.max(minG.toLong, math.min(maxG.toLong, 1L << ceilLog2)).toInt
   }
 
   /** (doc_id, n_tokens, pack_group, bin_id), documents packed greedily

@@ -119,8 +119,11 @@ object Similarity {
   def autoCentroids(n: Long, minC: Int = 4, maxC: Int = 4096): Int = {
     val ceilLog2 =
       if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    val c = 1 << ((ceilLog2 + 1) / 2)
-    math.max(minC, math.min(maxC, c))
+    // shift in LONG like the SQL twin's BIGINT shift: an Int shift
+    // wraps mod 32, so n >= 2^63 would hit exponent 32 -> 1 -> minC
+    // instead of the clamp
+    val c = 1L << ((ceilLog2 + 1) / 2)
+    math.max(minC.toLong, math.min(maxC.toLong, c)).toInt
   }
 
   /** Sign-of-projection LSH signature: `planes` bits packed in a long.

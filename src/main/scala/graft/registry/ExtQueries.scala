@@ -24,6 +24,17 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Session-scoped scratch dirs reclaimed at JVM exit (one shutdown
+    * hook per path, however many times the query reuses it). */
+  private val scratchHooked =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def reclaimOnExit(path: String): Unit =
+    scratchHooked.getOrElseUpdate(path, {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+    })
+
   // ---- shared SQL fragments ----
 
   /** DuckDB in-order dot product over 64-dim double lists (probed
@@ -421,11 +432,14 @@ object ExtQueries {
     // reserves): initial batch to a cutoff, then append past the high
     // watermark; the final table must equal the full source
     "incremental_watermark_load" -> ((s, dir) => {
-      // fixed scratch path, cleared up-front: repeated invocations
-      // (bench reps) reuse ONE directory instead of leaking an orphaned
-      // copy of the orders table per run
+      // per-SESSION scratch path (keyed by applicationId), cleared
+      // up-front: repeated invocations in one session (bench reps)
+      // reuse ONE directory instead of leaking an orphaned copy of the
+      // orders table per run, and two concurrent sessions sharing
+      // /tmp can no longer clobber each other's table mid-run
       val scratch = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_incr_scratch").toString
+        s"graft_incr_scratch_${s.sparkContext.applicationId}").toString
+      reclaimOnExit(scratch)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)

@@ -31,6 +31,11 @@ object StreamQueries {
       val d = java.nio.file.Files
         .createTempDirectory("graft_stream_src").toString
       events.write.mode("overwrite").parquet(d)
+      // the staged copy is session-scoped scratch: reclaim it when the
+      // JVM exits instead of leaving one orphan dir per session
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(d)): Unit))
       d
     })
     val src = s.readStream.schema(events.schema).parquet(stage)
@@ -58,7 +63,20 @@ object StreamQueries {
     // not an aggregation)
     "stream_dedup" -> ((s, dir) =>
       runStream(s, dir, "dedup", OutputMode.Append())(src =>
-        StreamOps.streamingDedup(src, Seq("user_id", "event_type"))))
+        StreamOps.streamingDedup(src, Seq("user_id", "event_type")))),
+    // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark):
+    // per-key state is evicted once it ages past the watermark horizon,
+    // so state size is bounded by the key arrival rate x horizon — the
+    // variant an UNBOUNDED 100 TB/day stream must run (the exact
+    // variant above keeps every key ever seen in state forever). On
+    // this bounded source the file source delivers all rows in one
+    // micro-batch, eviction only happens at batch end, and the emitted
+    // key set is exactly batch DISTINCT — which is what makes the
+    // bounded-state operator hash-checkable here at all.
+    "stream_dedup_bounded" -> ((s, dir) =>
+      runStream(s, dir, "dedup_bounded", OutputMode.Append())(src =>
+        StreamOps.streamingDedup(src, Seq("user_id", "event_type"),
+          withinWatermark = true)))
   )
 
   private def stableSumSql(c: String): String =
@@ -95,6 +113,9 @@ object StreamQueries {
       FROM w GROUP BY 1""",
     // first-arrival streaming dedup emits exactly the distinct key set
     "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // single micro-batch => no mid-stream eviction => same key set
+    "stream_dedup_bounded" ->
       "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

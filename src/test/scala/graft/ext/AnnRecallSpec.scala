@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Recall of the approximate similarity paths against the exact
+  * brute-force baseline — the number that justifies shipping IVF/LSH
+  * at scale at all. The oracle rows pin these queries' DETERMINISM
+  * (hash-match vs DuckDB); this spec pins their QUALITY: how much of
+  * the true top-k the bucketed search actually returns, and that
+  * recall grows monotonically with nProbe (the knob a user turns when
+  * the corpus grows). Floors are documented in SCALE.md.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+  private val K = 5
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+
+  private lazy val truth = topkSet(Similarity.bruteForceTopK(
+    queries, emb, "vec_id", "vec_id", "embedding", K))
+
+  private def recallAt(nProbe: Int): Double = {
+    val approx = topkSet(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", nCentroids = Similarity.autoCentroids(emb.count()),
+      k = K, nProbe = nProbe))
+    approx.intersect(truth).size.toDouble / truth.size
+  }
+
+  test("IVF recall@5 grows with nProbe and clears the documented floors") {
+    val r = Seq(1, 2, 4).map(p => p -> recallAt(p)).toMap
+    info(s"ivf recall@5 vs brute force: $r (n=${emb.count()}, " +
+      s"centroids=${Similarity.autoCentroids(emb.count())})")
+    assert(r(1) <= r(2) + 1e-9 && r(2) <= r(4) + 1e-9,
+      s"recall must be monotone in nProbe: $r")
+    // floors: measured 0.80 / 0.84 / 0.90 on the sf0.001 fixture
+    // (500 x 64-dim, 32 cells; fully deterministic — md5-derived
+    // centroid seeding, no RNG), minus slack. See SCALE.md. nProbe=2
+    // scans ~2/32 of the corpus for 0.84 of the true top-5.
+    assert(r(1) >= 0.75, s"recall@5 nProbe=1 collapsed: ${r(1)}")
+    assert(r(2) >= 0.80, s"recall@5 nProbe=2 collapsed: ${r(2)}")
+    assert(r(4) >= 0.85, s"recall@5 nProbe=4 collapsed: ${r(4)}")
+  }
+
+  test("hyperplane-LSH near-neighbor recall vs the exact pair set") {
+    val threshold = 0.2
+    val exact = Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding",
+        threshold)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshNearNeighbors(emb, "vec_id", "embedding",
+        dim = 64, planes = Similarity.autoPlanes(emb.count()),
+        threshold = threshold)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact),
+      "LSH verifies exact cosine, so it can never emit a false pair")
+    val recall =
+      if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    info(s"lsh pair recall at cos>=$threshold: $recall " +
+      s"(${approx.size}/${exact.size} pairs)")
+    // measured 0.124 single-table / 0.389 with 4 tables on this
+    // fixture: hyperplane LSH at cos>=0.2 is a WIDE-net threshold (the
+    // 0.2 pair set is 6903 of ~125k possible pairs — barely "near");
+    // at dedup-grade thresholds buckets agree far more often. The spec
+    // pins the floor and the multi-table gain, not a flattering number.
+    assert(recall >= 0.10, s"single-table LSH recall collapsed: $recall")
+    // multi-table LSH buys recall linearly in table count: 4 tables
+    // must beat 1 table's pair set materially
+    val multi = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, planes = Similarity.autoPlanes(emb.count()), tables = 4,
+        threshold = threshold)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(exact))
+    val multiRecall =
+      if (exact.isEmpty) 1.0 else multi.size.toDouble / exact.size
+    info(s"lsh 4-table pair recall: $multiRecall (${multi.size}/${exact.size})")
+    assert(multiRecall >= 0.30, s"4-table LSH recall collapsed: $multiRecall")
+    assert(multiRecall >= recall - 1e-9,
+      s"4 tables cannot have lower recall than their own first table")
+  }
+}

@@ -47,16 +47,22 @@ class StreamOpsSpec extends SparkSpec {
     val want = events.select("user_id", "event_type").distinct()
       .as[(Long, String)].collect().toSet
     assert(got == want)
-    // bounded-state variant: a subset (keys can re-admit past the
-    // horizon, never emit keys that do not exist)
+    // bounded-state variant: on a bounded source the file source
+    // delivers every row in ONE micro-batch, state eviction only
+    // happens at batch end, so the emitted key set is EXACTLY batch
+    // DISTINCT — the property the registered stream_dedup_bounded
+    // query's oracle relies on. (On a genuinely unbounded stream it
+    // weakens to a superset-with-duplicate-keys: keys re-admit once
+    // their state ages past the watermark horizon.)
     val src2 = spark.readStream.schema(events.schema).parquet(dir)
-    val within = StreamOps.runToMemory(
+    val withinRows = StreamOps.runToMemory(
         StreamOps.streamingDedup(src2, Seq("user_id", "event_type"),
           withinWatermark = true),
         "sdedup_within_test", OutputMode.Append())
-      .as[(Long, String)].collect().toSet
-    assert(within.subsetOf(want))
-    assert(within.nonEmpty)
+      .as[(Long, String)].collect().toSeq
+    assert(withinRows.size == withinRows.toSet.size,
+      "single-batch bounded dedup must not re-emit a key")
+    assert(withinRows.toSet == want)
   }
 
   test("streaming session windows produce plausible sessions") {

@@ -195,15 +195,26 @@ object Similarity {
   /** Nearest-centroid assignment: broadcast the (small) centroid table,
     * score every (vector, centroid) pair with the codegen'd dot
     * product, keep the argmax (ties by centroid id — a total order any
-    * SQL engine replays). */
-  private def assignTo(normed: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("centroid_id"))
+    * SQL engine replays).
+    *
+    * The argmax is a `max_by` AGGREGATE, not a row_number window: the
+    * broadcast join expands the corpus nCentroids-fold, and a window
+    * would shuffle and sort that whole n x c expansion (a 4096x data
+    * blowup through the exchange at the centroid clamp). max_by
+    * participates in partial aggregation, so each map task collapses
+    * its rows back to one per vector BEFORE the shuffle — the exchange
+    * carries n rows no matter how many centroids score. Tie order
+    * (cos desc, centroid_id asc) is encoded as max of
+    * (cos_c, -centroid_id), the same total order the SQL twin replays
+    * with row_number. */
+  private def assignTo(normed: DataFrame, centroids: DataFrame): DataFrame =
     normed.join(broadcast(centroids))
       .withColumn("cos_c", dot(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("v"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("v")),
+        struct(col("cos_c"), col("centroid_id") * -1)).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.v").as("v"))
 
   /** IVF coarse quantizer with Lloyd refinement: deterministic init
     * (the lowest `nCentroids` ids' unit vectors), then `iters` rounds
@@ -287,15 +298,24 @@ object Similarity {
       .withColumn("probe_rn", row_number().over(probeW))
       .filter(col("probe_rn") <= nProbe)
       .select(col("query_id"), col("centroid_id"), col("qv"))
-    val scored = broadcast(queryCells)
+    // rank within the probed cells via the bounded-heap aggregate, not
+    // a window: a probed cell holds ~sqrt(n) vectors, so a window would
+    // shuffle-and-sort queries x nProbe x sqrt(n) candidate rows; the
+    // heap forwards at most k per query per map task (same total order:
+    // score desc, id asc — and NaN cosines from zero vectors are
+    // excluded up front so both formulations agree, see bruteForceTopK)
+    broadcast(queryCells)
       .join(corpusCells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", dot(col("qv"), col("v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank").cast("long").as("rank"))
+      .select(col("query_id"), dot(col("qv"), col("v")).as("cosine"),
+        col("vec_id"))
+      .filter(!isnan(col("cosine")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(col("cosine"), col("vec_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

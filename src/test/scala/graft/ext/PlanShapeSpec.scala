@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the similarity search paths:
+  * the properties that make them survive a 100x scale-up are plan
+  * facts, not output facts, so they are pinned here — the oracle rows
+  * prove the VALUES, these prove the SHAPE that computes them.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def ivfPlan: String =
+    graft.registry.ExtQueries.queries("sim_ivf_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("ivfTopK ranks with partial aggregation, never an unbounded window sort") {
+    val plan = ivfPlan
+    // a row_number window over the broadcast-expanded CORPUS would
+    // shuffle-and-sort n x nCentroids assignment rows and
+    // queries x nProbe x cellSize candidate rows; both the centroid
+    // argmax and the final top-k must be map-side-combining aggregates
+    assert(plan.contains("partial_max_by"),
+      s"centroid argmax is not a partial aggregation:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"final ranking is not the bounded-heap partial aggregate:\n$plan")
+    // the one remaining window is the QUERY-side probe-cell selection
+    // (queries x nCentroids rows), and it must carry a map-side
+    // WindowGroupLimit so each task forwards at most nProbe rows per
+    // query into the exchange — the bounded form of rank-filtering
+    val windows = "(?<!Group)Window ".r.findAllIn(plan).size
+    assert(windows <= 1, s"unexpected window operators:\n$plan")
+    if (windows == 1)
+      assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined,
+        s"probe-cell window lacks the partial group limit:\n$plan")
+  }
+
+  test("ivfTopK probes with a broadcast of centroids, not a corpus shuffle join") {
+    val plan = ivfPlan
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid scoring lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the IVF plan:\n$plan")
+  }
+
+  test("brute-force heap top-k aggregates partially too") {
+    val plan = graft.registry.ExtQueries
+      .queries("sim_bruteforce_topk_agg")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"heap top-k is not partially aggregated:\n$plan")
+    assert(!plan.contains("Window"))
+  }
+}

@@ -74,18 +74,19 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
           case "sales" => Model.salesFact(cleaned)
         }).cache()
         cachedModel = m
-        // fused: row count + NULL-PK count in one job
-        val nullPred = pk.map(col(_).isNull).reduce(_ || _)
-        val row = m.agg(count(lit(1)).as("n"),
-          count(when(nullPred, 1)).as("n_null")).first()
-        val n = row.getLong(0)
+        // fused: row count + NULL-PK count + dup-PK groups in ONE job
+        // (one groupBy(pk) shuffle instead of a scan-agg plus a second
+        // groupBy); failures still raise in the reference's gate order
+        val (n, nNullPk, nDupPk) = Gates.pkIntegrityStats(m, pk)
         Gates.requireRowCountPreserved(nClean, n)
         Gates.requireContractSchema(m, Contracts.ExpectedColumns(table),
           Contracts.DerivedColumns(table))
-        if (row.getLong(1) > 0)
+        if (nNullPk > 0)
           throw new DataQualityException(
-            s"${row.getLong(1)} rows with NULL in PK $pk")
-        Gates.requireNoDupPk(m, pk)
+            s"$nNullPk rows with NULL in PK $pk")
+        if (nDupPk > 0)
+          throw new DataQualityException(
+            s"$nDupPk duplicated PK values for $pk")
         if (table == "stores") Gates.requireNoUnmappedRegion(m)
         (m, n)
       }

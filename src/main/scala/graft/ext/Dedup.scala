@@ -298,45 +298,51 @@ object Dedup {
       nodes.select(col("doc_id"), col("doc_id").as("component")))
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // 1) gather: each node takes the min of its own and its
-      //    neighbors' labels (one hop)
-      val minNbr = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min(col("component")).as("nbr_min"))
-      val gathered = labels
-        .join(minNbr, labels("doc_id") === minNbr("src"), "left")
-        .select(labels("doc_id"), labels("component").as("prev"),
-          least(labels("component"),
-            coalesce(col("nbr_min"), labels("component"))).as("component"))
-      // 2) pointer jump: label(x) := min(label(x), label(label(x))) —
-      //    halves the remaining path per round, so the rounds needed
-      //    are <= ceil(log2(max component diameter)) + 1; the default
-      //    maxIter = 25 therefore covers any graph with < 2^24 nodes
-      //    per component
-      val ptrs = gathered.select(col("doc_id").as("c_id"),
-        col("component").as("c_comp"))
-      val next = materialize(gathered.as("x")
-        .join(ptrs, col("x.component") === col("c_id"), "left")
-        .select(col("x.doc_id"), col("x.prev"),
-          least(col("x.component"),
-            coalesce(col("c_comp"), col("x.component"))).as("component")))
-      // single cheap convergence probe per round: the materialize above
-      // already ran the round's job, so counting changed labels scans
-      // the checkpointed partitions without recomputing anything
-      // (labels only ever decrease, so changed == (component != prev))
-      converged = next.filter(col("component") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next.drop("prev")
-      iter += 1
+    try {
+      while (iter < maxIter && !converged) {
+        // 1) gather: each node takes the min of its own and its
+        //    neighbors' labels (one hop)
+        val minNbr = edges
+          .join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("component")).as("nbr_min"))
+        val gathered = labels
+          .join(minNbr, labels("doc_id") === minNbr("src"), "left")
+          .select(labels("doc_id"), labels("component").as("prev"),
+            least(labels("component"),
+              coalesce(col("nbr_min"), labels("component"))).as("component"))
+        // 2) pointer jump: label(x) := min(label(x), label(label(x))) —
+        //    halves the remaining path per round, so the rounds needed
+        //    are <= ceil(log2(max component diameter)) + 1; the default
+        //    maxIter = 25 therefore covers any graph with < 2^24 nodes
+        //    per component
+        val ptrs = gathered.select(col("doc_id").as("c_id"),
+          col("component").as("c_comp"))
+        val next = materialize(gathered.as("x")
+          .join(ptrs, col("x.component") === col("c_id"), "left")
+          .select(col("x.doc_id"), col("x.prev"),
+            least(col("x.component"),
+              coalesce(col("c_comp"), col("x.component"))).as("component")))
+        // single cheap convergence probe per round: the materialize above
+        // already ran the round's job, so counting changed labels scans
+        // the checkpointed partitions without recomputing anything
+        // (labels only ever decrease, so changed == (component != prev))
+        converged = next.filter(col("component") =!= col("prev")).isEmpty
+        labels.unpersist()
+        labels = next.drop("prev")
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "raise maxIter (rounds needed ~ log2 of the largest component)")
+      labels
+    } finally {
+      // the edge caches must not outlive the call even on the
+      // non-convergence throw (or any round failure) — a leaked cached
+      // pair set is corpus-sized in a long-lived session
+      edges.unpersist(); p.unpersist()
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (rounds needed ~ log2 of the largest component)")
-    edges.unpersist(); p.unpersist()
-    labels
   }
 
   /** Cross-corpus contamination detection: training documents that

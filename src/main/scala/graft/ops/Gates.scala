@@ -111,6 +111,25 @@ object Gates {
     n
   }
 
+  /** Fused PK integrity stats in ONE job: (total rows, rows with a
+    * NULL pk column, duplicated pk-value groups). The separate
+    * formulation costs two passes over the frame — a scan-aggregate
+    * for count+null and a groupBy for dups; this derives all three
+    * from the single groupBy(pk) shuffle the dup check needs anyway
+    * (partial aggregation collapses unique pks map-side, so the
+    * exchange carries ~one row per key either way). Callers raise in
+    * their own contract order — computing the numbers together does
+    * not reorder the gate failure priority. */
+  def pkIntegrityStats(df: DataFrame, pk: Seq[String]): (Long, Long, Long) = {
+    val nullPred = pk.map(col(_).isNull).reduce(_ || _)
+    val row = df.groupBy(pk.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("n"),
+        coalesce(sum(when(nullPred, col("_n"))), lit(0L)).as("n_null"),
+        count(when(col("_n") > 1, 1)).as("n_dup_groups"))
+      .first()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
   /** T2 gate: no NULL primary-key values
     * (transform_data_modeling.py:312-321; also post-load A5). */
   def requireNoNullPk(df: DataFrame, pk: Seq[String]): Unit = {

@@ -48,17 +48,18 @@ object Load {
   def validateLoaded(spark: SparkSession, path: String, pk: Seq[String],
                      expectedCount: Long): Unit = {
     val loaded = spark.read.parquet(path)
-    // one pass: row count + NULL-PK count
-    val nullPred = pk.map(col(_).isNull).reduce(_ || _)
-    val row = loaded.agg(count(lit(1)).as("n"),
-      count(when(nullPred, 1)).as("n_null")).first()
-    if (row.getLong(0) != expectedCount)
+    // one pass: row count + NULL-PK count + dup-PK groups (a single
+    // groupBy(pk) job; see Gates.pkIntegrityStats)
+    val (n, nNullPk, nDupPk) = Gates.pkIntegrityStats(loaded, pk)
+    if (n != expectedCount)
       throw new DataQualityException(
-        s"loaded count ${row.getLong(0)} != source count $expectedCount")
-    if (row.getLong(1) > 0)
+        s"loaded count $n != source count $expectedCount")
+    if (nNullPk > 0)
       throw new DataQualityException(
-        s"${row.getLong(1)} rows with NULL in PK $pk")
-    Gates.requireNoDupPk(loaded, pk)
+        s"$nNullPk rows with NULL in PK $pk")
+    if (nDupPk > 0)
+      throw new DataQualityException(
+        s"$nDupPk duplicated PK values for $pk")
   }
 
   /** Incremental (watermark) load — the strategy the reference's

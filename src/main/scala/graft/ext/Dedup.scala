@@ -27,12 +27,15 @@ object Dedup {
     df.groupBy(TextOps.contentFingerprint(text).as("content_md5"))
       .agg(min(id).as("doc_id_kept"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup: keep the min-id row per distinct content. */
+  /** Exact dedup: keep the min-id row per distinct content. min_by
+    * aggregate, not a window — map-side combine instead of sorting
+    * every partition by (digest, id) twice (see
+    * [[graft.ops.Clean.dedupKeepFirst]]). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.contentFingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(TextOps.contentFingerprint(col(textCol)).as("_graft_md5"))
+      .agg(min_by(payload, struct(col(idCol))).as("_graft_row"))
+      .select(df.columns.map(c => col(s"_graft_row.$c").as(c)): _*)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")

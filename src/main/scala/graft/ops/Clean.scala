@@ -56,12 +56,20 @@ object Clean {
   /** D2: drop PK duplicates keeping the first occurrence by the given
     * explicit order column (etl/transform_data_cleaning.py:100-119).
     * Deterministic alternative to dropDuplicates (which keeps an
-    * arbitrary row): one shuffle on the PK, no global sort. */
+    * arbitrary row).
+    *
+    * Shape: `min_by` AGGREGATE, not a row_number window — the window
+    * form sorts every partition by (pk, order) on both sides of the
+    * exchange; min_by hash-combines map-side, so the shuffle carries
+    * ~one row per key and nothing is ever sorted. The order is wrapped
+    * in a struct so a NULL order value compares NULLS-FIRST exactly
+    * like the window's default ascending order (a bare null ordering
+    * key would be SKIPPED by min_by — different semantics). */
   def dedupKeepFirst(df: DataFrame, pk: Seq[String], order: Column): DataFrame = {
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(order)
-    df.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(pk.map(col): _*)
+      .agg(min_by(payload, struct(order)).as("_graft_row"))
+      .select(df.columns.map(c => col(s"_graft_row.$c").as(c)): _*)
   }
 
   /** D2 with the implicit file-order ordinal: attach ordinal, dedup,

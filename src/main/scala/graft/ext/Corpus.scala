@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * layers on top of dedup/sampling: repeated-segment removal
+  * (ExactSubstr-lite), length-weighted sampling, class/domain
+  * rebalancing, and rule-based quality filtering (C4-style).
+  *
+  * Everything is deterministic and engine-portable: keep/drop
+  * decisions key on [[TextOps.hex60]] content hashes and INTEGER
+  * cross-multiplied thresholds (never per-row float division an
+  * oracle could round differently), so every operator's full output
+  * is checkable against a SQL engine.
+  */
+object Corpus {
+
+  /** Order key packing for segment keep-first: doc_id * SegStride +
+    * seg_idx collapses the (doc, offset) total order into one BIGINT
+    * that `min` aggregates on any engine. Docs are capped well below
+    * SegStride segments (a 512-token doc at segWords=8 has 64). */
+  val SegStride = 100000L
+
+  /** Repeated-segment dedup ("paragraph" dedup for corpora whose unit
+    * of repetition is a span, not a document): chop each document into
+    * non-overlapping `segWords`-word chunks, drop every chunk whose
+    * exact text occurred earlier in the corpus (keep-first in
+    * (doc_id, offset) order), and reassemble what remains. This is the
+    * segment-granularity analogue of exact-substring dedup — the C4 /
+    * RefinedWeb step that removes boilerplate repeated across pages
+    * without dropping whole documents.
+    *
+    * Output: (doc_id, n_segs, n_kept, dedup_md5) where dedup_md5
+    * fingerprints the reassembled text (NULL when every segment was a
+    * repeat — matching SQL string_agg-over-empty semantics).
+    *
+    * Scale shape: explode to one row per segment (bounded fan-out:
+    * tokens/segWords per doc), hash-shuffle on the 60-bit segment hash
+    * for the keep-first min (partial-agg friendly), one join back, one
+    * final group per doc. No windows, no driver state; every shuffle
+    * key is a fixed-width long.
+    */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+                   segWords: Int = 8): DataFrame = {
+    val toks = TextOps.tokens(text)
+    // integer ceil-div; sequence(0, n-1) needs n >= 1 (Spark's
+    // sequence(0,-1) is DESCENDING, not empty — guard it)
+    val nSegs = floor((size(toks) + lit(segWords - 1)) / lit(segWords))
+      .cast("int")
+    val segs = when(nSegs >= 1,
+      transform(sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ",
+          slice(toks, i * segWords + lit(1), lit(segWords)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df
+      .select(id.cast("long").as("doc_id"), posexplode(segs))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
+      .withColumn("h", TextOps.hex60(col("seg")))
+      .withColumn("ord", col("doc_id") * SegStride + col("seg_idx"))
+    val first = exploded.groupBy(col("h"))
+      .agg(min(col("ord")).as("keeper"))
+    val flagged = exploded.join(first, Seq("h"))
+      .withColumn("keep", col("ord") === col("keeper"))
+    val keptArr = array_sort(collect_list(
+      when(col("keep"), struct(col("seg_idx"), col("seg")))))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        when(size(keptArr) > 0,
+          md5(array_join(transform(keptArr, x => x("seg")), " ")))
+          .as("dedup_md5"))
+  }
+
+  /** Deterministic length-weighted sampling: each row keeps with
+    * probability weight/max(weight) — the corpus-curation move that
+    * up-weights long documents without an RNG. The row's hash bucket
+    * is compared cross-multiplied (`bucket * maxW < weight * Buckets`,
+    * all BIGINT) so no float division exists for engines to round
+    * apart, and the max-weight rows are ALWAYS kept (bucket < Buckets
+    * holds for every bucket).
+    *
+    * Two passes by necessity (the scale normalizer is a corpus
+    * statistic): one full-scan max, then a narrow codegen'd filter.
+    * Only the single max scalar crosses to the driver. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     salt: String = "wsample"): DataFrame = {
+    val maxW = df.agg(max(weight.cast("long"))).head.getLong(0)
+    require(maxW > 0, s"weightedSample needs a positive max weight, got $maxW")
+    df.filter(
+      Sampling.bucket(key, salt) * lit(maxW)
+        < weight.cast("long") * lit(Sampling.Buckets))
+  }
+
+  /** Rebalance a class-skewed table by deterministically downsampling
+    * every class to the minority class's count (in expectation):
+    * keep iff bucket * n_class < n_min * Buckets (BIGINT cross-multiply,
+    * exact at any scale: bucket < 1e6, counts < 2^43 stay inside
+    * int64). The minority class keeps every row (n == min). This is
+    * the label-rebalancing / domain-mixing primitive: swap the derived
+    * `n_min` for an explicit per-class target to mix to arbitrary
+    * ratios.
+    *
+    * Scale shape: one count aggregate (tiny result: |classes| rows,
+    * broadcast back), then a narrow filter. The class-count frame
+    * rides a broadcast hash join — no shuffle of the fact table. */
+  def balanceClasses(df: DataFrame, cls: Column, key: Column,
+                     salt: String = "bal"): DataFrame = {
+    val counts = df.groupBy(cls.as("_cls")).agg(count(lit(1)).as("_n"))
+    // |classes| rows; min is a driver scalar like weightedSample's max
+    val minN = counts.agg(min(col("_n"))).head.getLong(0)
+    df.join(broadcast(counts), cls === col("_cls"))
+      .filter(Sampling.bucket(key, salt) * col("_n")
+        < lit(minN) * lit(Sampling.Buckets))
+      .drop("_cls", "_n")
+  }
+
+  /** C4-style rule-based quality flags: cheap, deterministic document
+    * filters applied before any model-based scoring. Adapted to
+    * all-lowercase whitespace corpora (no terminal-punctuation rule);
+    * each rule is its own flag so downstream can audit which rule
+    * fired, plus the conjunction `keep`.
+    *
+    *  - `min_words`: at least `minWords` whitespace tokens
+    *  - `has_stopword`: contains a bare 'the' or 'a' token (the
+    *    natural-language-ness proxy C4 takes from stopword presence)
+    *  - `distinct_ppm`: distinct-token ratio in parts-per-million
+    *    (integer floor-div); `diverse` requires >= minDistinctPpm —
+    *    the repetition filter
+    *  - `no_brace` / `no_lorem`: the C4 code-and-boilerplate rules
+    *
+    * Pure per-row Column algebra: narrow, codegen'd, no shuffle. */
+  def c4QualityFlags(df: DataFrame, id: Column, text: Column,
+                     minWords: Int = 10,
+                     minDistinctPpm: Long = 300000L): DataFrame = {
+    val toks = TextOps.tokens(text)
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    df.select(
+      id.as("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("_n_distinct"),
+      (padded.contains(" the ") || padded.contains(" a "))
+        .as("has_stopword"),
+      (!lower(text).contains("{")).as("no_brace"),
+      (!lower(text).contains("lorem ipsum")).as("no_lorem"))
+      // exact integer floor-div (`div`), matching SQL `//` — a double
+      // divide could round across the ppm threshold
+      .withColumn("distinct_ppm", expr("_n_distinct * 1000000 div n_words"))
+      .withColumn("min_words", col("n_words") >= minWords)
+      .withColumn("diverse", col("distinct_ppm") >= minDistinctPpm)
+      .withColumn("keep",
+        col("min_words") && col("has_stopword") && col("diverse")
+          && col("no_brace") && col("no_lorem"))
+      .select(col("doc_id"), col("n_words"), col("distinct_ppm"),
+        col("min_words"), col("has_stopword"), col("diverse"),
+        col("no_brace"), col("no_lorem"), col("keep"))
+  }
+
+  /** Corpus-wide top word-bigram counts — the vocabulary-induction /
+    * BPE-seeding primitive. Ties broken by bigram text so the global
+    * limit is a total order (oracle-replayable). Scale shape:
+    * explode -> hash-agg count (map-side combine) -> TakeOrdered k
+    * (per-partition top-k then a k-row driver merge — never a full
+    * global sort). The n-gram build runs through the native
+    * [[graft.functions.WordShingleStrings]] expression (one codegen'd
+    * JVM loop); the equivalent transform/sequence HOF chain is
+    * CodegenFallback and benched ~10x slower on the full corpus. */
+  def topBigrams(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(
+        graft.functions.VectorFunctions.wordShingleStrings(text, 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+}

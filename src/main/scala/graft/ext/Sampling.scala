@@ -48,6 +48,19 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Deterministic fixed-size sample: the k rows with the smallest
+    * (bucket, key) — a uniform k-row draw that is stable across
+    * partitioning and engines (key breaks bucket collisions, so the
+    * order is total for unique keys). Plans as TakeOrdered: each task
+    * forwards its local top-k and the driver merges k rows per task —
+    * never a global sort. */
+  def fixedSizeSample(df: DataFrame, key: Column, k: Int,
+                      salt: String = ""): DataFrame =
+    df.withColumn("_graft_bucket", bucket(key, salt))
+      .orderBy(col("_graft_bucket"), key)
+      .limit(k)
+      .drop("_graft_bucket")
+
   /** Stratified deterministic sample: per-stratum keep rates (e.g.
     * downsample dominant languages, keep all rare ones). Strata
     * without a configured rate use `default`. Rates are converted to

@@ -175,6 +175,27 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Plane-id offset reserving a weight namespace for random
+    * projection, disjoint from the LSH signature planes (which use
+    * offsets [0, tables*planes)). */
+  val RpPlaneOffset = 9000
+
+  /** Johnson-Lindenstrauss-style random projection to `outDim`
+    * dimensions: out[j] = <vec, w_j> with the same engine-portable
+    * md5-derived plane weights as the LSH family ([[planeWeight]],
+    * namespaced by [[RpPlaneOffset]]). Dense uniform[-1,1] planes; the
+    * strict left-fold dot (double accumulation, codegen'd) makes every
+    * output coordinate bit-reproducible on any md5-capable engine.
+    *
+    * Scale shape: a per-row map with literal weight arrays — no
+    * shuffle, no model state to broadcast; the standard dim-reduction
+    * front-end for clustering / coarse ANN over very wide embeddings. */
+  def randomProjection(vec: Column, dim: Int, outDim: Int): Column =
+    array((0 until outDim).map { j =>
+      dot(vec, typedlit(
+        (0 until dim).map(d => planeWeight(RpPlaneOffset + j, d))))
+    }: _*)
+
   /** LSH-bucketed approximate near-neighbor pairs: same full signature
     * -> candidate bucket; cosine computed only inside buckets. Shuffle
     * is keyed on the signature — sub-quadratic at scale. */

@@ -209,6 +209,39 @@ object TextHashUtil {
     * to the Column-algebra form and to SQL oracles). Deduplicates via a
     * hash set — min/equality consumers are unaffected by multiset
     * collapse. Returns an empty array for texts with < n tokens. */
+  /** Word n-gram STRINGS (multiset — counting consumers need
+    * multiplicities, unlike the deduplicated hash form above). Same
+    * tokenization contract as [[graft.ext.TextOps.tokens]] /
+    * [[shingleHex60]]: ASCII-space-only trim, `\\s+` split. One JVM
+    * loop instead of the interpreted transform/sequence/concat_ws HOF
+    * chain, which is CodegenFallback and ~10x slower. */
+  def wordShingleStrings(s: org.apache.spark.unsafe.types.UTF8String,
+                         n: Int): ArrayData = {
+    val str = s.toString
+    var st = 0; var en = str.length
+    while (st < en && str.charAt(st) == ' ') st += 1
+    while (en > st && str.charAt(en - 1) == ' ') en -= 1
+    val toks = str.substring(st, en).split("\\s+", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def shingleHex60(s: org.apache.spark.unsafe.types.UTF8String,
                    n: Int): ArrayData = {
     val str = s.toString
@@ -258,6 +291,26 @@ object TextHashUtil {
   * interpreted higher-order functions per row (CodegenFallback), this
   * is one tight JVM loop (asserted equal in specs).
   */
+/** Word n-gram strings as a native codegen'd expression — the
+  * string-valued sibling of [[ShingleHex60]] (multiset, no dedup). */
+case class WordShingleStrings(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.wordShingleStrings(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.wordShingleStrings($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ShingleHex60(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -295,5 +348,9 @@ object VectorFunctions {
   /** Column wrapper for [[ShingleHex60]]. */
   def shingleHex60(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHex60(
+      GraftColumnBridge.expression(text), n))
+  /** Column wrapper for [[WordShingleStrings]]. */
+  def wordShingleStrings(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleStrings(
       GraftColumnBridge.expression(text), n))
 }

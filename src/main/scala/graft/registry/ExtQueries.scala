@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Windows}
+import graft.ext.{AsOfJoin, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -153,6 +153,80 @@ object ExtQueries {
       Sampling.stratifiedSample(Tables.events(s, dir), col("event_type"),
         col("event_id"), rates = SampleRates, default = 0.05)
         .select(col("event_id"), col("event_type"))),
+    // length-weighted sampling: keep probability n_chars/max(n_chars),
+    // decided by integer cross-multiplication on the row's hash bucket
+    "sample_weighted_length" -> ((s, dir) =>
+      Corpus.weightedSample(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars")).select(col("doc_id"), col("n_chars"))),
+    // exactly-k uniform draw (TakeOrdered on the hash bucket)
+    "sample_fixed_size" -> ((s, dir) =>
+      Sampling.fixedSizeSample(t(s, dir, "documents"), col("doc_id"),
+        k = 100).select(col("doc_id"))),
+    // leakage-aware split: the split key is the GROUP (source), so
+    // near-duplicate documents from one source can never straddle
+    // train/val/test — the group-holdout hygiene near-dup corpora need
+    "sample_group_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        Sampling.splitColumn(col("source"), valPct = 0.1, testPct = 0.1,
+          salt = "grp").as("split"))),
+    // class rebalancing: every event_type deterministically
+    // downsampled to the minority class's count (in expectation)
+    "balance_event_classes" -> ((s, dir) =>
+      Corpus.balanceClasses(Tables.events(s, dir), col("event_type"),
+        col("event_id")).select(col("event_id"), col("event_type"))),
+
+    // ---- corpus curation: segment dedup, quality rules, vocabulary ----
+    // ExactSubstr-lite: drop exact 8-word chunks already seen earlier
+    // in the corpus, reassemble the survivors per document
+    "dedup_repeated_segments" -> ((s, dir) =>
+      Corpus.segmentDedup(t(s, dir, "documents"), col("doc_id"),
+        col("text"), segWords = 8)),
+    // C4-style rule filter, one audit flag per rule + the conjunction
+    "text_c4_filter" -> ((s, dir) =>
+      Corpus.c4QualityFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
+    // corpus-wide top-50 word bigrams (vocabulary induction seed)
+    "vocab_top_bigrams" -> ((s, dir) =>
+      Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
+    // per-domain curriculum selection: best 5 docs per source by
+    // quality score, through the bounded-heap aggregate (each task
+    // forwards <= 5 rows per source — no per-domain window sort)
+    "curate_topk_per_source" -> ((s, dir) => {
+      val scored = TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), col("text"))
+      scored.groupBy(col("source"))
+        .agg(graft.functions.TopK.topkByScore(col("quality_score"),
+          col("doc_id"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          col("col.score").as("quality_score"),
+          (col("pos") + 1).cast("long").as("rank"))
+    }),
+
+    // ---- embedding transforms ----
+    // L2 norm + unit vector, exploded to scalar (vec_id, dim, value)
+    // rows — the compare contract has no array-column total order.
+    // IEEE sqrt/divide are correctly rounded, so the raw doubles are
+    // engine-portable. Zero vectors (norm 0) are excluded: they have
+    // no unit direction (and SQL engines disagree on 0/0).
+    "emb_normalize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.withNormalized(emb, "embedding", "unit")
+        .withColumn("l2_norm", Similarity.norm(col("embedding")))
+        .filter(col("l2_norm") > 0)
+        .select(col("vec_id"), col("l2_norm"), posexplode(col("unit")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("l2_norm"), col("col").as("unit_val"))
+    }),
+    // JL random projection 64 -> 16 dims with md5-derived plane
+    // weights, exploded to scalar rows like emb_normalize
+    "emb_random_projection" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(Similarity.randomProjection(col("embedding"),
+          dim = 64, outDim = 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("rp_dim"),
+          col("col").as("rp_val"))),
 
     // ---- corpus preparation: packing + decontamination ----
     // group count grows with the corpus via autoGroups (~64 docs per
@@ -690,6 +764,126 @@ object ExtQueries {
         SampleRates.toSeq.sortBy(_._1).map { case (k, r) =>
           s"WHEN '$k' THEN ${(r * Sampling.Buckets).toLong}"
         }.mkString("CASE event_type ", " ", s" ELSE ${(0.05 * Sampling.Buckets).toLong} END")}""",
+    "sample_weighted_length" -> s"""
+      SELECT doc_id, n_chars FROM documents
+      WHERE (${hex60Sql("'wsample' || CAST(doc_id AS VARCHAR)")}
+               % ${Sampling.Buckets})
+              * (SELECT max(n_chars) FROM documents)
+            < n_chars * ${Sampling.Buckets}""",
+    "sample_fixed_size" -> s"""
+      SELECT doc_id FROM documents
+      ORDER BY ${bucketSql("doc_id")}, doc_id LIMIT 100""",
+    "sample_group_split" -> s"""
+      SELECT doc_id, source,
+             CASE WHEN (${hex60Sql("'grp' || source")} % ${Sampling.Buckets})
+                    < ${(0.1 * Sampling.Buckets).toLong} THEN 'test'
+                  WHEN (${hex60Sql("'grp' || source")} % ${Sampling.Buckets})
+                    < ${(0.2 * Sampling.Buckets).toLong} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents""",
+    // same quality-score arithmetic as text_quality_score, ranked per
+    // source under the heap aggregate's total order (score desc, id)
+    "curate_topk_per_source" -> s"""
+      WITH t AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id, source,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m)
+      SELECT source, doc_id, quality_score,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+      FROM q QUALIFY rank <= 5""",
+    "balance_event_classes" -> s"""
+      WITH c AS (SELECT event_type AS cls, count(*) AS n
+                 FROM events GROUP BY 1),
+      m AS (SELECT min(n) AS mn FROM c)
+      SELECT e.event_id, e.event_type
+      FROM events e JOIN c ON e.event_type = c.cls CROSS JOIN m
+      WHERE (${hex60Sql("'bal' || CAST(event_id AS VARCHAR)")}
+               % ${Sampling.Buckets}) * c.n
+            < m.mn * ${Sampling.Buckets}""",
+    // zipped unnests replay the non-overlapping 8-word chunking; the
+    // keep-first min runs over the SAME hex60 hash groups as Spark (a
+    // 60-bit collision would merge identically on both engines)
+    "dedup_repeated_segments" -> s"""
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      seg AS (SELECT doc_id,
+          unnest(range((len(toks) + 7) // 8)) AS seg_idx,
+          unnest(list_transform(range((len(toks) + 7) // 8),
+            i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS seg
+        FROM tok),
+      k AS (SELECT doc_id, seg_idx, seg,
+          (doc_id * ${Corpus.SegStride} + seg_idx)
+            = min(doc_id * ${Corpus.SegStride} + seg_idx)
+                OVER (PARTITION BY ${hex60Sql("seg")}) AS keep
+        FROM seg)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        md5(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep))
+          AS dedup_md5
+      FROM k GROUP BY doc_id""",
+    // n_words >= 1 always (trim of a non-empty doc splits to >= 1
+    // token), so the integer floor-div cannot hit zero
+    "text_c4_filter" -> """
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+            // CAST(len(toks) AS BIGINT) AS distinct_ppm,
+          (contains(p, ' the ') OR contains(p, ' a ')) AS has_stopword,
+          NOT contains(lower(text), '{') AS no_brace,
+          NOT contains(lower(text), 'lorem ipsum') AS no_lorem
+        FROM t)
+      SELECT doc_id, n_words, distinct_ppm,
+        n_words >= 10 AS min_words, has_stopword,
+        distinct_ppm >= 300000 AS diverse, no_brace, no_lorem,
+        (n_words >= 10 AND has_stopword AND distinct_ppm >= 300000
+          AND no_brace AND no_lorem) AS keep
+      FROM m""",
+    "vocab_top_bigrams" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2)
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "emb_normalize" -> s"""
+      WITH n AS (SELECT vec_id,
+          sqrt(list_sum(list_transform(embedding,
+            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS l2_norm,
+          $NormSql AS unit
+        FROM embeddings)
+      SELECT vec_id, unnest(range(len(unit))) AS dim, l2_norm,
+        unnest(unit) AS unit_val
+      FROM n WHERE l2_norm > 0""",
+    // plane weight (9000+j, d=i-1) replayed inline: hex60 of the
+    // "p,d" key, reduced to [-1, 1] in exact millionths
+    "emb_random_projection" -> s"""
+      WITH r AS (SELECT vec_id, list_transform(range(16), j ->
+          list_sum(list_transform(range(1, 65), i ->
+            CAST(embedding[i] AS DOUBLE) *
+            ((${hex60Sql("CAST(9000 + j AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)")}
+              % 2000001 - 1000000) / 1000000.0)))) AS rp
+        FROM embeddings)
+      SELECT vec_id, unnest(range(16)) AS rp_dim, unnest(rp) AS rp_val
+      FROM r""",
     "sim_ivf_topk" -> ivfTopKSql(k = 5, nProbe = 2, iters = 2),
     "text_token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,249 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  // ---- segmentDedup ----
+
+  test("segmentDedup drops exactly the later copies of repeated chunks") {
+    // segWords=2: doc 1 -> [a b][c d][e f]; doc 2 repeats [a b] and
+    // [e f] around its own [x y]; doc 3 is doc 1 verbatim (loses all)
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y e f"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Corpus.segmentDedup(df, col("doc_id"), col("text"),
+      segWords = 2)
+      .select("doc_id", "n_segs", "n_kept", "dedup_md5")
+      .as[(Long, Long, Long, Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3 && out(1L)._3 == 3, "first doc keeps all")
+    assert(out(2L)._2 == 3 && out(2L)._3 == 1,
+      "doc 2 keeps only its novel [x y]")
+    assert(out(3L)._2 == 3 && out(3L)._3 == 0, "verbatim dup loses all")
+    // reassembly: doc 2's surviving text is exactly "x y"
+    val xy = spark.sql("SELECT md5('x y')").as[String].head()
+    assert(out(2L)._4.contains(xy))
+    // all-dropped doc fingerprints to NULL (string_agg-over-empty)
+    assert(out(3L)._4.isEmpty)
+  }
+
+  test("segmentDedup keep-first order is (doc_id, offset), not partition order") {
+    // the repeated chunk sits at doc 5 offset 0 and doc 4 offset 1;
+    // doc 4 wins (lower doc_id) regardless of input row order
+    val df = Seq(
+      (5L, "p q r s"),
+      (4L, "z w p q")).toDF("doc_id", "text").repartition(7)
+    val out = Corpus.segmentDedup(df, col("doc_id"), col("text"),
+      segWords = 2)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(out(4L) == 2, "doc 4 holds the first occurrence of [p q]")
+    assert(out(5L) == 1, "doc 5's [p q] at offset 0 is the later copy")
+  }
+
+  test("segmentDedup on the corpus: kept <= total, deterministic") {
+    val a = Corpus.segmentDedup(docs, col("doc_id"), col("text"))
+    val b = Corpus.segmentDedup(docs.repartition(13), col("doc_id"),
+      col("text"))
+    val ra = a.orderBy("doc_id").collect()
+    assert(ra.sameElements(b.orderBy("doc_id").collect()),
+      "output must not depend on partitioning")
+    assert(ra.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(ra.length == docs.count())
+  }
+
+  // ---- weightedSample ----
+
+  test("weightedSample always keeps max-weight rows, is repartition-proof") {
+    val a = Corpus.weightedSample(docs, col("doc_id"), col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.weightedSample(docs.repartition(11), col("doc_id"),
+      col("n_chars")).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample membership must not depend on partitioning")
+    val maxChars = docs.agg(max("n_chars")).as[Long].head()
+    val maxIds = docs.filter(col("n_chars") === maxChars)
+      .select("doc_id").as[Long].collect().toSet
+    assert(maxIds.subsetOf(a),
+      "bucket*max < max*Buckets holds for every bucket")
+    assert(a.size > 0 && a.size < docs.count())
+  }
+
+  test("weightedSample keep rate grows with weight") {
+    // two weight classes 10:1 — kept fraction of the heavy class must
+    // dominate the light class
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) 1000L else 100L)).toDF("id", "w")
+    val kept = Corpus.weightedSample(df, col("id"), col("w"))
+      .groupBy(col("w")).count().as[(Long, Long)].collect().toMap
+    assert(kept(1000L) == 1000L, "weight == max keeps everything")
+    val lightRate = kept.getOrElse(100L, 0L).toDouble / 1000L
+    assert(lightRate > 0.02 && lightRate < 0.25,
+      s"light class should keep ~10%, got $lightRate")
+  }
+
+  // ---- balanceClasses ----
+
+  test("balanceClasses keeps every minority row, downsamples the rest") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val before = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val minN = before.values.min
+    val minority = before.minBy(_._2)._1
+    val out = Corpus.balanceClasses(ev, col("event_type"), col("event_id"))
+    val after = out.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(after(minority) == minN, "minority class must keep all rows")
+    assert(before.keySet == after.keySet, "no class disappears")
+    after.foreach { case (cls, n) =>
+      assert(n <= before(cls))
+      val dev = math.abs(n - minN).toDouble / minN
+      assert(dev < 0.25, s"$cls kept $n, expected ~$minN")
+    }
+    // schema passes through untouched
+    assert(out.columns.sameElements(ev.columns))
+  }
+
+  test("balanceClasses flattens a 9:1 skew to the minority count") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 900) "maj" else "min")).toDF("id", "cls")
+    val after = Corpus.balanceClasses(df, col("cls"), col("id"))
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(after("min") == 100L, "minority keeps every row")
+    assert(after("maj") >= 70L && after("maj") <= 130L,
+      s"majority must land near 100, got ${after("maj")}")
+  }
+
+  // ---- c4QualityFlags ----
+
+  test("c4QualityFlags rules fire on crafted documents") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (2L, "short text here"),                          // < 10 words
+      (3L, "one two three four five six seven eight nine ten eleven"), // no stopword
+      (4L, "the the the the the the the the the the the the"), // repetitive
+      (5L, "the json body { is code a } with ten more words here"), // brace
+      (6L, "lorem ipsum dolor sit amet the a filler text pads this out"))
+      .toDF("doc_id", "text")
+    val out = Corpus.c4QualityFlags(df, col("doc_id"), col("text"))
+      .select("doc_id", "min_words", "has_stopword", "diverse",
+        "no_brace", "no_lorem", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._7, "clean doc passes")
+    assert(!out(2L)._2 && !out(2L)._7, "short doc fails min_words")
+    assert(!out(3L)._3 && !out(3L)._7, "stopword-free doc fails")
+    assert(!out(4L)._4 && !out(4L)._7, "12x'the' fails the diversity rule")
+    assert(!out(5L)._5 && !out(5L)._7, "brace doc fails no_brace")
+    assert(!out(6L)._6 && !out(6L)._7, "lorem ipsum fails no_lorem")
+  }
+
+  test("c4QualityFlags distinct_ppm is an exact integer floor") {
+    val df = Seq((1L, "a a b")).toDF("doc_id", "text") // 2 distinct / 3
+    val ppm = Corpus.c4QualityFlags(df, col("doc_id"), col("text"))
+      .select("distinct_ppm").as[Long].head()
+    assert(ppm == 666666L, s"2*1000000 div 3 must floor to 666666, got $ppm")
+  }
+
+  // ---- topBigrams ----
+
+  test("topBigrams counts and orders with text tie-break") {
+    val df = Seq("x y x y", "x y z", "b c").toDF("text")
+    // bigrams: doc1 [x y][y x][x y], doc2 [x y][y z], doc3 [b c]
+    val out = Corpus.topBigrams(df, col("text"), k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("x y", 3L), ("b c", 1L), ("y x", 1L)),
+      s"got $out")
+  }
+
+  // ---- fixedSizeSample / group split / per-source curation ----
+
+  test("fixedSizeSample draws exactly k rows, stable across partitioning") {
+    val a = Sampling.fixedSizeSample(docs, col("doc_id"), k = 37)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.fixedSizeSample(docs.repartition(9), col("doc_id"),
+      k = 37).select("doc_id").as[Long].collect().toSet
+    assert(a.size == 37 && a == b)
+    // nested: the 10-row draw is a prefix of the 37-row draw
+    val small = Sampling.fixedSizeSample(docs, col("doc_id"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a), "smaller k must be a prefix of larger k")
+  }
+
+  test("group split never places one source in two splits") {
+    val split = docs.select(col("source"),
+      Sampling.splitColumn(col("source"), 0.1, 0.1, salt = "grp")
+        .as("split")).distinct()
+    val perSource = split.groupBy("source").count()
+      .as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 == 1L),
+      "each source must land in exactly one split")
+  }
+
+  test("per-source top-k curation: <= k rows per source, ranked, heap == window") {
+    val scored = TextOps.withQualityScore(
+      docs.select(col("doc_id"), col("source"), col("text")), col("text"))
+    val heap = scored.groupBy(col("source"))
+      .agg(graft.functions.TopK.topkByScore(col("quality_score"),
+        col("doc_id"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).as("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val win = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("doc_id"), col("rank"))
+    assert(heap.orderBy("source", "rank").collect()
+      .sameElements(win.orderBy("source", "rank").collect()),
+      "bounded-heap agg must equal the window formulation")
+  }
+
+  test("native WordShingleStrings equals the Column-algebra wordShingles") {
+    val native = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordShingleStrings(col("text"), 2)
+        .as("sh"))
+    val hof = docs.select(col("doc_id"),
+      TextOps.wordShingles(col("text"), 2).as("sh"))
+    assert(native.orderBy("doc_id").collect()
+      .sameElements(hof.orderBy("doc_id").collect()))
+    // edge cases: fewer tokens than n, surrounding spaces
+    val edge = Seq("one", "  padded  text  ", "").toDF("text")
+    val ne = edge.select(
+      graft.functions.VectorFunctions.wordShingleStrings(col("text"), 2)
+        .as("sh")).collect().map(_.getSeq[String](0))
+    val he = edge.select(TextOps.wordShingles(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(ne.zip(he).forall { case (a, b) => a == b },
+      s"edge mismatch: ${ne.toSeq} vs ${he.toSeq}")
+  }
+
+  // ---- randomProjection ----
+
+  test("randomProjection is deterministic, 16-dim, and exactly linear under doubling") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val rp = emb.select(col("vec_id"),
+      Similarity.randomProjection(col("embedding"), 64, 16).as("rp"))
+    val rows = rp.select(col("vec_id"), size(col("rp")).as("n"))
+      .as[(Long, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 == 16))
+    // doubling the input doubles the projection EXACTLY (x2 is an
+    // exponent shift, so it commutes with every FP rounding in the fold)
+    val doubled = emb.select(col("vec_id"),
+      Similarity.randomProjection(
+        transform(col("embedding"), x => x * lit(2.0f)), 64, 16).as("rp2"))
+    val joined = rp.join(doubled, "vec_id")
+      .select(forall(zip_with(col("rp"), col("rp2"),
+        (a, b) => b === a * lit(2.0d)), x => x).as("ok"))
+      .as[Boolean].collect()
+    assert(joined.forall(identity), "rp(2x) must equal 2*rp(x) bit-exactly")
+  }
+}

@@ -46,14 +46,12 @@ class Pipeline(spark: SparkSession, warehouseDir: String, logDir: String,
       val pk = Contracts.PrimaryKeys(table)
       val expected = Contracts.ExpectedColumns(table)
 
-      // EXTRACT gates: fuse count+null-stats into one job, hash-based
-      // dup check. The source is re-scanned per gate — for columnar
-      // sources that is cheaper than materializing a row cache.
+      // EXTRACT gates: schema (metadata-only) + ONE fused job for
+      // count, null fractions and dup candidates; the exact dup
+      // confirm re-scans only when candidates exist (dirty path).
       val (extracted, nIn) = stage(runId, "EXTRACT", -1) {
         Gates.requireSchemaMatch(source, expected)
-        val n = Gates.requireSourceStats(source)
-        Gates.requireNoFullRowDups(source)
-        (source, n)
+        (source, Gates.requireSourceGates(source))
       }
 
       // TRANSFORM_P1 — clean

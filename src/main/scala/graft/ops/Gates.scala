@@ -111,6 +111,46 @@ object Gates {
     n
   }
 
+  /** Fully fused EXTRACT gate: row count, every column's NULL
+    * fraction, AND the duplicate-row candidate count from ONE job —
+    * the groupBy on the 8-byte row hash that the dup check needs
+    * anyway also carries per-column null sums (identical rows share a
+    * null pattern, and partial aggregation collapses them map-side, so
+    * the exchange stays ~one narrow row per distinct row). The
+    * separate formulation ([[requireSourceStats]] +
+    * [[requireNoFullRowDups]]) costs two full source scans; this costs
+    * one on clean data, falling back to the exact hash-collision
+    * confirm pass only when candidates exist. Raise order is the
+    * contract order: empty, null-pct, dups. Returns the row count. */
+  def requireSourceGates(df: DataFrame,
+                         maxPct: Double = Contracts.MaxNullPct): Long = {
+    val cols = df.columns
+    val withH = df.withColumn("_graft_h", xxhash64(cols.map(col): _*))
+    val gAggs = count(lit(1)).as("_n") +:
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"_null_$c")).toSeq
+    val grouped = withH.groupBy(col("_graft_h"))
+      .agg(gAggs.head, gAggs.tail: _*)
+    val fAggs = (coalesce(sum(col("_n")), lit(0L)).as("n") +:
+      cols.map(c =>
+        coalesce(sum(col(s"_null_$c")), lit(0L)).as(s"_null_$c")).toSeq) ++
+      Seq(count(when(col("_n") > 1, 1)).as("_n_cand"))
+    val row = grouped.agg(fAggs.head, fAggs.tail: _*).first()
+    val n = row.getLong(0)
+    if (n == 0) throw new DataQualityException("source is empty")
+    val bad = cols.zipWithIndex.collect {
+      case (c, i) if row.getLong(i + 1) * 100.0 / n > maxPct =>
+        f"$c=${row.getLong(i + 1) * 100.0 / n}%.1f%%"
+    }
+    if (bad.nonEmpty)
+      throw new DataQualityException(
+        s"columns exceed $maxPct%% NULLs: ${bad.mkString(", ")}")
+    // dirty path only: re-derive the candidate hashes and confirm
+    // exactly (a 64-bit hash WILL collide at 10^12 rows — candidates
+    // are never trusted as duplicates without the exact check)
+    if (row.getLong(cols.length + 1) > 0) requireNoFullRowDups(df)
+    n
+  }
+
   /** Fused PK integrity stats in ONE job: (total rows, rows with a
     * NULL pk column, duplicated pk-value groups). The separate
     * formulation costs two passes over the frame — a scan-aggregate

@@ -72,6 +72,32 @@ class CleanGatesSpec extends SparkSpec {
     Gates.requireNoFullRowDups(ok)
   }
 
+  test("fused source gate raises in contract order and returns n when clean") {
+    // clean: returns the row count from one job
+    val ok = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    assert(Gates.requireSourceGates(ok) == 3L)
+    // empty raises first
+    val empty = ok.filter(col("k") > 99)
+    val e1 = intercept[DataQualityException] {
+      Gates.requireSourceGates(empty)
+    }
+    assert(e1.getMessage.contains("source is empty"))
+    // null-pct raises before the dup gate even when dups also exist
+    val nullsAndDups = ((1 to 96).map(_ => (Option.empty[Int], "x"))
+      ++ Seq((Some(1), "y"), (Some(1), "y"), (Some(2), "z"), (Some(3), "w")))
+      .toDF("k", "v")
+    val e2 = intercept[DataQualityException] {
+      Gates.requireSourceGates(nullsAndDups)
+    }
+    assert(e2.getMessage.contains("NULLs"), e2.getMessage)
+    // dups alone raise via the exact confirm pass
+    val dup = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val e3 = intercept[DataQualityException] {
+      Gates.requireSourceGates(dup)
+    }
+    assert(e3.getMessage.contains("duplicate full rows"), e3.getMessage)
+  }
+
   test("gates: null or duplicate PKs fail") {
     val nulls = Seq(Some(1), None).toDF("pk")
     assertThrows[DataQualityException] {

@@ -41,8 +41,11 @@ object Corpus {
     * final group per doc. No windows, no driver state; every shuffle
     * key is a fixed-width long.
     */
-  def segmentDedup(df: DataFrame, id: Column, text: Column,
-                   segWords: Int = 8): DataFrame = {
+  /** One row per non-overlapping `segWords`-word chunk:
+    * (doc_id, seg_idx, seg). The shared chopper under [[segmentDedup]]
+    * and [[chunkDocuments]]. */
+  def chunked(df: DataFrame, id: Column, text: Column,
+              segWords: Int): DataFrame = {
     val toks = TextOps.tokens(text)
     // integer ceil-div; sequence(0, n-1) needs n >= 1 (Spark's
     // sequence(0,-1) is DESCENDING, not empty — guard it)
@@ -53,10 +56,14 @@ object Corpus {
         i => concat_ws(" ",
           slice(toks, i * segWords + lit(1), lit(segWords)))))
       .otherwise(array().cast("array<string>"))
-    val exploded = df
-      .select(id.cast("long").as("doc_id"), posexplode(segs))
+    df.select(id.cast("long").as("doc_id"), posexplode(segs))
       .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
         col("col").as("seg"))
+  }
+
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+                   segWords: Int = 8): DataFrame = {
+    val exploded = chunked(df, id, text, segWords)
       .withColumn("h", TextOps.hex60(col("seg")))
       .withColumn("ord", col("doc_id") * SegStride + col("seg_idx"))
     val first = exploded.groupBy(col("h"))
@@ -156,6 +163,33 @@ object Corpus {
         col("min_words"), col("has_stopword"), col("diverse"),
         col("no_brace"), col("no_lorem"), col("keep"))
   }
+
+  /** Context-window chunking: split every document into non-overlapping
+    * `chunkTokens`-word pieces — the training-prep step that turns
+    * arbitrary-length documents into model-window-sized rows while
+    * keeping provenance (doc_id, chunk_idx). Output:
+    * (doc_id, chunk_idx, n_tokens, chunk_md5). Pure narrow explode
+    * (bounded fan-out: n_tokens/chunkTokens per doc), no shuffle. */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int = 128): DataFrame =
+    chunked(df, id, text, chunkTokens)
+      .select(col("doc_id"), col("seg_idx").as("chunk_idx"),
+        size(TextOps.tokens(col("seg"))).cast("long").as("n_tokens"),
+        md5(col("seg")).as("chunk_md5"))
+
+  /** Zipf audit: corpus term-frequency histogram with power-of-two
+    * bins (bin = number of binary digits of the count, the
+    * engine-portable integer floor(log2)+1). Output per bin: distinct
+    * terms and total occurrences. Two hash-agg shuffles (term count,
+    * then bin rollup) —
+    * map-side combine collapses the token explosion; the vocabulary
+    * curve that decides df-cap and stopword thresholds at corpus
+    * scale. */
+  def freqHistogram(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextOps.tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("occ"))
+      .groupBy(length(bin(col("occ"))).cast("long").as("df_bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("occ")).as("n_occurrences"))
 
   /** Corpus-wide top word-bigram counts — the vocabulary-induction /
     * BPE-seeding primitive. Ties broken by bigram text so the global

@@ -188,6 +188,13 @@ object ExtQueries {
     // corpus-wide top-50 word bigrams (vocabulary induction seed)
     "vocab_top_bigrams" -> ((s, dir) =>
       Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
+    // context-window chunking: docs -> 64-token pieces with provenance
+    "chunk_documents" -> ((s, dir) =>
+      Corpus.chunkDocuments(t(s, dir, "documents"), col("doc_id"),
+        col("text"), chunkTokens = 64)),
+    // Zipf audit: term-count histogram in power-of-two bins
+    "vocab_freq_histogram" -> ((s, dir) =>
+      Corpus.freqHistogram(t(s, dir, "documents"), col("text"))),
     // per-domain curriculum selection: best 5 docs per source by
     // quality score, through the bounded-heap aggregate (each task
     // forwards <= 5 rows per source — no per-domain window sort)
@@ -835,6 +842,32 @@ object ExtQueries {
         md5(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep))
           AS dedup_md5
       FROM k GROUP BY doc_id""",
+    // zipped unnests replay the 64-token chunking; per-chunk token
+    // count is recomputed from the chunk text exactly like Spark
+    "chunk_documents" -> """
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      seg AS (SELECT doc_id,
+          unnest(range((len(toks) + 63) // 64)) AS chunk_idx,
+          unnest(list_transform(range((len(toks) + 63) // 64),
+            i -> array_to_string(toks[i*64+1 : i*64+64], ' '))) AS seg
+        FROM tok)
+      SELECT doc_id, chunk_idx,
+        CAST(len(regexp_split_to_array(trim(seg), '\s+')) AS BIGINT)
+          AS n_tokens,
+        md5(seg) AS chunk_md5
+      FROM seg""",
+    // bin = number of binary digits of the term count (floor(log2)+1):
+    // Spark length(bin(x)) == DuckDB length(bin(x)) for x >= 1
+    "vocab_freq_histogram" -> """
+      WITH tf AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+          AS term FROM documents),
+      c AS (SELECT term, count(*) AS occ FROM tf GROUP BY 1)
+      SELECT CAST(length(bin(occ)) AS BIGINT) AS df_bucket,
+        CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(occ) AS BIGINT) AS n_occurrences
+      FROM c GROUP BY 1""",
     // n_words >= 1 always (trim of a non-empty doc splits to >= 1
     // token), so the integer floor-div cannot hit zero
     "text_c4_filter" -> """

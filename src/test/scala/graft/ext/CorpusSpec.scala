@@ -162,6 +162,29 @@ class CorpusSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("chunkDocuments splits on the token budget with a short tail") {
+    val df = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(df, col("doc_id"), col("text"),
+      chunkTokens = 4)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 4L), (1L, 4L), (2L, 2L)), s"got $out")
+    // provenance: md5 of the first chunk text
+    val m = Corpus.chunkDocuments(df, col("doc_id"), col("text"), 4)
+      .filter(col("chunk_idx") === 0).select("chunk_md5").as[String].head()
+    assert(m == spark.sql("SELECT md5('t1 t2 t3 t4')").as[String].head())
+  }
+
+  test("freqHistogram bins term counts by power of two") {
+    // counts: a->5 (bin 3), b->2 (bin 2), c->1, d->1 (bin 1)
+    val df = Seq("a a a b", "a a b c", "d").toDF("text")
+    val out = Corpus.freqHistogram(df, col("text"))
+      .orderBy("df_bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 5L)),
+      s"got $out")
+  }
+
   // ---- fixedSizeSample / group split / per-source curation ----
 
   test("fixedSizeSample draws exactly k rows, stable across partitioning") {

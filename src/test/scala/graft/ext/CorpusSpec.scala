@@ -175,6 +175,33 @@ class CorpusSpec extends SparkSpec {
     assert(m == spark.sql("SELECT md5('t1 t2 t3 t4')").as[String].head())
   }
 
+  test("chunking is lossless: chunks rejoin to the normalized text") {
+    // invariant over the whole corpus: concatenating a doc's chunks in
+    // chunk_idx order with single spaces reproduces the ws-normalized
+    // original — no token lost, duplicated, or reordered
+    val rejoined = Corpus.chunked(docs, col("doc_id"), col("text"), 64)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("seg_idx"), col("seg")))), x => x("seg")), " ")
+        .as("rejoined"))
+    val orig = docs.select(col("doc_id").cast("long").as("doc_id"),
+      regexp_replace(trim(col("text"), " "), "\\s+", " ").as("norm"))
+    val mismatches = rejoined.join(orig, "doc_id")
+      .filter(col("rejoined") =!= col("norm")).count()
+    assert(mismatches == 0, s"$mismatches docs fail chunk-rejoin parity")
+  }
+
+  test("freqHistogram totals reconcile with the corpus") {
+    val hist = Corpus.freqHistogram(docs, col("text"))
+      .agg(sum("n_terms"), sum("n_occurrences"))
+      .as[(Long, Long)].head()
+    val terms = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+    val (nDistinct, nTotal) =
+      (terms.distinct().count(), terms.count())
+    assert(hist._1 == nDistinct, "bin term counts must sum to |vocab|")
+    assert(hist._2 == nTotal, "bin occurrences must sum to corpus tokens")
+  }
+
   test("freqHistogram bins term counts by power of two") {
     // counts: a->5 (bin 3), b->2 (bin 2), c->1, d->1 (bin 1)
     val df = Seq("a a a b", "a a b c", "d").toDF("text")

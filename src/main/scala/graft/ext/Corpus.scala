@@ -18,9 +18,12 @@ object Corpus {
 
   /** Order key packing for segment keep-first: doc_id * SegStride +
     * seg_idx collapses the (doc, offset) total order into one BIGINT
-    * that `min` aggregates on any engine. Docs are capped well below
-    * SegStride segments (a 512-token doc at segWords=8 has 64). */
-  val SegStride = 100000L
+    * that `min` aggregates on any engine. 2^20 segments/doc = an
+    * 8M-token document at segWords=8 before an offset could spill into
+    * the next doc's key space, and doc_id < 2^42 (~4e12 docs) before
+    * the product leaves int64 — both orders of magnitude past a 100 TB
+    * corpus's realistic shape. */
+  val SegStride = 1L << 20
 
   /** Repeated-segment dedup ("paragraph" dedup for corpora whose unit
     * of repetition is a span, not a document): chop each document into

@@ -25,25 +25,6 @@ object Corpus {
     * corpus's realistic shape. */
   val SegStride = 1L << 20
 
-  /** Repeated-segment dedup ("paragraph" dedup for corpora whose unit
-    * of repetition is a span, not a document): chop each document into
-    * non-overlapping `segWords`-word chunks, drop every chunk whose
-    * exact text occurred earlier in the corpus (keep-first in
-    * (doc_id, offset) order), and reassemble what remains. This is the
-    * segment-granularity analogue of exact-substring dedup — the C4 /
-    * RefinedWeb step that removes boilerplate repeated across pages
-    * without dropping whole documents.
-    *
-    * Output: (doc_id, n_segs, n_kept, dedup_md5) where dedup_md5
-    * fingerprints the reassembled text (NULL when every segment was a
-    * repeat — matching SQL string_agg-over-empty semantics).
-    *
-    * Scale shape: explode to one row per segment (bounded fan-out:
-    * tokens/segWords per doc), hash-shuffle on the 60-bit segment hash
-    * for the keep-first min (partial-agg friendly), one join back, one
-    * final group per doc. No windows, no driver state; every shuffle
-    * key is a fixed-width long.
-    */
   /** One row per non-overlapping `segWords`-word chunk:
     * (doc_id, seg_idx, seg). The shared chopper under [[segmentDedup]]
     * and [[chunkDocuments]]. */
@@ -64,11 +45,39 @@ object Corpus {
         col("col").as("seg"))
   }
 
+  /** Repeated-segment dedup ("paragraph" dedup for corpora whose unit
+    * of repetition is a span, not a document): chop each document into
+    * non-overlapping `segWords`-word chunks, drop every chunk whose
+    * exact text occurred earlier in the corpus (keep-first in
+    * (doc_id, offset) order), and reassemble what remains. This is the
+    * segment-granularity analogue of exact-substring dedup — the C4 /
+    * RefinedWeb step that removes boilerplate repeated across pages
+    * without dropping whole documents.
+    *
+    * Output: (doc_id, n_segs, n_kept, dedup_md5) where dedup_md5
+    * fingerprints the reassembled text (NULL when every segment was a
+    * repeat — matching SQL string_agg-over-empty semantics).
+    *
+    * Scale shape: explode to one row per segment (bounded fan-out:
+    * tokens/segWords per doc), hash-shuffle on the 60-bit segment hash
+    * for the keep-first min (partial-agg friendly), one join back, one
+    * final group per doc. No windows, no driver state; every shuffle
+    * key is a fixed-width long.
+    */
   def segmentDedup(df: DataFrame, id: Column, text: Column,
                    segWords: Int = 8): DataFrame = {
     val exploded = chunked(df, id, text, segWords)
       .withColumn("h", TextOps.hex60(col("seg")))
-      .withColumn("ord", col("doc_id") * SegStride + col("seg_idx"))
+      // assert_true folded into the key (coalesce(NULL-on-pass, 0))
+      // so a doc overflowing SegStride segments FAILS LOUDLY instead
+      // of silently corrupting a neighbor doc's keep-first order; the
+      // addition is not prunable because ord depends on it
+      .withColumn("ord",
+        col("doc_id") * SegStride + col("seg_idx")
+          + coalesce(assert_true(col("seg_idx") < SegStride,
+              lit(s"segmentDedup: document exceeds $SegStride segments — " +
+                "the packed order key would collide; raise SegStride or " +
+                "pre-chunk giant documents")).cast("long"), lit(0L)))
     val first = exploded.groupBy(col("h"))
       .agg(min(col("ord")).as("keeper"))
     val flagged = exploded.join(first, Seq("h"))
@@ -96,7 +105,10 @@ object Corpus {
     * Only the single max scalar crosses to the driver. */
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      salt: String = "wsample"): DataFrame = {
-    val maxW = df.agg(max(weight.cast("long"))).head.getLong(0)
+    val maxRow = df.agg(max(weight.cast("long"))).head
+    require(!maxRow.isNullAt(0),
+      "weightedSample needs a non-empty input with a non-null weight")
+    val maxW = maxRow.getLong(0)
     require(maxW > 0, s"weightedSample needs a positive max weight, got $maxW")
     df.filter(
       Sampling.bucket(key, salt) * lit(maxW)
@@ -119,8 +131,12 @@ object Corpus {
                      salt: String = "bal"): DataFrame = {
     val counts = df.groupBy(cls.as("_cls")).agg(count(lit(1)).as("_n"))
     // |classes| rows; min is a driver scalar like weightedSample's max
-    val minN = counts.agg(min(col("_n"))).head.getLong(0)
-    df.join(broadcast(counts), cls === col("_cls"))
+    val minRow = counts.agg(min(col("_n"))).head
+    require(!minRow.isNullAt(0), "balanceClasses needs a non-empty input")
+    val minN = minRow.getLong(0)
+    // null-safe equality: a NULL class is a class (plain === would
+    // silently drop its rows while its count still set the minimum)
+    df.join(broadcast(counts), cls <=> col("_cls"))
       .filter(Sampling.bucket(key, salt) * col("_n")
         < lit(minN) * lit(Sampling.Buckets))
       .drop("_cls", "_n")

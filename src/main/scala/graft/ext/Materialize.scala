@@ -40,7 +40,20 @@ object Materialize {
     val dynamic = sc.getConf.getBoolean("spark.dynamicAllocation.enabled",
       defaultValue = false)
     if (!dynamic) df.localCheckpoint(eager = true)
-    else if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else if (sc.getCheckpointDir.isDefined) {
+      // reliable checkpoint files are NOT reclaimed unless the cleaner
+      // conf is on — without it every call leaks a corpus-sized dir,
+      // the exact leak class this helper exists to prevent
+      if (!sc.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints",
+          defaultValue = false))
+        log.warn("using reliable checkpoints but " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints is false: " +
+          "checkpoint files will accumulate until the directory is " +
+          "cleaned manually — set the conf to true so the " +
+          "ContextCleaner deletes them when the frame is GC'd")
+      df.checkpoint(eager = true)
+    }
     else {
       log.warn("dynamic allocation is on but no checkpoint dir is set: " +
         "falling back to localCheckpoint, whose executor-local blocks do " +

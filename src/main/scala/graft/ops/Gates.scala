@@ -52,7 +52,7 @@ object Gates {
     }
     if (bad.nonEmpty)
       throw new DataQualityException(
-        s"columns exceed $maxPct%% NULLs: ${bad.mkString(", ")}")
+        s"columns exceed $maxPct% NULLs: ${bad.mkString(", ")}")
   }
 
   /** D1: zero fully-identical rows allowed; error carries a 5-row sample
@@ -107,7 +107,7 @@ object Gates {
     }
     if (bad.nonEmpty)
       throw new DataQualityException(
-        s"columns exceed $maxPct%% NULLs: ${bad.mkString(", ")}")
+        s"columns exceed $maxPct% NULLs: ${bad.mkString(", ")}")
     n
   }
 
@@ -143,7 +143,7 @@ object Gates {
     }
     if (bad.nonEmpty)
       throw new DataQualityException(
-        s"columns exceed $maxPct%% NULLs: ${bad.mkString(", ")}")
+        s"columns exceed $maxPct% NULLs: ${bad.mkString(", ")}")
     // dirty path only: re-derive the candidate hashes and confirm
     // exactly (a 64-bit hash WILL collide at 10^12 rows — candidates
     // are never trusted as duplicates without the exact check)

@@ -24,16 +24,8 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Session-scoped scratch dirs reclaimed at JVM exit (one shutdown
-    * hook per path, however many times the query reuses it). */
-  private val scratchHooked =
-    scala.collection.concurrent.TrieMap.empty[String, Unit]
   private def reclaimOnExit(path: String): Unit =
-    scratchHooked.getOrElseUpdate(path, {
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(path)): Unit))
-    })
+    graft.ext.Scratch.reclaimOnExit(path)
 
   // ---- shared SQL fragments ----
 
@@ -202,6 +194,10 @@ object ExtQueries {
       val scored = TextOps.withQualityScore(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           col("text")), col("text"))
+        // empty text -> 0/0 = NaN score; the heap agg skips NaN rows,
+        // so exclude them explicitly to keep the oracle's rank frame
+        // identical (the SQL twin filters NOT isnan likewise)
+        .filter(!isnan(col("quality_score")))
       scored.groupBy(col("source"))
         .agg(graft.functions.TopK.topkByScore(col("quality_score"),
           col("doc_id"), 5).as("top"))
@@ -695,7 +691,8 @@ object ExtQueries {
                  WHERE query_id <> ca.vec_id)
       SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored
+            WHERE NOT isnan(cosine))
       WHERE rank <= $k"""
   }
 
@@ -810,13 +807,14 @@ object ExtQueries {
       SELECT source, doc_id, quality_score,
         CAST(row_number() OVER (PARTITION BY source
           ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
-      FROM q QUALIFY rank <= 5""",
+      FROM q WHERE NOT isnan(quality_score) QUALIFY rank <= 5""",
     "balance_event_classes" -> s"""
       WITH c AS (SELECT event_type AS cls, count(*) AS n
                  FROM events GROUP BY 1),
       m AS (SELECT min(n) AS mn FROM c)
       SELECT e.event_id, e.event_type
-      FROM events e JOIN c ON e.event_type = c.cls CROSS JOIN m
+      FROM events e
+      JOIN c ON e.event_type IS NOT DISTINCT FROM c.cls CROSS JOIN m
       WHERE (${hex60Sql("'bal' || CAST(event_id AS VARCHAR)")}
                % ${Sampling.Buckets}) * c.n
             < m.mn * ${Sampling.Buckets}""",

@@ -33,9 +33,7 @@ object StreamQueries {
       events.write.mode("overwrite").parquet(d)
       // the staged copy is session-scoped scratch: reclaim it when the
       // JVM exits instead of leaving one orphan dir per session
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(d)): Unit))
+      graft.ext.Scratch.reclaimOnExit(d)
       d
     })
     val src = s.readStream.schema(events.schema).parquet(stage)

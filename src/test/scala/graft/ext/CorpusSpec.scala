@@ -120,6 +120,31 @@ class CorpusSpec extends SparkSpec {
       s"majority must land near 100, got ${after("maj")}")
   }
 
+  test("balanceClasses treats NULL as a class and rejects empty input") {
+    // NULL is the minority (5 rows) — its rows must survive the join
+    // and set the target count
+    val df = ((0L until 900L).map(i => (i, Some("maj")))
+      ++ (900L until 1000L).map(i => (i, Some("min")))
+      ++ (1000L until 1005L).map(i => (i, Option.empty[String])))
+      .toDF("id", "cls")
+    val after = Corpus.balanceClasses(df, col("cls"), col("id"))
+      .groupBy("cls").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(after(None) == 5L, "NULL-class rows must all survive")
+    assert(after.keySet == Set(None, Some("maj"), Some("min")))
+    assert(after(Some("maj")) <= 15L && after(Some("min")) <= 15L,
+      s"all classes downsample toward the NULL minority count: $after")
+    // empty input: a clear contract error, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      Corpus.balanceClasses(df.filter(col("id") < 0), col("cls"), col("id"))
+    }
+    assert(e.getMessage.contains("non-empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.weightedSample(df.filter(col("id") < 0), col("id"), col("id"))
+    }
+    assert(e2.getMessage.contains("non-empty"))
+  }
+
   // ---- c4QualityFlags ----
 
   test("c4QualityFlags rules fire on crafted documents") {

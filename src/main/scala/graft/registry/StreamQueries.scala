@@ -21,11 +21,9 @@ object StreamQueries {
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  /** Stage the events as a parquet stream source and run the given
-    * streaming transform to completion. */
-  private def runStream(s: SparkSession, dir: String, name: String,
-                        mode: OutputMode = OutputMode.Complete())
-                       (mk: DataFrame => DataFrame): DataFrame = {
+  /** Stage the events once per (session, sfDir) as a parquet stream
+    * source; return a fresh readStream over it. */
+  private def streamSource(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
     val stage = staged.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val d = java.nio.file.Files
@@ -36,9 +34,15 @@ object StreamQueries {
       graft.ext.Scratch.reclaimOnExit(d)
       d
     })
-    val src = s.readStream.schema(events.schema).parquet(stage)
-    StreamOps.runToMemory(mk(src), s"graft_mem_$name", mode)
+    s.readStream.schema(events.schema).parquet(stage)
   }
+
+  /** Stage the events as a parquet stream source and run the given
+    * streaming transform to completion. */
+  private def runStream(s: SparkSession, dir: String, name: String,
+                        mode: OutputMode = OutputMode.Complete())
+                       (mk: DataFrame => DataFrame): DataFrame =
+    StreamOps.runToMemory(mk(streamSource(s, dir)), s"graft_mem_$name", mode)
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, dir) =>
@@ -74,7 +78,26 @@ object StreamQueries {
     "stream_dedup_bounded" -> ((s, dir) =>
       runStream(s, dir, "dedup_bounded", OutputMode.Append())(src =>
         StreamOps.streamingDedup(src, Seq("user_id", "event_type"),
-          withinWatermark = true)))
+          withinWatermark = true))),
+    // stream-stream INTERVAL join: each click matched to the same
+    // user's purchases within the following 30 minutes. The bounded
+    // time condition + both-side watermarks are what keep the join
+    // state finite on unbounded streams; on this bounded source every
+    // match forms in micro-batch 0 and the result equals the batch
+    // range join the oracle replays.
+    "stream_interval_join" -> ((s, dir) => {
+      val clicks = streamSource(s, dir)
+        .filter(col("event_type") === "click")
+      val purchases = streamSource(s, dir)
+        .filter(col("event_type") === "purchase")
+      val j = StreamOps.intervalJoin(clicks, purchases, "user_id",
+        window = "30 minutes")
+        .select(col("user_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("click_s"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_s"))
+      StreamOps.runToMemory(j, "graft_mem_interval_join",
+        OutputMode.Append())
+    })
   )
 
   private def stableSumSql(c: String): String =
@@ -114,6 +137,18 @@ object StreamQueries {
       "SELECT DISTINCT user_id, event_type FROM events",
     // single micro-batch => no mid-stream eviction => same key set
     "stream_dedup_bounded" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // batch replay of the stream-stream interval join: the µs-precision
+    // range predicate runs on native timestamps on both engines; only
+    // the OUTPUT is second-formatted (the portable representation)
+    "stream_interval_join" -> """
+      SELECT c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      """
   )
 }

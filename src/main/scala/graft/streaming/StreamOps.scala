@@ -120,6 +120,30 @@ object StreamOps {
     deduped.select(keys.map(col): _*)
   }
 
+  /** Stream-stream INTERVAL JOIN: left events matched to right events
+    * of the same key within [left.ts, left.ts + window]. Both sides are
+    * watermarked, and the time-bounded condition is what makes the
+    * join's state finite: a buffered left row can only ever match right
+    * rows inside its interval, so once the right watermark passes
+    * left.ts + window the row is evicted — the mechanism that lets two
+    * unbounded 100 TB/day streams join with bounded executor state
+    * (an unconstrained stream-stream join would buffer both streams
+    * forever). Inner join: matches emit in the micro-batch they form.
+    *
+    * Columns are renamed per side before the join so the condition is
+    * unambiguous: left keeps `key`/`ts` as `key`/`l_ts`, right becomes
+    * `r_key`/`r_ts`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   window: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"$key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval $window"))
+      .select(col(key), col("l_ts"), col("r_ts"))
+  }
+
   /** Run a streaming query over a bounded source to completion into an
     * in-memory table, returning the result — used by specs to assert
     * batch/stream parity. */

@@ -65,6 +65,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(withinRows.toSet == want)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sij").toString
+    events.write.mode("overwrite").parquet(dir)
+    def src() = spark.readStream.schema(events.schema).parquet(dir)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.intervalJoin(
+        src().filter(col("event_type") === "click"),
+        src().filter(col("event_type") === "purchase"),
+        "user_id", window = "30 minutes"),
+      "interval_join_test", OutputMode.Append())
+    val batch = events.as("c").filter(col("c.event_type") === "click")
+      .join(events.as("p").filter(col("p.event_type") === "purchase"),
+        expr("c.user_id = p.user_id AND p.ts >= c.ts" +
+          " AND p.ts <= c.ts + interval 30 minutes"))
+      .select(col("c.user_id"), col("c.ts").as("l_ts"),
+        col("p.ts").as("r_ts"))
+    val s = streamed.orderBy("user_id", "l_ts", "r_ts")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+    val b = batch.orderBy("user_id", "l_ts", "r_ts")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+    assert(s == b, s"stream ${s.size} rows vs batch ${b.size}")
+    assert(b.nonEmpty, "fixture must produce at least one join match")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("streaming session windows produce plausible sessions") {
     val schema = events.schema
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString

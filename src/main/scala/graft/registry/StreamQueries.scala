@@ -85,6 +85,21 @@ object StreamQueries {
     // state finite on unbounded streams; on this bounded source every
     // match forms in micro-batch 0 and the result equals the batch
     // range join the oracle replays.
+    // stream-static enrichment: the unbounded event stream joined to a
+    // static dimension. Stateless (no watermark needed — the dim is a
+    // fixed relation, so no stream state buffers), and the dim side
+    // broadcasts: the canonical ingest-enrichment shape at any scale.
+    "stream_enrich_dim" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+      val j = streamSource(s, dir)
+        .select(col("event_id"), col("user_id"))
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_nationkey"))
+      StreamOps.runToMemory(j, "graft_mem_enrich", OutputMode.Append())
+    }),
     "stream_interval_join" -> ((s, dir) => {
       val clicks = streamSource(s, dir)
         .filter(col("event_type") === "click")
@@ -138,6 +153,10 @@ object StreamQueries {
     // single micro-batch => no mid-stream eviction => same key set
     "stream_dedup_bounded" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_enrich_dim" -> """
+      SELECT e.event_id, e.user_id, c.c_name,
+             CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     // batch replay of the stream-stream interval join: the µs-precision
     // range predicate runs on native timestamps on both engines; only
     // the OUTPUT is second-formatted (the portable representation)

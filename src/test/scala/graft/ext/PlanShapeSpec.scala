@@ -50,4 +50,52 @@ class PlanShapeSpec extends SparkSpec {
       s"heap top-k is not partially aggregated:\n$plan")
     assert(!plan.contains("Window"))
   }
+
+  private def extPlan(name: String): String =
+    graft.registry.ExtQueries.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("segment dedup plans hash aggregates + joins, never a window sort") {
+    val plan = extPlan("dedup_repeated_segments")
+    assert(!plan.contains("Window "), s"window in segment dedup:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"keep-first min is not a hash aggregate:\n$plan")
+  }
+
+  test("fixed-size sampling and top-bigrams plan TakeOrdered, not a global sort") {
+    val fs = extPlan("sample_fixed_size")
+    assert(fs.contains("TakeOrderedAndProject"),
+      s"fixed-size sample is not TakeOrdered:\n$fs")
+    val bg = extPlan("vocab_top_bigrams")
+    assert(bg.contains("TakeOrderedAndProject"),
+      s"top-bigrams limit is not TakeOrdered:\n$bg")
+    // the per-task forward is k rows; a global Sort exec would shuffle
+    // every group count
+    assert(!"Sort \\[".r.findFirstIn(bg).isDefined || bg.contains("TakeOrdered"),
+      s"global sort in top-bigrams:\n$bg")
+  }
+
+  test("class rebalancing broadcasts the count frame, never shuffles the facts") {
+    val plan = extPlan("balance_event_classes")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"class counts are not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact table shuffled for the class join:\n$plan")
+  }
+
+  test("per-source curation ranks via the partial heap aggregate") {
+    val plan = extPlan("curate_topk_per_source")
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"per-source top-k is not partially aggregated:\n$plan")
+    assert(!plan.contains("Window "), s"window in curation plan:\n$plan")
+  }
+
+  test("random projection and C4 flags stay narrow (no exchange)") {
+    for (q <- Seq("emb_random_projection", "text_c4_filter")) {
+      val plan = extPlan(q)
+      assert(!plan.contains("Exchange"),
+        s"$q should be a narrow map but plans an exchange:\n$plan")
+    }
+  }
 }

@@ -27,22 +27,31 @@ object Corpus {
 
   /** One row per non-overlapping `segWords`-word chunk:
     * (doc_id, seg_idx, seg). The shared chopper under [[segmentDedup]]
-    * and [[chunkDocuments]]. */
+    * and [[chunkDocuments]]. Chunk building runs through the native
+    * [[graft.functions.WordChunks]] expression (one codegen'd JVM
+    * loop); the equivalent transform/sequence/slice HOF chain is
+    * CodegenFallback and ~3x slower on the full-corpus paths (the
+    * HOF twin survives in the CorpusSpec equivalence test). */
   def chunked(df: DataFrame, id: Column, text: Column,
-              segWords: Int): DataFrame = {
+              segWords: Int): DataFrame =
+    df.select(id.cast("long").as("doc_id"), posexplode(
+        graft.functions.VectorFunctions.wordChunks(text, segWords)))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
+
+  /** The Column-algebra twin of [[chunked]]'s native chopper — kept
+    * for the spec-side equivalence proof. */
+  private[ext] def chunkedHof(text: Column, segWords: Int): Column = {
     val toks = TextOps.tokens(text)
     // integer ceil-div; sequence(0, n-1) needs n >= 1 (Spark's
     // sequence(0,-1) is DESCENDING, not empty — guard it)
     val nSegs = floor((size(toks) + lit(segWords - 1)) / lit(segWords))
       .cast("int")
-    val segs = when(nSegs >= 1,
+    when(nSegs >= 1,
       transform(sequence(lit(0), nSegs - 1),
         i => concat_ws(" ",
           slice(toks, i * segWords + lit(1), lit(segWords)))))
       .otherwise(array().cast("array<string>"))
-    df.select(id.cast("long").as("doc_id"), posexplode(segs))
-      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
-        col("col").as("seg"))
   }
 
   /** Repeated-segment dedup ("paragraph" dedup for corpora whose unit

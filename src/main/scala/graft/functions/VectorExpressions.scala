@@ -242,6 +242,35 @@ object TextHashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** NON-overlapping word chunks of `n` tokens, short tail kept —
+    * the chunking sibling of [[wordShingleStrings]] (which slides by 1
+    * and drops tails). Same tokenization contract. */
+  def wordChunks(s: org.apache.spark.unsafe.types.UTF8String,
+                 n: Int): ArrayData = {
+    val str = s.toString
+    var st = 0; var en = str.length
+    while (st < en && str.charAt(st) == ' ') st += 1
+    while (en > st && str.charAt(en - 1) == ' ') en -= 1
+    val toks = str.substring(st, en).split("\\s+", -1)
+    val nChunks = (toks.length + n - 1) / n
+    val out = new Array[AnyRef](nChunks)
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    while (k < nChunks) {
+      sb.setLength(0)
+      var j = k * n
+      val lim = math.min(j + n, toks.length)
+      while (j < lim) {
+        if (j > k * n) sb.append(' ')
+        sb.append(toks(j)); j += 1
+      }
+      out(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(sb.toString)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def shingleHex60(s: org.apache.spark.unsafe.types.UTF8String,
                    n: Int): ArrayData = {
     val str = s.toString
@@ -311,6 +340,26 @@ case class WordShingleStrings(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Non-overlapping word chunks as a native codegen'd expression —
+  * see [[TextHashUtil.wordChunks]]. */
+case class WordChunks(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.wordChunks(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.wordChunks($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ShingleHex60(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -352,5 +401,9 @@ object VectorFunctions {
   /** Column wrapper for [[WordShingleStrings]]. */
   def wordShingleStrings(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingleStrings(
+      GraftColumnBridge.expression(text), n))
+  /** Column wrapper for [[WordChunks]]. */
+  def wordChunks(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordChunks(
       GraftColumnBridge.expression(text), n))
 }

@@ -282,6 +282,23 @@ class CorpusSpec extends SparkSpec {
       "bounded-heap agg must equal the window formulation")
   }
 
+  test("native WordChunks equals the Column-algebra chunker") {
+    val native = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordChunks(col("text"), 8).as("c"))
+    val hof = docs.select(col("doc_id"),
+      Corpus.chunkedHof(col("text"), 8).as("c"))
+    assert(native.orderBy("doc_id").collect()
+      .sameElements(hof.orderBy("doc_id").collect()))
+    val edge = Seq("one", "  padded  text tail x  ", "a b c d").toDF("text")
+    val ne = edge.select(
+      graft.functions.VectorFunctions.wordChunks(col("text"), 2).as("c"))
+      .collect().map(_.getSeq[String](0))
+    val he = edge.select(Corpus.chunkedHof(col("text"), 2).as("c"))
+      .collect().map(_.getSeq[String](0))
+    assert(ne.zip(he).forall { case (a, b) => a == b },
+      s"edge mismatch: ${ne.toSeq} vs ${he.toSeq}")
+  }
+
   test("native WordShingleStrings equals the Column-algebra wordShingles") {
     val native = docs.select(col("doc_id"),
       graft.functions.VectorFunctions.wordShingleStrings(col("text"), 2)

@@ -46,8 +46,11 @@ object StreamQueries {
     * and arrival rate (1.5k users here), NOT inherited from the batch
     * shuffle default; a production deployment raises it with the
     * keyspace. Overridable via SPARK_GRAFT_STREAM_PARTITIONS. */
-  val StreamShufflePartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+  lazy val StreamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(8)
 
   /** Pin shuffle.partitions (which streaming state inherits at query
     * start) for the body, restoring the session value after. */
@@ -112,16 +115,15 @@ object StreamQueries {
     // static dimension. Stateless (no watermark needed — the dim is a
     // fixed relation, so no stream state buffers), and the dim side
     // broadcasts: the canonical ingest-enrichment shape at any scale.
-    "stream_enrich_dim" -> ((s, dir) => withStreamParallelism(s) {
+    "stream_enrich_dim" -> ((s, dir) => {
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"),
           col("c_nationkey").cast("long").as("c_nationkey"))
-      val j = streamSource(s, dir)
-        .select(col("event_id"), col("user_id"))
-        .join(dim, col("user_id") === col("c_custkey"))
-        .select(col("event_id"), col("user_id"), col("c_name"),
-          col("c_nationkey"))
-      StreamOps.runToMemory(j, "graft_mem_enrich", OutputMode.Append())
+      runStream(s, dir, "enrich", OutputMode.Append())(src =>
+        src.select(col("event_id"), col("user_id"))
+          .join(dim, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_name"),
+            col("c_nationkey")))
     }),
     "stream_interval_join" -> ((s, dir) => withStreamParallelism(s) {
       val clicks = streamSource(s, dir)
@@ -180,14 +182,18 @@ object StreamQueries {
       SELECT e.event_id, e.user_id, c.c_name,
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey
       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
-    // batch replay of the stream-stream interval join: the µs-precision
-    // range predicate runs on native timestamps on both engines; only
-    // the OUTPUT is second-formatted (the portable representation)
+    // batch replay of the stream-stream interval join. The raw parquet
+    // is NANOS precision while Spark's staged source floors to µs
+    // (ts div 1000), so the oracle truncates to µs TIMESTAMP first —
+    // otherwise a boundary row could compare differently at ns
+    // precision. Output is second-formatted (the portable form).
     "stream_interval_join" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events)
       SELECT c.user_id,
              strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_s,
              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s
-      FROM events c JOIN events p
+      FROM ev c JOIN ev p
         ON c.user_id = p.user_id
        AND c.event_type = 'click' AND p.event_type = 'purchase'
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE

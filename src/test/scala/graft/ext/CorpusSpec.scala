@@ -289,7 +289,11 @@ class CorpusSpec extends SparkSpec {
       Corpus.chunkedHof(col("text"), 8).as("c"))
     assert(native.orderBy("doc_id").collect()
       .sameElements(hof.orderBy("doc_id").collect()))
-    val edge = Seq("one", "  padded  text tail x  ", "a b c d").toDF("text")
+    // riskiest corners: empty, all-space, tab/newline whitespace (trim
+    // strips ASCII space only; \s+ split yields a leading "" token) —
+    // both sides must agree exactly or the oracle contract breaks
+    val edge = Seq("one", "  padded  text tail x  ", "a b c d",
+      "", "   ", "a\tb\nc", "\tlead").toDF("text")
     val ne = edge.select(
       graft.functions.VectorFunctions.wordChunks(col("text"), 2).as("c"))
       .collect().map(_.getSeq[String](0))
@@ -307,8 +311,10 @@ class CorpusSpec extends SparkSpec {
       TextOps.wordShingles(col("text"), 2).as("sh"))
     assert(native.orderBy("doc_id").collect()
       .sameElements(hof.orderBy("doc_id").collect()))
-    // edge cases: fewer tokens than n, surrounding spaces
-    val edge = Seq("one", "  padded  text  ", "").toDF("text")
+    // edge cases: fewer tokens than n, surrounding spaces, all-space,
+    // non-space whitespace (tab/newline survive the ASCII-space trim)
+    val edge = Seq("one", "  padded  text  ", "", "   ", "a\tb\nc",
+      "\tlead").toDF("text")
     val ne = edge.select(
       graft.functions.VectorFunctions.wordShingleStrings(col("text"), 2)
         .as("sh")).collect().map(_.getSeq[String](0))

@@ -70,10 +70,12 @@ class PlanShapeSpec extends SparkSpec {
     val bg = extPlan("vocab_top_bigrams")
     assert(bg.contains("TakeOrderedAndProject"),
       s"top-bigrams limit is not TakeOrdered:\n$bg")
-    // the per-task forward is k rows; a global Sort exec would shuffle
-    // every group count
-    assert(!"Sort \\[".r.findFirstIn(bg).isDefined || bg.contains("TakeOrdered"),
+    // the per-task forward is k rows; a standalone Sort exec would
+    // shuffle-and-sort every group count
+    assert("Sort \\[".r.findFirstIn(bg).isEmpty,
       s"global sort in top-bigrams:\n$bg")
+    assert("Sort \\[".r.findFirstIn(fs).isEmpty,
+      s"global sort in fixed-size sample:\n$fs")
   }
 
   test("class rebalancing broadcasts the count frame, never shuffles the facts") {

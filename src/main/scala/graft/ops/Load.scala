@@ -163,12 +163,28 @@ object Load {
     * tables (the reference's warehouse is single-file SQLite, an
     * inherently single-writer store); large facts take
     * [[writeAuditPublish]], which scales writers. Returns rows written.
+    *
+    * The small-table contract is SELF-ENFORCING: the collect is capped
+    * at `maxRows` (collected via `limit(maxRows+1)`, so an oversized
+    * frame costs one truncated fetch, not a driver OOM) and an input
+    * beyond the cap fails loudly with a pointer to the distributed
+    * sink instead of silently materializing a fact table on the
+    * driver.
     */
   def jdbcFullRefresh(df: DataFrame, url: String, table: String,
                       createDdl: Option[String] = None,
-                      batchSize: Int = 1000): Long = {
+                      batchSize: Int = 1000,
+                      maxRows: Int = 1000000): Long = {
     val schema = df.schema
-    val rows = df.collect() // small-table path by contract (see Scaladoc)
+    // small-table path by contract (see Scaladoc) — enforced, not
+    // assumed: fetch at most maxRows+1 rows and refuse the refresh if
+    // the frame exceeds the cap rather than OOM the driver
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"jdbcFullRefresh('$table') is the driver-side small-table sink " +
+        s"(single-writer JDBC transaction) and the input exceeds its " +
+        s"$maxRows-row cap; load large tables with writeAuditPublish " +
+        s"or raise maxRows deliberately")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)

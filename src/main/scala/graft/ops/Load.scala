@@ -175,11 +175,16 @@ object Load {
                       createDdl: Option[String] = None,
                       batchSize: Int = 1000,
                       maxRows: Int = 1000000): Long = {
+    require(maxRows > 0, s"jdbcFullRefresh('$table') maxRows must be " +
+      s"positive, got $maxRows")
     val schema = df.schema
     // small-table path by contract (see Scaladoc) — enforced, not
     // assumed: fetch at most maxRows+1 rows and refuse the refresh if
-    // the frame exceeds the cap rather than OOM the driver
-    val rows = df.limit(maxRows + 1).collect()
+    // the frame exceeds the cap rather than OOM the driver. The probe
+    // limit saturates at Int.MaxValue so maxRows = Int.MaxValue means
+    // "uncapped" instead of limit(Int.MinValue) via silent overflow.
+    val probeLimit = math.min(maxRows.toLong + 1L, Int.MaxValue.toLong).toInt
+    val rows = df.limit(probeLimit).collect()
     require(rows.length <= maxRows,
       s"jdbcFullRefresh('$table') is the driver-side small-table sink " +
         s"(single-writer JDBC transaction) and the input exceeds its " +

@@ -99,6 +99,34 @@ class LoadSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("jdbc full refresh refuses an over-cap frame and leaves the table intact") {
+    val url = "jdbc:derby:memory:graft_load_cap;create=true"
+    val ddl = "CREATE TABLE t (pk BIGINT, v VARCHAR(8))"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
+    Load.jdbcFullRefresh(v1, url, "t", Some(ddl))
+    // a 3-row frame against maxRows=2 must fail the contract check
+    // BEFORE any JDBC work — the existing rows survive (no DELETE ran)
+    val big = Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("pk", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Load.jdbcFullRefresh(big, url, "t", maxRows = 2)
+    }
+    assert(ex.getMessage.contains("writeAuditPublish"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT count(*), min(pk), max(pk) FROM t")
+      rs.next()
+      assert(rs.getLong(1) == 2L, "old rows must survive a refused refresh")
+      assert(rs.getLong(2) == 1L && rs.getLong(3) == 2L)
+    } finally conn.close()
+    // degenerate caps fail loudly instead of overflowing into limit()
+    intercept[IllegalArgumentException] {
+      Load.jdbcFullRefresh(v1, url, "t", maxRows = 0)
+    }
+    // Int.MaxValue means "uncapped", not limit(Int.MinValue)
+    assert(Load.jdbcFullRefresh(v1, url, "t", maxRows = Int.MaxValue) == 2L)
+  }
+
   test("rotating text logger rotates at the size cap and keeps N backups") {
     val dir = java.nio.file.Files.createTempDirectory("rotlog").toString
     val lg = new graft.control.RotatingTextLogger(dir, maxBytes = 500,

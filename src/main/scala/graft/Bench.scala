@@ -5,8 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on
-  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line
-  * {"metric","value","unit","queries","sf","reps","spread","errors"}.
+  * SPARK_GRAFT_SF_DIR (default sf0.1).
   *
   * Methodology (designed so a number can be trusted, not just read):
   *  - the session is warmed with a trivial scan first so the first
@@ -19,6 +18,15 @@ import org.apache.spark.sql.SparkSession
   *    can still be pure session noise (round 3 measured 7.9x swings on
   *    byte-identical code this way). Shuffling per rep gives each
   *    query three different neighborhoods;
+  *  - the pipeline_* family runs in its OWN pass, after everything
+  *    else, with more reps (SPARK_GRAFT_BENCH_PIPE_REPS, default 5)
+  *    and a scratch reclaim between reps. These four queries write a
+  *    temp warehouse and read it back; interleaving them with the
+  *    other 117 let their dirty-page writeback and cache churn leak
+  *    into every neighbor, and vice versa — round 4 measured a 2.9x
+  *    rep spread on pipeline_sales_e2e that way. Deleting the
+  *    un-synced scratch between reps CANCELS pending writeback rather
+  *    than flushing it;
   *  - between queries the cache is cleared and (unless
   *    SPARK_GRAFT_BENCH_GC=0) a System.gc() drops dead blocks and
   *    finished-query garbage, so one query's residue cannot throttle
@@ -27,19 +35,44 @@ import org.apache.spark.sql.SparkSession
   *    [min, median, max] spread is emitted under "spread" so a
   *    regression can be told apart from variance: if the spread
   *    brackets both rounds' numbers the swing is noise, not a plan
-  *    change.
+  *    change;
+  *  - the sales pipeline is additionally run once with its per-stage
+  *    wall seconds parsed from its own stage log ("stages" field) —
+  *    the reference's reporting granularity — so a headline regression
+  *    is attributable to a stage, not a 7s blob.
   *
-  * The JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
-  * BENCH_LOCAL.json) because stdout gets interleaved with sbt logging.
-  * Query failures are NOT swallowed: they are printed to stderr as they
-  * happen, listed in the "errors" field, and make the exit code 1 — a
-  * crashing query can never masquerade as a fast one.
+  * Output: the FULL artifact (all medians + spreads + stages + errors)
+  * is written to SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL.json).
+  * Stdout gets ONE COMPACT line — total, per-query medians for the
+  * headline set only, stages — kept well under 2 KB because the
+  * driver parses the bench from a bounded tail of captured output; the
+  * round-4/5 full line (~8 KB) overflowed that tail and the driver
+  * recorded `parsed: null`. Query failures are NOT swallowed: they are
+  * printed to stderr as they happen, listed in the "errors" field
+  * (first few on stdout, all in the file), and make the exit code 1 —
+  * a crashing query can never masquerade as a fast one.
   */
 object Bench {
+
+  /** Headline set for the compact stdout line: the four e2e pipelines
+    * (the baseline-comparable numbers) plus the most expensive or
+    * plan-interesting representatives of each operator family. */
+  private val Headline = Seq(
+    "pipeline_sales_e2e", "pipeline_customers_e2e",
+    "pipeline_products_e2e", "pipeline_stores_e2e",
+    "model_sales_fact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_clusters", "sim_ivf_topk", "stream_interval_join",
+    "stream_session", "chunk_documents", "text_top_terms",
+    "sink_partitioned_pruned", "join_salted_skew")
+
+  private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "5")
+      .toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
     val spark = SparkSession.builder()
@@ -63,54 +96,99 @@ object Bench {
     Tables.load(spark, sfDir, "lineitem").count()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // the pipeline family writes+reads a temp warehouse per run; it
+    // benches in its own isolated pass (see scaladoc)
+    val (pipeNames, steadyNames) = names.partition(_.startsWith("pipeline_"))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = names.map(n =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+
+    def runOne(name: String): Unit = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) += (System.nanoTime() - t0) / 1e9
+      } catch {
+        case NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"BENCH FAILURE in $name -> $msg")
+          errors(name) = msg.take(300)
+      } finally {
+        // queries own caches for intra-query reuse; drop them (and,
+        // optionally, dead blocks via an explicit GC) so one query's
+        // residue cannot throttle the next
+        spark.catalog.clearCache()
+        if (gcBetween) System.gc()
+      }
+    }
+
     for (rep <- 1 to reps) {
       // deterministic per-rep shuffle: every query gets a different
       // neighborhood each rep (fixed seeds keep runs reproducible)
-      val order = new scala.util.Random(0x9E3779B9L * rep).shuffle(names)
-      for (name <- order if !errors.contains(name)) {
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          times(name) += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case NonFatal(e) =>
-            val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
-            System.err.println(s"BENCH FAILURE in $name -> $msg")
-            errors(name) = msg.take(300)
-        } finally {
-          // queries own caches for intra-query reuse; drop them (and,
-          // optionally, dead blocks via an explicit GC) so one query's
-          // residue cannot throttle the next
-          spark.catalog.clearCache()
-          if (gcBetween) System.gc()
-        }
-      }
+      val order = new scala.util.Random(0x9E3779B9L * rep).shuffle(steadyNames)
+      for (name <- order if !errors.contains(name)) runOne(name)
     }
+
+    for (rep <- 1 to pipeReps) {
+      val order = new scala.util.Random(0x51ED2701L * rep).shuffle(pipeNames)
+      for (name <- order if !errors.contains(name)) runOne(name)
+      // reclaim this rep's temp warehouses: bounds scratch to one
+      // rep's worth and cancels its pending writeback
+      registry.PipelineQueries.clearScratch(spark)
+      if (gcBetween) System.gc()
+    }
+
+    // per-stage attribution for the headline pipeline (one extra run,
+    // untimed against the medians above)
+    val stages =
+      try registry.PipelineQueries.salesStageSeconds(spark, sfDir)
+      catch { case NonFatal(e) =>
+        System.err.println(s"stage probe failed: ${e.getMessage}")
+        Seq.empty[(String, Double)]
+      }
+    registry.PipelineQueries.clearScratch(spark)
+
     val results = names.map { name =>
       val ts = times(name).sorted
       if (errors.contains(name) || ts.isEmpty) (name, -1.0, -1.0, -1.0)
       else (name, ts.head, ts(ts.length / 2), ts.last)
     }
-    val qs = results.map { case (k, _, med, _) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val spread = results
-      .map { case (k, lo, med, hi) => "\"" + k + s"""\":[$lo,$med,$hi]""" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+    def jobj(pairs: Seq[String]): String = pairs.mkString("{", ",", "}")
+    val qsFull = jobj(results.map { case (k, _, med, _) =>
+      "\"" + k + "\":" + med })
+    val spread = jobj(results.map { case (k, lo, med, hi) =>
+      "\"" + k + s"""\":[$lo,$med,$hi]""" })
+    def escErr(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._3).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","reps":$reps,"spread":$spread,"errors":$errJson}"""
-    println(line)
+    val errFull = jobj(errors.toSeq.map { case (k, v) =>
+      "\"" + k + "\":" + escErr(v) })
+    val stageJson = jobj(stages.map { case (k, v) => "\"" + k + "\":" + v })
+    val total = r3(results.map(_._3).filter(_ >= 0).sum)
+
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+        s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
+        s""""stages":$stageJson,"spread":$spread,"errors":$errFull}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // compact stdout line: must survive the driver's bounded tail
+    // capture (~2 KB) intact, or the round artifact records
+    // parsed:null. Headline medians only; full detail in `outFile`.
+    val medians = results.map { case (k, _, med, _) => k -> med }.toMap
+    val qsHead = jobj(Headline.filter(medians.contains).map(k =>
+      "\"" + k + "\":" + r3(medians(k))))
+    val errHead = jobj(errors.toSeq.take(3).map { case (k, v) =>
+      "\"" + k + "\":" + escErr(v.take(80)) })
+    val stageHead = jobj(stages.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
+        s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
+        s""""nqueries":${names.size},"nerrors":${errors.size},""" +
+        s""""stages":$stageHead,"errors":$errHead,"detail":"$outFile"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -18,10 +18,45 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def runPipeline(s: SparkSession, dir: String,
-                          table: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
-    val logs = java.nio.file.Files.createTempDirectory("graft_logs").toString
+  /** All pipeline runs write under ONE session-keyed scratch root
+    * (reclaimed at JVM exit) so a caller that runs many pipelines in
+    * one session — the bench's interleaved reps being the motivating
+    * case — can reclaim the accumulated warehouses between reps via
+    * [[clearScratch]] instead of letting a dozen temp warehouses churn
+    * the page cache until exit. */
+  private def scratchRoot(s: SparkSession): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_pipe_${s.sparkContext.applicationId}")
+    java.nio.file.Files.createDirectories(root)
+    graft.ext.Scratch.reclaimOnExit(root.toString)
+    root
+  }
+
+  /** Delete every finished pipeline run's scratch warehouse/logs for
+    * this session. Only safe once the frames returned by the pipeline
+    * queries have been consumed (they lazily read the scratch
+    * warehouse). Deleting un-synced scratch also CANCELS its pending
+    * writeback, so the reclaim relieves dirty-page pressure instead of
+    * adding to it. */
+  def clearScratch(s: SparkSession): Unit =
+    org.apache.commons.io.FileUtils.cleanDirectory(scratchRoot(s).toFile)
+
+  // sale_id is not unique in the lineitem mapping, so keep-first needs
+  // a total order the oracle can replay; ties are impossible (the D1
+  // gate proved full rows unique).
+  private def dedupOrderFor(table: String) =
+    if (table == "sales") Some(Seq(
+      col("sale_date"), col("customer_id"), col("product_id"),
+      col("store_id"), col("quantity"), col("unit_price"),
+      col("discount_pct"))) else None
+
+  private def runInto(s: SparkSession, dir: String, table: String)
+      : (String, String) = {
+    val base = java.nio.file.Files
+      .createTempDirectory(scratchRoot(s), "run")
+    val wh = base.resolve("wh").toString
+    val logs = base.resolve("logs").toString
     val p = new Pipeline(s, wh, logs, AsOf,
       metros = MetroNations, regionMap = NationRegionMap)
     val source = table match {
@@ -30,15 +65,38 @@ object PipelineQueries {
       case "products" => products(s, dir)
       case "stores" => stores(s, dir)
     }
-    // sale_id is not unique in the lineitem mapping, so keep-first needs
-    // a total order the oracle can replay; ties are impossible (the D1
-    // gate proved full rows unique).
-    val dedupOrder = if (table == "sales") Some(Seq(
-      col("sale_date"), col("customer_id"), col("product_id"),
-      col("store_id"), col("quantity"), col("unit_price"),
-      col("discount_pct"))) else None
-    val path = p.run(table, source, dedupOrder)
-    s.read.parquet(path)
+    (p.run(table, source, dedupOrderFor(table)), logs)
+  }
+
+  private def runPipeline(s: SparkSession, dir: String,
+                          table: String): DataFrame =
+    s.read.parquet(runInto(s, dir, table)._1)
+
+  /** Run the sales pipeline once and return (stage name, wall seconds)
+    * in execution order, parsed from the pipeline's own stage log —
+    * the reference's reporting granularity (its runner logs per-stage
+    * timings the same way), so a bench regression is attributable to
+    * EXTRACT / TRANSFORM_P1 / TRANSFORM_P2 / LOAD_DATE_DIM / LOAD
+    * rather than a single end-to-end blob. */
+  def salesStageSeconds(s: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    val (_, logs) = runInto(s, dir, "sales")
+    val file = java.nio.file.Paths.get(logs, "etl_stage_log.jsonl")
+    val name = """"stage_name":"([^"]+)"""".r
+    val status = """"status":"([^"]+)"""".r
+    val times = """"start_time":"([^"]+)","end_time":"([^"]+)"""".r
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(file).asScala.toSeq.flatMap { line =>
+      (name.findFirstMatchIn(line), status.findFirstMatchIn(line),
+        times.findFirstMatchIn(line)) match {
+        case (Some(n), Some(st), Some(t)) if st.group(1) == "SUCCESS" =>
+          val secs = java.time.Duration.between(
+            java.time.Instant.parse(t.group(1)),
+            java.time.Instant.parse(t.group(2))).toMillis / 1e3
+          Some(n.group(1) -> secs)
+        case _ => None
+      }
+    }
   }
 
   val queries: Map[String, Q] = Map(

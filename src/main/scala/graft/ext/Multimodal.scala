@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs as batched partition-local
   * processing.
   *
-  * The decode step itself is STUBBED (no codec libraries in this
-  * environment): [[FakeCodec]] is a deterministic stand-in that
-  * consumes real bytes and emits a fixed-shape feature record. The
-  * Spark-side plumbing — schema, encoders, partition-batch processing
-  * shape, and column pruning around a binary payload — is real, and is
-  * exactly what a production decode (mapInPandas / JNI codec) plugs
-  * into.
+  * The codec is REAL: [[Ppm]] encodes and decodes binary P6 (raw
+  * RGB) Netpbm images — a public, self-describing format that needs
+  * no native libraries — including the format's whitespace/comment
+  * header grammar. Fixture images are generated deterministically
+  * from `doc_id` so every decoded pixel statistic is replayable in
+  * closed form by the SQL oracle: the Spark side must parse actual
+  * header+raster BYTES to produce numbers the oracle recomputes from
+  * the generator formula, which is exactly the real-decode contract
+  * (a wrong parse cannot hash-match).
+  *
+  * The distributed shape is the one a production JNI/vectorized codec
+  * plugs into: payloads stay in `binary` columns, decode runs
+  * per-partition via `mapPartitions` (amortized init, no per-row
+  * driver round-trips), and the binary column is never shuffled.
   */
 object Multimodal {
 
@@ -23,96 +30,237 @@ object Multimodal {
                          payload: Array[Byte], width: Int, height: Int,
                          format: String)
 
-  /** Decoded feature record (fixed shape regardless of codec). */
-  case class MediaFeatures(media_id: Long, modality: String,
-                           n_bytes: Long, checksum: Long,
-                           brightness: Double, n_frames_sampled: Int)
+  /** Decoded feature record. All sums are exact integers and the
+    * brightness is an integer parts-per-million floor-division, so the
+    * whole decode surface is bit-portable across engines (no float
+    * fold-order hazards in the oracle compare). */
+  case class MediaFeatures(media_id: Long, width: Int, height: Int,
+                           n_bytes: Long, n_pixels: Long,
+                           sum_r: Long, sum_g: Long, sum_b: Long,
+                           brightness_ppm: Long)
 
-  /** STUB codec: deterministic pseudo-decode.
-    * A real implementation would decode payload -> pixels/samples;
-    * this computes byte-level stand-ins so the distributed shape is
-    * exercised with real data flow. Every output is ENGINE-PORTABLE
-    * arithmetic over the payload bytes — the checksum is the 60-bit
-    * md5-prefix (TextOps.hex60 over bytes), the brightness an exact
-    * integer mean of every sampleEvery-th byte — so the whole decode
-    * surface is replayable in any md5-capable SQL engine and the query
-    * is hash-verifiable, not rows-only. */
-  object FakeCodec {
-    /** One codec "handle" per partition (a real decoder would hold
-      * native contexts/buffers here); the digest is reused across
-      * records via reset-on-digest instead of a per-row JCA lookup. */
-    def open(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+  /** Scanline ("frame") sampling result over a decoded image. */
+  case class FrameSample(media_id: Long, n_frames: Long, n_sampled: Long,
+                         sampled_sum: Long)
 
-    def decode(md: java.security.MessageDigest, payload: Array[Byte],
-               sampleEvery: Int): (Long, Double, Int) = {
-      val hexDigest = md.digest(payload).take(8)
-        .map(b => f"${b & 0xff}%02x").mkString
-      val checksum = java.lang.Long.parseLong(hexDigest.substring(0, 15), 16)
-      var sum = 0L
-      var sampled = 0
-      var i = 0
-      while (i < payload.length) {
-        if (i % sampleEvery == 0) { sum += (payload(i) & 0xff); sampled += 1 }
-        i += 1
+  /** Binary PPM (Netpbm P6, 8-bit) encoder/decoder.
+    *
+    * Grammar implemented (the netpbm spec, public): `P6`, then three
+    * whitespace-separated decimal tokens (width, height, maxval) where
+    * `#` starts a comment running to end-of-line anywhere in the
+    * header, then EXACTLY ONE whitespace byte, then `width*height*3`
+    * raw sample bytes. Only maxval <= 255 (1 byte/sample) is
+    * supported — the fixture corpus never exceeds it and 2-byte
+    * samples would double every closed-form oracle below. */
+  object Ppm {
+
+    /** Deterministic fixture pixel: channel `c` of pixel (x, y) for a
+      * seed (the media id). Mirrors the SQL oracle's closed form —
+      * keep the two in sync or nothing hash-matches. */
+    def pixelValue(seed: Long, x: Int, y: Int, c: Int): Int =
+      java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13 + c * 29, 256L).toInt
+
+    /** Encode a `w x h` P6 image whose raster is [[pixelValue]] over
+      * the seed. Header is the canonical `P6\nW H\n255\n`. */
+    def encode(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = header.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            out(i) = pixelValue(seed, x, y, c).toByte
+            i += 1; c += 1
+          }
+          x += 1
+        }
+        y += 1
       }
-      val brightness = if (sampled == 0) 0.0 else sum.toDouble / sampled / 255.0
-      (checksum, brightness, sampled)
+      out
+    }
+
+    /** A decoded image: dimensions from the parsed header, raster as
+      * raw interleaved RGB bytes (exactly `width*height*3`). */
+    case class Image(width: Int, height: Int, maxVal: Int,
+                     raster: Array[Byte])
+
+    /** Parse a P6 payload. A REAL parser over the bytes — magic,
+      * comment-tolerant header, raster bounds — failing loudly on
+      * malformed input rather than emitting garbage statistics. */
+    def decode(payload: Array[Byte]): Image = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PPM decode: $msg")
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        fail("bad magic (want P6)")
+      var pos = 2
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+      def nextInt(): Int = {
+        var scanning = true
+        while (scanning) {
+          while (pos < payload.length && isWs(payload(pos))) pos += 1
+          if (pos < payload.length && payload(pos) == '#') {
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else scanning = false
+        }
+        if (pos >= payload.length ||
+          payload(pos) < '0' || payload(pos) > '9')
+          fail(s"expected decimal token at byte $pos")
+        var v = 0
+        while (pos < payload.length &&
+          payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0')
+          if (v > 0xFFFF) fail("header value out of range")
+          pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+      if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
+      if (maxVal <= 0 || maxVal > 255)
+        fail(s"unsupported maxval $maxVal (only 1-byte samples)")
+      // exactly one whitespace byte separates header from raster
+      if (pos >= payload.length || !isWs(payload(pos)))
+        fail("missing raster separator")
+      pos += 1
+      val need = w * h * 3
+      if (payload.length - pos < need)
+        fail(s"truncated raster: need $need bytes, have ${payload.length - pos}")
+      Image(w, h, maxVal,
+        java.util.Arrays.copyOfRange(payload, pos, pos + need))
     }
   }
 
-  /** Build a media table from the documents fixture: text bytes play
-    * the payload, metadata is derived deterministically. */
+  /** Fixture image dimensions for a media id: small but non-uniform so
+    * header parsing sees varied digit counts. Mirrored in the oracle. */
+  def fixtureDims(mediaId: Long): (Int, Int) =
+    ((4 + java.lang.Math.floorMod(mediaId, 13L)).toInt,
+      (3 + java.lang.Math.floorMod(mediaId, 7L)).toInt)
+
+  /** Build a media table from the documents fixture: one real P6 image
+    * per document, generated deterministically from `doc_id` (encode
+    * runs distributed, per partition — no driver materialization). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("payload"),
-      (col("n_chars") % 640).cast("int").as("width"),
-      (col("n_chars") % 480).cast("int").as("height"),
-      lit("fake/raw").as("format")
-    ).as[MediaRecord]
-  }
-
-  /** Batched decode over partitions: each partition iterates its
-    * records once, calling the codec per record — the mapPartitions
-    * shape a vectorized/JNI decoder needs (amortized init per batch,
-    * no per-row driver round-trips, binary column never shuffled). */
-  def decodeFeatures(media: Dataset[MediaRecord],
-                     sampleEvery: Int = 16): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions { it =>
-      // per-partition codec init: one digest instance per partition
-      // (MessageDigest.digest() resets it after each record)
-      val md = FakeCodec.open()
-      it.map { r =>
-        val (checksum, brightness, sampled) =
-          FakeCodec.decode(md, r.payload, sampleEvery)
-        MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
-          checksum, brightness, sampled)
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = fixtureDims(id)
+        MediaRecord(id, "image", Ppm.encode(id, w, h), w, h, "image/ppm")
       }
     }
   }
 
-  /** STUB resize: deterministic down-"scaling" of the payload (every
-    * factor-th byte) with metadata scaled to match — the plumbing shape
-    * of a real resize (new binary payload + consistent metadata),
-    * batched per partition like [[decodeFeatures]]. */
-  def resizeStub(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+  /** Batched decode over partitions: parse every payload's header and
+    * raster, emit exact per-channel sums and an integer-ppm
+    * brightness. Dimensions come from the PARSED HEADER, not the
+    * metadata columns — a consistency gate between the two is the
+    * caller's [[requireMetadataConsistent]]. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val resized = r.payload.indices.collect {
-          case i if i % factor == 0 => r.payload(i)
-        }.toArray
-        r.copy(payload = resized, width = r.width / factor,
-          height = r.height / factor,
+        val img = Ppm.decode(r.payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.raster.length) {
+          sr += (img.raster(i) & 0xff)
+          sg += (img.raster(i + 1) & 0xff)
+          sb += (img.raster(i + 2) & 0xff)
+          i += 3
+        }
+        val nPx = img.width.toLong * img.height
+        MediaFeatures(r.media_id, img.width, img.height,
+          r.payload.length.toLong, nPx, sr, sg, sb,
+          (sr + sg + sb) * 1000000L / (nPx * 3L * 255L))
+      }
+    }
+  }
+
+  /** Gate: every payload's parsed header must agree with the record's
+    * metadata columns. Returns the number of records checked; throws
+    * on the first inconsistent partition-local record. Distributed —
+    * only the count reaches the driver. */
+  def requireMetadataConsistent(media: Dataset[MediaRecord]): Long = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.payload)
+        if (img.width != r.width || img.height != r.height)
+          throw new IllegalStateException(
+            s"media ${r.media_id}: header ${img.width}x${img.height} " +
+              s"!= metadata ${r.width}x${r.height}")
+        1L
+      }
+    }.reduce(_ + _)
+  }
+
+  /** REAL nearest-neighbor downscale: decode, keep every `factor`-th
+    * pixel in both axes, re-encode as P6 with the reduced dimensions.
+    * Batched per partition like [[decodeFeatures]]; output payloads
+    * are themselves valid P6 images (decode(resize(x)) works). */
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.payload)
+        val nw = (img.width + factor - 1) / factor
+        val nh = (img.height + factor - 1) / factor
+        val header = s"P6\n$nw $nh\n${img.maxVal}\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val out = new Array[Byte](header.length + nw * nh * 3)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var o = header.length
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            val src = ((y * factor) * img.width + (x * factor)) * 3
+            out(o) = img.raster(src)
+            out(o + 1) = img.raster(src + 1)
+            out(o + 2) = img.raster(src + 2)
+            o += 3; x += 1
+          }
+          y += 1
+        }
+        r.copy(payload = out, width = nw, height = nh,
           format = s"${r.format};resized/$factor")
+      }
+    }
+  }
+
+  /** Frame sampling over decoded images: every `stride`-th SCANLINE is
+    * a "frame" (the video-pipeline shape: decode, stride-sample,
+    * aggregate), summed exactly so the oracle can replay it. */
+  def frameScanlines(media: Dataset[MediaRecord],
+                     stride: Int): Dataset[FrameSample] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.payload)
+        val rowBytes = img.width * 3
+        var sum = 0L
+        var sampled = 0L
+        var y = 0
+        while (y < img.height) {
+          var i = y * rowBytes
+          val end = i + rowBytes
+          while (i < end) { sum += (img.raster(i) & 0xff); i += 1 }
+          sampled += 1
+          y += stride
+        }
+        FrameSample(r.media_id, img.height.toLong, sampled, sum)
       }
     }
   }
@@ -125,10 +273,11 @@ object Multimodal {
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"))
 
-  /** Frame sampling over an opaque payload: fixed-size chunks ("frames")
-    * taken every `stride`-th, fingerprinted. Pure Column algebra — the
-    * video-pipeline shape (chunk, stride-sample, hash) without a codec,
-    * and a per-row map at any scale. */
+  /** Frame sampling over an opaque TEXT payload: fixed-size chunks
+    * ("frames") taken every `stride`-th, fingerprinted. Pure Column
+    * algebra — the no-codec fallback shape (chunk, stride-sample,
+    * hash); kept alongside [[frameScanlines]], which exercises the
+    * real decoded-bytes path. */
   def frameSample(docs: DataFrame, chunkChars: Int, stride: Int): DataFrame = {
     val nChunks = floor((length(col("text")) + (chunkChars - 1))
       / (chunkChars * 1.0)).cast("long")

@@ -46,6 +46,16 @@ object ExtQueries {
 
   private def hitsSql(w: String): String =
     s"CAST((length(p)-length(replace(p,' $w ','')))/${w.length + 2} AS BIGINT)"
+
+  /** Closed-form replay of the PPM fixture raster's channel-`c` sum
+    * (Multimodal.Ppm.pixelValue over every pixel): the Spark side must
+    * parse real header+raster bytes to reproduce these sums, which is
+    * exactly the real-decode contract. */
+  private def ppmChanSumSql(c: Int): String =
+    s"""CAST(list_sum(flatten(list_transform(range(0, height), y ->
+       |  list_transform(range(0, width), x ->
+       |    (media_id*31 + x*7 + y*13 + ${c * 29}) % 256)))) AS BIGINT)"""
+      .stripMargin
   private def scoreSql(lang: String): String =
     TextOps.LangStopwords.toMap.apply(lang).map(hitsSql)
       .mkString("(", " + ", ")")
@@ -287,8 +297,9 @@ object ExtQueries {
       Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(t(s, dir, "documents"), chunkChars = 32,
-        stride = 2)),
+      Multimodal.frameScanlines(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")),
+        stride = 2).toDF()),
 
     // ---- event-time windows (batch) ----
     "window_tumbling" -> ((s, dir) =>
@@ -1124,40 +1135,50 @@ object ExtQueries {
                     WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         FROM documents""",
 
-    // the stub decode is engine-portable by design (md5-prefix checksum,
-    // exact integer byte means), so even the "codec" output hash-matches:
-    // bytes come from hex(encode(text)) two-chars-at-a-time
-    "mm_decode_features" -> """
-      WITH b AS (SELECT doc_id,
-              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-                   WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-              CAST(strlen(text) AS BIGINT) AS n_bytes,
-              lower(hex(encode(text))) AS hx,
-              CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum
+    // the decode is REAL (binary P6 parse over header+raster bytes);
+    // the fixture raster is generated from doc_id so the oracle
+    // replays every decoded statistic in closed form — a wrong parse
+    // cannot hash-match. n_bytes replays the encoder's exact header
+    // ("P6\n" + W + " " + H + "\n255\n" = 9 + digits(W) + digits(H))
+    // plus the 3-byte-per-pixel raster.
+    "mm_decode_features" -> s"""
+      WITH dims AS (SELECT doc_id AS media_id,
+              CAST(4 + doc_id % 13 AS BIGINT) AS width,
+              CAST(3 + doc_id % 7 AS BIGINT) AS height
             FROM documents),
-      s AS (SELECT doc_id, modality, n_bytes, checksum,
-              list_transform(range(0, n_bytes, 16),
-                i -> CAST(('0x' || substr(hx, CAST(2*i + 1 AS INTEGER), 2))
-                          AS INTEGER)) AS b16
-            FROM b)
-      SELECT doc_id AS media_id, modality, n_bytes, checksum,
-             CASE WHEN len(b16) = 0 THEN 0.0
-                  ELSE CAST(list_sum(b16) AS DOUBLE) / len(b16) / 255.0
-             END AS brightness,
-             CAST(len(b16) AS INTEGER) AS n_frames_sampled
-      FROM s""",
-    "mm_frame_sample" ->
-      """WITH c AS (SELECT doc_id, text,
-            CAST(FLOOR((length(text) + 31) / 32.0) AS BIGINT) AS n_chunks
-          FROM documents),
-        s AS (SELECT doc_id, n_chunks,
-            list_transform(range(0, n_chunks, 2),
-              i -> substr(text, CAST(i*32 + 1 AS INTEGER), 32)) AS sampled
-          FROM c)
-        SELECT doc_id, n_chunks,
-               CAST(len(sampled) AS BIGINT) AS n_sampled,
-               md5(array_to_string(sampled, '')) AS sample_md5
-        FROM s""",
+      sums AS (SELECT media_id, width, height,
+              ${ppmChanSumSql(0)} AS sum_r,
+              ${ppmChanSumSql(1)} AS sum_g,
+              ${ppmChanSumSql(2)} AS sum_b
+            FROM dims)
+      SELECT media_id,
+             CAST(width AS INTEGER) AS width,
+             CAST(height AS INTEGER) AS height,
+             CAST(9 + strlen(CAST(width AS VARCHAR))
+                    + strlen(CAST(height AS VARCHAR))
+                    + 3*width*height AS BIGINT) AS n_bytes,
+             CAST(width*height AS BIGINT) AS n_pixels,
+             sum_r, sum_g, sum_b,
+             CAST((sum_r + sum_g + sum_b) * 1000000
+                  // (width*height*3*255) AS BIGINT) AS brightness_ppm
+      FROM sums""",
+    // every stride=2-th decoded scanline is a "frame"; the sampled
+    // byte sum replays the raster formula over y in range(0,h,2)
+    "mm_frame_sample" -> """
+      WITH dims AS (SELECT doc_id AS media_id,
+              CAST(4 + doc_id % 13 AS BIGINT) AS width,
+              CAST(3 + doc_id % 7 AS BIGINT) AS height
+            FROM documents)
+      SELECT media_id,
+             CAST(height AS BIGINT) AS n_frames,
+             CAST(len(range(0, height, 2)) AS BIGINT) AS n_sampled,
+             CAST(list_sum(flatten(list_transform(range(0, height, 2), y ->
+                flatten(list_transform(range(0, width), x ->
+                  [(media_id*31 + x*7 + y*13) % 256,
+                   (media_id*31 + x*7 + y*13 + 29) % 256,
+                   (media_id*31 + x*7 + y*13 + 58) % 256]))))) AS BIGINT)
+               AS sampled_sum
+      FROM dims""",
     "window_tumbling" -> s"""
       SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
              event_type, count(*) AS n_events,

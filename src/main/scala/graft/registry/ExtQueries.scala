@@ -176,6 +176,12 @@ object ExtQueries {
     "balance_event_classes" -> ((s, dir) =>
       Corpus.balanceClasses(Tables.events(s, dir), col("event_type"),
         col("event_id")).select(col("event_id"), col("event_type"))),
+    // domain mixing to explicit ratios (5 click : 3 view : 2 purchase)
+    // by deterministic downsampling; untargeted classes drop
+    "sample_domain_mixture" -> ((s, dir) =>
+      Corpus.mixToTargets(Tables.events(s, dir), col("event_type"),
+        col("event_id"), Map("click" -> 5, "view" -> 3, "purchase" -> 2))
+        .select(col("event_id"), col("event_type"))),
 
     // ---- corpus curation: segment dedup, quality rules, vocabulary ----
     // ExactSubstr-lite: drop exact 8-word chunks already seen earlier
@@ -852,6 +858,25 @@ object ExtQueries {
       WHERE (${hex60Sql("'bal' || CAST(event_id AS VARCHAR)")}
                % ${Sampling.Buckets}) * c.n
             < m.mn * ${Sampling.Buckets}""",
+    // domain mixing: the limiting class is selected by the
+    // integer-quantized ratio floor(n*1e6/W) with (n, W, class)
+    // lexicographic tie-break — the portable argmin contract
+    // mixToTargets documents; the keep rule is exact BIGINT
+    // cross-multiplication on the row's hash bucket
+    "sample_domain_mixture" -> s"""
+      WITH w(cls, wt) AS (VALUES
+          ('click', CAST(5 AS BIGINT)),
+          ('view', CAST(3 AS BIGINT)),
+          ('purchase', CAST(2 AS BIGINT))),
+      c AS (SELECT event_type AS cls, count(*) AS n
+            FROM events JOIN w ON event_type = w.cls GROUP BY 1),
+      j AS (SELECT cls, n, wt FROM c JOIN w USING (cls)),
+      lim AS (SELECT n AS n0, wt AS w0 FROM j
+              ORDER BY n * 1000000 // wt, n, wt, cls LIMIT 1)
+      SELECT e.event_id, e.event_type
+      FROM events e JOIN j ON e.event_type = j.cls CROSS JOIN lim
+      WHERE ${bucketSql("event_id")} * lim.w0 * j.n
+            < lim.n0 * j.wt * ${Sampling.Buckets}""",
     // zipped unnests replay the non-overlapping 8-word chunking; the
     // keep-first min runs over the SAME hex60 hash groups as Spark (a
     // 60-bit collision would merge identically on both engines)

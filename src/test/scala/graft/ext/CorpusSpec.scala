@@ -83,6 +83,50 @@ class CorpusSpec extends SparkSpec {
     assert(ra.length == docs.count())
   }
 
+  // ---- mixToTargets ----
+
+  test("mixToTargets hits the target mixture, keeps the limiting class whole") {
+    val events = graft.Tables.events(spark, sf0001).cache()
+    val targets = Map("click" -> 5, "view" -> 3, "purchase" -> 2)
+    val out = Corpus.mixToTargets(events, col("event_type"),
+      col("event_id"), targets).cache()
+    val kept = out.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val orig = events.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    // untargeted classes are dropped entirely
+    assert(kept.keySet == targets.keySet)
+    // never upsamples
+    targets.keys.foreach(c => assert(kept(c) <= orig(c)))
+    // the limiting class (smallest n/W) keeps every row: the bucket
+    // threshold degenerates to bucket < Buckets
+    val (limC, _, _) = targets.toSeq
+      .map { case (c, wt) => (c, orig(c), wt.toLong) }
+      .minBy { case (c, n, wt) => (n * 1000000L / wt, n, wt, c) }
+    assert(kept(limC) == orig(limC), s"limiting class $limC must keep all")
+    // mixture tracks the target ratios in expectation (hash-bucket
+    // sampling: allow generous slack on a few hundred rows/class)
+    val total = kept.values.sum.toDouble
+    val wSum = targets.values.sum.toDouble
+    targets.foreach { case (c, wt) =>
+      val got = kept(c) / total
+      val want = wt / wSum
+      assert(math.abs(got - want) < 0.08,
+        s"$c: got ${got}, want $want ($kept)")
+    }
+    // deterministic and repartition-proof
+    val again = Corpus.mixToTargets(events.repartition(13),
+      col("event_type"), col("event_id"), targets)
+      .select("event_id").as[Long].collect().toSet
+    assert(again == out.select("event_id").as[Long].collect().toSet)
+    // a target class absent from the data fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.mixToTargets(events, col("event_type"), col("event_id"),
+        Map("click" -> 1, "no_such_class" -> 1))
+    }
+    assert(ex.getMessage.contains("no_such_class"))
+  }
+
   // ---- weightedSample ----
 
   test("weightedSample always keeps max-weight rows, is repartition-proof") {

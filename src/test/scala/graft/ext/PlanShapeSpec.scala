@@ -100,4 +100,27 @@ class PlanShapeSpec extends SparkSpec {
         s"$q should be a narrow map but plans an exchange:\n$plan")
     }
   }
+
+  test("domain mixing is a narrow literal-map filter — zero joins, zero exchanges") {
+    // the per-class constants ride literal maps, so after the one
+    // driver-side count job the kept-set filter must be a pure narrow
+    // map over the fact scan: at 100x the fact table neither shuffles
+    // nor joins
+    val plan = extPlan("sample_domain_mixture")
+    assert(!plan.contains("Exchange"),
+      s"mixture filter should be narrow but plans an exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"mixture filter should use literal maps, not a join:\n$plan")
+  }
+
+  test("multimodal decode is partition-local over the payload scan") {
+    // codec work must stay where the bytes are: mapPartitions over the
+    // scan, no exchange before the decode (a shuffle would move every
+    // binary payload across the cluster)
+    val plan = extPlan("mm_decode_features")
+    assert(plan.contains("MapPartitions"),
+      s"decode lost its partition-local shape:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"binary payloads shuffled before decode:\n$plan")
+  }
 }

@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 30g default (the box has 125g): 32 executor threads sharing an 8g
+  // heap put every cached pipeline frame and shuffle buffer under GC
+  // pressure — measured as multi-second tail variance on the
+  // write-heavy bench queries. 30g stays under the 32g compressed-oops
+  // boundary.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "30g")}",
 )

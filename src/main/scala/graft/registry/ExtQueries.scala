@@ -56,6 +56,14 @@ object ExtQueries {
        |  list_transform(range(0, width), x ->
        |    (media_id*31 + x*7 + y*13 + ${c * 29}) % 256)))) AS BIGINT)"""
       .stripMargin
+
+  /** Same channel sum AFTER a factor-2 nearest-neighbor resize: kept
+    * pixel (X, Y) is source pixel (2X, 2Y). */
+  private def ppmResChanSumSql(c: Int): String =
+    s"""CAST(list_sum(flatten(list_transform(range(0, height), y ->
+       |  list_transform(range(0, width), x ->
+       |    (media_id*31 + (2*x)*7 + (2*y)*13 + ${c * 29}) % 256))))
+       | AS BIGINT)""".stripMargin
   private def scoreSql(lang: String): String =
     TextOps.LangStopwords.toMap.apply(lang).map(hitsSql)
       .mkString("(", " + ", ")")
@@ -329,6 +337,14 @@ object ExtQueries {
       Multimodal.frameScanlines(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")),
         stride = 2).toDF()),
+    // resize-then-decode: proves the nearest-neighbor downscale emits
+    // valid P6 whose pixels are exactly the stride-sampled source
+    // pixels (the oracle replays the generator formula at 2x stride)
+    "mm_resize_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.resize(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")),
+          factor = 2)).toDF()),
 
     // ---- event-time windows (batch) ----
     "window_tumbling" -> ((s, dir) =>
@@ -1222,6 +1238,30 @@ object ExtQueries {
               ${ppmChanSumSql(0)} AS sum_r,
               ${ppmChanSumSql(1)} AS sum_g,
               ${ppmChanSumSql(2)} AS sum_b
+            FROM dims)
+      SELECT media_id,
+             CAST(width AS INTEGER) AS width,
+             CAST(height AS INTEGER) AS height,
+             CAST(9 + strlen(CAST(width AS VARCHAR))
+                    + strlen(CAST(height AS VARCHAR))
+                    + 3*width*height AS BIGINT) AS n_bytes,
+             CAST(width*height AS BIGINT) AS n_pixels,
+             sum_r, sum_g, sum_b,
+             CAST((sum_r + sum_g + sum_b) * 1000000
+                  // (width*height*3*255) AS BIGINT) AS brightness_ppm
+      FROM sums""",
+    // decode after a factor-2 nearest-neighbor resize: kept pixel
+    // (X, Y) is source pixel (2X, 2Y), new dims are ceil-halved, and
+    // n_bytes replays the re-encoded header for the NEW dims
+    "mm_resize_decode" -> s"""
+      WITH dims AS (SELECT doc_id AS media_id,
+              (4 + doc_id % 13 + 1) // 2 AS width,
+              (3 + doc_id % 7 + 1) // 2 AS height
+            FROM documents),
+      sums AS (SELECT media_id, width, height,
+              ${ppmResChanSumSql(0)} AS sum_r,
+              ${ppmResChanSumSql(1)} AS sum_g,
+              ${ppmResChanSumSql(2)} AS sum_b
             FROM dims)
       SELECT media_id,
              CAST(width AS INTEGER) AS width,

@@ -302,4 +302,47 @@ object Corpus {
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
+
+  /** Corpus-level bigram familiarity — the no-model quality /
+    * perplexity proxy (CCNet-style LM filtering without a trained
+    * LM): the fraction (integer ppm) of a document's word bigrams
+    * that occur at least `minCount` times corpus-wide. Natural or
+    * boilerplate text scores high; garbled, shuffled or
+    * wrong-language text scores low. Deliberately integer end-to-end
+    * (counts and a floor-div ppm) so the whole signal is
+    * hash-verifiable cross-engine — a float log-prob would not be.
+    *
+    * Output: (doc_id, n_bigrams, n_familiar, familiar_ppm); a doc
+    * with fewer than two tokens has zero bigrams and scores 0.
+    *
+    * Scale shape: one explode to (doc_id, bigram-hash) — the join key
+    * is the fixed-width [[TextOps.hex60]] hash, never the bigram
+    * string — a corpus-count hash-agg (map-side combine), a
+    * hash-to-hash join back, and a per-doc count agg. Two shuffles on
+    * 8-byte keys; no driver materialization. */
+  def bigramFamiliarity(df: DataFrame, id: Column, text: Column,
+                        minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val inst = df.select(id.cast("long").as("doc_id"), explode(
+        graft.functions.VectorFunctions.wordShingleStrings(text, 2))
+        .as("bigram"))
+      .select(col("doc_id"), TextOps.hex60(col("bigram")).as("h"))
+    val familiar = inst.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minCount)
+      .select(col("h"), lit(1).as("_fam"))
+    val scored = inst.join(familiar, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("_fam")).as("n_familiar"))
+    // docs with < 2 tokens never explode a bigram: restore them with 0s
+    df.select(id.cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_familiar"), lit(0L)).as("n_familiar"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("n_familiar * 1000000L div n_bigrams"))
+          .otherwise(lit(0L)).as("familiar_ppm"))
+  }
 }

@@ -83,6 +83,34 @@ class CorpusSpec extends SparkSpec {
     assert(ra.length == docs.count())
   }
 
+  // ---- bigramFamiliarity ----
+
+  test("bigram familiarity scores shared phrasing high, gibberish low") {
+    // "the cat sat" appears in 3 docs -> its bigrams reach minCount=3;
+    // doc 4 is unique gibberish; doc 5 has one token (no bigrams)
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "qzx wvu ptr"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bigramFamiliarity(df, col("doc_id"), col("text"),
+        minCount = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1-3: both bigrams ("the cat", "cat sat") occur 3x corpus-wide
+    Seq(1L, 2L, 3L).foreach(d => assert(got(d) == ((2L, 2L, 1000000L)), s"doc $d"))
+    assert(got(4L) == ((2L, 0L, 0L)), "gibberish has zero familiar bigrams")
+    assert(got(5L) == ((0L, 0L, 0L)), "sub-2-token doc scores 0, not NULL")
+    // ppm is an integer floor: 1 of 2 familiar -> 500000
+    val mixed = Seq((1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "the cat won")).toDF("doc_id", "text")
+    val m = Corpus.bigramFamiliarity(mixed, col("doc_id"), col("text"),
+        minCount = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // "the cat" occurs 3x (familiar); "cat sat" 2x, "cat won" 1x
+    assert(m(3L) == 500000L)
+  }
+
   // ---- mixToTargets ----
 
   test("mixToTargets hits the target mixture, keeps the limiting class whole") {

@@ -260,6 +260,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sizes.forall(_ == 4), s"sizes must be pre-cap: ${sizes.toSeq}")
   }
 
+  test("keep-representative partitions the corpus: one keeper per cluster") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val reps = Dedup.connectedComponents(nodes, pairs)
+      .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+      .select($"component".as("doc_id"), $"cluster_size")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // representatives are the min doc_id of each cluster; sizes
+    // partition the corpus (every doc counted exactly once)
+    assert(reps == Seq(1L -> 3L, 4L -> 1L, 5L -> 2L))
+    assert(reps.map(_._2).sum == 6L)
+  }
+
   test("connected components with a checkpoint dir: reliable rounds, cleaned up") {
     val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)

@@ -137,6 +137,46 @@ object ExtQueries {
         .select(col("doc_a"), col("doc_b"))
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
     }),
+    // the dedup OUTPUT, not just the clustering: one representative
+    // (the min-doc_id component label) per near-dup cluster with its
+    // cluster size — what a curation pipeline actually keeps. Unique
+    // docs are their own singleton cluster.
+    "dedup_keep_representative" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .select(col("component").as("doc_id"), col("cluster_size"))
+    }),
+    // the LLM-side flagship: the full curation chain a training-data
+    // pipeline runs end-to-end — C4 quality filter -> exact dedup
+    // (keep-first by content hash) -> near-dup keep-representative
+    // (0.8-Jaccard clusters) -> context-window chunking. Every stage
+    // is an already-verified operator; this registers their
+    // COMPOSITION with one composed oracle, the way
+    // pipeline_sales_e2e does for the retail side.
+    "corpus_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val kept = docs.join(
+        Corpus.c4QualityFlags(docs, col("doc_id"), col("text"))
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"))
+      // exact dedup: min doc_id per content hash (hash-agg, no window)
+      val exact = kept.join(
+        kept.groupBy(md5(col("text")).as("_h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"))
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val reps = Dedup
+        .connectedComponents(exact.select(col("doc_id")), pairs)
+        .filter(col("doc_id") === col("component")).select("doc_id")
+      Corpus.chunkDocuments(exact.join(reps, Seq("doc_id")),
+        col("doc_id"), col("text"), chunkTokens = 64)
+    }),
     // multi-table LSH candidates -> exact cosine verify: the scale-safe
     // registered shape (bucket-keyed shuffle, NO nested-loop join; the
     // all-pairs brute form survives only as the spec-side recall
@@ -211,6 +251,11 @@ object ExtQueries {
     // Zipf audit: term-count histogram in power-of-two bins
     "vocab_freq_histogram" -> ((s, dir) =>
       Corpus.freqHistogram(t(s, dir, "documents"), col("text"))),
+    // no-model perplexity proxy: fraction of a doc's bigrams seen
+    // >= 5 times corpus-wide (integer ppm, hash-joined on hex60)
+    "text_bigram_familiarity" -> ((s, dir) =>
+      Corpus.bigramFamiliarity(t(s, dir, "documents"), col("doc_id"),
+        col("text"), minCount = 5)),
     // per-domain curriculum selection: best 5 docs per source by
     // quality score, through the bounded-heap aggregate (each task
     // forwards <= 5 rows per source — no per-domain window sort)
@@ -752,6 +797,46 @@ object ExtQueries {
       WHERE rank <= $k"""
   }
 
+  /** Min-label-propagation connected-components CTE block over the
+    * 0.8-Jaccard pair graph of `docsSel` (any (doc_id, text)
+    * relation) — the recursive-CTE twin of
+    * Dedup.connectedComponents' pointer jumping. Emits the `walk`
+    * CTE; callers append their own final aggregation. Shared by
+    * dedup_clusters, dedup_keep_representative and the curation
+    * pipeline oracle. */
+  private def clustersCtes(docsSel: String): String =
+    s"""docs AS ($docsSel),
+      tokraw AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM docs),
+      toks AS (
+        SELECT doc_id, token FROM tokraw
+        WHERE token NOT IN (SELECT token FROM tokraw
+                            GROUP BY token HAVING count(*) > 500)),
+      sizes AS (SELECT doc_id, count(*) AS n_tokens FROM tokraw GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node)"""
+
+  private val DedupClustersSql: String =
+    s"""WITH RECURSIVE
+      ${clustersCtes("SELECT doc_id, text FROM documents")}
+      SELECT node AS doc_id, min(lbl) AS component
+      FROM walk GROUP BY node"""
+
   /** SQL twin of Sampling.bucket (salt ""). */
   private def bucketSql(key: String): String =
     s"(${hex60Sql(s"CAST($key AS VARCHAR)")} % ${Sampling.Buckets})"
@@ -962,6 +1047,27 @@ object ExtQueries {
         (n_words >= 10 AND has_stopword AND distinct_ppm >= 300000
           AND no_brace AND no_lorem) AS keep
       FROM m""",
+    // familiarity joins on the SAME hex60 hash groups as Spark (a
+    // 60-bit collision would merge counts identically on both engines)
+    "text_bigram_familiarity" -> s"""
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      big AS (SELECT doc_id, ${hex60Sql("bigram")} AS h FROM (
+          SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+              i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+          FROM tok WHERE len(toks) >= 2)),
+      fam AS (SELECT h FROM big GROUP BY h HAVING count(*) >= 5),
+      sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                    count(f.h) AS n_familiar
+             FROM big b LEFT JOIN fam f USING (h) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(n_familiar, 0) AS BIGINT) AS n_familiar,
+             CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN n_familiar * 1000000 // n_bigrams
+                  ELSE 0 END AS BIGINT) AS familiar_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)""",
     "vocab_top_bigrams" -> """
       WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
         FROM documents),
@@ -1135,35 +1241,52 @@ object ExtQueries {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
-    "dedup_clusters" ->
-      """WITH RECURSIVE
-        docs AS (SELECT doc_id, text FROM documents),
-        tokraw AS (
-          SELECT DISTINCT doc_id,
-                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-          FROM docs),
-        toks AS (
-          SELECT doc_id, token FROM tokraw
-          WHERE token NOT IN (SELECT token FROM tokraw
-                              GROUP BY token HAVING count(*) > 500)),
-        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM tokraw GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT doc_a, doc_b FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-        walk(node, lbl) AS (
-          SELECT doc_id, doc_id FROM docs
-          UNION
-          SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node)
-        SELECT node AS doc_id, min(lbl) AS component
-        FROM walk GROUP BY node""",
+    "dedup_clusters" -> DedupClustersSql,
+    // representative per component == rows whose label is the min of
+    // their cluster; composes the clusters oracle as a subquery
+    "dedup_keep_representative" -> s"""
+      SELECT component AS doc_id,
+             CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ($DedupClustersSql) GROUP BY component""",
+    // the composed curation chain: C4 keep-conditions (text_c4_filter
+    // oracle), exact keep-first over md5(text), the shared clusters
+    // CTE block restricted to the exact-dedup survivors,
+    // representative filter, then the chunk_documents replay
+    "corpus_curation_e2e" -> s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS btoks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id, text FROM base
+        WHERE len(btoks) >= 10
+          AND (contains(p, ' the ') OR contains(p, ' a '))
+          AND CAST(len(list_distinct(btoks)) AS BIGINT) * 1000000
+              // CAST(len(btoks) AS BIGINT) >= 300000
+          AND NOT contains(lower(text), '{')
+          AND NOT contains(lower(text), 'lorem ipsum')),
+      ex AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM c4) WHERE doc_id = keeper),
+      ${clustersCtes("SELECT doc_id, text FROM ex")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      corpus AS (SELECT ex.doc_id, ex.text FROM ex
+                 JOIN comp USING (doc_id) WHERE component = ex.doc_id),
+      ctok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM corpus),
+      seg AS (SELECT doc_id,
+          unnest(range((len(toks) + 63) // 64)) AS chunk_idx,
+          unnest(list_transform(range((len(toks) + 63) // 64),
+            i -> array_to_string(toks[i*64+1 : i*64+64], ' '))) AS seg
+        FROM ctok)
+      SELECT doc_id, chunk_idx,
+        CAST(len(regexp_split_to_array(trim(seg), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        md5(seg) AS chunk_md5
+      FROM seg""",
     "dedup_embedding_cosine" -> lshPairsSql(tables = 4, threshold = 0.3),
     "sim_lsh_ann" -> lshPairsSql(tables = 1, threshold = 0.2),
 

@@ -83,6 +83,26 @@ class CorpusSpec extends SparkSpec {
     assert(ra.length == docs.count())
   }
 
+  // ---- curation pipeline composition ----
+
+  test("curation e2e: chunks only from C4-kept, exact+near-dup-deduped docs") {
+    val out = graft.registry.ExtQueries
+      .queries("corpus_curation_e2e")(spark, sf0001).cache()
+    assert(out.count() > 0)
+    // chunking invariant holds through the composition
+    assert(out.filter(col("n_tokens") > 64 || col("n_tokens") < 1)
+      .count() == 0)
+    // every surviving doc passed the C4 keep conjunction
+    val survivors = out.select("doc_id").distinct()
+    val flags = Corpus.c4QualityFlags(docs, col("doc_id"), col("text"))
+    assert(survivors.join(flags.filter(!col("keep")), Seq("doc_id"))
+      .count() == 0, "a C4-rejected doc leaked through curation")
+    // and no two surviving docs share identical content
+    val texts = docs.join(survivors, Seq("doc_id")).select("text")
+    assert(texts.count() == texts.distinct().count(),
+      "exact duplicates must not survive curation")
+  }
+
   // ---- bigramFamiliarity ----
 
   test("bigram familiarity scores shared phrasing high, gibberish low") {

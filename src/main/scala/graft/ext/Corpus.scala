@@ -201,7 +201,11 @@ object Corpus {
       require(w >= 1 && w <= 1000,
         s"mixToTargets weight for '$c' must be in [1, 1000], got $w")
     }
-    val counts = df.groupBy(cls.as("_cls")).agg(count(lit(1)).as("_n"))
+    // string-keyed contract made explicit: cast the class column once
+    // so a non-string class (int category ids, dates) works instead of
+    // throwing an opaque ClassCastException off the collected rows
+    val clsStr = cls.cast("string")
+    val counts = df.groupBy(clsStr.as("_cls")).agg(count(lit(1)).as("_n"))
       .filter(col("_cls").isin(targets.keys.toSeq: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = targets.keySet -- counts.keySet
@@ -211,8 +215,8 @@ object Corpus {
       .map { case (c, w) => (c, counts(c), w.toLong) }
       .minBy { case (c, n, w) => (n * 1000000L / w, n, w, c) }
     val w = element_at(typedlit(targets.map { case (k, v) => k -> v.toLong }),
-      cls)
-    val n = element_at(typedlit(counts), cls)
+      clsStr)
+    val n = element_at(typedlit(counts), clsStr)
     df.filter(w.isNotNull &&
       Sampling.bucket(key, salt) * lit(w0) * n
         < lit(n0) * w * lit(Sampling.Buckets))

@@ -128,11 +128,14 @@ object Multimodal {
       if (pos >= payload.length || !isWs(payload(pos)))
         fail("missing raster separator")
       pos += 1
-      val need = w * h * 3
+      // Long arithmetic: 65535 x 65535 x 3 overflows Int, which would
+      // wrap the bound check and turn a malformed header into garbage
+      // statistics instead of the loud failure this parser promises
+      val need = w.toLong * h * 3
       if (payload.length - pos < need)
         fail(s"truncated raster: need $need bytes, have ${payload.length - pos}")
       Image(w, h, maxVal,
-        java.util.Arrays.copyOfRange(payload, pos, pos + need))
+        java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt))
     }
   }
 
@@ -178,7 +181,11 @@ object Multimodal {
         val nPx = img.width.toLong * img.height
         MediaFeatures(r.media_id, img.width, img.height,
           r.payload.length.toLong, nPx, sr, sg, sb,
-          (sr + sg + sb) * 1000000L / (nPx * 3L * 255L))
+          // normalize by the PARSED maxVal, not a hard-coded 255 —
+          // a legal maxval-100 image must not report 39% brightness
+          // (the fixture corpus is always 255, so its oracle is
+          // unchanged)
+          (sr + sg + sb) * 1000000L / (nPx * 3L * img.maxVal))
       }
     }
   }
@@ -199,7 +206,11 @@ object Multimodal {
               s"!= metadata ${r.width}x${r.height}")
         1L
       }
-    }.reduce(_ + _)
+    }.toDF("checked")
+      // agg, not reduce: an EMPTY media table is consistent (0
+      // records checked), not an 'empty collection' crash
+      .agg(coalesce(sum(col("checked")), lit(0L)))
+      .head().getLong(0)
   }
 
   /** REAL nearest-neighbor downscale: decode, keep every `factor`-th

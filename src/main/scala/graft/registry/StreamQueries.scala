@@ -37,40 +37,50 @@ object StreamQueries {
     s.readStream.schema(events.schema).parquet(stage)
   }
 
-  /** Staged events + a far-future sentinel row, for event-time-timeout
-    * queries (separate copy so the sentinel never pollutes the other
-    * streaming queries' source). The sentinel (user_id -1) advances
-    * the final watermark past every real session's `last + gap`, so
-    * the no-data micro-batch after the last file flushes all pending
-    * event-time timers deterministically. This is honest streaming
-    * semantics: it models the stream CONTINUING past the fixture's
-    * horizon — a bounded source cannot otherwise tell the operator
-    * "no more data is coming" — not a test-only shortcut. */
+  /** Stage a bounded event table plus a far-future sentinel row into
+    * a fresh directory, for event-time-timeout queries (a separate
+    * copy, so the sentinel never pollutes the plain staged source).
+    * The sentinel (user_id -1) advances the final watermark past
+    * every real session's `last + gap`, so the no-data micro-batch
+    * after the last file flushes all pending event-time timers
+    * deterministically. This is honest streaming semantics: it models
+    * the stream CONTINUING past the fixture's horizon — a bounded
+    * source cannot otherwise tell the operator "no more data is
+    * coming" — not a test-only shortcut. Shared by the registry and
+    * the specs so sentinel semantics cannot drift between them. */
+  def stageWithSentinel(events: DataFrame, gapMs: Long): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_stream_sent").toString
+    events.write.mode("overwrite").parquet(d)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs =
+      new java.sql.Timestamp(maxTs.getTime + gapMs + 3600 * 1000L)
+    // sentinel row from a template row so schema-extra columns
+    // survive; only the identifying fields are overridden
+    events.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .write.mode("append").parquet(d)
+    graft.ext.Scratch.reclaimOnExit(d)
+    d
+  }
+
+  /** One sentinel staging per (session, sfDir, gapMs) — gapMs is part
+    * of the key because the sentinel's distance past max(ts) must
+    * cover THIS query's gap: reusing a smaller-gap staging for a
+    * larger gap would leave final sessions unflushed (timers past the
+    * sentinel watermark) and silently drop output rows. */
   private val stagedSentinel =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), String]
 
   private def streamSourceWithSentinel(s: SparkSession, dir: String,
                                        gapMs: Long): DataFrame = {
     val events = Tables.events(s, dir)
     val stage = stagedSentinel.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft_stream_sent").toString
-        events.write.mode("overwrite").parquet(d)
-        val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-        val sentinelTs =
-          new java.sql.Timestamp(maxTs.getTime + gapMs + 3600 * 1000L)
-        // sentinel row from a template row so schema-extra columns
-        // survive; only the identifying fields are overridden
-        events.limit(1)
-          .withColumn("event_id", lit(-1L))
-          .withColumn("ts", lit(sentinelTs))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_type", lit("sentinel"))
-          .write.mode("append").parquet(d)
-        graft.ext.Scratch.reclaimOnExit(d)
-        d
-      })
+      (s.sparkContext.applicationId, dir, gapMs),
+      stageWithSentinel(events, gapMs))
     s.readStream.schema(events.schema).parquet(stage)
   }
 
@@ -208,7 +218,7 @@ object StreamQueries {
           "graft_mem_session_stateful", OutputMode.Append())
         .filter(col("user_id") >= 0)
         .select(
-          date_format(timestamp_millis(col("start_ms")),
+          date_format(timestamp_micros(col("start_us")),
             "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("user_id"), col("n_events"))
     }),
@@ -270,14 +280,19 @@ object StreamQueries {
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey
       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     // identical sessionization semantics to stream_session (gap 30min),
-    // emitted by event-time timers instead of session_window
+    // emitted by event-time timers instead of session_window. The ns
+    // parquet is µs-truncated first (CAST, == the staged source's
+    // `div 1000` floor) because the Spark side decides gaps at µs —
+    // a boundary row must not compare differently at ns precision.
     "stream_session_stateful" -> """
-      WITH flagged AS (
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+      flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                     THEN 1 ELSE 0 END AS new_session
-        FROM events),
+        FROM ev),
       ids AS (
         SELECT user_id, ts,
                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

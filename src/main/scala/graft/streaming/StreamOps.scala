@@ -51,11 +51,20 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
-  case class SessionAgg(user_id: Long, n_events: Long, start_ms: Long,
-                        end_ms: Long)
+  /** One emitted session. Bounds are MICROSECONDS since the epoch —
+    * the staged source's native precision, so the oracle can replay
+    * gap decisions exactly (µs-truncated on both engines). */
+  case class SessionAgg(user_id: Long, n_events: Long, start_us: Long,
+                        end_us: Long)
   /** Per-user sessionizer state (public: the state Encoder's generated
-    * code must be able to reach the constructor). */
+    * code must be able to reach the constructor). Times in µs. */
   case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Full-precision event time: java.sql.Timestamp.getTime truncates
+    * to ms; the staged parquet carries µs. A gap decided at ms while
+    * the oracle decides at µs would diverge on a boundary row. */
+  private def eventMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   /** Custom sessionizer via flatMapGroupsWithState — the escape hatch
     * for per-key state machines beyond session_window's semantics.
@@ -72,15 +81,24 @@ object StreamOps {
     * watermark advances past every session's close, a no-data
     * micro-batch flushes them all.
     *
+    * The watermark delay is FIXED at 0 seconds — deliberately not a
+    * parameter. Sessions closed by a gap-break INSIDE a batch emit
+    * immediately, which is only final if no out-of-order event can
+    * still arrive under the watermark and extend them; at delay 0
+    * every such event is late data and is dropped before the
+    * operator, so immediate emission is exact. A nonzero delay would
+    * need closed-session buffering in state to stay correct — a
+    * different operator, not a knob on this one.
+    *
     * State per user is one (n, start, last) triple — bounded by the
     * live keyspace, evicted at emission; the 100 TB-stream shape. */
-  def statefulSessions(events: Dataset[Event], gapMs: Long,
-                       watermarkDelay: String = "0 seconds")
+  def statefulSessions(events: Dataset[Event], gapMs: Long)
       : Dataset[SessionAgg] = {
+    val gapUs = gapMs * 1000L
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark("ts", "0 seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -90,13 +108,13 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionAgg(user, s.n, s.start, s.last))
           } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val evs = it.toSeq.sortBy(e => eventMicros(e.ts))
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer[SessionAgg]()
             evs.foreach { e =>
-              val t = e.ts.getTime
+              val t = eventMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.n + 1, s.start, t))
                 case Some(s) =>
                   out += SessionAgg(user, s.n, s.start, s.last)
@@ -107,12 +125,14 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // close at watermark >= last+gap; clamp above the
-              // current watermark (Spark rejects a timeout at-or-
-              // before it, which can happen when a key's whole batch
-              // arrived just ahead of the advancing watermark)
+              // close at watermark >= last+gap (timer API is ms);
+              // clamp above the current watermark (Spark rejects a
+              // timeout at-or-before it, which can happen when a
+              // key's whole batch arrived just ahead of the
+              // advancing watermark)
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max((s.last + gapUs) / 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -173,6 +173,19 @@ class CorpusSpec extends SparkSpec {
         Map("click" -> 1, "no_such_class" -> 1))
     }
     assert(ex.getMessage.contains("no_such_class"))
+    // non-string class columns work through the documented string-key
+    // contract (cast once, not ClassCastException off collected rows).
+    // Class 1 (n=2) is limiting at 1:1 weights -> kept in full; class
+    // 2 downsamples in expectation (possibly to zero on 4 rows — the
+    // hash buckets are deterministic, not proportional-exact)
+    val intCls = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2), (5L, 2), (6L, 2))
+      .toDF("id", "cat")
+    val byCat = Corpus.mixToTargets(intCls, col("cat"), col("id"),
+        Map("1" -> 1, "2" -> 1))
+      .groupBy("cat").count().as[(Int, Long)].collect().toMap
+    assert(byCat.getOrElse(1, 0L) == 2L,
+      s"limiting int class must keep all rows: $byCat")
+    assert(byCat.getOrElse(2, 0L) <= 4L)
   }
 
   // ---- weightedSample ----

@@ -50,6 +50,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parser rejects an overflow-sized header loudly, not with garbage") {
+    // 43691 x 32768 x 3 wraps Int32; the bound check must still fire
+    val ex = intercept[IllegalArgumentException] {
+      Ppm.decode("P6\n43691 32768\n255\n".getBytes(US_ASCII) ++
+        new Array[Byte](64))
+    }
+    assert(ex.getMessage.contains("truncated raster"))
+  }
+
+  test("brightness normalizes by the parsed maxval, not a hard-coded 255") {
+    // a legal maxval-100 image: all-samples-100 is full brightness
+    val raster = Array.fill[Byte](2 * 2 * 3)(100)
+    val payload = "P6\n2 2\n100\n".getBytes(US_ASCII) ++ raster
+    val media = Seq(Multimodal.MediaRecord(7L, "image", payload,
+      2, 2, "image/ppm")).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.brightness_ppm == 1000000L,
+      s"maxval-100 saturated image must be full brightness, got ${f.brightness_ppm}")
+  }
+
+  test("metadata gate on an empty media table reports 0, not a crash") {
+    val empty = spark.emptyDataset[Multimodal.MediaRecord]
+    assert(Multimodal.requireMetadataConsistent(empty) == 0L)
+  }
+
   test("decode features parse real bytes and are deterministic") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)

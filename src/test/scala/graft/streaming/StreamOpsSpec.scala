@@ -154,23 +154,12 @@ class StreamOpsSpec extends SparkSpec {
 
   test("stateful sessionizer (event-time timeouts) equals batch sessionization") {
     val gapMs = 1800 * 1000L
-    // stage events + a far-future sentinel: the sentinel advances the
-    // final watermark past every real session's last+gap, so the
-    // trailing no-data micro-batch fires every pending event-time
-    // timer. Models the stream continuing, not "input ended".
-    val dir = java.nio.file.Files.createTempDirectory("graft_fmgs").toString
-    events.write.mode("overwrite").parquet(dir)
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinelTs = new java.sql.Timestamp(
-      maxTs.getTime + gapMs + 3600 * 1000L)
-    // sentinel row built from a template row so schema-extra columns
-    // (props) survive; only the identifying fields are overridden
-    events.limit(1)
-      .withColumn("event_id", lit(-1L))
-      .withColumn("ts", lit(sentinelTs))
-      .withColumn("user_id", lit(-1L))
-      .withColumn("event_type", lit("sentinel"))
-      .write.mode("append").parquet(dir)
+    // the SAME sentinel staging the registered query uses (shared
+    // helper — sentinel semantics cannot drift between spec and
+    // registry): the sentinel advances the final watermark past every
+    // real session's last+gap, so the trailing no-data micro-batch
+    // fires every pending event-time timer
+    val dir = graft.registry.StreamQueries.stageWithSentinel(events, gapMs)
     val src = spark.readStream.schema(events.schema).parquet(dir)
       .as[StreamOps.Event]
     val streamed = StreamOps.runToMemory(
@@ -178,9 +167,9 @@ class StreamOpsSpec extends SparkSpec {
         "fmgs_test", OutputMode.Append())
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
-        date_format(timestamp_millis(col("start_ms")),
+        date_format(timestamp_micros(col("start_us")),
           "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        date_format(timestamp_millis(col("end_ms")),
+        date_format(timestamp_micros(col("end_us")),
           "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"))
     val batch = graft.ext.Windows.sessionize(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Windows}
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -390,6 +390,19 @@ object ExtQueries {
         Multimodal.resize(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")),
           factor = 2)).toDF()),
+    // audio modality: the second REAL codec (RIFF/WAVE 16-bit PCM).
+    // Fixture clips are generated from doc_id; every third clip
+    // carries an odd-sized junk LIST chunk, so the decoder's chunk
+    // walker (and its RIFF pad handling) is exercised by the corpus
+    // itself, and the oracle replays every decoded sample statistic
+    // in closed form — a wrong parse cannot hash-match
+    "mm_audio_features" -> ((s, dir) =>
+      Audio.decodeFeatures(
+        Audio.audioFromDocuments(t(s, dir, "documents"))).toDF()),
+    "mm_audio_frame_sample" -> ((s, dir) =>
+      Audio.frameSample(
+        Audio.audioFromDocuments(t(s, dir, "documents")),
+        frameLen = 25, stride = 2).toDF()),
 
     // ---- event-time windows (batch) ----
     "window_tumbling" -> ((s, dir) =>
@@ -1414,6 +1427,51 @@ object ExtQueries {
                    (media_id*31 + x*7 + y*13 + 58) % 256]))))) AS BIGINT)
                AS sampled_sum
       FROM dims""",
+    // the audio decode is REAL (RIFF chunk walk + LE int16 PCM parse);
+    // the fixture samples are generated from doc_id so the oracle
+    // replays every statistic in closed form. n_bytes replays the
+    // canonical 44-byte header+fmt+data framing plus the 12-byte
+    // junk-LIST chunk every third clip carries; zero crossings are
+    // strict sign products (DuckDB lists are 1-indexed: smp[i],
+    // smp[i+1] for i in range(1, n) pair each sample with its
+    // successor)
+    "mm_audio_features" -> """
+      WITH clips AS (SELECT doc_id AS media_id,
+              CAST(50 + doc_id % 101 AS BIGINT) AS n
+            FROM documents),
+      s AS (SELECT media_id, n,
+              list_transform(range(0, n),
+                i -> (media_id*37 + i*17) % 4096 - 2048) AS smp
+            FROM clips)
+      SELECT media_id,
+             n AS n_samples,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             n * 1000 // 8000 AS duration_ms,
+             CAST(44 + 2*n + CASE WHEN media_id % 3 = 0 THEN 12 ELSE 0 END
+                  AS BIGINT) AS n_bytes,
+             CAST(list_sum(list_transform(smp, v -> abs(v))) AS BIGINT)
+               AS sum_abs,
+             CAST(list_sum(list_transform(smp, v -> v*v)) AS BIGINT)
+               AS sum_sq,
+             CAST(list_max(list_transform(smp, v -> abs(v))) AS BIGINT)
+               AS peak_abs,
+             CAST(len(list_filter(range(1, n),
+                  i -> smp[i] * smp[i+1] < 0)) AS BIGINT) AS n_zero_cross
+      FROM s""",
+    // every stride=2-th block of 25 samples is a "frame"; the sampled
+    // abs-amplitude sum replays the generator over the kept blocks
+    "mm_audio_frame_sample" -> """
+      WITH clips AS (SELECT doc_id AS media_id,
+              CAST(50 + doc_id % 101 AS BIGINT) AS n
+            FROM documents)
+      SELECT media_id,
+             (n + 24) // 25 AS n_frames,
+             CAST(len(range(0, (n + 24) // 25, 2)) AS BIGINT) AS n_sampled,
+             CAST(list_sum(flatten(list_transform(range(0, (n + 24) // 25, 2),
+                f -> list_transform(range(f*25, least((f+1)*25, n)),
+                  i -> abs((media_id*37 + i*17) % 4096 - 2048)))))
+               AS BIGINT) AS sampled_sum_abs
+      FROM clips""",
     "window_tumbling" -> s"""
       SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
              event_type, count(*) AS n_events,

@@ -263,6 +263,72 @@ object Corpus {
         col("no_brace"), col("no_lorem"), col("keep"))
   }
 
+  /** Gopher-style quality rules — the second public rule family
+    * beside [[c4QualityFlags]] (Rae et al. 2021, table A1): document
+    * shape statistics rather than C4's content heuristics. Every
+    * metric is exact integer parts-per-million (floor-div, `div` ==
+    * SQL `//`) so the rule thresholds are bit-portable; every rule is
+    * its own flag for auditability, plus the conjunction `keep`.
+    *
+    *  - `word_count_ok`: n_words in [minWords, maxWords]
+    *  - `word_len_ok`: mean word length in [3, 10] chars (ppm-scaled)
+    *  - `mostly_alpha`: >= 80% of words contain an alphabetic char
+    *  - `low_symbol`: '#' and '...' occurrences <= 10% of words
+    *  - `few_bullets`: <= 90% of lines start with '- ' or '* '
+    *  - `few_ellipsis`: <= 30% of lines end with '...'
+    *  - `enough_stopwords`: >= 2 distinct hits among 8 common English
+    *    stopwords (exact token membership, not substring)
+    *
+    * Pure per-row Column algebra: narrow, no shuffle. The list-lambda
+    * metrics (token lengths, alpha hits, line scans) are HOF
+    * expressions — CodegenFallback, but per-row bounded by document
+    * size, the same cost class as the c4 flags. */
+  def gopherQualityFlags(df: DataFrame, id: Column, text: Column,
+                         minWords: Int = 10,
+                         maxWords: Int = 100000): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.select(id.as("doc_id"), text.as("_text"),
+      TextOps.tokens(text).as("_toks"),
+      split(text, "\n").as("_lines"))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      .withColumn("_n_lines", greatest(size(col("_lines")).cast("long"), lit(1L)))
+      .withColumn("mean_word_len_ppm", expr(
+        """aggregate(transform(_toks, t -> length(t)), 0L,
+          |(a, x) -> a + CAST(x AS BIGINT)) * 1000000
+          |div greatest(n_words, 1L)""".stripMargin))
+      .withColumn("alpha_ppm", expr(
+        """size(filter(_toks, t -> t rlike '[a-zA-Z]')) * 1000000L
+          |div greatest(n_words, 1L)""".stripMargin))
+      // '#' count is a length delta; '...' occurrences are a length
+      // delta over the 3-char pattern — both exact integer arithmetic
+      .withColumn("symbol_ppm", expr(
+        """((length(_text) - length(replace(_text, '#', ''))) +
+          |(length(_text) - length(replace(_text, '...', ''))) div 3)
+          |* 1000000L div greatest(n_words, 1L)""".stripMargin))
+      .withColumn("bullet_line_ppm", expr(
+        """size(filter(_lines, l -> startswith(l, '- ')
+          |OR startswith(l, '* '))) * 1000000L div _n_lines""".stripMargin))
+      .withColumn("ellipsis_line_ppm", expr(
+        """size(filter(_lines, l -> endswith(l, '...')))
+          |* 1000000L div _n_lines""".stripMargin))
+      .withColumn("stop_hits",
+        stopwords.map(w => array_contains(col("_toks"), w).cast("long"))
+          .reduce(_ + _))
+      .withColumn("word_count_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok", col("mean_word_len_ppm") >= 3000000L &&
+        col("mean_word_len_ppm") <= 10000000L)
+      .withColumn("mostly_alpha", col("alpha_ppm") >= 800000L)
+      .withColumn("low_symbol", col("symbol_ppm") <= 100000L)
+      .withColumn("few_bullets", col("bullet_line_ppm") <= 900000L)
+      .withColumn("few_ellipsis", col("ellipsis_line_ppm") <= 300000L)
+      .withColumn("enough_stopwords", col("stop_hits") >= 2L)
+      .withColumn("keep", col("word_count_ok") && col("word_len_ok") &&
+        col("mostly_alpha") && col("low_symbol") && col("few_bullets") &&
+        col("few_ellipsis") && col("enough_stopwords"))
+      .drop("_text", "_toks", "_lines", "_n_lines")
+  }
+
   /** Context-window chunking: split every document into non-overlapping
     * `chunkTokens`-word pieces — the training-prep step that turns
     * arbitrary-length documents into model-window-sized rows while

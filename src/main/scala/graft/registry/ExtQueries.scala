@@ -241,6 +241,11 @@ object ExtQueries {
     "text_c4_filter" -> ((s, dir) =>
       Corpus.c4QualityFlags(t(s, dir, "documents"), col("doc_id"),
         col("text"))),
+    // Gopher-style shape rules (word-count/word-length/alpha/symbol/
+    // bullet/ellipsis/stopword), one audit flag per rule
+    "text_gopher_filter" -> ((s, dir) =>
+      Corpus.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
     // corpus-wide top-50 word bigrams (vocabulary induction seed)
     "vocab_top_bigrams" -> ((s, dir) =>
       Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
@@ -1059,6 +1064,59 @@ object ExtQueries {
         distinct_ppm >= 300000 AS diverse, no_brace, no_lorem,
         (n_words >= 10 AND has_stopword AND distinct_ppm >= 300000
           AND no_brace AND no_lorem) AS keep
+      FROM m""",
+    // Gopher shape rules: every metric an integer-ppm floor-div over
+    // the same token/line splits Spark uses; stopword hits are exact
+    // token membership (list_contains), not substring
+    "text_gopher_filter" -> """
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          string_split(text, chr(10)) AS lines
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+          CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS BIGINT)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS mean_word_len_ppm,
+          CAST(len(list_filter(toks,
+              tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
+            // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+          ((strlen(text) - strlen(replace(text, '#', ''))) +
+           (strlen(text) - strlen(replace(text, '...', ''))) // 3)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS symbol_ppm,
+          CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+              OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+            AS BIGINT) AS n_ell,
+          CAST(list_contains(toks, 'the') AS BIGINT)
+            + CAST(list_contains(toks, 'be') AS BIGINT)
+            + CAST(list_contains(toks, 'to') AS BIGINT)
+            + CAST(list_contains(toks, 'of') AS BIGINT)
+            + CAST(list_contains(toks, 'and') AS BIGINT)
+            + CAST(list_contains(toks, 'that') AS BIGINT)
+            + CAST(list_contains(toks, 'have') AS BIGINT)
+            + CAST(list_contains(toks, 'with') AS BIGINT) AS stop_hits
+        FROM t)
+      SELECT doc_id, n_words, mean_word_len_ppm, alpha_ppm, symbol_ppm,
+        n_bullet * 1000000 // n_lines AS bullet_line_ppm,
+        n_ell * 1000000 // n_lines AS ellipsis_line_ppm,
+        stop_hits,
+        (n_words >= 10 AND n_words <= 100000) AS word_count_ok,
+        (mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000)
+          AS word_len_ok,
+        alpha_ppm >= 800000 AS mostly_alpha,
+        symbol_ppm <= 100000 AS low_symbol,
+        n_bullet * 1000000 // n_lines <= 900000 AS few_bullets,
+        n_ell * 1000000 // n_lines <= 300000 AS few_ellipsis,
+        stop_hits >= 2 AS enough_stopwords,
+        (n_words >= 10 AND n_words <= 100000
+         AND mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000
+         AND alpha_ppm >= 800000 AND symbol_ppm <= 100000
+         AND n_bullet * 1000000 // n_lines <= 900000
+         AND n_ell * 1000000 // n_lines <= 300000
+         AND stop_hits >= 2) AS keep
       FROM m""",
     // familiarity joins on the SAME hex60 hash groups as Spark (a
     // 60-bit collision would merge counts identically on both engines)

@@ -345,6 +345,61 @@ class CorpusSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches docs fail chunk-rejoin parity")
   }
 
+  // ---- gopherQualityFlags ----
+
+  test("gopher rules: each flag trips on its own pathology") {
+    val rows = Seq(
+      // 12 medium words incl. stopwords 'the'/'of' -> keeps
+      (1L, "the quality of corpus text matters when rules are applied here"),
+      // too short (5 words)
+      (2L, "the cat sat of mat"),
+      // mean word length > 10 chars
+      (3L, "the of " + Seq.fill(10)("supercalifragilistic").mkString(" ")),
+      // numeric flood: < 80% alpha words
+      (4L, "the of 1 2 3 4 5 6 7 8 9 10 11 12"),
+      // symbol flood: '#' per word over 10%
+      (5L, "the of ### alpha beta gamma delta " +
+        "epsilon zeta eta theta iota kappa"),
+      // bullet-heavy lines (2 of 2 bulleted)
+      (6L, "- the first bullet item of note\n- the second bullet item here"),
+      // every line ends with ellipsis
+      (7L, "the thought of it trails away now...\nand so does this one..."),
+      // no stopwords at all
+      (8L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = Corpus.gopherQualityFlags(rows, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("word_count_ok") &&
+      !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("word_len_ok"))
+    assert(!out(4L).getAs[Boolean]("mostly_alpha"))
+    assert(!out(5L).getAs[Boolean]("low_symbol"))
+    assert(!out(6L).getAs[Boolean]("few_bullets"))
+    assert(!out(7L).getAs[Boolean]("few_ellipsis"))
+    assert(!out(8L).getAs[Boolean]("enough_stopwords"))
+    // spot-check the exact integer ppm arithmetic on doc 1
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 11L)
+    val lens = "the quality of corpus text matters when rules are applied here"
+      .split(" ").map(_.length.toLong)
+    assert(d1.getAs[Long]("mean_word_len_ppm") == lens.sum * 1000000L / 11L)
+    assert(d1.getAs[Long]("alpha_ppm") == 1000000L)
+    assert(d1.getAs[Long]("stop_hits") == 2L)
+  }
+
+  test("gopher stopword rule is token membership, not substring") {
+    // 'theme' contains 'the' but is not the token 'the'; 'of' appears
+    // only embedded in 'often'
+    val rows = Seq((1L,
+      "theme often words appear embedded but never standalone " +
+        "tokens in this sentence stream")).toDF("doc_id", "text")
+    val out = Corpus.gopherQualityFlags(rows, col("doc_id"), col("text"))
+      .collect().head
+    assert(out.getAs[Long]("stop_hits") == 0L)
+    assert(!out.getAs[Boolean]("enough_stopwords"))
+  }
+
   test("freqHistogram totals reconcile with the corpus") {
     val hist = Corpus.freqHistogram(docs, col("text"))
       .agg(sum("n_terms"), sum("n_occurrences"))

@@ -222,6 +222,61 @@ object Corpus {
         < lit(n0) * w * lit(Sampling.Buckets))
   }
 
+  /** Temperature-based domain mixing (the multilingual-sampling move
+    * of mT5/XLM-R): sample class `c` with probability proportional to
+    * `n_c^alpha` so head domains are tamed and tail domains surface,
+    * via deterministic per-row downsampling — keep fraction
+    * `(n_c^alpha / n_c)` normalized so the most-favored class keeps
+    * everything. Between [[balanceClasses]] (alpha=0) and no-op
+    * sampling (alpha=1).
+    *
+    * Alpha is FIXED at 1/2 — deliberately not a parameter. `sqrt` is
+    * the one fractional power IEEE 754 requires to be correctly
+    * rounded, so `floor(sqrt(n))` is bit-identical in any engine and
+    * the weights are portable; an arbitrary `pow(n, alpha)` is
+    * correctly rounded nowhere and would let engines round a weight
+    * apart. (Exactness caveat: floor(sqrt) over doubles is exact for
+    * n < 2^50 — the nearest double to sqrt(k^2 - 1) is never k for
+    * class counts in that range, which covers any per-class count
+    * this engine will meet.)
+    *
+    * Determinism contract (cross-engine): the anchor class is the
+    * quantized-argmax of the keep ratio `floor(w*1e6/n)` with
+    * (n, w, class) lexicographic tie-break — same shape as
+    * [[mixToTargets]]'s argmin. Per-class keep fractions are then
+    * quantized ONCE to integer ppm (exact BigInt arithmetic,
+    * `w_c * n0 * 1e6 / (n_c * w0)`, anchor == exactly 1e6 so it keeps
+    * every row) and the filter is a single literal-map lookup against
+    * the row's hash bucket — `bucket < keep_ppm[class]` — with no
+    * int64 overflow anywhere. <=1ppm keep-rate quantization is the
+    * documented slack. A NULL class cannot be a map key and is
+    * dropped, like mixToTargets.
+    *
+    * Scale shape: one count aggregate (|classes| rows to the driver —
+    * the domain-label cardinality, small by construction), constants
+    * folded back as a LITERAL MAP — no join, a pure narrow codegen'd
+    * filter over the fact table. */
+  def temperatureSample(df: DataFrame, cls: Column, key: Column,
+                        salt: String = "temp"): DataFrame = {
+    val clsStr = cls.cast("string")
+    val counts = df.groupBy(clsStr.as("_cls")).agg(count(lit(1)).as("_n"))
+      .filter(col("_cls").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      "temperatureSample needs at least one non-null class")
+    val weights = counts.map { case (c, n) =>
+      c -> math.sqrt(n.toDouble).toLong
+    }
+    val (_, n0, w0) = counts.toSeq
+      .map { case (c, n) => (c, n, weights(c)) }
+      .minBy { case (c, n, w) => (-(w * 1000000L / n), n, w, c) }
+    val keepPpm = counts.map { case (c, n) =>
+      c -> (BigInt(weights(c)) * n0 * 1000000L / (BigInt(n) * w0)).toLong
+    }
+    val ppm = element_at(typedlit(keepPpm), clsStr)
+    df.filter(ppm.isNotNull && Sampling.bucket(key, salt) < ppm)
+  }
+
   /** C4-style rule-based quality flags: cheap, deterministic document
     * filters applied before any model-based scoring. Adapted to
     * all-lowercase whitespace corpora (no terminal-punctuation rule);

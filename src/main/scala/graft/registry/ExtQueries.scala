@@ -230,6 +230,12 @@ object ExtQueries {
       Corpus.mixToTargets(Tables.events(s, dir), col("event_type"),
         col("event_id"), Map("click" -> 5, "view" -> 3, "purchase" -> 2))
         .select(col("event_id"), col("event_type"))),
+    // temperature (alpha=1/2) mixing: kept volume per class scales
+    // with sqrt(n) — heads tamed, tails surfaced, no explicit targets
+    "sample_temperature_mixture" -> ((s, dir) =>
+      Corpus.temperatureSample(Tables.events(s, dir), col("event_type"),
+        col("event_id"))
+        .select(col("event_id"), col("event_type"))),
 
     // ---- corpus curation: segment dedup, quality rules, vocabulary ----
     // ExactSubstr-lite: drop exact 8-word chunks already seen earlier
@@ -996,6 +1002,28 @@ object ExtQueries {
       FROM events e JOIN j ON e.event_type = j.cls CROSS JOIN lim
       WHERE ${bucketSql("event_id")} * lim.w0 * j.n
             < lim.n0 * j.wt * ${Sampling.Buckets}""",
+    // temperature mixing: weights are floor(sqrt(n)) — IEEE requires
+    // sqrt to be correctly rounded, so the weights are bit-identical
+    // across engines; anchor by quantized-argmax of floor(w*1e6/n)
+    // with (n, w, class) tie-break, then per-class keep fractions
+    // quantize once to integer ppm (HUGEINT == the Scala side's
+    // BigInt) and the filter is bucket < keep_ppm
+    "sample_temperature_mixture" -> s"""
+      WITH c AS (SELECT event_type AS cls, count(*) AS n
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      w AS (SELECT cls, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+            FROM c),
+      anc AS (SELECT n AS n0, wt AS w0 FROM w
+              ORDER BY wt * 1000000 // n DESC, n, wt, cls LIMIT 1),
+      ppm AS (SELECT cls,
+              CAST(CAST(wt AS HUGEINT) * n0 * 1000000
+                   // (CAST(n AS HUGEINT) * w0) AS BIGINT) AS keep_ppm
+              FROM w CROSS JOIN anc)
+      SELECT e.event_id, e.event_type
+      FROM events e JOIN ppm ON e.event_type = ppm.cls
+      WHERE (${hex60Sql("'temp' || CAST(event_id AS VARCHAR)")}
+             % ${Sampling.Buckets}) < ppm.keep_ppm""",
     // zipped unnests replay the non-overlapping 8-word chunking; the
     // keep-first min runs over the SAME hex60 hash groups as Spark (a
     // 60-bit collision would merge identically on both engines)

@@ -345,6 +345,39 @@ class CorpusSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches docs fail chunk-rejoin parity")
   }
 
+  // ---- temperatureSample ----
+
+  test("temperature mixing keeps the anchor class whole and flattens toward sqrt(n)") {
+    // counts 100 / 400 / 2500 -> weights 10 / 20 / 50; the anchor is
+    // the smallest class (best w/n ratio) and keeps ALL rows; expected
+    // kept volume per class is n0 * w_c / w0 = 100 / 200 / 500 —
+    // proportional to sqrt(n), the whole point of temperature mixing
+    val rows = ((0 until 100).map(i => (i.toLong, "small")) ++
+      (100 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 3000).map(i => (i.toLong, "big")) ++
+      Seq((9999L, null: String))).toDF("id", "cls")
+    val kept = Corpus.temperatureSample(rows, col("cls"), col("id"))
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 100L, s"anchor class must keep all rows: $kept")
+    // hash buckets are deterministic, not proportional-exact: allow
+    // +-30% around the expected kept volumes
+    assert(kept("mid") >= 140 && kept("mid") <= 260, s"mid: $kept")
+    assert(kept("big") >= 350 && kept("big") <= 650, s"big: $kept")
+    // NULL class cannot be a literal-map key: dropped, like mixToTargets
+    assert(!kept.contains(null))
+    // flattening is monotone: keep RATE decreases as class size grows
+    assert(kept("mid").toDouble / 400 > kept("big").toDouble / 2500)
+    assert(kept("small").toDouble / 100 > kept("mid").toDouble / 400)
+  }
+
+  test("temperature mixing fails loudly on an all-null class column") {
+    val rows = Seq((1L, null: String), (2L, null: String)).toDF("id", "cls")
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(rows, col("cls"), col("id"))
+    }
+    assert(ex.getMessage.contains("non-null class"))
+  }
+
   // ---- gopherQualityFlags ----
 
   test("gopher rules: each flag trips on its own pathology") {

@@ -415,6 +415,24 @@ object ExtQueries {
         Audio.audioFromDocuments(t(s, dir, "documents")),
         frameLen = 25, stride = 2).toDF()),
 
+    // ---- bucketed (co-located) joins ----
+    // both fact tables staged ONCE bucketed+sorted by their join key,
+    // then joined exchange-free (PlanShapeSpec pins the no-shuffle
+    // plan) — the curated-layout shape that turns every repeated
+    // fact-to-fact join at 100 TB from two shuffles into zero
+    "sink_bucketed_join" -> ((s, dir) => {
+      val joined = graft.ops.Bucketing.colocatedJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "o_orderkey", "l_orderkey", nBuckets = 8,
+        graft.ops.Bucketing.scratchRoot(s))
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Windows.stableSum(col("l_extendedprice")
+            * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
     // ---- event-time windows (batch) ----
     "window_tumbling" -> ((s, dir) =>
       Windows.tumbling(Tables.events(s, dir), col("ts"), 3600,
@@ -1513,6 +1531,13 @@ object ExtQueries {
                    (media_id*31 + x*7 + y*13 + 58) % 256]))))) AS BIGINT)
                AS sampled_sum
       FROM dims""",
+    // bucketing changes the physical layout, never the values: the
+    // oracle is the plain join over the same projections
+    "sink_bucketed_join" -> s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1""",
     // the audio decode is REAL (RIFF chunk walk + LE int16 PCM parse);
     // the fixture samples are generated from doc_id so the oracle
     // replays every statistic in closed form. n_bytes replays the

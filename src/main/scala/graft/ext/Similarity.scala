@@ -299,6 +299,154 @@ object Similarity {
     assignTo(normed, ivfCentroids(df, idCol, vecCol, nCentroids, iters))
   }
 
+  /** Product-quantization codebooks (Jegou et al. 2011): split the
+    * unit-normalized vector into `m` contiguous subspaces and run an
+    * independent k-means (`ksub` codewords, `iters` Lloyd rounds) in
+    * each — one job per round for ALL subspaces, keyed by (subspace,
+    * codeword), not m separate fits. Deterministic init (the lowest
+    * `ksub` ids' subvectors, codeword id = vec id), micro-quantized
+    * per-dimension means (order-proof integer sums), argmin-L2
+    * assignment expressed as argmax of `<x,c> - ||c||^2/2` with
+    * (score desc, codeword asc) tie order — every arithmetic step
+    * engine-portable, so the iterative fit is hash-verifiable in SQL
+    * like [[ivfCentroids]]. Empty cells keep their previous codeword.
+    * Returns (j, code_id, scv).
+    *
+    * Scale shape: each round is one broadcast-join argmax over the
+    * n x m subvector rows plus a (subspace, codeword, dim)-keyed
+    * aggregation; model state never exceeds m x ksub x (dim/m) =
+    * ksub x dim doubles. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces")
+    val sliced = pqSliced(df, idCol, vecCol, dim, m)
+    val initIds = withNormalized(df, vecCol, "v")
+      .select(col(idCol).cast("long").as("vec_id"))
+      .orderBy(col("vec_id")).limit(ksub)
+    var books = sliced
+      .join(broadcast(initIds), Seq("vec_id"))
+      .select(col("j"), col("vec_id").as("code_id"), col("xj").as("scv"))
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(sliced, books)
+      val dims = assigned
+        .select(col("j"), col("code_id"), posexplode(col("xj")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("code_id"), col("d"))
+        .agg((Windows.stableSum(col("x")) / count(lit(1))).as("m"))
+      val means = dims.groupBy(col("j"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("j"), col("code_id"),
+          transform(col("dm"), e => e.getField("m")).as("new_scv"))
+      books = books.join(means, Seq("j", "code_id"), "left")
+        .select(col("j"), col("code_id"),
+          coalesce(col("new_scv"), col("scv")).as("scv"))
+      // bounded by contract (ksub x dim doubles): truncate the Lloyd
+      // lineage per round, as ivfCentroids does
+      books = relit(books)
+    }
+    books
+  }
+
+  /** Unit-normalize and slice into (vec_id, j, xj) subvector rows. */
+  private def pqSliced(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int): DataFrame = {
+    val dsub = dim / m
+    withNormalized(df, vecCol, "v")
+      .select(col(idCol).cast("long").as("vec_id"), explode(array(
+        (0 until m).map(j => struct(lit(j).as("j"),
+          slice(col("v"), j * dsub + 1, dsub).as("xj"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.xj").as("xj"))
+  }
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast the
+    * (tiny) codebook, argmin L2 as a `max_by` partial aggregate of
+    * `<x,c> - ||c||^2/2` — one exchange of n x m rows regardless of
+    * ksub, the same no-window shape as [[assignTo]]. */
+  private def pqAssign(sliced: DataFrame, books: DataFrame): DataFrame =
+    sliced.join(broadcast(books), Seq("j"))
+      .withColumn("score", dot(col("xj"), col("scv"))
+        - lit(0.5) * dot(col("scv"), col("scv")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(max_by(struct(col("code_id"), col("xj")),
+        struct(col("score"), col("code_id") * -1)).as("best"))
+      .select(col("vec_id"), col("j"), col("best.code_id").as("code_id"),
+        col("best.xj").as("xj"))
+
+  /** PQ encoding: each vector compressed to `m` codeword ids. At 100 TB
+    * this is the point — the search scans 8-byte codes, not
+    * dim x 4-byte floats. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
+    pqAssign(pqSliced(df, idCol, vecCol, dim, m), books)
+      .select(col("vec_id"), col("j"), col("code_id"))
+  }
+
+  /** PQ top-k search: asymmetric distance computation over the code
+    * space to build a per-query SHORTLIST, then exact re-ranking of
+    * the shortlist only — the production PQ shape (the ADC scan
+    * touches m int codes per corpus row; the full float vectors are
+    * fetched for `shortlist` candidates per query, never the corpus).
+    *
+    * ADC: per query, a lookup table of subspace dot products against
+    * every codeword (|Q| x m x ksub rows, broadcast); each of the
+    * n x m code rows joins its LUT entry and the per-(query, vector)
+    * score is the SUM of m table entries. Each LUT entry is
+    * micro-quantized (`floor(dot * 1e6)` as int64) BEFORE summing, so
+    * the m-way sum is integer arithmetic — immune to float fold order
+    * across engines AND across Spark's own partial-aggregation
+    * grouping; the shortlist membership the oracle replays is
+    * integer-exact. Pure-ADC ranking quality is bounded by
+    * reconstruction error (honest recall ~0.2 on the near-random
+    * 64-dim fixture); the exact re-rank needs only the true top-k to
+    * land in the ADC top-`shortlist`, a far weaker ask (measured in
+    * AnnRecallSpec).
+    *
+    * Scale shape: codes join a broadcast LUT (no corpus shuffle); the
+    * (query, vector) partial-sum exchange carries n x |Q| rows with
+    * map-side combine; BOTH rankings are bounded-heap aggregates —
+    * never a window sort; and the exact re-rank joins `shortlist` ids
+    * per query against the corpus by id (a hash join on the id, not a
+    * scan of vectors per query). */
+  def pqTopK(df: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, m: Int, ksub: Int, k: Int,
+             shortlist: Int = 50, iters: Int = 2): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val books = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
+    val codes = pqAssign(pqSliced(df, idCol, vecCol, dim, m), books)
+      .select(col("vec_id"), col("j"), col("code_id"))
+    val qSliced = pqSliced(queries, idCol, vecCol, dim, m)
+      .select(col("vec_id").as("query_id"), col("j"), col("xj").as("qj"))
+    val lut = qSliced.join(broadcast(books), Seq("j"))
+      .select(col("query_id"), col("j"), col("code_id"),
+        floor(dot(col("qj"), col("scv")) * 1000000).cast("long").as("pd"))
+    val short = codes.join(broadcast(lut), Seq("j", "code_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("score_micro"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(
+        col("score_micro").cast("double"), col("vec_id"), shortlist)
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+    val corpusV = withNormalized(df, vecCol, "v")
+      .select(col(idCol).cast("long").as("vec_id"), col("v"))
+    val queryV = broadcast(withNormalized(queries, vecCol, "qv")
+      .select(col(idCol).cast("long").as("query_id"), col("qv")))
+    short.join(corpusV, Seq("vec_id")).join(queryV, Seq("query_id"))
+      .select(col("query_id"), dot(col("qv"), col("v")).as("cosine"),
+        col("vec_id"))
+      .filter(!isnan(col("cosine")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(col("cosine"), col("vec_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF top-k search: assign corpus vectors to their nearest cell,
     * probe each query's `nProbe` nearest cells, rank within the probed
     * cells. Recall grows with nProbe at proportional probe cost; the

@@ -359,6 +359,14 @@ object ExtQueries {
         nCentroids = Similarity.autoCentroids(emb.count()), k = 5,
         nProbe = 2)
     }),
+    // product quantization: corpus compressed to 4 codeword ids per
+    // vector, search by integer ADC lookup-table sums — like the IVF
+    // fit, the ITERATIVE per-subspace k-means is hash-verified in SQL
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, m = 4, ksub = 16, k = 5)
+    }),
 
     // ANN quality, REPORTED per round rather than only spec-asserted
     // (a parameter change that trades recall for speed must show up in
@@ -839,6 +847,82 @@ object ExtQueries {
       WHERE rank <= $k"""
   }
 
+  /** DuckDB twin of Similarity.pqTopK: the same deterministic init
+    * (lowest `ksub` ids' subvectors, codeword id = vec id), `iters`
+    * rounds of per-subspace Lloyd (argmax of `<x,c> - ||c||^2/2`
+    * with row_number total order, micro-quantized per-dim means, NO
+    * renormalization — PQ codewords are plain L2 means), then integer
+    * ADC: per-query lookup tables of `floor(subdot * 1e6)` summed
+    * over the m subspaces. The score sum is BIGINT, so the ranking
+    * order is exact on both engines. */
+  private def pqTopKSql(dim: Int, m: Int, ksub: Int, k: Int,
+                        shortlist: Int, iters: Int): String = {
+    val dsub = dim / m
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> $a[i]*$b[i]))"
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"b${it - 1}"
+      s"""pa$it AS (SELECT vec_id, j, code_id, xj FROM (
+         |    SELECT s.vec_id, s.j, $prev.code_id, s.xj,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY ${dotSub("s.xj", s"$prev.scv")}
+         |                      - 0.5 * ${dotSub(s"$prev.scv", s"$prev.scv")}
+         |                      DESC, $prev.code_id) AS rn
+         |    FROM sub s JOIN $prev ON s.j = $prev.j) WHERE rn = 1),
+         |pm$it AS (SELECT j, code_id, d,
+         |       (SUM(CAST(FLOOR(xj[d+1]*1000000) AS BIGINT)) / 1000000.0)
+         |         / count(*) AS mval
+         |     FROM pa$it CROSS JOIN range(0, $dsub) r(d)
+         |     GROUP BY j, code_id, d),
+         |pg$it AS (SELECT j, code_id, list(mval ORDER BY d) AS mv
+         |       FROM pm$it GROUP BY j, code_id),
+         |b$it AS (SELECT p.j, p.code_id, COALESCE(pg$it.mv, p.scv) AS scv
+         |       FROM $prev p LEFT JOIN pg$it USING (j, code_id))"""
+        .stripMargin
+    }.mkString(",\n      ")
+    s"""
+      WITH nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
+      sub AS (SELECT vec_id, j, v[j*$dsub+1 : j*$dsub+$dsub] AS xj
+              FROM nv CROSS JOIN range(0, $m) r(j)),
+      b0 AS (SELECT j, vec_id AS code_id, xj AS scv FROM sub
+             WHERE vec_id IN (SELECT vec_id FROM nv
+                              ORDER BY vec_id LIMIT $ksub)),
+      $iterCtes,
+      codes AS (SELECT vec_id, j, code_id FROM (
+          SELECT s.vec_id, s.j, b$iters.code_id,
+                 row_number() OVER (PARTITION BY s.vec_id, s.j
+                   ORDER BY ${dotSub("s.xj", s"b$iters.scv")}
+                            - 0.5 * ${dotSub(s"b$iters.scv", s"b$iters.scv")}
+                            DESC, b$iters.code_id) AS rn
+          FROM sub s JOIN b$iters ON s.j = b$iters.j) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, j, xj AS qj FROM sub
+            WHERE vec_id < 10),
+      lut AS (SELECT q.query_id, b.j, b.code_id,
+               CAST(FLOOR(${dotSub("q.qj", "b.scv")} * 1000000) AS BIGINT)
+                 AS pd
+              FROM q JOIN b$iters b ON q.j = b.j),
+      adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(l.pd) AS BIGINT) AS score_micro
+                 FROM codes c
+                 JOIN lut l ON l.j = c.j AND l.code_id = c.code_id
+                 WHERE l.query_id <> c.vec_id
+                 GROUP BY 1, 2),
+      short AS (SELECT query_id, neighbor_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, neighbor_id) AS srn FROM adc)
+        WHERE srn <= $shortlist),
+      rer AS (SELECT s.query_id, s.neighbor_id,
+                ${dotSql("qn.v", "cn.v")} AS cosine
+              FROM short s
+              JOIN nv qn ON qn.vec_id = s.query_id
+              JOIN nv cn ON cn.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rer
+            WHERE NOT isnan(cosine))
+      WHERE rank <= $k"""
+  }
+
   /** Min-label-propagation connected-components CTE block over the
     * 0.8-Jaccard pair graph of `docsSel` (any (doc_id, text)
     * relation) — the recursive-CTE twin of
@@ -1214,6 +1298,8 @@ object ExtQueries {
       SELECT vec_id, unnest(range(16)) AS rp_dim, unnest(rp) AS rp_val
       FROM r""",
     "sim_ivf_topk" -> ivfTopKSql(k = 5, nProbe = 2, iters = 2),
+    "sim_pq_topk" -> pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
+      shortlist = 50, iters = 2),
     "text_token_count" ->
       """SELECT doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)

@@ -50,6 +50,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(4) >= 0.85, s"recall@5 nProbe=4 collapsed: ${r(4)}")
   }
 
+  test("PQ recall@5 grows with the shortlist and clears the documented floors") {
+    def pqRecall(shortlist: Int): Double = {
+      val approx = topkSet(Similarity.pqTopK(emb, queries, "vec_id",
+        "embedding", dim = 64, m = 4, ksub = 16, k = K,
+        shortlist = shortlist))
+      approx.intersect(truth).size.toDouble / truth.size
+    }
+    val r = Seq(10, 50, 150).map(s => s -> pqRecall(s)).toMap
+    info(s"pq recall@5 vs brute force by shortlist: $r " +
+      s"(n=${emb.count()}, m=4, ksub=16)")
+    // the shortlist is PQ's nProbe: exact re-ranking only needs the
+    // true top-5 to land in the ADC top-`shortlist`
+    assert(r(10) <= r(50) + 1e-9 && r(50) <= r(150) + 1e-9,
+      s"recall must be monotone in shortlist size: $r")
+    assert(r(50) >= 0.55, s"pq shortlist=50 recall@5 collapsed: ${r(50)}")
+    assert(r(150) >= 0.75, s"pq shortlist=150 recall@5 collapsed: ${r(150)}")
+  }
+
   test("hyperplane-LSH near-neighbor recall vs the exact pair set") {
     val threshold = 0.2
     val exact = Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding",

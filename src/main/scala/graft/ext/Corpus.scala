@@ -151,12 +151,23 @@ object Corpus {
     * broadcast back), then a narrow filter. The class-count frame
     * rides a broadcast hash join — no shuffle of the fact table. */
   def balanceClasses(df: DataFrame, cls: Column, key: Column,
-                     salt: String = "bal"): DataFrame = {
-    val counts = df.groupBy(cls.as("_cls")).agg(count(lit(1)).as("_n"))
-    // |classes| rows; min is a driver scalar like weightedSample's max
-    val minRow = counts.agg(min(col("_n"))).head
-    require(!minRow.isNullAt(0), "balanceClasses needs a non-empty input")
-    val minN = minRow.getLong(0)
+                     salt: String = "bal",
+                     maxClasses: Int = MaxClasses): DataFrame = {
+    val spark = df.sparkSession
+    val countsAgg = df.groupBy(cls.as("_cls")).agg(count(lit(1)).as("_n"))
+    // bounded-collect contract, self-enforced (the jdbcFullRefresh
+    // pattern): probe limit(cap+1) so an accidental high-cardinality
+    // class column (url, doc_id) costs one truncated fetch and a loud
+    // contract error, never a driver OOM on the broadcast
+    val rows = countsAgg.limit(boundedProbe(maxClasses)).collect()
+    require(rows.length <= maxClasses, oversizedClasses(
+      "balanceClasses", maxClasses))
+    require(rows.nonEmpty, "balanceClasses needs a non-empty input")
+    val minN = rows.iterator.map(_.getLong(1)).min
+    // the counts frame re-materializes from the collected (tiny) rows
+    // so the broadcast build side is provably driver-bounded
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), countsAgg.schema)
     // null-safe equality: a NULL class is a class (plain === would
     // silently drop its rows while its count still set the minimum)
     df.join(broadcast(counts), cls <=> col("_cls"))
@@ -164,6 +175,24 @@ object Corpus {
         < lit(minN) * lit(Sampling.Buckets))
       .drop("_cls", "_n")
   }
+
+  /** Class-cardinality cap shared by the mixing/balancing samplers:
+    * their per-class constants fold back as broadcast frames or
+    * literal maps, which is the right shape ONLY when the class
+    * column is a domain label. The cap turns the implicit contract
+    * into an enforced one. */
+  val MaxClasses: Int = 10000
+
+  private def boundedProbe(cap: Int): Int =
+    math.min(cap.toLong + 1L, Int.MaxValue.toLong).toInt
+
+  private def oversizedClasses(op: String, cap: Int): String =
+    s"$op is a domain-label sampler: per-class constants are collected " +
+      s"to the driver, bounded by the $cap-class cap, and the class " +
+      "column exceeds it. Pass a genuine domain label (source, " +
+      "language, category), raise maxClasses deliberately, or express " +
+      "the rebalance as a distributed aggregate-join " +
+      "(groupBy(cls).count joined back on cls) for unbounded keyspaces"
 
   /** Mix a multi-class corpus to EXPLICIT integer target ratios — the
     * domain-mixing primitive ("5 parts web : 3 parts books : 2 parts
@@ -211,6 +240,15 @@ object Corpus {
     val missing = targets.keySet -- counts.keySet
     require(missing.isEmpty,
       s"mixToTargets: target classes absent from the data: $missing")
+    // the documented int64 bound, enforced: bucket * w0 * n must not
+    // wrap (ANSI off would wrap SILENTLY while the DuckDB oracle
+    // errors — a cross-engine divergence). 1e6 * 1000 * 2^33 < 2^63.
+    counts.foreach { case (c, n) =>
+      require(n < (1L << 33),
+        s"mixToTargets: class '$c' has $n rows, beyond the 2^33 " +
+          "int64-exactness bound of the cross-multiplied keep rule; " +
+          "shard the class or sample it down first")
+    }
     val (_, n0, w0) = targets.toSeq
       .map { case (c, w) => (c, counts(c), w.toLong) }
       .minBy { case (c, n, w) => (n * 1000000L / w, n, w, c) }
@@ -257,13 +295,29 @@ object Corpus {
     * folded back as a LITERAL MAP — no join, a pure narrow codegen'd
     * filter over the fact table. */
   def temperatureSample(df: DataFrame, cls: Column, key: Column,
-                        salt: String = "temp"): DataFrame = {
+                        salt: String = "temp",
+                        maxClasses: Int = MaxClasses): DataFrame = {
     val clsStr = cls.cast("string")
-    val counts = df.groupBy(clsStr.as("_cls")).agg(count(lit(1)).as("_n"))
+    // bounded-collect contract, self-enforced (see balanceClasses):
+    // the keep rates fold back as ONE literal map, so the class
+    // cardinality must be a domain-label cardinality — probe
+    // limit(cap+1), refuse loudly instead of OOM-ing the driver
+    val countRows = df.groupBy(clsStr.as("_cls")).agg(count(lit(1)).as("_n"))
       .filter(col("_cls").isNotNull)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(boundedProbe(maxClasses)).collect()
+    require(countRows.length <= maxClasses, oversizedClasses(
+      "temperatureSample", maxClasses))
+    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty,
       "temperatureSample needs at least one non-null class")
+    // the documented floor(sqrt) exactness bound, enforced: beyond
+    // 2^50 rows per class the double sqrt may round a weight apart
+    // from another engine's — fail loudly, never diverge silently
+    counts.foreach { case (c, n) =>
+      require(n < (1L << 50),
+        s"temperatureSample: class '$c' has $n rows, beyond the 2^50 " +
+          "floor(sqrt)-exactness bound; shard the class first")
+    }
     val weights = counts.map { case (c, n) =>
       c -> math.sqrt(n.toDouble).toLong
     }

@@ -1206,14 +1206,14 @@ object ExtQueries {
       m AS (SELECT doc_id,
           CAST(len(toks) AS BIGINT) AS n_words,
           greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
-          CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS BIGINT)
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT)
             * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
             AS mean_word_len_ppm,
           CAST(len(list_filter(toks,
               tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
             // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
-          ((strlen(text) - strlen(replace(text, '#', ''))) +
-           (strlen(text) - strlen(replace(text, '...', ''))) // 3)
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3)
             * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
             AS symbol_ppm,
           CAST(len(list_filter(lines, l -> starts_with(l, '- ')

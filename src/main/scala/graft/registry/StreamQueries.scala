@@ -284,13 +284,17 @@ object StreamQueries {
     // parquet is µs-truncated first (CAST, == the staged source's
     // `div 1000` floor) because the Spark side decides gaps at µs —
     // a boundary row must not compare differently at ns precision.
+    // The gap test itself is INTEGER microseconds (epoch_us), exactly
+    // the sessionizer's `t - last <= gapUs`: double epoch seconds
+    // carry ~0.5µs rounding error that could flip a row landing
+    // exactly on the 1800s boundary.
     "stream_session_stateful" -> """
       WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
                   FROM events),
       flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM ev),
       ids AS (

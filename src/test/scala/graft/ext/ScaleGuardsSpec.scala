@@ -179,4 +179,30 @@ class ScaleGuardsSpec extends SparkSpec {
     assert(comps == Seq(1L), s"path graph must collapse to component 1, got $comps")
     assert(labels.count() == 1000)
   }
+
+  // ---- bounded-collect contract in the mixing/balancing samplers ----
+  // These collect per-class constants to the driver — correct for
+  // domain labels, an OOM for accidental high-cardinality columns.
+  // The contract is enforced (probe limit(cap+1), loud refusal), not
+  // assumed: a doc_id-as-class mistake dies with a pointer to the
+  // distributed alternative, never with a heap dump.
+
+  test("balanceClasses / temperatureSample refuse high-cardinality class columns") {
+    val wide = (0 until 50).map(i => (i.toLong, s"doc_$i")).toDF("id", "doc_id")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.balanceClasses(wide, col("doc_id"), col("id"), maxClasses = 10)
+        .count()
+    }
+    assert(e1.getMessage.contains("domain-label sampler"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(wide, col("doc_id"), col("id"), maxClasses = 10)
+        .count()
+    }
+    assert(e2.getMessage.contains("domain-label sampler"))
+    // the bounded probe must not reject a legitimate domain label
+    val ok = Corpus.balanceClasses(wide.withColumn("dom", col("id") % 3),
+      col("dom"), col("id"), maxClasses = 10)
+    assert(ok.count() > 0)
+  }
+
 }

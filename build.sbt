@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses graft.Bench's final stdout line as JSON.
+// sbt's default LoggedOutput prefixes forked stdout with "[info] " and
+// appends its own "[success] Total time" trailer — both of which broke
+// that parse every round. StdoutOutput passes the forked JVM's stdout
+// through verbatim; showSuccess drops the trailer, so the bench JSON
+// is genuinely the last stdout line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -184,12 +184,16 @@ object Bench {
       "\"" + k + "\":" + escErr(v.take(80)) })
     val stageHead = jobj(stages.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) })
+    // stop FIRST, print LAST: the JSON must be the process's final
+    // stdout line (build.sbt routes forked stdout through verbatim and
+    // suppresses sbt's own trailer for the same reason)
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
         s""""nqueries":${names.size},"nerrors":${errors.size},""" +
         s""""stages":$stageHead,"errors":$errHead,"detail":"$outFile"}""")
-    spark.stop()
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

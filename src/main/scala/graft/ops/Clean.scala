@@ -58,17 +58,23 @@ object Clean {
     * Deterministic alternative to dropDuplicates (which keeps an
     * arbitrary row).
     *
-    * Shape: `min_by` AGGREGATE, not a row_number window — the window
-    * form sorts every partition by (pk, order) on both sides of the
-    * exchange; min_by hash-combines map-side, so the shuffle carries
-    * ~one row per key and nothing is ever sorted. The order is wrapped
-    * in a struct so a NULL order value compares NULLS-FIRST exactly
-    * like the window's default ascending order (a bare null ordering
-    * key would be SKIPPED by min_by — different semantics). */
+    * Shape: a keep-first AGGREGATE, not a row_number window — the
+    * window form sorts every partition by (pk, order) on both sides of
+    * the exchange; an aggregate hash-combines map-side, so the shuffle
+    * carries ~one row per key. The specific aggregate is graft's
+    * [[graft.functions.KeepFirstByOrder]] (typed-imperative, so it
+    * plans as an ObjectHashAggregate) rather than `min_by`, whose
+    * struct buffer forces a SortAggregate that re-sorts every row —
+    * measured ~2x of the whole clean stage. The order is wrapped in a
+    * struct so a NULL order value compares NULLS-FIRST exactly like
+    * the window's default ascending order (a bare null ordering key
+    * would be SKIPPED — different semantics). */
   def dedupKeepFirst(df: DataFrame, pk: Seq[String], order: Column): DataFrame = {
+    graft.functions.Tuning.sizeObjectHashAggregate(df.sparkSession)
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(pk.map(col): _*)
-      .agg(min_by(payload, struct(order)).as("_graft_row"))
+      .agg(graft.functions.KeepFirst.keepFirst(struct(order), payload)
+        .as("_graft_row"))
       .select(df.columns.map(c => col(s"_graft_row.$c").as(c)): _*)
   }
 
@@ -103,7 +109,19 @@ object Clean {
     // marker's leading underscore)
     val renamed = withOrdinal(renameSnakeCase(df))
     val noNullPk = dropNullPk(renamed, pk)
-    val filled = fillDefaults(noNullPk, stringDefaults, numericDefaults)
+    // Distribute by the dedup key BEFORE the per-row work: the
+    // keep-first aggregate requires exactly this hash distribution, so
+    // this is the SAME single shuffle the plan would contain anyway,
+    // moved earlier — fills, struct assembly and the partial-aggregate
+    // row copies then run at full cluster parallelism instead of at
+    // the scan's parallelism. The distinction is invisible when the
+    // scan already has many splits (the 100 TB case) and decisive when
+    // it has few (a small or single-row-group file: the whole map side
+    // would otherwise run on one core). The ordinal is attached above,
+    // before the exchange, so file-order keep-first semantics are
+    // untouched by the redistribution.
+    val distributed = noNullPk.repartition(pk.map(col): _*)
+    val filled = fillDefaults(distributed, stringDefaults, numericDefaults)
     val order = dedupOrder.map(struct(_: _*)).getOrElse(col(OrdinalCol))
     val deduped = dedupKeepFirst(filled, pk, order).drop(OrdinalCol)
     castDeclaredTypes(deduped, declared)

@@ -222,6 +222,29 @@ object StreamQueries {
             "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("user_id"), col("n_events"))
     }),
+    // the same sessionizer with a NONZERO watermark delay (10 min of
+    // out-of-order tolerance): gap-broken sessions buffer in state
+    // until the lagging watermark proves them closed, instead of
+    // emitting eagerly. The produced session set must be IDENTICAL to
+    // the delay-0 run on this source (no event here is actually late),
+    // so it shares the batch sessionization oracle — while the spec
+    // drives a genuinely out-of-order multi-batch source through the
+    // buffering path. Sentinel margin (1h past max+gap) covers the
+    // delay, so the final no-data batch still flushes every session.
+    "stream_session_delayed" -> ((s, dir) => withStreamParallelism(s, dir) {
+      import s.implicits._
+      val gapMs = 1800 * 1000L
+      val src = streamSourceWithSentinel(s, dir, gapMs)
+      val sessions = StreamOps.statefulSessions(
+        src.as[StreamOps.Event], gapMs, watermarkDelayMs = 600 * 1000L)
+      StreamOps.runToMemory(sessions.toDF(),
+          "graft_mem_session_delayed", OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select(
+          date_format(timestamp_micros(col("start_us")),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"))
+    }),
     "stream_interval_join" -> ((s, dir) => withStreamParallelism(s, dir) {
       val clicks = streamSource(s, dir)
         .filter(col("event_type") === "click")
@@ -239,6 +262,31 @@ object StreamQueries {
 
   private def stableSumSql(c: String): String =
     s"(SUM(CAST(FLOOR($c*1000000) AS BIGINT)) / 1000000.0)"
+
+  /** Batch gap-sessionization replay shared by the delay-0 and
+    * delayed sessionizer oracles (gap 30 min). The ns parquet is
+    * µs-truncated first (CAST == the staged source's `div 1000`
+    * floor) and the gap test is INTEGER microseconds (epoch_us),
+    * exactly the sessionizer's `t - last <= gapUs`: double epoch
+    * seconds carry ~0.5µs rounding error that could flip a row
+    * landing exactly on the 1800s boundary. */
+  private val StatefulSessionOracle: String = """
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev),
+      ids AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id, count(*) AS n_events
+      FROM ids GROUP BY user_id, session_seq"""
 
   val oracleSql: Map[String, String] = Map(
     // identical to the batch tumbling aggregation — parity is the spec
@@ -280,31 +328,12 @@ object StreamQueries {
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey
       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     // identical sessionization semantics to stream_session (gap 30min),
-    // emitted by event-time timers instead of session_window. The ns
-    // parquet is µs-truncated first (CAST, == the staged source's
-    // `div 1000` floor) because the Spark side decides gaps at µs —
-    // a boundary row must not compare differently at ns precision.
-    // The gap test itself is INTEGER microseconds (epoch_us), exactly
-    // the sessionizer's `t - last <= gapUs`: double epoch seconds
-    // carry ~0.5µs rounding error that could flip a row landing
-    // exactly on the 1800s boundary.
-    "stream_session_stateful" -> """
-      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
-                  FROM events),
-      flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
-                    THEN 1 ELSE 0 END AS new_session
-        FROM ev),
-      ids AS (
-        SELECT user_id, ts,
-               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        FROM flagged)
-      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-             user_id, count(*) AS n_events
-      FROM ids GROUP BY user_id, session_seq""",
+    // emitted by event-time timers instead of session_window — see
+    // [[StatefulSessionOracle]] for the precision contract
+    "stream_session_stateful" -> StatefulSessionOracle,
+    // the delayed variant buffers instead of emitting eagerly but must
+    // produce the IDENTICAL session set on this source — same oracle
+    "stream_session_delayed" -> StatefulSessionOracle,
     // batch replay of the stream-stream interval join. The raw parquet
     // is NANOS precision while Spark's staged source floors to µs
     // (ts div 1000), so the oracle truncates to µs TIMESTAMP first —

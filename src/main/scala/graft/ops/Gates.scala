@@ -128,7 +128,15 @@ object Gates {
     val withH = df.withColumn("_graft_h", xxhash64(cols.map(col): _*))
     val gAggs = count(lit(1)).as("_n") +:
       cols.map(c => sum(col(c).isNull.cast("long")).as(s"_null_$c")).toSeq
-    val grouped = withH.groupBy(col("_graft_h"))
+    // hash-distribute BEFORE the per-row work (same single exchange
+    // the groupBy needs, moved earlier) so null-pattern evaluation and
+    // partial aggregation run at full parallelism even when the scan
+    // has one split. Scale-neutral trade: this aggregate's partial row
+    // (hash + |cols| null sums) is as wide as the data row, so the
+    // map-side combine the early exchange gives up was saving nothing
+    // on the expected near-zero-dup input.
+    val grouped = withH.repartition(col("_graft_h"))
+      .groupBy(col("_graft_h"))
       .agg(gAggs.head, gAggs.tail: _*)
     val fAggs = (coalesce(sum(col("_n")), lit(0L)).as("n") +:
       cols.map(c =>

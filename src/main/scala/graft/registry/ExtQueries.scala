@@ -705,6 +705,48 @@ object ExtQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_iso"),
         col("o_totalprice"))
     }),
+    // keyed MERGE (upsert + delete) over immutable storage — the
+    // copy-on-write plan every lakehouse table format executes: one
+    // broadcast anti-join of base against the update keys plus a
+    // union; the base never shuffles. Update/new/delete sets are
+    // derived deterministically from the customer table (disjoint
+    // custkey residues) so the oracle replays the full MERGE.
+    "merge_upsert_customers" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      val mods = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("SEGMENT_UPDATED"))
+        .withColumn("is_delete", lit(false))
+      val news = base.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW_"), col("c_name")).as("c_name"),
+          lit("SEGMENT_NEW").as("c_mktsegment"))
+        .withColumn("is_delete", lit(false))
+      val dels = base.filter(col("c_custkey") % 10 === 1)
+        .withColumn("is_delete", lit(true))
+      graft.ops.Merge.mergeUpsert(base,
+        mods.unionByName(news).unionByName(dels),
+        Seq("c_custkey"), deleteFlag = Some("is_delete"))
+    }),
+    // SCD TYPE 2 dimension history from a change log: each customer's
+    // order-priority history as validity intervals. The change order
+    // is the BIGINT (epoch_day * 1e10 + orderkey) encoding — a total
+    // order both engines compute identically (same-day orders break
+    // ties on orderkey). Consecutive no-op replays collapse.
+    "scd2_customer_priority" -> ((s, dir) => {
+      val ord = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long") * 10000000000L +
+        col("o_orderkey").cast("long")
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("customer_id"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate"), col("o_orderkey"))
+      graft.ops.Merge.scd2(changes, Seq("customer_id"),
+          Seq("priority"), ord)
+        .select(col("customer_id"), col("priority"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("version"))
+    }),
     // as-of join: every event enriched with its user's most recent
     // (<= ts) purchase — union+window implementation, one shuffle
     "asof_join_last_purchase" -> ((s, dir) => {
@@ -1913,6 +1955,49 @@ object ExtQueries {
           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
         SELECT e.event_id, p.purchase_value, p.purchase_epoch
         FROM events e
-        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts"""
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    // full MERGE replay: base rows without updates + applied upserts,
+    // minus flagged deletes — the same disjoint custkey residues
+    "merge_upsert_customers" -> """
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                           c_name, c_mktsegment FROM customer),
+      upd AS (
+        SELECT c_custkey, c_name,
+               'SEGMENT_UPDATED' AS c_mktsegment, false AS is_delete
+        FROM base WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW_' || c_name,
+               'SEGMENT_NEW', false
+        FROM base WHERE c_custkey % 10 = 2
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, true
+        FROM base WHERE c_custkey % 10 = 1)
+      SELECT b.c_custkey, b.c_name, b.c_mktsegment
+      FROM base b ANTI JOIN upd u ON b.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment FROM upd WHERE NOT is_delete""",
+
+    // SCD2 replay: null-safe change collapse (IS DISTINCT FROM lag),
+    // then validity intervals via lead over the surviving versions
+    "scd2_customer_priority" -> """
+      WITH ch AS (
+        SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+               o_orderpriority AS priority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 * 10000000000 + o_orderkey AS ord
+        FROM orders),
+      sel AS (
+        SELECT customer_id, priority, ord FROM ch
+        QUALIFY priority IS DISTINCT FROM
+          lag(priority) OVER (PARTITION BY customer_id ORDER BY ord))
+      SELECT customer_id, priority, ord AS valid_from,
+             lead(ord) OVER (PARTITION BY customer_id ORDER BY ord)
+               AS valid_to,
+             lead(ord) OVER (PARTITION BY customer_id ORDER BY ord) IS NULL
+               AS is_current,
+             CAST(row_number() OVER (PARTITION BY customer_id ORDER BY ord)
+               AS BIGINT) AS version
+      FROM sel"""
   )
 }

@@ -524,4 +524,63 @@ object Corpus {
           expr("n_familiar * 1000000L div n_bigrams"))
           .otherwise(lit(0L)).as("familiar_ppm"))
   }
+
+  /** Greedy per-group token-budget selection — the "best docs until
+    * the budget runs out" curation step between quality scoring and
+    * training-set assembly: within each group, rows are taken in
+    * `order` until the running token total would exceed `budget`
+    * (rows are kept while cum <= budget, so one oversized best doc
+    * can consume the whole budget, and a doc that would overflow it
+    * is dropped WITHOUT unblocking later smaller docs — strict prefix
+    * semantics, replayable as a window cumsum in any engine; a
+    * knapsack fill would not be order-replayable).
+    *
+    * `order` must be total within each group (tiebreak on the doc id)
+    * or no engine can replay which doc consumed the last tokens.
+    *
+    * Scale shape: one hash exchange on the group plus a per-group
+    * sort — the inherent cost of an ordered prefix; nothing global.
+    * Output adds `cum_tokens`. */
+  def tokenBudgetSelect(df: DataFrame, group: Column, order: Seq[Column],
+                        tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Conditional bigram table — the n-gram-LM building block: for
+    * every first word with at least `minFirst` bigram occurrences,
+    * the top-`k` continuations by count with the conditional
+    * probability as integer ppm (`n * 1e6 div total`, so a first
+    * word's emitted ppms sum to <= 1e6 by construction). Integer
+    * end-to-end: counts and floor-div ppm hash-verify cross-engine
+    * where float log-probs would not.
+    *
+    * Scale shape: the native `WordShingleStrings` explode feeds one
+    * hash-agg on the bigram string (map-side combined), then a window
+    * ranked WITHIN each first word — per-key candidate counts are
+    * vocabulary-bounded, so the per-partition sorts stay small; no
+    * global order anywhere. */
+  def bigramConditionals(df: DataFrame, text: Column, k: Int = 3,
+                         minFirst: Long = 10L): DataFrame = {
+    val bg = df.select(explode(
+        graft.functions.VectorFunctions.wordShingleStrings(text, 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    val ranked = bg
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("n").desc, col("w2"))).cast("long"))
+    ranked.filter(col("total") >= minFirst && col("rank") <= k)
+      .select(col("w1"), col("w2"), col("n"), col("total"),
+        expr("n * 1000000L div total").as("cond_ppm"), col("rank"))
+  }
 }

@@ -287,6 +287,45 @@ object ExtQueries {
           (col("pos") + 1).cast("long").as("rank"))
     }),
 
+    // token-budget curation: per source, best-quality docs greedily
+    // until a 500-token budget — the selection step between scoring
+    // and training-set assembly. Strict prefix semantics (cumsum
+    // window), so the kept set is order-replayable cross-engine.
+    "curate_token_budget" -> ((s, dir) => {
+      val scored = TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), col("text"))
+        .filter(!isnan(col("quality_score")))
+      Corpus.tokenBudgetSelect(scored, col("source"),
+          Seq(col("quality_score").desc, col("doc_id")),
+          col("n_tokens"), budget = 500L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+    }),
+    // conditional bigram table (n-gram-LM building block): top-3
+    // continuations per first word with integer-ppm conditional
+    // probabilities
+    "vocab_bigram_conditionals" -> ((s, dir) =>
+      Corpus.bigramConditionals(t(s, dir, "documents"), col("text"),
+        k = 3, minFirst = 10L)),
+    // the REMOVAL step contamination_check motivates: train docs
+    // sharing >= 5 test 13-gram shingles are dropped, and the cleaned
+    // corpus is summarized per source — composes the verified overlap
+    // operator, like corpus_curation_e2e composes its stages
+    "decontaminate_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val test = docs.filter(col("doc_id") % 20 === 0)
+      val bad = Dedup.crossCorpusOverlap(train, test, "doc_id", "text",
+          shingleN = 13)
+        .filter(col("n_shared_shingles") >= 5)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(bad, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    }),
+
     // ---- embedding transforms ----
     // L2 norm + unit vector, exploded to scalar (vec_id, dim, value)
     // rows — the compare contract has no array-column total order.
@@ -1079,6 +1118,26 @@ object ExtQueries {
       hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB)
       SELECT train_id, test_id, count(*) AS n_shared_shingles
       FROM hA2 JOIN hB USING (h) GROUP BY 1, 2""",
+    // contamination REMOVAL: the overlap oracle's CTEs re-used, then
+    // the cleaned train corpus summarized per source
+    "decontaminate_corpus" -> s"""
+      WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB),
+      ov AS (SELECT train_id, test_id, count(*) AS n_shared
+             FROM hA2 JOIN hB USING (h) GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT train_id FROM ov WHERE n_shared >= 5)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE doc_id % 20 <> 0
+        AND doc_id NOT IN (SELECT train_id FROM bad)
+      GROUP BY source""",
     "sample_deterministic" -> s"""
       SELECT doc_id FROM documents
       WHERE ${bucketSql("doc_id")} < ${(0.1 * Sampling.Buckets).toLong}""",
@@ -1136,6 +1195,51 @@ object ExtQueries {
         CAST(row_number() OVER (PARTITION BY source
           ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
       FROM q WHERE NOT isnan(quality_score) QUALIFY rank <= 5""",
+    // same quality CTEs, then a strict-prefix cumsum under the same
+    // (quality desc, doc_id) total order, kept while <= budget
+    "curate_token_budget" -> s"""
+      WITH t AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id, source, n_tokens,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      c AS (SELECT source, doc_id, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q WHERE NOT isnan(quality_score))
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 500""",
+    // bigram counts (same split as vocab_top_bigrams), per-first-word
+    // totals + rank, integer-ppm conditionals
+    "vocab_bigram_conditionals" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2),
+      cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n,
+          split_part(bigram, ' ', 1) AS w1,
+          split_part(bigram, ' ', 2) AS w2
+        FROM bg GROUP BY 1),
+      ranked AS (SELECT w1, w2, n,
+          SUM(n) OVER (PARTITION BY w1) AS total,
+          CAST(row_number() OVER (PARTITION BY w1
+            ORDER BY n DESC, w2) AS BIGINT) AS rank
+        FROM cnt)
+      SELECT w1, w2, n, total, n * 1000000 // total AS cond_ppm, rank
+      FROM ranked WHERE total >= 10 AND rank <= 3""",
     "balance_event_classes" -> s"""
       WITH c AS (SELECT event_type AS cls, count(*) AS n
                  FROM events GROUP BY 1),

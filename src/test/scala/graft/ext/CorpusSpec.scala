@@ -561,4 +561,48 @@ class CorpusSpec extends SparkSpec {
       .as[Boolean].collect()
     assert(joined.forall(identity), "rp(2x) must equal 2*rp(x) bit-exactly")
   }
+
+  test("tokenBudgetSelect keeps the strict ordered prefix within budget") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // (id, group, score, tokens): order within g1 is by score desc
+      (1L, "g1", 9.0, 40L), (2L, "g1", 8.0, 50L), (3L, "g1", 7.0, 30L),
+      (4L, "g1", 6.0, 10L),
+      (5L, "g2", 5.0, 200L), (6L, "g2", 4.0, 1L)
+    ).toDF("id", "g", "score", "toks")
+    val kept = Corpus.tokenBudgetSelect(docs, col("g"),
+        Seq(col("score").desc, col("id")), col("toks"), budget = 100L)
+      .select(col("id"), col("cum_tokens"))
+      .as[(Long, Long)].collect().toMap
+    // g1: 40, 90 kept; doc 3 would hit 120 > 100 and is dropped, and
+    // the strict prefix does NOT unblock the later doc 4 (90+10=100
+    // would fit, but prefix semantics stop at the first overflow)
+    assert(kept == Map(1L -> 40L, 2L -> 90L))
+  }
+
+  test("bigramConditionals: ppm conditionals per first word sum <= 1e6, ranks by count") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "the cat sat", "the cat ran", "the dog sat", "the cat sat",
+      "a dog", "a dog", "a dog", "a cat", "a cat", "a mouse", "a mole"
+    ).toDF("text")
+    val out = Corpus.bigramConditionals(docs, col("text"), k = 2,
+        minFirst = 3L)
+      .select(col("w1"), col("w2"), col("n"), col("total"),
+        col("cond_ppm"), col("rank"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val byW1 = out.groupBy(_._1)
+    // "the": cat x3, dog x1 (total 4); top-2 = cat (750000), dog (250000)
+    assert(byW1("the").sortBy(_._6).map(r => (r._2, r._3, r._5)).toSeq
+      == Seq(("cat", 3L, 750000L), ("dog", 1L, 250000L)))
+    // "a": dog x3, cat x2, mouse 1, mole 1 (total 7) -> top-2 dog, cat
+    assert(byW1("a").sortBy(_._6).map(r => (r._2, r._3, r._5)).toSeq
+      == Seq(("dog", 3L, 428571L), ("cat", 2L, 285714L)))
+    // every first word's FULL conditional mass is <= 1e6 by floor-div
+    assert(out.groupBy(_._1).forall(_._2.map(_._5).sum <= 1000000L))
+    // "cat" has exactly 3 first-word occurrences -> present; "dog"
+    // leads only one bigram and "sat" none -> below minFirst, absent
+    assert(byW1.contains("cat"))
+    assert(!byW1.contains("dog") && !byW1.contains("sat"))
+  }
 }

@@ -87,9 +87,9 @@ object Load {
     * failed promote restores the previous table so readers never
     * observe a missing or half-published state. On an object store this
     * whole swap becomes a table-format metadata commit. */
-  private def promote(fs: org.apache.hadoop.fs.FileSystem,
-                      staging: org.apache.hadoop.fs.Path,
-                      target: org.apache.hadoop.fs.Path): Unit = {
+  private[graft] def promote(fs: org.apache.hadoop.fs.FileSystem,
+                             staging: org.apache.hadoop.fs.Path,
+                             target: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(target.toString + "_old")
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(s"cannot clear previous backup $old")

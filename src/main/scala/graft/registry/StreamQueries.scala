@@ -245,6 +245,24 @@ object StreamQueries {
             "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("user_id"), col("n_events"))
     }),
+    // exactly-once streaming warehouse sink: an UPDATE-mode per-user
+    // aggregation upserted into a parquet table via foreachBatch with
+    // a per-batch commit log (replays skip) and WAP staging+promote.
+    // On this bounded source the final table must equal the batch
+    // aggregation — the sink-side parity contract. (A production
+    // deployment adds a watermark so aggregation state evicts; the
+    // bounded fixture keeps exactness without one.)
+    "stream_warehouse_upsert" -> ((s, dir) => withStreamParallelism(s, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_wh")
+      graft.ext.Scratch.reclaimOnExit(base.toString)
+      val agg = streamSource(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ext.Windows.stableSum(col("value")).as("sum_value"))
+      StreamOps.runUpsertSink(agg, base.resolve("user_stats").toString,
+        Seq("user_id"), base.resolve("ckpt").toString)
+    }),
     "stream_interval_join" -> ((s, dir) => withStreamParallelism(s, dir) {
       val clicks = streamSource(s, dir)
         .filter(col("event_type") === "click")
@@ -334,6 +352,12 @@ object StreamQueries {
     // the delayed variant buffers instead of emitting eagerly but must
     // produce the IDENTICAL session set on this source — same oracle
     "stream_session_delayed" -> StatefulSessionOracle,
+    // sink-side parity: the exactly-once upserted table must equal
+    // the batch aggregation
+    "stream_warehouse_upsert" -> s"""
+      SELECT user_id, count(*) AS n_events,
+             ${stableSumSql("value")} AS sum_value
+      FROM events GROUP BY user_id""",
     // batch replay of the stream-stream interval join. The raw parquet
     // is NANOS precision while Spark's staged source floors to µs
     // (ts div 1000), so the oracle truncates to µs TIMESTAMP first —

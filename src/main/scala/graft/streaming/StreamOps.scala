@@ -223,6 +223,67 @@ object StreamOps {
       .select(col(key), col("l_ts"), col("r_ts"))
   }
 
+  /** Exactly-once streaming upsert into a parquet warehouse table via
+    * foreachBatch — the transactional-sink shape every streaming
+    * ingest needs: each micro-batch MERGEs its rows into the table by
+    * key (latest wins) through staging + atomic directory promote,
+    * and a per-batch commit log makes replays idempotent — a batch id
+    * that is already committed is SKIPPED, so the at-least-once
+    * delivery foreachBatch guarantees becomes exactly-once table
+    * state. Use with OutputMode.Update aggregations: each batch
+    * carries the CHANGED keys only, and the upsert applies them.
+    *
+    * At scale the atomic promote becomes a table-format metadata
+    * commit (the WAP pattern [[graft.ops.Load.writeAuditPublish]]
+    * already uses); the merge plan is [[graft.ops.Merge.mergeUpsert]]
+    * — broadcast update keys, base never shuffles.
+    *
+    * Drives the stream to completion and returns the final table. */
+  def runUpsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                    checkpoint: String): DataFrame = {
+    val spark = stream.sparkSession
+    val commitLog = new java.io.File(path + "_commits")
+    def committed: Set[Long] =
+      if (!commitLog.exists()) Set.empty
+      else scala.io.Source.fromFile(commitLog).getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyUpsertBatch(batch.toDF(), batchId, path, keys, commitLog,
+          committed)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(path)
+  }
+
+  /** One idempotent exactly-once batch apply (factored out so the spec
+    * can replay a batch id and assert the skip). */
+  private[streaming] def applyUpsertBatch(
+      batch: DataFrame, batchId: Long, path: String, keys: Seq[String],
+      commitLog: java.io.File, committed: Set[Long]): Unit = {
+    if (committed.contains(batchId)) return // replayed batch: skip
+    val spark = batch.sparkSession
+    val target = new java.io.File(path)
+    val merged =
+      if (!target.exists()) batch
+      else graft.ops.Merge.mergeUpsert(
+        spark.read.parquet(path), batch, keys)
+    // WAP: stage the merged table, then promote atomically; the commit
+    // log records the batch id only after the promote succeeds
+    val staging = path + s"_staging_$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.ops.Load.promote(fs, new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
+    val w = new java.io.FileWriter(commitLog, true)
+    try w.write(s"$batchId\n") finally w.close()
+  }
+
   /** Run a streaming query over a bounded source to completion into an
     * in-memory table, returning the result — used by specs to assert
     * batch/stream parity. */

@@ -257,4 +257,56 @@ class StreamOpsSpec extends SparkSpec {
       s"got $got")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("exactly-once upsert sink: multi-batch parity and replayed-batch skip") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_sink")
+    val srcDir = base.resolve("src").toString
+    new java.io.File(srcDir).mkdirs()
+    def writeFile(name: String, ageSec: Long,
+                  rows: Seq[(Long, Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_upsert_tmp").toString
+      rows.map { case (id, uid, v) =>
+        (id, new java.sql.Timestamp(id * 1000L), uid, "click", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dest = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000L))
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)): Unit
+    }
+    writeFile("a.parquet", 60,
+      Seq((1L, 1L, 1.5), (2L, 1L, 2.5), (3L, 2L, 10.0)))
+    writeFile("b.parquet", 40, Seq((4L, 1L, 4.0)))
+    val schema = events.schema
+    val path = base.resolve("tbl").toString
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ext.Windows.stableSum(col("value")).as("sum_value"))
+    val got = StreamOps.runUpsertSink(agg, path, Seq("user_id"),
+        base.resolve("ckpt").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    // batch 2 UPDATES user 1's row (3 events, 8.0) over batch 1's
+    assert(got == Set((1L, 3L, 8.0), (2L, 1L, 10.0)), s"got $got")
+    // replaying an already-committed batch id is a no-op: the commit
+    // log gates the apply, so table bytes stay untouched
+    val commitLog = new java.io.File(path + "_commits")
+    val bogus = Seq((9L, 9L, 99.0)).map { case (id, uid, v) =>
+      (uid, 1L, v)
+    }.toDF("user_id", "n_events", "sum_value")
+    StreamOps.applyUpsertBatch(bogus, 0L, path, Seq("user_id"),
+      commitLog, Set(0L, 1L))
+    val after = spark.read.parquet(path)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == got, "replayed batch mutated the table")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Windows}
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Video, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -64,6 +64,28 @@ object ExtQueries {
        |  list_transform(range(0, width), x ->
        |    (media_id*31 + (2*x)*7 + (2*y)*13 + ${c * 29}) % 256))))
        | AS BIGINT)""".stripMargin
+
+  /** AVI fixture channel value, the closed form of
+    * `Video.Avi.channelValue` (c: 0=R, 1=G, 2=B). */
+  private def aviPixSql(c: Int): String =
+    s"(media_id*31 + f*7919 + y*101 + x*13 + ${c * 29}) % 256"
+
+  /** Per-clip channel sum over every (frame, row, column). */
+  private def aviChanSumSql(c: Int): String =
+    s"""CAST(list_sum(flatten(list_transform(range(0, n_frames), f ->
+       |  flatten(list_transform(range(0, height), y ->
+       |    list_transform(range(0, width), x ->
+       |      ${aviPixSql(c)})))))) AS BIGINT)""".stripMargin
+
+  /** Flip-sensitive row-weighted sum: (y+1) * (r+g+b) in IMAGE row
+    * space — a decoder that reads the bottom-up DIB rows top-down
+    * cannot match this. */
+  private val aviRowWeightedSql: String =
+    s"""CAST(list_sum(flatten(list_transform(range(0, n_frames), f ->
+       |  flatten(list_transform(range(0, height), y ->
+       |    list_transform(range(0, width), x ->
+       |      (y+1) * ((${aviPixSql(0)}) + (${aviPixSql(1)})
+       |        + (${aviPixSql(2)})))))))) AS BIGINT)""".stripMargin
   private def scoreSql(lang: String): String =
     TextOps.LangStopwords.toMap.apply(lang).map(hitsSql)
       .mkString("(", " + ", ")")
@@ -480,6 +502,19 @@ object ExtQueries {
       Audio.frameSample(
         Audio.audioFromDocuments(t(s, dir, "documents")),
         frameLen = 25, stride = 2).toDF()),
+    // the THIRD real codec (video/AVI): nested-RIFF walker, avih
+    // header, junk-chunk skipping inside movi, and DIB frame
+    // conventions (bottom-up rows, BGR order, 4-byte row padding)
+    // each pinned by a statistic the oracle replays in closed form —
+    // sum_rowweighted flips on a top-down read, sum_r/sum_b swap on
+    // an RGB read, everything drifts if pad bytes leak into sums
+    "mm_video_features" -> ((s, dir) =>
+      Video.decodeFeatures(
+        Video.videoFromDocuments(t(s, dir, "documents"))).toDF()),
+    "mm_video_frame_sample" -> ((s, dir) =>
+      Video.frameSample(
+        Video.videoFromDocuments(t(s, dir, "documents")),
+        stride = 2).toDF()),
 
     // ---- bucketed (co-located) joins ----
     // both fact tables staged ONCE bucketed+sorted by their join key,
@@ -1858,6 +1893,47 @@ object ExtQueries {
                   i -> abs((media_id*37 + i*17) % 4096 - 2048)))))
                AS BIGINT) AS sampled_sum_abs
       FROM clips""",
+    // AVI replay: geometry/frame count from the fixture formulas,
+    // n_bytes from the exact container framing (12 RIFF hdr + 76 hdrl
+    // LIST + 12 movi LIST hdr + per-frame 8+h*paddedRow + 12-byte
+    // junk chunk every third clip = 100 + junk + nf*(8+h*rowb)),
+    // channel sums over the closed-form pixel generator
+    "mm_video_features" -> s"""
+      WITH dims AS (SELECT doc_id AS media_id,
+              8 + (doc_id % 5) * 2 AS width,
+              6 + (doc_id % 4) AS height,
+              3 + (doc_id % 4) AS n_frames,
+              CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END AS junk
+            FROM documents),
+      g AS (SELECT *, width*3 + (4 - (width*3) % 4) % 4 AS rowb FROM dims)
+      SELECT media_id,
+             CAST(width AS INTEGER) AS width,
+             CAST(height AS INTEGER) AS height,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+             CAST(100 + junk + n_frames * (8 + height * rowb) AS BIGINT)
+               AS n_bytes,
+             ${aviChanSumSql(0)} AS sum_r,
+             ${aviChanSumSql(1)} AS sum_g,
+             ${aviChanSumSql(2)} AS sum_b,
+             $aviRowWeightedSql AS sum_rowweighted
+      FROM g""",
+    // every stride=2-th frame's total pixel sum over all channels
+    "mm_video_frame_sample" -> s"""
+      WITH dims AS (SELECT doc_id AS media_id,
+              8 + (doc_id % 5) * 2 AS width,
+              6 + (doc_id % 4) AS height,
+              3 + (doc_id % 4) AS n_frames
+            FROM documents)
+      SELECT media_id,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(len(range(0, n_frames, 2)) AS BIGINT) AS n_sampled,
+             CAST(list_sum(flatten(list_transform(range(0, n_frames, 2), f ->
+                flatten(list_transform(range(0, height), y ->
+                  list_transform(range(0, width), x ->
+                    (${aviPixSql(0)}) + (${aviPixSql(1)})
+                      + (${aviPixSql(2)}))))))) AS BIGINT) AS sampled_sum
+      FROM dims""",
     "window_tumbling" -> s"""
       SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
              event_type, count(*) AS n_events,

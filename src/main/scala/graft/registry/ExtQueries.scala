@@ -515,6 +515,33 @@ object ExtQueries {
       Video.frameSample(
         Video.videoFromDocuments(t(s, dir, "documents")),
         stride = 2).toDF()),
+    // heterogeneous-corpus dispatch — the shape a real multimodal
+    // 100 TB pipeline runs: each document routes to ITS modality's
+    // codec (doc_id % 3: image/audio/video, the payload_stats
+    // convention), decodes through the real parser, and lands in one
+    // harmonized schema. Three filtered branches, one union — every
+    // branch is narrow mapPartitions over its slice of the scan, so
+    // the dispatch adds no shuffle to any codec path.
+    "mm_modality_dispatch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val img = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(
+          docs.filter(col("doc_id") % 3 === 0))).toDF()
+        .select(col("media_id"), lit("image").as("modality"),
+          col("n_bytes"), col("n_pixels").as("n_units"),
+          (col("sum_r") + col("sum_g") + col("sum_b")).as("content_sum"))
+      val aud = Audio.decodeFeatures(Audio.audioFromDocuments(
+          docs.filter(col("doc_id") % 3 === 1))).toDF()
+        .select(col("media_id"), lit("audio").as("modality"),
+          col("n_bytes"), col("n_samples").as("n_units"),
+          col("sum_abs").as("content_sum"))
+      val vid = Video.decodeFeatures(Video.videoFromDocuments(
+          docs.filter(col("doc_id") % 3 === 2))).toDF()
+        .select(col("media_id"), lit("video").as("modality"),
+          col("n_bytes"),
+          (col("n_frames") * col("width") * col("height")).as("n_units"),
+          (col("sum_r") + col("sum_g") + col("sum_b")).as("content_sum"))
+      img.unionByName(aud).unionByName(vid)
+    }),
 
     // ---- bucketed (co-located) joins ----
     // both fact tables staged ONCE bucketed+sorted by their join key,
@@ -1934,6 +1961,48 @@ object ExtQueries {
                     (${aviPixSql(0)}) + (${aviPixSql(1)})
                       + (${aviPixSql(2)}))))))) AS BIGINT) AS sampled_sum
       FROM dims""",
+    // per-modality dispatch: each doc_id % 3 slice replays ITS codec's
+    // closed form, harmonized into one schema
+    "mm_modality_dispatch" -> s"""
+      WITH img AS (SELECT doc_id AS media_id,
+              CAST(4 + doc_id % 13 AS BIGINT) AS width,
+              CAST(3 + doc_id % 7 AS BIGINT) AS height
+            FROM documents WHERE doc_id % 3 = 0),
+      imgf AS (SELECT media_id, 'image' AS modality,
+              CAST(9 + strlen(CAST(width AS VARCHAR))
+                     + strlen(CAST(height AS VARCHAR))
+                     + 3*width*height AS BIGINT) AS n_bytes,
+              CAST(width*height AS BIGINT) AS n_units,
+              ${ppmChanSumSql(0)} + ${ppmChanSumSql(1)}
+                + ${ppmChanSumSql(2)} AS content_sum
+            FROM img),
+      aud AS (SELECT doc_id AS media_id,
+              CAST(50 + doc_id % 101 AS BIGINT) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+      audf AS (SELECT media_id, 'audio' AS modality,
+              CAST(44 + 2*n + CASE WHEN media_id % 3 = 0 THEN 12 ELSE 0 END
+                   AS BIGINT) AS n_bytes,
+              n AS n_units,
+              CAST(list_sum(list_transform(range(0, n),
+                i -> abs((media_id*37 + i*17) % 4096 - 2048))) AS BIGINT)
+                AS content_sum
+            FROM aud),
+      vid AS (SELECT doc_id AS media_id,
+              8 + (doc_id % 5) * 2 AS width,
+              6 + (doc_id % 4) AS height,
+              3 + (doc_id % 4) AS n_frames,
+              CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END AS junk
+            FROM documents WHERE doc_id % 3 = 2),
+      vidg AS (SELECT *, width*3 + (4 - (width*3) % 4) % 4 AS rowb FROM vid),
+      vidf AS (SELECT media_id, 'video' AS modality,
+              CAST(100 + junk + n_frames * (8 + height * rowb) AS BIGINT)
+                AS n_bytes,
+              CAST(n_frames * width * height AS BIGINT) AS n_units,
+              ${aviChanSumSql(0)} + ${aviChanSumSql(1)}
+                + ${aviChanSumSql(2)} AS content_sum
+            FROM vidg)
+      SELECT * FROM imgf UNION ALL SELECT * FROM audf
+      UNION ALL SELECT * FROM vidf""",
     "window_tumbling" -> s"""
       SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
              event_type, count(*) AS n_events,

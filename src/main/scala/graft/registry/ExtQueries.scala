@@ -848,6 +848,37 @@ object ExtQueries {
         .select(col("customer_id"), col("priority"), col("valid_from"),
           col("valid_to"), col("is_current"), col("version"))
     }),
+    // first-touch attribution: each purchase credited to the user's
+    // EARLIEST click in the preceding 30 minutes, with the candidate
+    // count. Equi-key (user) hash join + bounded range filter + min
+    // aggregate — the batch twin of the interval join's shape, and
+    // the other half of attribution beside asof (last-touch).
+    "attribution_first_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") <= col("ts") &&
+            col("c_ts") >= col("ts") - expr("interval 30 minutes"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks_window"),
+          date_format(min(col("c_ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_click_s"))
+    }),
+    // per-source equi-depth length quartiles: ntile under a TOTAL
+    // order (n_tokens, doc_id) — standard-SQL distribution semantics
+    // both engines share; per-source windows only, nothing global
+    "stats_length_quartiles" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      d.withColumn("quartile", ntile(4).over(w).cast("long"))
+    }),
     // as-of join: every event enriched with its user's most recent
     // (<= ts) purchase — union+window implementation, one shuffle
     "asof_join_last_purchase" -> ((s, dir) => {
@@ -2206,6 +2237,29 @@ object ExtQueries {
         FROM events e
         ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
+    // purchases credited to the earliest click within the 30-minute
+    // lookback (µs-truncated timestamps, like the interval join)
+    "attribution_first_touch" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT p.event_id,
+             count(*) AS n_clicks_window,
+             strftime(min(c.ts), '%Y-%m-%d %H:%M:%S') AS first_click_s
+      FROM ev p JOIN ev c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      GROUP BY p.event_id""",
+    // ntile(4) under the same (n_tokens, doc_id) total order — the
+    // SQL-standard first-(n%4)-buckets-get-one-extra distribution
+    "stats_length_quartiles" -> """
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(ntile(4) OVER (PARTITION BY source
+               ORDER BY len(regexp_split_to_array(trim(text), '\s+')),
+                        doc_id) AS BIGINT) AS quartile
+      FROM documents""",
     // full MERGE replay: base rows without updates + applied upserts,
     // minus flagged deletes — the same disjoint custkey residues
     "merge_upsert_customers" -> """

@@ -1308,9 +1308,9 @@ object ExtQueries {
             AS quality_score
         FROM m),
       c AS (SELECT source, doc_id, n_tokens,
-          SUM(n_tokens) OVER (PARTITION BY source
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
             ORDER BY quality_score DESC, doc_id
-            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         FROM q WHERE NOT isnan(quality_score))
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= 500""",
@@ -1327,11 +1327,12 @@ object ExtQueries {
           split_part(bigram, ' ', 2) AS w2
         FROM bg GROUP BY 1),
       ranked AS (SELECT w1, w2, n,
-          SUM(n) OVER (PARTITION BY w1) AS total,
+          CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS total,
           CAST(row_number() OVER (PARTITION BY w1
             ORDER BY n DESC, w2) AS BIGINT) AS rank
         FROM cnt)
-      SELECT w1, w2, n, total, n * 1000000 // total AS cond_ppm, rank
+      SELECT w1, w2, n, total,
+        CAST(n * 1000000 // total AS BIGINT) AS cond_ppm, rank
       FROM ranked WHERE total >= 10 AND rank <= 3""",
     "balance_event_classes" -> s"""
       WITH c AS (SELECT event_type AS cls, count(*) AS n

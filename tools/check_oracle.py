@@ -59,6 +59,16 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
             continue
+        # The driver hashes TYPED values: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT from SUM() OVER
+        # lowered to float64 by pandas) hash-mismatches even when every
+        # value compares equal — exactly the r07 failure class. Flag it.
+        dt_bad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(w[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            n_fail += 1
+            continue
         bad = None
         for c in g.columns:
             gv, wv = g[c].tolist(), w[c].tolist()

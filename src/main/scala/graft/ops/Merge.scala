@@ -19,26 +19,41 @@ object Merge {
     * column itself is not part of the output).
     *
     * Shape: ONE anti-join of base against the update keys plus a
-    * union. With updates << base (the overwhelmingly common case) the
-    * anti-join broadcasts the update keys and the base never
-    * shuffles — the copy-on-write MERGE plan; a huge update set
-    * degrades gracefully to a shuffled anti-join, never to a
-    * full-table window or driver loop. Update keys must be unique
-    * (enforced): two updates for one key make "latest wins"
-    * ambiguous. */
+    * union. With updates << base (the overwhelmingly common case) a
+    * bounded row probe (`limit(N+1).count()`, an early-stopping
+    * narrow job) confirms the update set is small and the anti-join
+    * broadcasts the update keys — the base never shuffles, the
+    * copy-on-write MERGE plan. Above the probe threshold NO hint is
+    * applied and the planner/AQE picks the join — a huge update set
+    * degrades gracefully to a shuffled anti-join instead of being
+    * force-collected onto the driver, never to a full-table window
+    * or driver loop.
+    *
+    * Update keys must be unique or "latest wins" is ambiguous;
+    * `checkDuplicates` enforces it with an eager probe job (one
+    * shuffle of the update set) — callers that guarantee uniqueness
+    * by construction (Update-mode streaming aggregation output) pass
+    * false and skip the job. */
   def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
-                  deleteFlag: Option[String] = None): DataFrame = {
+                  deleteFlag: Option[String] = None,
+                  checkDuplicates: Boolean = true,
+                  broadcastKeyRowLimit: Int = 4000000): DataFrame = {
     val outCols = base.columns.filterNot(deleteFlag.contains)
     require(outCols.forall(updates.columns.contains),
       s"updates must carry every base column; missing " +
         s"${outCols.filterNot(updates.columns.contains).toSeq}")
-    val dupKeys = updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"update set has duplicate keys $keys — latest-wins is ambiguous; " +
-        "dedupKeepFirst the updates on a version order first")
+    if (checkDuplicates) {
+      val dupKeys = updates.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"update set has duplicate keys $keys — latest-wins is ambiguous; " +
+          "dedupKeepFirst the updates on a version order first")
+    }
     val updKeys = updates.select(keys.map(col): _*)
-    val kept = base.join(broadcast(updKeys), keys, "left_anti")
+    val smallEnough =
+      updKeys.limit(broadcastKeyRowLimit + 1).count() <= broadcastKeyRowLimit.toLong
+    val probed = if (smallEnough) broadcast(updKeys) else updKeys
+    val kept = base.join(probed, keys, "left_anti")
       .select(outCols.map(col): _*)
     val applied = deleteFlag match {
       case Some(f) => updates.filter(!coalesce(col(f), lit(false)))

@@ -227,11 +227,20 @@ object StreamOps {
     * foreachBatch — the transactional-sink shape every streaming
     * ingest needs: each micro-batch MERGEs its rows into the table by
     * key (latest wins) through staging + atomic directory promote,
-    * and a per-batch commit log makes replays idempotent — a batch id
-    * that is already committed is SKIPPED, so the at-least-once
-    * delivery foreachBatch guarantees becomes exactly-once table
-    * state. Use with OutputMode.Update aggregations: each batch
-    * carries the CHANGED keys only, and the upsert applies them.
+    * and a per-batch commit marker makes replays idempotent — a batch
+    * id whose marker exists is SKIPPED, so the at-least-once delivery
+    * foreachBatch guarantees becomes exactly-once table state. Use
+    * with OutputMode.Update aggregations: each batch carries the
+    * CHANGED keys only, and the upsert applies them.
+    *
+    * The commit log is a DIRECTORY of per-batch marker files beside
+    * the table (`<path>_commits/batch-<id>`), managed entirely through
+    * the Hadoop `FileSystem` API — existence checks, marker writes and
+    * the table promote all resolve against the filesystem the table
+    * path names (`file:`, `hdfs:`, `s3a:`), never the driver's local
+    * disk, so the guarantee survives on a cluster where the driver
+    * has no view of the warehouse. Markers are written create-temp +
+    * atomic-rename: a marker is visible iff its write completed.
     *
     * At scale the atomic promote becomes a table-format metadata
     * commit (the WAP pattern [[graft.ops.Load.writeAuditPublish]]
@@ -242,17 +251,11 @@ object StreamOps {
   def runUpsertSink(stream: DataFrame, path: String, keys: Seq[String],
                     checkpoint: String): DataFrame = {
     val spark = stream.sparkSession
-    val commitLog = new java.io.File(path + "_commits")
-    def committed: Set[Long] =
-      if (!commitLog.exists()) Set.empty
-      else scala.io.Source.fromFile(commitLog).getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
     val q = stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyUpsertBatch(batch.toDF(), batchId, path, keys, commitLog,
-          committed)
+        applyUpsertBatch(batch.toDF(), batchId, path, keys)
       }
       .start()
     q.processAllAvailable()
@@ -260,28 +263,51 @@ object StreamOps {
     spark.read.parquet(path)
   }
 
+  /** The marker path whose existence means "batch applied and
+    * promoted". One file per batch id: object stores and HDFS both
+    * make single-file create+rename atomic, where appending to one
+    * shared log file is not even defined on object stores. */
+  private[streaming] def commitMarker(path: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(path + "_commits", s"batch-$batchId")
+
   /** One idempotent exactly-once batch apply (factored out so the spec
-    * can replay a batch id and assert the skip). */
+    * can replay a batch id and assert the skip).
+    *
+    * Crash window: a failure AFTER the promote but BEFORE the marker
+    * rename replays the batch on restart. That replay is safe because
+    * re-applying the same upsert batch over a table that already
+    * contains it is a fixed point (the anti-join strips the batch's
+    * keys, the union re-adds the identical rows) — any future
+    * NON-idempotent merge through this path (e.g. additive counters)
+    * would need the marker and the table promoted in one atomic
+    * commit, i.e. a table format. */
   private[streaming] def applyUpsertBatch(
-      batch: DataFrame, batchId: Long, path: String, keys: Seq[String],
-      commitLog: java.io.File, committed: Set[Long]): Unit = {
-    if (committed.contains(batchId)) return // replayed batch: skip
+      batch: DataFrame, batchId: Long, path: String,
+      keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val target = new java.io.File(path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = commitMarker(path, batchId)
+    if (fs.exists(marker)) return // replayed batch: skip
     val merged =
-      if (!target.exists()) batch
+      if (!fs.exists(target)) batch
+      // Update-mode aggregation output is unique per key by
+      // construction — skip mergeUpsert's duplicate-key probe job
       else graft.ops.Merge.mergeUpsert(
-        spark.read.parquet(path), batch, keys)
+        spark.read.parquet(path), batch, keys, checkDuplicates = false)
     // WAP: stage the merged table, then promote atomically; the commit
-    // log records the batch id only after the promote succeeds
+    // marker appears only after the promote succeeds
     val staging = path + s"_staging_$batchId"
     merged.write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     graft.ops.Load.promote(fs, new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(path))
-    val w = new java.io.FileWriter(commitLog, true)
-    try w.write(s"$batchId\n") finally w.close()
+      target)
+    fs.mkdirs(marker.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      marker.getParent, s".tmp-batch-$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, marker) && !fs.exists(marker))
+      throw new java.io.IOException(s"commit marker rename failed: $marker")
   }
 
   /** Run a streaming query over a bounded source to completion into an

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.ops.Merge
 
 /** Round-4 scale guards: the boundary/plan behavior of the helpers that
   * exist purely for 100x scale — auto-sizing formulas, the df-cap
@@ -203,6 +204,33 @@ class ScaleGuardsSpec extends SparkSpec {
     val ok = Corpus.balanceClasses(wide.withColumn("dom", col("id") % 3),
       col("dom"), col("id"), maxClasses = 10)
     assert(ok.count() > 0)
+  }
+
+  // ---- MERGE broadcast gate ----
+  // mergeUpsert promises a huge update set degrades to a shuffled
+  // anti-join. The gate is a bounded row probe: above the threshold no
+  // broadcast hint may appear (an unconditional hint would force a
+  // 10^9-row key set onto every executor), below it the copy-on-write
+  // broadcast plan must survive.
+
+  test("mergeUpsert drops the broadcast hint above the key-row threshold") {
+    val base = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val upd = (0 until 50).map(i => (i.toLong, s"U$i")).toDF("k", "v")
+    val big = Merge.mergeUpsert(base, upd, Seq("k"),
+      checkDuplicates = false, broadcastKeyRowLimit = 10)
+    val hinted = big.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty,
+      s"update set above threshold still carries a broadcast hint")
+    // result is unaffected by which join the planner picks
+    assert(big.count() == 100)
+    val small = Merge.mergeUpsert(base, upd, Seq("k"),
+      checkDuplicates = false, broadcastKeyRowLimit = 1000)
+    val smallHints = small.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(smallHints.nonEmpty, "small update set lost its broadcast hint")
   }
 
 }

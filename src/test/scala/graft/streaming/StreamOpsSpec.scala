@@ -285,7 +285,10 @@ class StreamOpsSpec extends SparkSpec {
       Seq((1L, 1L, 1.5), (2L, 1L, 2.5), (3L, 2L, 10.0)))
     writeFile("b.parquet", 40, Seq((4L, 1L, 4.0)))
     val schema = events.schema
-    val path = base.resolve("tbl").toString
+    // explicit file: URI — the sink must resolve table, staging and
+    // commit markers through the Hadoop FileSystem the path names,
+    // never the driver's local java.io view
+    val path = "file:" + base.resolve("tbl").toString
     val agg = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .groupBy(col("user_id"))
@@ -296,14 +299,17 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     // batch 2 UPDATES user 1's row (3 events, 8.0) over batch 1's
     assert(got == Set((1L, 3L, 8.0), (2L, 1L, 10.0)), s"got $got")
-    // replaying an already-committed batch id is a no-op: the commit
-    // log gates the apply, so table bytes stay untouched
-    val commitLog = new java.io.File(path + "_commits")
+    // both batches left commit markers, written via the Hadoop API
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(StreamOps.commitMarker(path, 0L)), "no marker for batch 0")
+    assert(fs.exists(StreamOps.commitMarker(path, 1L)), "no marker for batch 1")
+    // replaying an already-committed batch id is a no-op: the marker
+    // gates the apply, so table bytes stay untouched
     val bogus = Seq((9L, 9L, 99.0)).map { case (id, uid, v) =>
       (uid, 1L, v)
     }.toDF("user_id", "n_events", "sum_value")
-    StreamOps.applyUpsertBatch(bogus, 0L, path, Seq("user_id"),
-      commitLog, Set(0L, 1L))
+    StreamOps.applyUpsertBatch(bogus, 0L, path, Seq("user_id"))
     val after = spark.read.parquet(path)
       .as[(Long, Long, Double)].collect().toSet
     assert(after == got, "replayed batch mutated the table")

@@ -125,19 +125,42 @@ object KeepFirst {
 /** Session tuning the engine's hash-heavy aggregates depend on. */
 object Tuning {
 
+  /** Per-task budget for an ObjectHashAggregate's in-memory group map:
+    * threshold (groups) x state width must stay well inside executor
+    * task memory no matter the row width. */
+  private val MapBytesPerTask = 64L << 20
+
   /** ObjectHashAggregate's sort-based fallback triggers at
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
     * IN-MEMORY GROUPS — default 128, sized for aggregates whose
     * per-group state is huge (collect_list). [[KeepFirstByOrder]]'s
-    * state is two row copies, so 128 would demote virtually every real
+    * state is one row copy, so 128 would demote virtually every real
     * dedup to the sort path it exists to avoid. Raise the default to
-    * 4M groups (~row-width * 8 MB-scale per task at typical widths)
-    * ONCE per session; an explicitly-set non-default value is
-    * respected. */
+    * `64 MB / stateWidthBytes` groups (clamped to [8k, 4M]) so the
+    * per-task map is bounded by construction — a 16-byte key dedup
+    * gets millions of in-memory groups, a 4 KB document row only
+    * ~16k, and past the threshold the aggregate degrades to
+    * sort-based merging instead of OOMing.
+    *
+    * CAVEATS (deliberate, documented): the conf is SESSION-GLOBAL —
+    * Spark has no per-query scope for it, and the caller's action
+    * runs after this returns, so set-run-restore cannot bracket it.
+    * Unrelated ObjectHashAggregates in the same session (e.g.
+    * collect_list with large per-group state) inherit the raised
+    * threshold; sessions mixing those with dedup should set the conf
+    * explicitly — any non-default value is respected, and the FIRST
+    * dedup's width estimate wins otherwise. `stateWidthBytes` comes
+    * from Catalyst `defaultSize` (strings count 20 bytes), an
+    * underestimate for long-text payloads — the clamp floor keeps
+    * even a 100x underestimate inside task memory. */
   def sizeObjectHashAggregate(
-      spark: org.apache.spark.sql.SparkSession): Unit = {
+      spark: org.apache.spark.sql.SparkSession,
+      stateWidthBytes: Long): Unit = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.get(key, "128") == "128")
-      spark.conf.set(key, (1 << 22).toString)
+    if (spark.conf.get(key, "128") == "128") {
+      val t = math.max(1L << 13, math.min(1L << 22,
+        MapBytesPerTask / math.max(stateWidthBytes, 1L)))
+      spark.conf.set(key, t.toString)
+    }
   }
 }

@@ -70,7 +70,12 @@ object Clean {
     * the window's default ascending order (a bare null ordering key
     * would be SKIPPED — different semantics). */
   def dedupKeepFirst(df: DataFrame, pk: Seq[String], order: Column): DataFrame = {
-    graft.functions.Tuning.sizeObjectHashAggregate(df.sparkSession)
+    // aggregate state per group is ~one full row (order+payload copy);
+    // size the object-hash fallback threshold so the per-task map stays
+    // memory-bounded at ANY row width (see Tuning's caveats)
+    val stateWidth =
+      df.schema.map(_.dataType.defaultSize.toLong).sum + 16L
+    graft.functions.Tuning.sizeObjectHashAggregate(df.sparkSession, stateWidth)
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(pk.map(col): _*)
       .agg(graft.functions.KeepFirst.keepFirst(struct(order), payload)

@@ -169,15 +169,50 @@ object Bench {
       if (gcBetween) System.gc()
     }
 
-    // per-stage attribution for the headline pipeline (one extra run,
-    // untimed against the medians above)
-    val stages =
-      try registry.PipelineQueries.salesStageSeconds(spark, sfDir)
-      catch { case NonFatal(e) =>
-        System.err.println(s"stage probe failed: ${e.getMessage}")
-        Seq.empty[(String, Double)]
+    // per-stage attribution for the headline pipeline. MEDIANED over 3
+    // probe runs: a single-shot probe is one more sample of the same
+    // write-heavy pass the medians above needed 7 reps to pin down —
+    // r7's lone probe caught a writeback burst and reported LOAD 3x
+    // while the e2e median IMPROVED, so round-over-round stage numbers
+    // were incoherent with the headline they attribute.
+    val stageReps = 3
+    val stageRuns = (1 to stageReps).flatMap { _ =>
+      val run =
+        try Some(registry.PipelineQueries.salesStageSeconds(spark, sfDir))
+        catch { case NonFatal(e) =>
+          System.err.println(s"stage probe failed: ${e.getMessage}")
+          None
+        }
+      registry.PipelineQueries.clearScratch(spark)
+      syncFs()
+      run
+    }
+    val stages: Seq[(String, Double)] =
+      if (stageRuns.isEmpty) Seq.empty
+      else stageRuns.head.map(_._1).map { k =>
+        val vs = stageRuns.flatMap(_.collect { case (`k`, v) => v }).sorted
+        k -> vs(vs.length / 2)
       }
-    registry.PipelineQueries.clearScratch(spark)
+
+    // per-stage attribution for the LLM-side composed flagship
+    // (corpus_curation_v2), same 3-run median discipline
+    val curRuns = (1 to stageReps).flatMap { _ =>
+      val run =
+        try Some(registry.ExtQueries.curationV2StageSeconds(spark, sfDir))
+        catch { case NonFatal(e) =>
+          System.err.println(s"curation stage probe failed: ${e.getMessage}")
+          None
+        }
+      spark.catalog.clearCache()
+      if (gcBetween) System.gc()
+      run
+    }
+    val curStages: Seq[(String, Double)] =
+      if (curRuns.isEmpty) Seq.empty
+      else curRuns.head.map(_._1).map { k =>
+        val vs = curRuns.flatMap(_.collect { case (`k`, v) => v }).sorted
+        k -> vs(vs.length / 2)
+      }
 
     val results = names.map { name =>
       val all = times(name).sorted
@@ -203,12 +238,15 @@ object Bench {
     val errFull = jobj(errors.toSeq.map { case (k, v) =>
       "\"" + k + "\":" + escErr(v) })
     val stageJson = jobj(stages.map { case (k, v) => "\"" + k + "\":" + v })
+    val curJson = jobj(curStages.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
     val total = r3(results.map(_._3).filter(_ >= 0).sum)
 
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,"pipe_trim":1,""" +
-        s""""stages":$stageJson,"spread":$spread,"errors":$errFull}"""
+        s""""stage_reps":$stageReps,"stages":$stageJson,""" +
+        s""""curation_stages":$curJson,"spread":$spread,"errors":$errFull}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -222,6 +260,8 @@ object Bench {
       "\"" + k + "\":" + escErr(v.take(80)) })
     val stageHead = jobj(stages.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) })
+    val curHead = jobj(curStages.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
     // stop FIRST, print LAST: the JSON must be the process's final
     // stdout line (build.sbt routes forked stdout through verbatim and
     // suppresses sbt's own trailer for the same reason)
@@ -230,7 +270,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
         s""""nqueries":${names.size},"nerrors":${errors.size},""" +
-        s""""stages":$stageHead,"errors":$errHead,"detail":"$outFile"}""")
+        s""""stages":$stageHead,"curation_stages":$curHead,""" +
+        s""""errors":$errHead,"detail":"$outFile"}""")
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -303,6 +303,7 @@ object Dedup {
     var converged = false
     try {
       while (iter < maxIter && !converged) {
+        val roundT0 = System.nanoTime()
         // 1) gather: each node takes the min of its own and its
         //    neighbors' labels (one hop)
         val minNbr = edges
@@ -334,6 +335,13 @@ object Dedup {
         labels.unpersist()
         labels = next.drop("prev")
         iter += 1
+        // per-round wall attribution: identical inputs take an
+        // identical round count, so a slow RUN with the same rounds is
+        // environmental (GC/writeback), not an iteration blow-up —
+        // this line is what tells those apart in a bench tail
+        System.err.println(f"[graft.cc] round=$iter%d " +
+          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs " +
+          f"converged=$converged")
       }
       if (!converged)
         throw new IllegalStateException(

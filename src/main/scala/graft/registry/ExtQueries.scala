@@ -27,6 +27,72 @@ object ExtQueries {
   private def reclaimOnExit(path: String): Unit =
     graft.ext.Scratch.reclaimOnExit(path)
 
+  // ---- curation v2: the composed flagship's stage chain ----
+  // Exposed as (name, stage-transform) pairs so the SAME chain serves
+  // two consumers: the registered query folds the stages into one
+  // fused plan (what the oracle hash-checks), and the bench stage
+  // probe materializes between stages to attribute wall time — the
+  // salesStageSeconds pattern for the LLM side.
+
+  /** Stage-0 input of the v2 curation chain. */
+  private[graft] def curationV2Docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+
+  /** The v2 chain: C4 filter -> exact dedup -> near-dup
+    * keep-representative -> benchmark decontamination -> per-source
+    * token-budget selection. Every stage is an already-verified
+    * operator; this registers their composition. */
+  private[graft] def curationV2Stages(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "c4_filter" -> ((in: DataFrame) => in.join(
+      Corpus.c4QualityFlags(in, col("doc_id"), col("text"))
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))),
+    "exact_dedup" -> ((in: DataFrame) => in.join(
+      in.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"))),
+    "neardup_reps" -> ((in: DataFrame) => {
+      val pairs = Dedup.jaccardPairs(in, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val reps = Dedup.connectedComponents(in.select(col("doc_id")), pairs)
+        .filter(col("doc_id") === col("component")).select("doc_id")
+      in.join(reps, Seq("doc_id"))
+    }),
+    "decontam" -> ((in: DataFrame) => {
+      // held-out set: every 20th doc of the RAW corpus — the curated
+      // train split must not share 13-gram shingles with it
+      val train = in.filter(col("doc_id") % 20 =!= 0)
+      val test = curationV2Docs(s, dir).filter(col("doc_id") % 20 === 0)
+      val bad = Dedup.crossCorpusOverlap(train, test, "doc_id", "text",
+          shingleN = 13)
+        .filter(col("n_shared_shingles") >= 5)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(bad, Seq("doc_id"), "left_anti")
+    }),
+    "budget_select" -> ((in: DataFrame) => {
+      val scored = TextOps.withQualityScore(
+        in.select(col("doc_id"), col("source"), col("text")), col("text"))
+        .filter(!isnan(col("quality_score")))
+      Corpus.tokenBudgetSelect(scored, col("source"),
+          Seq(col("quality_score").desc, col("doc_id")),
+          col("n_tokens"), budget = 500L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+    }))
+
+  /** Per-stage wall seconds for the v2 curation chain: each stage runs
+    * against the MATERIALIZED previous output, so a stage's number is
+    * its own work, not a recompute of everything before it. */
+  def curationV2StageSeconds(s: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    var cur = curationV2Docs(s, dir)
+    curationV2Stages(s, dir).map { case (name, f) =>
+      val t0 = System.nanoTime()
+      cur = graft.ext.Materialize.eager(f(cur))
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   // ---- shared SQL fragments ----
 
   /** DuckDB in-order dot product over 64-dim double lists (probed
@@ -347,6 +413,16 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
     }),
+    // the v2 composed flagship: quality filter -> exact dedup ->
+    // near-dup keep-representative -> benchmark decontamination ->
+    // per-source token-budget selection, fused into ONE plan under one
+    // composed oracle — the full selection path from raw corpus to
+    // budgeted training set. Per-stage wall attribution comes from
+    // curationV2StageSeconds in the bench.
+    "corpus_curation_v2" -> ((s, dir) =>
+      curationV2Stages(s, dir).foldLeft(curationV2Docs(s, dir)) {
+        case (df, (_, stage)) => stage(df)
+      }),
 
     // ---- embedding transforms ----
     // L2 norm + unit vector, exploded to scalar (vec_id, dim, value)
@@ -1231,6 +1307,75 @@ object ExtQueries {
       WHERE doc_id % 20 <> 0
         AND doc_id NOT IN (SELECT train_id FROM bad)
       GROUP BY source""",
+    // the composed v2 flagship: every stage's oracle fragment reused
+    // in sequence — C4 CTEs, md5 exact-dedup, the recursive cluster
+    // walk, 13-gram decontamination over the CURATED train slice (hot
+    // shingle df computed on the same slice the Spark side uses), then
+    // the quality-scored budget cumsum
+    "corpus_curation_v2" -> s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(text), '\\s+') AS btoks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id, source, text FROM base
+        WHERE len(btoks) >= 10
+          AND (contains(p, ' the ') OR contains(p, ' a '))
+          AND CAST(len(list_distinct(btoks)) AS BIGINT) * 1000000
+              // CAST(len(btoks) AS BIGINT) >= 300000
+          AND NOT contains(lower(text), '{')
+          AND NOT contains(lower(text), 'lorem ipsum')),
+      ex AS (SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM c4) WHERE doc_id = keeper),
+      ${clustersCtes("SELECT doc_id, text FROM ex")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      corpus AS (SELECT ex.doc_id, ex.source, ex.text FROM ex
+                 JOIN comp USING (doc_id) WHERE component = ex.doc_id),
+      train AS (SELECT * FROM corpus WHERE doc_id % 20 <> 0),
+      shA AS (SELECT DISTINCT doc_id AS train_id,
+          unnest(list_transform(
+            range(len(regexp_split_to_array(trim(text), '\\s+')) - 12),
+            i -> array_to_string(
+              (regexp_split_to_array(trim(text), '\\s+'))[i+1:i+13], ' ')))
+            AS shingle
+        FROM train),
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB),
+      ov AS (SELECT train_id, test_id, count(*) AS n_shared
+             FROM hA2 JOIN hB USING (h) GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT train_id FROM ov WHERE n_shared >= 5),
+      clean AS (SELECT doc_id, source, text FROM train
+                WHERE doc_id NOT IN (SELECT train_id FROM bad)),
+      t2 AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM clean),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t2),
+      q2 AS (SELECT doc_id, source, n_tokens,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      sel AS (SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM q2 WHERE NOT isnan(quality_score))
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= 500""",
     "sample_deterministic" -> s"""
       SELECT doc_id FROM documents
       WHERE ${bucketSql("doc_id")} < ${(0.1 * Sampling.Buckets).toLong}""",

@@ -69,4 +69,18 @@ class CorpusPrepSpec extends SparkSpec {
       shingleN = 13, maxDf = 500)
     assert(uncapped.count() == 10)
   }
+
+  test("corpus_curation_v2: fused registered plan equals stage-materialized replay") {
+    // the bench stage probe materializes between stages; the oracle
+    // checks the fused plan — this pins that the two paths are the
+    // same computation, so stage timings attribute the verified query
+    val fused = graft.registry.ExtQueries.queries("corpus_curation_v2")(
+      spark, sf0001).as[(String, Long, Long, Long)].collect().toSet
+    var cur = graft.registry.ExtQueries.curationV2Docs(spark, sf0001)
+    for ((_, f) <- graft.registry.ExtQueries.curationV2Stages(spark, sf0001))
+      cur = Materialize.eager(f(cur))
+    val staged = cur.as[(String, Long, Long, Long)].collect().toSet
+    assert(fused.nonEmpty, "curation v2 selected nothing at sf0.001")
+    assert(staged == fused, "staged replay diverges from the fused plan")
+  }
 }

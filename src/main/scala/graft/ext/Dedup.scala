@@ -125,6 +125,42 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Exact word-SHINGLE Jaccard pairs — the ground-truth twin of
+    * [[minhashLshPairs]], over the identical deduplicated n-shingle
+    * hash space ([[graft.functions.VectorFunctions.shingleHex60]]), so
+    * LSH recall can be measured against the quantity LSH actually
+    * estimates ([[jaccardPairs]]' word-set jaccard is a different
+    * space). Same inverted-index shape and df-cap discipline: sizes
+    * are pre-cap so the reported jaccard is a lower bound, and a hot
+    * shingle can cost recall but never fabricate a pair. This is the
+    * TRUTH-SET side of a recall report — at corpus scale the LSH
+    * variant is the production path and this runs on a sample. */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, threshold: Double = 0.5,
+                          maxDf: Long = 500L): DataFrame = {
+    // shingleHex60 emits the DISTINCT shingle-hash set per doc
+    val all = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.VectorFunctions
+        .shingleHex60(col(textCol), shingleN)).as("h"))
+    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hot = hotKeys(all, "h", maxDf, "shingles")
+    val kept = all.join(hot, Seq("h"), "left_anti")
+    val inter = kept.as("a").join(kept.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
   /** Universal-hash family modulus (Mersenne prime 2^31 - 1): products
     * a_i * base stay under 2^62, so the whole family is exact 64-bit
     * integer arithmetic in ANY engine. */

@@ -496,6 +496,18 @@ object ExtQueries {
         nCentroids = Similarity.autoCentroids(emb.count()), k = 5,
         nProbe = 2)
     }),
+    // k-means cluster assignment as a first-class OUTPUT (corpus
+    // partitioning for diversity balancing / per-cluster sampling),
+    // not just the internal step of IVF search: the Lloyd-refined
+    // coarse quantizer's final per-vector cell, hash-verified
+    // INCLUDING the iterative fit (the oracle replays every Lloyd
+    // round in SQL)
+    "emb_kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAssign(emb, "vec_id", "embedding",
+          nCentroids = Similarity.autoCentroids(emb.count()), iters = 2)
+        .select(col("vec_id"), col("centroid_id"))
+    }),
     // product quantization: corpus compressed to 4 codeword ids per
     // vector, search by integer ADC lookup-table sums — like the IVF
     // fit, the ITERATIVE per-subspace k-means is hash-verified in SQL
@@ -543,6 +555,25 @@ object ExtQueries {
       brute.join(pq, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
         .select(lit("pq_m4_ksub16").as("method"), col("matched"),
+          col("total"),
+          expr("matched * 1000000L div total").as("recall_ppm"))
+    }),
+    // recall of the MinHash-LSH candidate generator against exact
+    // shingle jaccard over the SAME 3-shingle space — the dedup twin
+    // of the ANN/PQ recall reports: a band/row or threshold change
+    // can no longer silently trade dedup recall for speed, because
+    // the recall number itself is hash-verified.
+    "lsh_recall_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+        .select(lit("minhash_k32_b8").as("method"), col("matched"),
           col("total"),
           expr("matched * 1000000L div total").as("recall_ppm"))
     }),
@@ -1056,7 +1087,10 @@ object ExtQueries {
     * ITERATIVE model fit that still hash-matches across engines. The
     * centroid count is derived from count(*) with the same integer
     * power-of-two-near-sqrt formula as [[Similarity.autoCentroids]]. */
-  private def ivfTopKSql(k: Int, nProbe: Int, iters: Int): String = {
+  /** The Lloyd-fit + final-assignment CTE block (nv through ca) —
+    * shared by the IVF search oracle and the standalone k-means
+    * assignment oracle. Emits `ca(vec_id, centroid_id, v)`. */
+  private def ivfAssignCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""a$it AS (SELECT vec_id, centroid_id, v FROM (
@@ -1079,8 +1113,7 @@ object ExtQueries {
          |       FROM $prev p LEFT JOIN n$it USING (centroid_id))"""
         .stripMargin
     }.mkString(",\n      ")
-    s"""
-      WITH nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
+    s"""nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
       nc_t AS (SELECT GREATEST(4, LEAST(4096,
                  CASE WHEN n <= 1 THEN 1
                       ELSE (CAST(1 AS BIGINT)
@@ -1097,7 +1130,12 @@ object ExtQueries {
                  row_number() OVER (PARTITION BY nv.vec_id
                    ORDER BY ${dotSql("nv.v", s"c$iters.cv")} DESC,
                             c$iters.centroid_id) AS rn
-          FROM nv CROSS JOIN c$iters) WHERE rn = 1),
+          FROM nv CROSS JOIN c$iters) WHERE rn = 1)"""
+  }
+
+  private def ivfTopKSql(k: Int, nProbe: Int, iters: Int): String = {
+    s"""
+      WITH ${ivfAssignCtes(iters)},
       q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
       qp AS (SELECT query_id, centroid_id, qv FROM (
           SELECT q.query_id, c$iters.centroid_id, q.qv,
@@ -1702,6 +1740,10 @@ object ExtQueries {
       SELECT vec_id, unnest(range(16)) AS rp_dim, unnest(rp) AS rp_val
       FROM r""",
     "sim_ivf_topk" -> ivfTopKSql(k = 5, nProbe = 2, iters = 2),
+    // the shared Lloyd-fit CTEs, surfaced as a standalone assignment
+    "emb_kmeans_assign" -> s"""
+      WITH ${ivfAssignCtes(2)}
+      SELECT vec_id, centroid_id FROM ca""",
     "sim_pq_topk" -> pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
       shortlist = 50, iters = 2),
     "text_token_count" ->
@@ -1946,6 +1988,54 @@ object ExtQueries {
               FROM scored WHERE NOT isnan(cosine))
         WHERE rank <= 5) b
         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""",
+
+    // the dedup-side recall composition: exact shingle-jaccard truth
+    // set (DISTINCT hex60 shingle hashes — identical to shingleHex60's
+    // per-doc set even under hash collisions) left-joined with the
+    // minhash-LSH oracle's candidate pairs
+    "lsh_recall_report" -> s"""
+      SELECT 'minhash_k32_b8' AS method,
+             CAST(count(l.doc_b) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(l.doc_b) * 1000000 // count(*) AS BIGINT)
+               AS recall_ppm
+      FROM (
+        WITH $ShinglesCte,
+        hsh AS (SELECT DISTINCT doc_id, ${hex60Sql("shingle")} AS h
+                FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+        hot AS (SELECT h FROM hsh GROUP BY h HAVING count(*) > 500),
+        kept AS (SELECT doc_id, h FROM hsh
+                 WHERE h NOT IN (SELECT h FROM hot)),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS n_inter
+                  FROM kept a JOIN kept b
+                    ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5) e
+      LEFT JOIN (
+        WITH $ShinglesCte,
+        bs AS (SELECT doc_id, ${hex60Sql("shingle")} % ${Dedup.MinhashP}
+                 AS b FROM sh),
+        sig AS (SELECT doc_id,
+         $MinhashSigCols
+         FROM bs GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([
+           $MinhashBandStructs]) AS bk FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.bk = y.bk AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b,
+                 ($MinhashMatchTerms) * 1.0 / 32 AS est_jaccard
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.doc_a
+          JOIN sig sb ON sb.doc_id = cand.doc_b)
+        WHERE est_jaccard >= 0.5) l
+        ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b""",
 
     // same composition for the PQ configuration: both operand oracles
     // reused, so the PQ recall number is hash-verified too

@@ -263,6 +263,27 @@ object StreamQueries {
       StreamOps.runUpsertSink(agg, base.resolve("user_stats").toString,
         Seq("user_id"), base.resolve("ckpt").toString)
     }),
+    // CDC change-log -> SCD2 history: the raw stream lands exactly-once
+    // in a batch-partitioned append log, and the dimension history is
+    // rebuilt from the accumulated log — the log-side half of the
+    // lakehouse pattern (stream_warehouse_upsert keeps compact current
+    // state; this keeps the replayable history). Versioning order is
+    // the CDC sequence number (event_id, the LSN role), not event
+    // time: a change log replays in commit order.
+    "stream_scd2_sink" -> ((s, dir) => withStreamParallelism(s, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_cdc")
+      graft.ext.Scratch.reclaimOnExit(base.toString)
+      val src = streamSource(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val log = StreamOps.runAppendLogSink(src,
+        base.resolve("cdc").toString, base.resolve("ckpt").toString)
+      graft.ops.Merge.scd2(
+          log.select(col("user_id"), col("event_type"), col("event_id")),
+          Seq("user_id"), Seq("event_type"), col("event_id").cast("long"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("version"))
+    }),
     "stream_interval_join" -> ((s, dir) => withStreamParallelism(s, dir) {
       val clicks = streamSource(s, dir)
         .filter(col("event_type") === "click")
@@ -358,6 +379,23 @@ object StreamQueries {
       SELECT user_id, count(*) AS n_events,
              ${stableSumSql("value")} AS sum_value
       FROM events GROUP BY user_id""",
+    // batch replay of the CDC log -> SCD2 rebuild: same null-safe
+    // change collapse + validity intervals as scd2_customer_priority,
+    // ordered by the CDC sequence number
+    "stream_scd2_sink" -> """
+      WITH ch AS (SELECT user_id, event_type,
+                         CAST(event_id AS BIGINT) AS ord FROM events),
+      sel AS (SELECT user_id, event_type, ord FROM ch
+        QUALIFY event_type IS DISTINCT FROM
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ord))
+      SELECT user_id, event_type, ord AS valid_from,
+             lead(ord) OVER (PARTITION BY user_id ORDER BY ord)
+               AS valid_to,
+             lead(ord) OVER (PARTITION BY user_id ORDER BY ord) IS NULL
+               AS is_current,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ord)
+               AS BIGINT) AS version
+      FROM sel""",
     // batch replay of the stream-stream interval join. The raw parquet
     // is NANOS precision while Spark's staged source floors to µs
     // (ts div 1000), so the oracle truncates to µs TIMESTAMP first —

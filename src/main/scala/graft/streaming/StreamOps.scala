@@ -310,6 +310,35 @@ object StreamOps {
       throw new java.io.IOException(s"commit marker rename failed: $marker")
   }
 
+  /** Exactly-once streaming APPEND into a batch-partitioned parquet
+    * log — the CDC/change-log sink shape: each micro-batch lands in
+    * its own `batch_id=<id>` subdirectory via idempotent overwrite,
+    * so a replayed batch rewrites identical bytes instead of
+    * duplicating rows. The batch id IS the transaction id — no shared
+    * commit log to coordinate, which is why append (unlike the merge
+    * sink above) needs no marker protocol: directory-per-batch
+    * overwrite is naturally idempotent, on any Hadoop filesystem.
+    * Readers get `batch_id` as a partition column for free — batch
+    * provenance, or incremental consumption by batch range.
+    *
+    * At 100 TB/day this is the log-side half of the lakehouse: the
+    * merge sink keeps a compact current-state table, this keeps the
+    * replayable history the state can be rebuilt (or SCD2'd) from. */
+  def runAppendLogSink(stream: DataFrame, path: String,
+                       checkpoint: String): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId"): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(path)
+  }
+
   /** Run a streaming query over a bounded source to completion into an
     * in-memory table, returning the result — used by specs to assert
     * batch/stream parity. */

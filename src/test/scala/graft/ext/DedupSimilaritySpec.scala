@@ -55,6 +55,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mae < 0.15, s"minhash mean abs error too high: $mae")
   }
 
+  test("shingleJaccardPairs equals the HOF-computed exact shingle-set jaccard") {
+    val subset = docs.filter(col("doc_id") < 200)
+    val sh = subset.select(col("doc_id"),
+      explode(array_distinct(TextOps.wordShingles(col("text"), 3)))
+        .as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    val expected = inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter($"ni" * 1.0 / ($"na" + $"nb" - $"ni") >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.shingleJaccardPairs(subset, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"native shingle jaccard diverges from the HOF reference: $got vs $expected")
+  }
+
   test("simhash of identical docs is identical; near-identical is close") {
     val pair = Seq(
       (1L, "spark query filter join group sort merge"),

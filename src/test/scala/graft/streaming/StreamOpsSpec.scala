@@ -315,4 +315,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(after == got, "replayed batch mutated the table")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
+
+  test("append log sink: batch-partitioned log equals the source; replay is idempotent") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_append_sink")
+    val srcDir = base.resolve("src").toString
+    new java.io.File(srcDir).mkdirs()
+    def stage(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_append_tmp").toString
+      rows.map { case (id, uid, et) =>
+        (id, new java.sql.Timestamp(id * 1000L), uid, et, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(srcDir, name))
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp)): Unit
+    }
+    stage("a.parquet", Seq((1L, 1L, "click"), (2L, 1L, "view")))
+    stage("b.parquet", Seq((3L, 2L, "click")))
+    val path = "file:" + base.resolve("log").toString
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val log = StreamOps.runAppendLogSink(src, path,
+      base.resolve("ckpt").toString)
+    val got = log.select(col("event_id"), col("user_id"),
+        col("event_type"), col("batch_id").cast("long"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    // every source row lands exactly once, tagged with its batch id
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Set((1L, 1L, "click"), (2L, 1L, "view"), (3L, 2L, "click")))
+    assert(got.map(_._4) == Set(0L, 1L), s"batch ids: ${got.map(_._4)}")
+    // replaying a batch overwrites its OWN directory with identical
+    // rows — the table is unchanged, nothing duplicates
+    val b0 = Seq((1L, 1L, "click"), (2L, 1L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    b0.write.mode("overwrite").parquet(path + "/batch_id=0")
+    val after = spark.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("batch_id").cast("long"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(after == got, "replayed batch changed the log")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }

@@ -70,7 +70,7 @@ object Bench {
     "model_sales_fact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_clusters", "sim_ivf_topk", "stream_interval_join",
     "stream_session", "chunk_documents", "text_top_terms",
-    "sink_partitioned_pruned", "join_salted_skew")
+    "sink_partitioned_pruned", "join_salted_skew", "corpus_curation_v2")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -42,7 +42,17 @@ object Packing {
   /** (doc_id, n_tokens, pack_group, bin_id), documents packed greedily
     * in id order within their hash group. */
   def packSequences(df: DataFrame, id: Column, text: Column,
-                    budgetTokens: Long, nGroups: Int = 256): DataFrame = {
+                    budgetTokens: Long, nGroups: Int = 256): DataFrame =
+    packWithPositions(df, id, text, budgetTokens, nGroups)
+      .drop("seq_start")
+
+  /** [[packSequences]] plus each document's `seq_start` — its token
+    * offset inside its bin. This is the artifact a training loader
+    * actually consumes: (bin, offset) is the position map that turns
+    * a packed bin into attention-mask / position-id boundaries
+    * without re-tokenizing. Same fold, one extra running value. */
+  def packWithPositions(df: DataFrame, id: Column, text: Column,
+                        budgetTokens: Long, nGroups: Int = 256): DataFrame = {
     require(budgetTokens > 0 && nGroups > 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -59,10 +69,11 @@ object Packing {
         rows.iterator.map { case (docId, n, _) =>
           if (!first && fill + n > budgetTokens) { bin += 1; fill = 0L }
           first = false
+          val start = fill
           fill += n
-          (docId, n, g, bin)
+          (docId, n, g, bin, start)
         }
       }
-      .toDF("doc_id", "n_tokens", "pack_group", "bin_id")
+      .toDF("doc_id", "n_tokens", "pack_group", "bin_id", "seq_start")
   }
 }

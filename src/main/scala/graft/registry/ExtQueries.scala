@@ -457,6 +457,15 @@ object ExtQueries {
       Packing.packSequences(docs, col("doc_id"), col("text"),
         budgetTokens = 512, nGroups = Packing.autoGroups(docs.count()))
     }),
+    // packing WITH the per-document bin offset — the (bin, offset)
+    // position map a training loader consumes to derive attention
+    // boundaries without re-tokenizing; same fold, one more running
+    // value, replayed by the same recursive-walk oracle
+    "pack_with_positions" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.packWithPositions(docs, col("doc_id"), col("text"),
+        budgetTokens = 512, nGroups = Packing.autoGroups(docs.count()))
+    }),
     // contamination: training docs sharing a 13-gram with the held-out
     // slice (doc_id % 20 == 0 plays the benchmark set)
     "contamination_check" -> ((s, dir) => {
@@ -1285,11 +1294,11 @@ object ExtQueries {
        |      AS shingle
        |  FROM documents WHERE $filter)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    // exact greedy first-fit replayed as a recursive walk per group;
-    // the group count is derived from count(*) with the same integer
-    // formula as Packing.autoGroups (~64 docs/group, power of two)
-    "pack_sequences" -> s"""
+  /** The greedy first-fit recursive walk shared by both packing
+    * oracles; `select` picks the exposed columns (walk's `fill` is
+    * the running total AFTER the current doc, so its bin offset is
+    * `fill - n_tokens`). */
+  private def packWalkSql(select: String): String = s"""
       WITH RECURSIVE ng_t AS (SELECT GREATEST(8, LEAST(1048576,
             CASE WHEN m <= 1 THEN 1
                  ELSE (CAST(1 AS BIGINT)
@@ -1314,7 +1323,16 @@ object ExtQueries {
                     THEN g.n_tokens ELSE w.fill + g.n_tokens END
         FROM walk w JOIN g
           ON g.pack_group = w.pack_group AND g.rn = w.rn + 1)
-      SELECT doc_id, n_tokens, pack_group, bin_id FROM walk""",
+      SELECT $select FROM walk"""
+
+  val oracleSql: Map[String, String] = Map(
+    // exact greedy first-fit replayed as a recursive walk per group;
+    // the group count is derived from count(*) with the same integer
+    // formula as Packing.autoGroups (~64 docs/group, power of two)
+    "pack_sequences" ->
+      packWalkSql("doc_id, n_tokens, pack_group, bin_id"),
+    "pack_with_positions" -> packWalkSql(
+      "doc_id, n_tokens, pack_group, bin_id, fill - n_tokens AS seq_start"),
     "contamination_check" -> s"""
       WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
       hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),

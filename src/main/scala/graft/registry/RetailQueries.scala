@@ -187,6 +187,49 @@ object RetailQueries {
         .select(col("sale_id"), col("net_amount"),
           col("order_year").cast("long").as("order_year"))
     }),
+    // range-clustered write + per-bucket layout stats: rows are
+    // clustered into closed-form key ranges (integer arithmetic over
+    // the global [min, max] — no sampling, unlike repartitionByRange,
+    // so any engine replays the SAME bucket boundaries), written
+    // hive-partitioned by bucket, and the read-back layout audited as
+    // (bucket, n, lo, hi). Non-overlapping per-file key ranges are
+    // what make min/max pruning effective — the clustering half of
+    // sink_partitioned_pruned's story.
+    "sink_range_clustered" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice"))
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val nBuckets = 16L
+      // integer floor-div (Spark's Column `/` is double division)
+      val clustered = o.withColumn("bucket",
+        expr(s"(o_orderkey - $lo) * $nBuckets div ${hi - lo + 1}"))
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_range/orders"
+      clustered.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("key_lo"),
+          max(col("o_orderkey")).as("key_hi"))
+    }),
+    // schema-evolution scan: an old-schema write and a new-schema
+    // write (extra column) read back as ONE table via mergeSchema —
+    // old rows surface the added column as NULL. The append-only
+    // schema-widening pattern every long-lived warehouse table needs.
+    "scan_schema_evolution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_evo/customer"
+      c.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/v1", s"$tmp/v2")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
     "sink_type_normalize" -> ((s, dir) =>
       Load.typeNormalize(sales(s, dir).select(col("sale_id"), col("sale_date")))),
     "control_log_sink" -> ((s, dir) => {
@@ -403,6 +446,27 @@ object RetailQueries {
             FROM sales)
       SELECT sale_id, net_amount, order_year FROM m
       WHERE order_year = (SELECT min(order_year) FROM m)""",
+    // closed-form range buckets: identical integer arithmetic over
+    // the same global [min, max]
+    "sink_range_clustered" -> """
+      WITH r AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+                 FROM orders)
+      SELECT CAST((o_orderkey - lo) * 16 // (hi - lo + 1) AS BIGINT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(o_orderkey) AS BIGINT) AS key_lo,
+             CAST(max(o_orderkey) AS BIGINT) AS key_hi
+      FROM orders CROSS JOIN r
+      GROUP BY 1""",
+    // old-schema rows (all) surface NULL for the added column; the
+    // new-schema write carries the even keys
+    "scan_schema_evolution" -> """
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+             CAST(NULL AS DOUBLE) AS c_acctbal
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0""",
     "sink_type_normalize" -> s"""$SalesCte
       SELECT sale_id,
              strftime(sale_date, '%Y-%m-%dT%H:%M:%S') AS sale_date

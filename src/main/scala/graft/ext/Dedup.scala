@@ -201,7 +201,6 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
     // The signature frame feeds three consumers (banding + both sides
     // of the estimate join): materialize it ONCE, with the
     // executor-churn-aware policy in [[Materialize.eager]] (reliable
@@ -211,22 +210,32 @@ object Dedup {
     // unpersist (a leak in long-lived sessions).
     val sigs = Materialize.eager(
       minhashSignatures(df, col(idCol), col(textCol), shingleN, k))
-    val mhCols = (0 until k).map(i => col(s"mh_$i"))
-    // (doc_id, band, band_key)
-    val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh_$i")): _*).as(s"band_$b")
-    }: _*)
-    val long = banded.select(col("doc_id"), explode(array(
-      (0 until bands).map(b => struct(lit(b).as("band"),
-        col(s"band_$b").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val long = bandBuckets(sigs, k, bands)
     val cands = long.as("x").join(long.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // estimate similarity from full signatures
+    estimatePairs(cands, sigs, k, threshold)
+  }
+
+  /** Exploded (doc_id, band, key) bucket rows from a signature frame. */
+  private def bandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i")): _*).as(s"band_$b")
+    }: _*)
+    banded.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        col(s"band_$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Candidate (doc_a, doc_b) pairs scored by the fraction of matching
+    * minhash components, kept at >= threshold. */
+  private def estimatePairs(cands: DataFrame, sigs: DataFrame, k: Int,
+                            threshold: Double): DataFrame = {
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until k).map(i => col(s"mh_$i").as(s"a_$i")): _*)
     val sb = sigs.select(col("doc_id").as("doc_b") +:
@@ -238,6 +247,43 @@ object Dedup {
       .withColumn("est_jaccard", matches * 1.0 / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** Incremental MinHash-LSH: near-dup pairs INVOLVING a new batch —
+    * the production dedup shape at corpus scale, where a daily
+    * increment dedups against the standing corpus WITHOUT re-pairing
+    * corpus x corpus. Emits exactly the pairs
+    * `minhashLshPairs(corpus UNION batch)` would emit that touch the
+    * batch (same signatures, same bands, same estimate — spec-pinned),
+    * at |corpus| x |batch| bucket cost instead of |corpus|^2 per
+    * bucket. In a deployed pipeline the standing side's signature and
+    * band tables are a persisted index appended per batch; here they
+    * derive inline from the corpus frame. `corpus` and `batch` must be
+    * id-disjoint (they are different slices of an ingest by
+    * construction). */
+  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigOld = Materialize.eager(
+      minhashSignatures(corpus, col(idCol), col(textCol), shingleN, k))
+    val sigNew = Materialize.eager(
+      minhashSignatures(batch, col(idCol), col(textCol), shingleN, k))
+    val bOld = bandBuckets(sigOld, k, bands)
+    val bNew = bandBuckets(sigNew, k, bands)
+    // corpus x batch collisions in either id order, normalized, plus
+    // batch-internal collisions — never corpus x corpus
+    val oldNew = bOld.as("x").join(bNew.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val newNew = bNew.as("x").join(bNew.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cands = oldNew.union(newNew).distinct()
+    estimatePairs(cands, sigOld.unionByName(sigNew), k, threshold)
   }
 
   /** SimHash from 60-bit portable token hashes, via the native

@@ -216,6 +216,19 @@ object ExtQueries {
       Dedup.minhashLshPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleN = 3, k = 32, bands = 8,
         threshold = 0.5)),
+    // the PRODUCTION dedup shape: a new ingest batch (doc_id % 10 = 3
+    // plays the daily increment) deduped against the standing corpus
+    // at |corpus| x |batch| bucket cost — never corpus x corpus. The
+    // oracle is the full-LSH pair set filtered to batch-touching
+    // pairs, which the incremental plan must reproduce exactly.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.5)
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3)),
@@ -515,6 +528,19 @@ object ExtQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfAssign(emb, "vec_id", "embedding",
           nCentroids = Similarity.autoCentroids(emb.count()), iters = 2)
+        .select(col("vec_id"), col("centroid_id"))
+    }),
+    // embedding-diversity balancing: the k-means cells play the class
+    // label and every cell downsamples to the minority cell's count —
+    // the semantic-coverage counterpart of source-domain balancing,
+    // composed from two verified operators (cluster assignment +
+    // deterministic class rebalancing)
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+          nCentroids = Similarity.autoCentroids(emb.count()), iters = 2)
+        .select(col("vec_id"), col("centroid_id"))
+      Corpus.balanceClasses(assigned, col("centroid_id"), col("vec_id"))
         .select(col("vec_id"), col("centroid_id"))
     }),
     // product quantization: corpus compressed to 4 codeword ids per
@@ -1294,6 +1320,30 @@ object ExtQueries {
        |      AS shingle
        |  FROM documents WHERE $filter)""".stripMargin
 
+  /** The MinHash-LSH pair oracle (signatures -> band buckets ->
+    * candidate pairs -> match-fraction estimate), with an optional
+    * extra predicate on the final pair set — shared by the full and
+    * incremental dedup oracles. */
+  private def minhashPairsSql(extraWhere: String = ""): String = s"""
+      WITH $ShinglesCte,
+      bs AS (SELECT doc_id, ${hex60Sql("shingle")} % ${Dedup.MinhashP} AS b
+             FROM sh),
+      sig AS (SELECT doc_id,
+       $MinhashSigCols
+       FROM bs GROUP BY doc_id),
+      bands AS (SELECT doc_id, unnest([
+         $MinhashBandStructs]) AS bk FROM sig),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.bk = y.bk AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, est_jaccard FROM (
+        SELECT doc_a, doc_b,
+               ($MinhashMatchTerms) * 1.0 / 32 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.doc_a
+        JOIN sig sb ON sb.doc_id = cand.doc_b)
+      WHERE est_jaccard >= 0.5$extraWhere"""
+
   /** The greedy first-fit recursive walk shared by both packing
     * oracles; `select` picks the exposed columns (walk's `fill` is
     * the running total AFTER the current doc, so its bin offset is
@@ -1762,6 +1812,21 @@ object ExtQueries {
     "emb_kmeans_assign" -> s"""
       WITH ${ivfAssignCtes(2)}
       SELECT vec_id, centroid_id FROM ca""",
+    // kmeans cells as the balancing class: same keep rule as
+    // balance_event_classes (exact BIGINT cross-multiplication on the
+    // salted hash bucket), over the assignment CTEs
+    "sample_cluster_balanced" -> s"""
+      WITH ${ivfAssignCtes(2)},
+      asg AS (SELECT vec_id, centroid_id FROM ca),
+      cc AS (SELECT centroid_id AS cls, count(*) AS n
+             FROM asg GROUP BY 1),
+      mm AS (SELECT min(n) AS mn FROM cc)
+      SELECT a.vec_id, a.centroid_id
+      FROM asg a
+      JOIN cc ON a.centroid_id IS NOT DISTINCT FROM cc.cls CROSS JOIN mm
+      WHERE (${hex60Sql("'bal' || CAST(a.vec_id AS VARCHAR)")}
+               % ${Sampling.Buckets}) * cc.n
+            < mm.mn * ${Sampling.Buckets}""",
     "sim_pq_topk" -> pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
       shortlist = 50, iters = 2),
     "text_token_count" ->
@@ -1850,25 +1915,11 @@ object ExtQueries {
         SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5,
                min(doc_id) AS doc_id_kept, count(*) AS n_copies
         FROM all_docs GROUP BY 1""",
-    "dedup_minhash_lsh" -> s"""
-      WITH $ShinglesCte,
-      bs AS (SELECT doc_id, ${hex60Sql("shingle")} % ${Dedup.MinhashP} AS b
-             FROM sh),
-      sig AS (SELECT doc_id,
-       $MinhashSigCols
-       FROM bs GROUP BY doc_id),
-      bands AS (SELECT doc_id, unnest([
-         $MinhashBandStructs]) AS bk FROM sig),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bands x JOIN bands y
-                 ON x.bk = y.bk AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b, est_jaccard FROM (
-        SELECT doc_a, doc_b,
-               ($MinhashMatchTerms) * 1.0 / 32 AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.doc_id = cand.doc_a
-        JOIN sig sb ON sb.doc_id = cand.doc_b)
-      WHERE est_jaccard >= 0.5""",
+    "dedup_minhash_lsh" -> minhashPairsSql(),
+    // full-LSH pairs restricted to batch-touching ones: the
+    // incremental plan must emit exactly this set
+    "dedup_incremental" -> minhashPairsSql(
+      extraWhere = " AND (doc_a % 10 = 3 OR doc_b % 10 = 3)"),
     "dedup_simhash" -> s"""
       WITH tokraw AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

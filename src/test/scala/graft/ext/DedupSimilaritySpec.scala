@@ -77,6 +77,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"native shingle jaccard diverges from the HOF reference: $got vs $expected")
   }
 
+  test("incremental LSH equals full LSH filtered to batch-touching pairs") {
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val inc = Dedup.minhashLshIncremental(corpus, batch, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.3)
+      .filter($"doc_a" % 10 === 3 || $"doc_b" % 10 === 3)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc.nonEmpty, "fixture produced no batch-touching pairs")
+    assert(inc == full,
+      s"incremental diverges from filtered full LSH: ${inc.diff(full)} / ${full.diff(inc)}")
+  }
+
   test("simhash of identical docs is identical; near-identical is close") {
     val pair = Seq(
       (1L, "spark query filter join group sort merge"),

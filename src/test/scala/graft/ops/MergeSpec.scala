@@ -37,6 +37,20 @@ class MergeSpec extends SparkSpec {
       s"base side shuffles in a copy-on-write merge:\n$plan")
   }
 
+  test("mergeUpsert re-apply is a fixed point (the crash-replay safety claim)") {
+    // applyUpsertBatch documents that replaying a batch over a table
+    // that already contains it is safe; this pins the algebra behind
+    // that claim: mergeUpsert(mergeUpsert(base, u), u) == mergeUpsert(base, u)
+    val base = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val upd = Seq((5L, "X"), (150L, "Y"), (999L, "new")).toDF("k", "v")
+    val once = Merge.mergeUpsert(base, upd, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    val twice = Merge.mergeUpsert(
+        Merge.mergeUpsert(base, upd, Seq("k")), upd, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(twice == once, "re-applying the same batch changed the table")
+  }
+
   test("scd2: no-op replays collapse, intervals chain, version counts") {
     val changes = Seq(
       (1L, "LOW", 10L), (1L, "LOW", 20L),  // replay -> collapses to 10

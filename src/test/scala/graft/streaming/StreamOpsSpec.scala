@@ -313,6 +313,19 @@ class StreamOpsSpec extends SparkSpec {
     val after = spark.read.parquet(path)
       .as[(Long, Long, Double)].collect().toSet
     assert(after == got, "replayed batch mutated the table")
+    // crash-window replay: a failure between promote and marker write
+    // leaves the batch applied but unmarked — model it by deleting
+    // batch 1's marker and re-applying batch 1's ACTUAL content; the
+    // re-apply must be a fixed point (the documented safety algebra)
+    fs.delete(StreamOps.commitMarker(path, 1L), false)
+    val batch1 = Seq((1L, 3L, 8.0))
+      .toDF("user_id", "n_events", "sum_value")
+    StreamOps.applyUpsertBatch(batch1, 1L, path, Seq("user_id"))
+    val replayed = spark.read.parquet(path)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replayed == got, "crash-window replay changed the table")
+    assert(fs.exists(StreamOps.commitMarker(path, 1L)),
+      "re-apply did not restore the marker")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
 

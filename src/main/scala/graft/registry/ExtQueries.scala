@@ -309,6 +309,22 @@ object ExtQueries {
     "sample_weighted_length" -> ((s, dir) =>
       Corpus.weightedSample(t(s, dir, "documents"), col("doc_id"),
         col("n_chars")).select(col("doc_id"), col("n_chars"))),
+    // exactly-k PER GROUP: the hash bucket plays the random key and
+    // the bounded-heap aggregate keeps the k smallest per source —
+    // each task forwards <= k rows per group, no per-group window
+    // sort (the curate_topk_per_source shape with a hash as the
+    // score). The per-source twin of sample_fixed_size.
+    "sample_fixed_per_group" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("source"),
+          Sampling.bucket(col("doc_id"), "grpk").as("bk"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopK.topkByScore(
+          -col("bk").cast("double"), col("doc_id"), 10).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rank"))
+    }),
     // exactly-k uniform draw (TakeOrdered on the hash bucket)
     "sample_fixed_size" -> ((s, dir) =>
       Sampling.fixedSizeSample(t(s, dir, "documents"), col("doc_id"),
@@ -716,6 +732,29 @@ object ExtQueries {
     "window_session" -> ((s, dir) =>
       Windows.sessionize(Tables.events(s, dir), col("user_id"), col("ts"),
         1800)),
+    // gap-filled hourly series: every (event_type, hour) cell of the
+    // global time range, zero-filled where no events landed — the
+    // resample step between raw events and any time-series consumer
+    // (a model can't learn from silently missing rows). The grid is
+    // hours x types: both sides are bounded (8760 cells/year x a
+    // class-capped type set), so the unconditioned broadcast join IS
+    // the scale shape, and the deliverable is the grid itself.
+    "window_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (floor(col("ts").cast("long") / 3600) * 3600).cast("long")
+          .as("window_epoch"))
+      val counts = ev.groupBy(col("event_type"), col("window_epoch"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = ev.agg(min(col("window_epoch")).as("lo"),
+          max(col("window_epoch")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+          .as("window_epoch"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.join(broadcast(types))
+        .join(counts, Seq("event_type", "window_epoch"), "left")
+        .select(col("event_type"), col("window_epoch"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
     // built-in session_window in BATCH mode — same semantics as the
     // lag+cumsum sessionization and the streaming twin
     "window_session_builtin" -> ((s, dir) =>
@@ -1485,6 +1524,17 @@ object ExtQueries {
     "sample_deterministic" -> s"""
       SELECT doc_id FROM documents
       WHERE ${bucketSql("doc_id")} < ${(0.1 * Sampling.Buckets).toLong}""",
+    // exactly-k per source under the salted hash order — the heap
+    // aggregate's (bucket asc, doc_id asc) total order replayed as a
+    // window rank
+    "sample_fixed_per_group" -> s"""
+      SELECT source, doc_id, rank FROM (
+        SELECT source, doc_id,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${hex60Sql("'grpk' || CAST(doc_id AS VARCHAR)")}
+              % ${Sampling.Buckets}, doc_id) AS BIGINT) AS rank
+        FROM documents)
+      WHERE rank <= 10""",
     "sample_train_val_split" -> s"""
       SELECT doc_id,
              CASE WHEN ${bucketSql("doc_id")}
@@ -2344,6 +2394,24 @@ object ExtQueries {
              event_type, count(*) AS n_events,
              ${stableSumSql("value")} AS sum_value
       FROM events GROUP BY 1, 2""",
+    // the full (type x hour) grid with zero fill — range() generates
+    // the hour axis, the distinct type set is the other
+    "window_gapfill" -> """
+      WITH b AS (SELECT event_type,
+          CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch
+        FROM events),
+      c AS (SELECT event_type, window_epoch,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1, 2),
+      r AS (SELECT min(window_epoch) AS lo, max(window_epoch) AS hi FROM b),
+      h AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS window_epoch
+            FROM r),
+      ty AS (SELECT DISTINCT event_type FROM events)
+      SELECT ty.event_type, h.window_epoch,
+             COALESCE(c.n_events, 0) AS n_events
+      FROM h CROSS JOIN ty
+      LEFT JOIN c ON c.event_type = ty.event_type
+        AND c.window_epoch = h.window_epoch""",
     "window_sliding" -> s"""
       WITH w AS (
         SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - k) * 1800 AS window_epoch,

@@ -152,6 +152,24 @@ object StreamQueries {
         StreamOps.tumblingCounts(src, "1 hour"))
         .withColumn("window_epoch", col("window_start").cast("long"))
         .drop("window_start")),
+    // trending top-k: the streamed windowed counts ranked per window —
+    // the serving-side read a trending dashboard runs against the
+    // streaming sink's table. The rank is BATCH over the materialized
+    // result (stacked streaming aggregations don't exist; the sink
+    // table is the handoff point), so the streamed half stays the
+    // verified tumbling aggregation and the ranking half is the
+    // verified window-rank shape.
+    "stream_trending_topk" -> ((s, dir) => {
+      val counts = runStream(s, dir, "trending")(src =>
+          StreamOps.tumblingCounts(src, "1 hour"))
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start", "sum_value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_epoch"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
     "stream_session" -> ((s, dir) =>
       runStream(s, dir, "session")(src =>
         StreamOps.sessionCounts(src, "30 minutes"))
@@ -334,6 +352,16 @@ object StreamQueries {
              event_type, count(*) AS n_events,
              ${stableSumSql("value")} AS sum_value
       FROM events GROUP BY 1, 2""",
+    // streamed tumbling counts + batch window rank
+    "stream_trending_topk" -> """
+      WITH c AS (
+        SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
+               event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT window_epoch, event_type, n_events, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY window_epoch
+          ORDER BY n_events DESC, event_type) AS BIGINT) AS rank FROM c)
+      WHERE rank <= 3""",
     // session_window(gap) == batch gap-based sessionization
     "stream_session" -> """
       WITH flagged AS (

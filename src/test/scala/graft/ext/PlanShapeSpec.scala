@@ -123,4 +123,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"binary payloads shuffled before decode:\n$plan")
   }
+
+  test("per-group fixed-k sampling ranks via the partial heap, never a window sort") {
+    // the whole point of the heap form: <= k rows forwarded per task
+    // per group; a row_number window would shuffle-and-sort every doc
+    val plan = extPlan("sample_fixed_per_group")
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"per-group sample is not partially aggregated:\n$plan")
+    assert(!plan.contains("Window "),
+      s"window sort in the per-group sample plan:\n$plan")
+  }
+
+  test("gap-fill grid joins broadcast — the fact table never reshuffles for the grid") {
+    // hours x types is the bounded build side; the counts side arrives
+    // hash-partitioned from its own aggregation and must not pick up a
+    // second exchange for the grid join
+    val plan = extPlan("window_gapfill")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"gap-fill grid is not broadcast:\n$plan")
+  }
 }

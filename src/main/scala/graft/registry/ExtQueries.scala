@@ -419,6 +419,30 @@ object ExtQueries {
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"))
     }),
+    // curriculum-ordered training shards: docs hash-assigned to
+    // shards, ordered best-quality-first WITHIN each shard with their
+    // position, written hive-partitioned by shard and read back —
+    // the write layout a curriculum loader streams in order (parquet
+    // preserves row order within files). Per-shard windows only;
+    // shard count scales with the corpus.
+    "sink_curriculum_shards" -> ((s, dir) => {
+      val scored = TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"))
+        .filter(!isnan(col("quality_score")))
+        .withColumn("shard", Sampling.bucket(col("doc_id"), "shard") % 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val ordered = scored
+        .withColumn("position", row_number().over(w).cast("long"))
+        .select(col("shard"), col("position"), col("doc_id"))
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_curr/shards"
+      ordered.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("shard").cast("long").as("shard"), col("position"),
+          col("doc_id"))
+    }),
     // conditional bigram table (n-gram-LM building block): top-3
     // continuations per first word with integer-ppm conditional
     // probabilities
@@ -901,6 +925,27 @@ object ExtQueries {
           (col("first_purchase") > col("first_click")
             && col("first_click") > col("first_signup"))
             .as("purchased_after_click"))
+    }),
+    // top entry paths: each user's first three events in (ts,
+    // event_id) order joined into a path string, counted, top-20 —
+    // ORDERED-sequence aggregation (sort_array over collected
+    // (rn, type) structs), the one aggregate family rank/window
+    // queries don't exercise. Per-user window + hash agg on the path
+    // string; the top-20 is a TakeOrdered, never a global sort.
+    "analytics_event_paths" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val first3 = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      first3.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_steps"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .filter(col("n_steps") === 3)
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
     }),
     // weekly cohort retention: users by first-activity week x active week
     "analytics_cohort_retention" -> ((s, dir) => {
@@ -1615,6 +1660,33 @@ object ExtQueries {
         FROM q WHERE NOT isnan(quality_score))
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= 500""",
+    // same quality CTEs, hash shard, per-shard quality order
+    "sink_curriculum_shards" -> s"""
+      WITH t AS (SELECT doc_id, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      sh2 AS (SELECT doc_id, quality_score,
+          (${hex60Sql("'shard' || CAST(doc_id AS VARCHAR)")}
+             % ${Sampling.Buckets}) % 8 AS shard
+        FROM q WHERE NOT isnan(quality_score))
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY quality_score DESC, doc_id) AS BIGINT) AS position,
+             doc_id
+      FROM sh2""",
     // bigram counts (same split as vocab_top_bigrams), per-first-word
     // totals + rank, integer-ppm conditionals
     "vocab_bigram_conditionals" -> """
@@ -2542,6 +2614,23 @@ object ExtQueries {
       """SELECT l_orderkey FROM lineitem
         EXCEPT ALL
         SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1""",
+    // first-3 path per user under the (epoch_us, event_id) total
+    // order (the staged source floors ts to microseconds), then path
+    // counts, top-20 with (count desc, path) tie-break
+    "analytics_event_paths" -> """
+      WITH f AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+               count(*) AS n_steps
+        FROM f WHERE rn <= 3 GROUP BY user_id),
+      c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p WHERE n_steps = 3 GROUP BY 1)
+      SELECT path, n_users FROM c
+      ORDER BY n_users DESC, path LIMIT 20""",
     "analytics_funnel" ->
       """WITH f AS (
           SELECT user_id,

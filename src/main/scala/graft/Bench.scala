@@ -240,12 +240,24 @@ object Bench {
     val stageJson = jobj(stages.map { case (k, v) => "\"" + k + "\":" + v })
     val curJson = jobj(curStages.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) })
+    // stage-probe coherence: the probes run sequentially at the END of
+    // a ~15-min bench, so an ambient load burst there contaminates all
+    // 3 probe runs at once while the e2e median (7 interleaved reps,
+    // earlier) stays clean. If the stage sum exceeds 2x the e2e
+    // median, the stages are attribution-suspect — flag it in the
+    // artifact instead of letting a reader conclude a stage regressed.
+    val salesMedian = results
+      .collectFirst { case ("pipeline_sales_e2e", _, med, _) => med }
+      .getOrElse(-1.0)
+    val stagesSuspect =
+      salesMedian > 0 && stages.map(_._2).sum > 2 * salesMedian
     val total = r3(results.map(_._3).filter(_ >= 0).sum)
 
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,"pipe_trim":1,""" +
         s""""stage_reps":$stageReps,"stages":$stageJson,""" +
+        s""""stages_suspect":$stagesSuspect,""" +
         s""""curation_stages":$curJson,"spread":$spread,"errors":$errFull}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -270,7 +282,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
         s""""nqueries":${names.size},"nerrors":${errors.size},""" +
-        s""""stages":$stageHead,"curation_stages":$curHead,""" +
+        s""""stages":$stageHead,"stages_suspect":$stagesSuspect,""" +
+        s""""curation_stages":$curHead,""" +
         s""""errors":$errHead,"detail":"$outFile"}""")
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)

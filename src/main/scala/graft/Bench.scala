@@ -68,9 +68,10 @@ object Bench {
     "pipeline_sales_e2e", "pipeline_customers_e2e",
     "pipeline_products_e2e", "pipeline_stores_e2e",
     "model_sales_fact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "sim_ivf_topk", "stream_interval_join",
-    "stream_session", "chunk_documents", "text_top_terms",
-    "sink_partitioned_pruned", "join_salted_skew", "corpus_curation_v2")
+    "dedup_clusters", "dedup_incremental", "sim_ivf_topk",
+    "stream_interval_join", "stream_session", "chunk_documents",
+    "text_top_terms", "sink_partitioned_pruned", "join_salted_skew",
+    "corpus_curation_v2", "lsh_recall_report")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over document-similarity graphs.
+  *
+  * [[Dedup.connectedComponents]] answers "which docs form one near-dup
+  * cluster"; [[Graph.pageRankPpb]] answers the follow-up a curation
+  * pipeline asks next: WITHIN the similarity graph, which documents
+  * are central (canonical-candidate ranking, crawl-frontier
+  * prioritization over a link graph, seed selection). Reference:
+  * Page et al., "The PageRank Citation Ranking" (1999).
+  */
+object Graph {
+
+  /** ppb fixed-point scale: ranks are longs in [0, 1e9]. */
+  val Scale = 1000000000L
+
+  /** Damped PageRank over a SYMMETRIC edge list, in parts-per-billion
+    * fixed point — every step is BIGINT arithmetic (long sums are
+    * order-free; integer division is floor on the all-positive ranks
+    * here), so the result is bit-identical across engines and an
+    * unrolled SQL oracle can replay it exactly. Floating-point
+    * PageRank cannot make that promise: cross-engine 1-ULP drift in
+    * any iteration compounds through the next.
+    *
+    * Symmetric edges (an undirected graph, e.g. near-dup pairs in both
+    * directions) guarantee outdeg >= 1 for every node that appears, so
+    * the dangling-mass redistribution of general PageRank is not
+    * needed.
+    *
+    * Scale shape: per iteration, one shuffle keying ranks by node for
+    * the contribution join and one keyed by dst for the message sum —
+    * the standard join-based power iteration (edges partition by src
+    * and stay put; AQE handles hub skew via split shuffle reads). The
+    * edge list and degree table are cached once and released before
+    * return; the returned frame is eagerly materialized so the caches
+    * cannot leak into the caller's lifetime. The one driver-side
+    * action besides materialization is a node COUNT (a scalar, not a
+    * collect).
+    *
+    * @param nodes  one `id` column, distinct
+    * @param edges  `src`, `dst` — must contain both directions
+    * @param iters  power-iteration count (fixed, so the oracle can
+    *               unroll it)
+    */
+  def pageRankPpb(nodes: DataFrame, edges: DataFrame,
+                  iters: Int = 3): DataFrame = {
+    require(iters >= 1, "pageRankPpb needs at least one iteration")
+    val e = edges.cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRankPpb over an empty node set")
+      // teleport term (1-d)/N and the damped sum d*sum(contrib), both
+      // as exact integer expressions mirrored verbatim by the oracle:
+      // teleport = (15 * Scale) / (100 * N); damped = (85 * msum) / 100
+      val teleport = 15L * Scale / (100L * n)
+      var ranks = nodes.select(col("id"), lit(Scale / n).as("rank_fp"))
+      for (_ <- 1 to iters) {
+        val contrib = ranks
+          .join(deg, ranks("id") === deg("src"))
+          .select(deg("src").as("c_src"),
+            expr("rank_fp div outdeg").as("contrib"))
+        ranks = e.join(contrib, col("src") === col("c_src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("msum"))
+          .select(col("dst").as("id"),
+            (lit(teleport) + expr("(85 * msum) div 100")).as("rank_fp"))
+      }
+      Materialize.eager(
+        ranks.select(col("id").as("doc_id"), col("rank_fp").as("rank_ppb")))
+    } finally {
+      deg.unpersist(); e.unpersist()
+    }
+  }
+}

@@ -1116,6 +1116,105 @@ object ExtQueries {
       AsOfJoin.asofLe(events, purchases, "user_id", "ts",
           Seq("purchase_value", "purchase_epoch"))
         .select(col("event_id"), col("purchase_value"), col("purchase_epoch"))
+    }),
+    // snapshot diff / CDC derivation: classify every PK as added /
+    // removed / changed between two table versions via ONE full-outer
+    // join (a hash exchange per side on the PK — co-partitioned and
+    // exchange-free if both snapshots are bucketed by PK, the
+    // sink_bucketed_join layout). Attribute comparison is null-safe
+    // (<=>) so NULL-valued columns diff correctly. v2 is the
+    // merge_upsert mutation pattern, so the expected diff is
+    // closed-form: %10==0 changed, %10==1 removed, %10==2 added twin.
+    "diff_snapshots" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      val v2 = base.filter(col("c_custkey") % 10 =!= 1)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 0, lit("SEGMENT_V2"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(base.filter(col("c_custkey") % 10 === 2).select(
+          (col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW_"), col("c_name")).as("c_name"),
+          lit("SEGMENT_NEW").as("c_mktsegment")))
+      val a = base.select(col("c_custkey").as("k_old"),
+        col("c_name").as("name_old"), col("c_mktsegment").as("seg_old"))
+      val b = v2.select(col("c_custkey").as("k_new"),
+        col("c_name").as("name_new"), col("c_mktsegment").as("seg_new"))
+      a.join(b, col("k_old") === col("k_new"), "full_outer")
+        .withColumn("change_type",
+          when(col("k_old").isNull, lit("added"))
+            .when(col("k_new").isNull, lit("removed"))
+            .when(!(col("seg_old") <=> col("seg_new")) ||
+              !(col("name_old") <=> col("name_new")), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(coalesce(col("k_old"), col("k_new")).as("c_custkey"),
+          col("change_type"), col("seg_old").as("old_segment"),
+          col("seg_new").as("new_segment"))
+    }),
+    // compaction planner: greedy next-fit packing of shard sizes into
+    // ~target-byte groups via a running-sum window. The input is the
+    // FILE MANIFEST (one row per shard/file), not the data — at 100 TB
+    // that is ~1e5 rows, so the single global-order window is a
+    // metadata computation, not a data-scale sort. Pure integer
+    // arithmetic end to end.
+    "sink_compaction_plan" -> ((s, dir) => {
+      val target = 8192L
+      val shards = t(s, dir, "documents")
+        .groupBy((col("doc_id") % 64).as("shard"))
+        .agg(sum(col("n_chars")).as("size_bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("size_bytes").desc, col("shard"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      shards
+        .withColumn("cum_before",
+          coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+        .select(col("shard"), col("size_bytes"),
+          (col("cum_before") / target).cast("long").as("compact_group"))
+    }),
+    // exact-integer outlier detection: flag docs whose token count sits
+    // more than 1.5 sd from the per-source mean, with the z-test
+    // rewritten as 4(nx-S)^2 > 9(n*SS - S^2) over BIGINTs — no float
+    // mean/variance anywhere, so the answer is bit-identical across
+    // engines. Per-source stats are a tiny aggregate broadcast back
+    // onto the doc stream: one shuffle for the stats, none for the scan.
+    "quality_outlier_zscore" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val st = d.groupBy(col("source")).agg(count(lit(1)).as("n"),
+        sum(col("n_tokens")).as("s"),
+        sum(col("n_tokens") * col("n_tokens")).as("ss"))
+      val dx = col("n") * col("n_tokens") - col("s")
+      d.join(broadcast(st), Seq("source"))
+        .filter(col("n") > 1 &&
+          lit(4L) * dx * dx > lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+    // ER-style fuzzy dedup: collapse exact-duplicate names FIRST (the
+    // quadratic killer — identical names form Θ(k²) pairs for free),
+    // then block the DISTINCT names on (first token, length band) and
+    // pair block-mates at edit distance 1..3. Pair generation is
+    // block-local: the join key is the block, never a cross join, and
+    // the distinct-name relation is vocabulary-sized, not corpus-sized.
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      val names = t(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).cast("long").as("rep_key"),
+          count(lit(1)).as("n_parts"))
+      val blocked = names
+        .withColumn("w1", split(col("p_name"), " ").getItem(0))
+        .withColumn("lb", (length(col("p_name")) / lit(3)).cast("long"))
+      val a = blocked.select(col("p_name").as("name_a"),
+        col("n_parts").as("parts_a"), col("w1"), col("lb"))
+      val b = blocked.select(col("p_name").as("name_b"),
+        col("n_parts").as("parts_b"), col("w1"), col("lb"))
+      a.join(b, Seq("w1", "lb"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("distance",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("distance").between(1L, 3L))
+        .select(col("name_a"), col("name_b"), col("distance"),
+          col("parts_a"), col("parts_b"))
     })
   )
 
@@ -2763,6 +2862,78 @@ object ExtQueries {
                AS is_current,
              CAST(row_number() OVER (PARTITION BY customer_id ORDER BY ord)
                AS BIGINT) AS version
-      FROM sel"""
+      FROM sel""",
+
+    // snapshot diff: same v2 mutation pattern, FULL OUTER JOIN on the
+    // PK, IS DISTINCT FROM for null-safe attribute comparison
+    "diff_snapshots" -> """
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                           c_name, c_mktsegment FROM customer),
+      v2 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN 'SEGMENT_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM base WHERE c_custkey % 10 <> 1
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW_' || c_name, 'SEGMENT_NEW'
+        FROM base WHERE c_custkey % 10 = 2)
+      SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+             CASE WHEN a.c_custkey IS NULL THEN 'added'
+                  WHEN b.c_custkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             a.c_mktsegment AS old_segment,
+             b.c_mktsegment AS new_segment
+      FROM base a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+      WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+         OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+         OR a.c_name IS DISTINCT FROM b.c_name""",
+    // next-fit packing: running sum over (size DESC, shard), integer
+    // floor-divide by the target — BIGINT casts on every windowed SUM
+    // (DuckDB SUM OVER returns HUGEINT, the r7 dtype lesson)
+    "sink_compaction_plan" -> """
+      WITH shards AS (
+        SELECT doc_id % 64 AS shard,
+               CAST(sum(n_chars) AS BIGINT) AS size_bytes
+        FROM documents GROUP BY 1),
+      c AS (
+        SELECT shard, size_bytes,
+               CAST(coalesce(sum(size_bytes) OVER (
+                 ORDER BY size_bytes DESC, shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM shards)
+      SELECT shard, size_bytes, cum_before // 8192 AS compact_group
+      FROM c""",
+    // exact-integer z-test: 4(nx-S)^2 > 9(n*SS - S^2) over BIGINTs
+    "quality_outlier_zscore" -> """
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+                 FROM documents),
+      st AS (SELECT source, count(*) AS n,
+                    CAST(sum(n_tokens) AS BIGINT) AS s,
+                    CAST(sum(n_tokens * n_tokens) AS BIGINT) AS ss
+             FROM d GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM d JOIN st USING (source)
+      WHERE st.n > 1
+        AND 4 * (st.n * d.n_tokens - st.s) * (st.n * d.n_tokens - st.s)
+          > 9 * (st.n * st.ss - st.s * st.s)""",
+    // blocked fuzzy pairs over DISTINCT names: same (first token,
+    // length-band) blocking, levenshtein 1..3, lexicographic ordering
+    "dedup_fuzzy_names" -> """
+      WITH names AS (SELECT p_name, count(*) AS n_parts
+                     FROM part GROUP BY p_name),
+      b AS (SELECT p_name, n_parts,
+                   split_part(p_name, ' ', 1) AS w1,
+                   len(p_name) // 3 AS lb
+            FROM names)
+      SELECT a.p_name AS name_a, x.p_name AS name_b,
+             CAST(levenshtein(a.p_name, x.p_name) AS BIGINT) AS distance,
+             CAST(a.n_parts AS BIGINT) AS parts_a,
+             CAST(x.n_parts AS BIGINT) AS parts_b
+      FROM b a JOIN b x ON a.w1 = x.w1 AND a.lb = x.lb
+                        AND a.p_name < x.p_name
+      WHERE levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3"""
   )
 }

@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan shape for the table-maintenance / ER family added
+  * late in round 8: snapshot diff, compaction planning, exact-integer
+  * outlier detection, and blocked fuzzy-name dedup.
+  */
+class MaintenanceOpsSpec extends SparkSpec {
+
+  private def q(name: String) =
+    graft.registry.ExtQueries.queries(name)(spark, sf0001)
+
+  test("diff_snapshots classifies every mutated PK and only those") {
+    val out = q("diff_snapshots").cache()
+    try {
+      val byType = out.groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = spark.read.parquet(s"$sf0001/customer.parquet")
+      val n = base.count()
+      val n0 = base.filter(col("c_custkey") % 10 === 0).count()
+      val n1 = base.filter(col("c_custkey") % 10 === 1).count()
+      val n2 = base.filter(col("c_custkey") % 10 === 2).count()
+      assert(byType.getOrElse("changed", 0L) === n0)
+      assert(byType.getOrElse("removed", 0L) === n1)
+      assert(byType.getOrElse("added", 0L) === n2)
+      // unchanged rows (the other 7 residues) never surface
+      assert(out.count() === n0 + n1 + n2)
+      assert(n0 + n1 + n2 < n)
+      // changed rows carry both sides of the attribute
+      val ch = out.filter(col("change_type") === "changed")
+      assert(ch.filter(col("old_segment").isNull || col("new_segment").isNull)
+        .count() === 0)
+      assert(ch.filter(col("new_segment") =!= "SEGMENT_V2").count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("diff_snapshots plans one full-outer sort-merge/hash join, no window") {
+    val plan = q("diff_snapshots").queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"not a full-outer join:\n$plan")
+    assert(!plan.contains("Window "), s"window crept into the diff:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sink_compaction_plan packs every shard and respects next-fit order") {
+    val rows = q("sink_compaction_plan")
+      .orderBy(col("size_bytes").desc, col("shard"))
+      .collect()
+    assert(rows.nonEmpty)
+    // groups are nondecreasing along the packing order and start at 0
+    val groups = rows.map(_.getLong(2))
+    assert(groups.head === 0L)
+    assert(groups.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // every group's cum-before stays within one shard of the target:
+    // next-fit can overflow a bin by at most the incoming shard
+    val sizes = rows.map(_.getLong(1))
+    val cum = sizes.scanLeft(0L)(_ + _).init
+    rows.indices.foreach { i =>
+      assert(groups(i) === cum(i) / 8192L)
+    }
+  }
+
+  test("quality_outlier_zscore matches a float z-score replay at 1.5 sd") {
+    val out = q("quality_outlier_zscore")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("x"))
+    val flagged = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("mu"),
+        stddev_pop(col("x")).as("sd"))
+      .join(docs, Seq("source"))
+      .filter(col("n") > 1 && col("sd") > 0 &&
+        abs(col("x") - col("mu")) > lit(1.5) * col("sd"))
+      .select(col("doc_id"))
+    // the integer predicate is the exact form of the float one; on
+    // data without razor-edge ties the two selections coincide
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = flagged.collect().map(_.getLong(0)).toSet
+    assert(a === b, s"integer z-test diverged from float replay: ${a.diff(b)} / ${b.diff(a)}")
+    assert(a.nonEmpty)
+  }
+
+  test("quality_outlier_zscore broadcasts the stats side") {
+    val plan = q("quality_outlier_zscore").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source stats not broadcast:\n$plan")
+  }
+
+  test("dedup_fuzzy_names pairs only block-mates at distance 1..3") {
+    val rows = q("dedup_fuzzy_names").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, d) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(na < nb, s"pair not canonically ordered: $na / $nb")
+      assert(d >= 1 && d <= 3)
+      assert(na.split(" ").head === nb.split(" ").head,
+        s"pair crosses first-token blocks: $na / $nb")
+      assert(na.length / 3 === nb.length / 3,
+        s"pair crosses length bands: $na / $nb")
+    }
+    // distinct-name collapse happened: no pair repeats
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("dedup_fuzzy_names joins on the block key, never cross-joins names") {
+    val plan = q("dedup_fuzzy_names").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$plan")
+  }
+}

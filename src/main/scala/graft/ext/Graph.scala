@@ -49,30 +49,40 @@ object Graph {
                   iters: Int = 3): DataFrame = {
     require(iters >= 1, "pageRankPpb needs at least one iteration")
     val e = edges.cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    // distinct column names break the shared lineage with `edges`
+    // (DetectAmbiguousSelfJoin rejects a deg-from-edges rejoin otherwise)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("deg_id"), col("outdeg")).cache()
     try {
       val n = nodes.count()
       require(n > 0, "pageRankPpb over an empty node set")
-      // teleport term (1-d)/N and the damped sum d*sum(contrib), both
-      // as exact integer expressions mirrored verbatim by the oracle:
-      // teleport = (15 * Scale) / (100 * N); damped = (85 * msum) / 100
-      val teleport = 15L * Scale / (100L * n)
-      var ranks = nodes.select(col("id"), lit(Scale / n).as("rank_fp"))
-      for (_ <- 1 to iters) {
-        val contrib = ranks
-          .join(deg, ranks("id") === deg("src"))
-          .select(deg("src").as("c_src"),
-            expr("rank_fp div outdeg").as("contrib"))
-        ranks = e.join(contrib, col("src") === col("c_src"))
-          .groupBy(col("dst"))
-          .agg(sum(col("contrib")).as("msum"))
-          .select(col("dst").as("id"),
-            (lit(teleport) + expr("(85 * msum) div 100")).as("rank_fp"))
-      }
-      Materialize.eager(
-        ranks.select(col("id").as("doc_id"), col("rank_fp").as("rank_ppb")))
+      Materialize.eager(pageRankPlan(nodes, e, deg, iters, n))
     } finally {
       deg.unpersist(); e.unpersist()
     }
+  }
+
+  /** The lazy power-iteration plan (exposed for plan-shape specs; use
+    * [[pageRankPpb]], which caches the edge side and materializes). */
+  private[graft] def pageRankPlan(nodes: DataFrame, edges: DataFrame,
+                                  deg: DataFrame, iters: Int,
+                                  n: Long): DataFrame = {
+    // teleport term (1-d)/N and the damped sum d*sum(contrib), both
+    // as exact integer expressions mirrored verbatim by the oracle:
+    // teleport = (15 * Scale) / (100 * N); damped = (85 * msum) / 100
+    val teleport = 15L * Scale / (100L * n)
+    var ranks = nodes.select(col("id"), lit(Scale / n).as("rank_fp"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(deg, col("id") === col("deg_id"))
+        .select(col("id").as("c_src"),
+          expr("rank_fp div outdeg").as("contrib"))
+      ranks = edges.join(contrib, col("src") === col("c_src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("msum"))
+        .select(col("dst").as("id"),
+          (lit(teleport) + expr("(85 * msum) div 100")).as("rank_fp"))
+    }
+    ranks.select(col("id").as("doc_id"), col("rank_fp").as("rank_ppb"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps, Video, Windows}
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextOps, Video, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -1215,6 +1215,24 @@ object ExtQueries {
         .filter(col("distance").between(1L, 3L))
         .select(col("name_a"), col("name_b"), col("distance"),
           col("parts_a"), col("parts_b"))
+    }),
+    // PageRank centrality over the SAME 0.8-Jaccard near-dup graph the
+    // clustering family uses: which docs are central in their dup
+    // neighborhood (canonical-candidate ranking). ppb fixed point so
+    // three unrolled power iterations replay exactly in SQL — see
+    // ext/Graph.pageRankPpb for the arithmetic contract.
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")).cache()
+      try {
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        // pageRankPpb materializes eagerly, so the pair cache is safe
+        // to release on return
+        Graph.pageRankPpb(nodes, edges, iters = 3)
+      } finally pairs.unpersist()
     })
   )
 
@@ -1448,14 +1466,10 @@ object ExtQueries {
       WHERE rank <= $k"""
   }
 
-  /** Min-label-propagation connected-components CTE block over the
-    * 0.8-Jaccard pair graph of `docsSel` (any (doc_id, text)
-    * relation) — the recursive-CTE twin of
-    * Dedup.connectedComponents' pointer jumping. Emits the `walk`
-    * CTE; callers append their own final aggregation. Shared by
-    * dedup_clusters, dedup_keep_representative and the curation
-    * pipeline oracle. */
-  private def clustersCtes(docsSel: String): String =
+  /** The 0.8-Jaccard pair graph of `docsSel` (any (doc_id, text)
+    * relation) as CTEs through the symmetric `edges` set — shared by
+    * the clustering oracles and graph_pagerank. */
+  private def pairGraphCtes(docsSel: String): String =
     s"""docs AS ($docsSel),
       tokraw AS (
         SELECT DISTINCT doc_id,
@@ -1476,7 +1490,16 @@ object ExtQueries {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION SELECT doc_b, doc_a FROM pairs),
+                UNION SELECT doc_b, doc_a FROM pairs)"""
+
+  /** Min-label-propagation connected-components CTE block over the
+    * 0.8-Jaccard pair graph — the recursive-CTE twin of
+    * Dedup.connectedComponents' pointer jumping. Emits the `walk`
+    * CTE; callers append their own final aggregation. Shared by
+    * dedup_clusters, dedup_keep_representative and the curation
+    * pipeline oracle. */
+  private def clustersCtes(docsSel: String): String =
+    s"""${pairGraphCtes(docsSel)},
       walk(node, lbl) AS (
         SELECT doc_id, doc_id FROM docs
         UNION
@@ -2934,6 +2957,40 @@ object ExtQueries {
              CAST(x.n_parts AS BIGINT) AS parts_b
       FROM b a JOIN b x ON a.w1 = x.w1 AND a.lb = x.lb
                         AND a.p_name < x.p_name
-      WHERE levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3"""
+      WHERE levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3""",
+
+    // three unrolled integer power iterations over the shared pair
+    // graph; teleport (15*1e9)//(100*N), damped (85*sum)//100 — the
+    // exact expressions Graph.pageRankPpb evaluates (BIGINT casts on
+    // the HUGEINT window/aggregate sums, the r7 dtype lesson)
+    "graph_pagerank" -> s"""
+      WITH ${pairGraphCtes("SELECT doc_id, text FROM documents")},
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT id, CAST(1000000000 // n AS BIGINT) AS rank_fp
+             FROM nodes, nn),
+      it1 AS (SELECT e.dst AS id,
+                     CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+                          + 85 * sum(r.rank_fp // d.outdeg) // 100
+                       AS BIGINT) AS rank_fp
+              FROM edges e
+              JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+              GROUP BY e.dst),
+      it2 AS (SELECT e.dst AS id,
+                     CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+                          + 85 * sum(r.rank_fp // d.outdeg) // 100
+                       AS BIGINT) AS rank_fp
+              FROM edges e
+              JOIN it1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+              GROUP BY e.dst),
+      it3 AS (SELECT e.dst AS id,
+                     CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+                          + 85 * sum(r.rank_fp // d.outdeg) // 100
+                       AS BIGINT) AS rank_fp
+              FROM edges e
+              JOIN it2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+              GROUP BY e.dst)
+      SELECT id AS doc_id, rank_fp AS rank_ppb FROM it3"""
   )
 }

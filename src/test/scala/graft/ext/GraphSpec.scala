@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side integer replay of the pageRankPpb contract — an
+    * independent implementation the distributed plan must match
+    * exactly (same fixed-point arithmetic, Map-based). */
+  private def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val teleport = 15L * Graph.Scale / (100L * n)
+    var ranks = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val msum = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => ranks(e._1) / outdeg(e._1)).sum
+      }
+      ranks = msum.map { case (id, s) => id -> (teleport + 85L * s / 100L) }
+    }
+    ranks
+  }
+
+  // path graph 1-2-3 plus an isolated pair 4-5, symmetric edges
+  private val edgeList = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+    4L -> 5L, 5L -> 4L)
+
+  test("pageRankPpb matches the driver-side integer replay exactly") {
+    val edges = edgeList.toDF("src", "dst")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val got = Graph.pageRankPpb(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === replay(edgeList, 3))
+  }
+
+  test("pageRankPpb centers mass on the path hub and splits the pair evenly") {
+    val edges = edgeList.toDF("src", "dst")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val r = Graph.pageRankPpb(nodes, edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(1L) && r(2L) > r(3L), s"hub not highest: $r")
+    assert(r(1L) === r(3L), s"symmetric leaves diverged: $r")
+    assert(r(4L) === r(5L), s"isolated pair diverged: $r")
+    // total mass stays ~Scale: each iteration loses only integer
+    // floor remainders (< n per division site)
+    val total = r.values.sum
+    assert(total > Graph.Scale * 95 / 100 && total <= Graph.Scale,
+      s"mass off: $total")
+  }
+
+  test("the power-iteration plan shuffles on graph keys, no cartesian or window") {
+    val edges = edgeList.toDF("src", "dst")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("deg_id"), col("outdeg"))
+    val plan = Graph.pageRankPlan(nodes, edges, deg, iters = 3, n = 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
+    assert(!plan.contains("Window "), s"window in pagerank:\n$plan")
+    // per-iteration aggregates must map-side combine (long sums)
+    assert(plan.contains("partial_sum"), s"message sum not partial:\n$plan")
+  }
+}

@@ -1233,6 +1233,31 @@ object ExtQueries {
         // to release on return
         Graph.pageRankPpb(nodes, edges, iters = 3)
       } finally pairs.unpersist()
+    }),
+    // explicit runtime-filter join: a Bloom filter built over the
+    // dimension side's keys prunes the FACT SCAN before any shuffle;
+    // the exact join afterwards absorbs false positives, so the output
+    // is exactly the plain join's (what the oracle checks). At 100 TB
+    // this is the difference between shuffling every fact row and
+    // shuffling only the ~segment-share that can join — the filter is
+    // a fixed-size (<=16 MiB) codegen constant, not a collected key
+    // set. See functions/Bloom.scala.
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("c_custkey"))
+      val orders = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
+      // two bounded jobs on the SMALL side (count + sketch agg): the
+      // build side is dimension-sized by contract
+      val bloom = graft.functions.Bloom.buildLongKeyFilter(
+        cust, "c_custkey", expectedItems = cust.count())
+      orders
+        .filter(graft.functions.Bloom.mightContain(bloom, col("o_custkey")))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Windows.stableSum(col("o_totalprice")).as("total_price"))
     })
   )
 
@@ -2991,6 +3016,16 @@ object ExtQueries {
               FROM edges e
               JOIN it2 r ON r.id = e.src JOIN deg d ON d.id = e.src
               GROUP BY e.dst)
-      SELECT id AS doc_id, rank_fp AS rank_ppb FROM it3"""
+      SELECT id AS doc_id, rank_fp AS rank_ppb FROM it3""",
+
+    // the bloom prefilter is semantically transparent: the oracle is
+    // the PLAIN join — that transparency is the operator's contract
+    "join_bloom_prefilter" -> s"""
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             count(*) AS n_orders,
+             ${stableSumSql("o_totalprice")} AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1"""
   )
 }

@@ -101,9 +101,21 @@ object Dedup {
     * union): the cap costs recall on stopword-heavy overlap but can
     * never create a false-positive pair. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, maxDf: Long = 500L): DataFrame = {
+                   threshold: Double, maxDf: Long = 500L): DataFrame =
+    tokenOverlapPairs(df, idCol, textCol, maxDf)
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+
+  /** Shared pair-overlap core of [[jaccardPairs]]:
+    * (doc_a, doc_b, n_inter, n_a, n_b) for every co-token pair with
+    * doc_a < doc_b, hot tokens df-capped out of the pair join. */
+  private def tokenOverlapPairs(df: DataFrame, idCol: String,
+                                textCol: String, maxDf: Long): DataFrame = {
     val all = docTokens(df, col(idCol), col(textCol))
-    // true set sizes (pre-cap): the jaccard denominator must not shrink
+    // true set sizes (pre-cap): the overlap denominator must not shrink
     val sizes = all.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"))
     val hot = hotKeys(all, "token", maxDf, "tokens")
@@ -118,11 +130,6 @@ object Dedup {
         .withColumnRenamed("n_tokens", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_tokens", "n_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
-        col("n_b"), col("jaccard"))
   }
 
   /** Exact word-SHINGLE Jaccard pairs — the ground-truth twin of
@@ -137,7 +144,45 @@ object Dedup {
     * variant is the production path and this runs on a sample. */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, threshold: Double = 0.5,
-                          maxDf: Long = 500L): DataFrame = {
+                          maxDf: Long = 500L): DataFrame =
+    shingleOverlapPairs(df, idCol, textCol, shingleN, maxDf)
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+
+  /** Asymmetric CONTAINMENT pairs over the n-shingle space:
+    * |A∩B| / min(|A|,|B|) >= pct/100 — catches a small doc living
+    * inside a big one (quotes, boilerplate, subset pages), which
+    * symmetric Jaccard misses because the union term dilutes it.
+    * Shingles (not unigram tokens) carry the signal: token-set
+    * containment over a natural-language corpus is near-vacuous for
+    * short docs, while a 90% shared 3-shingle set means shared
+    * SEQUENCES. The test is pure integer
+    * (`100*n_inter >= pct*min(n_a,n_b)`), so it is cross-engine exact
+    * — no float ratio is ever materialized. `contained_doc` names the
+    * smaller-set side (ties → doc_a). Same inverted-index pair
+    * generation and df-cap discipline as [[shingleJaccardPairs]]. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, pct: Int = 90,
+                       maxDf: Long = 500L): DataFrame =
+    shingleOverlapPairs(df, idCol, textCol, shingleN, maxDf)
+      .filter(lit(100L) * col("n_inter") >=
+        lit(pct.toLong) * least(col("n_a"), col("n_b")))
+      .withColumn("contained_doc",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("contained_doc"))
+
+  /** Shared inverted-index core of [[shingleJaccardPairs]] /
+    * [[containmentPairs]]: (doc_a, doc_b, n_inter, n_a, n_b) over the
+    * deduplicated n-shingle hash space
+    * ([[graft.functions.VectorFunctions.shingleHex60]]), doc_a < doc_b,
+    * hot shingles df-capped out of the pair join (sizes stay pre-cap). */
+  private def shingleOverlapPairs(df: DataFrame, idCol: String,
+                                  textCol: String, shingleN: Int,
+                                  maxDf: Long): DataFrame = {
     // shingleHex60 emits the DISTINCT shingle-hash set per doc
     val all = df.select(col(idCol).as("doc_id"),
       explode(graft.functions.VectorFunctions
@@ -154,11 +199,6 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
-        col("n_b"), col("jaccard"))
   }
 
   /** Universal-hash family modulus (Mersenne prime 2^31 - 1): products

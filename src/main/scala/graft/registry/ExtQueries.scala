@@ -229,6 +229,13 @@ object ExtQueries {
         "doc_id", "text", shingleN = 3, k = 32, bands = 8,
         threshold = 0.5)
     }),
+    // asymmetric containment dedup: a small doc whose 3-shingle set is
+    // >=90% inside another doc's (quotes, boilerplate, subset pages) —
+    // the case symmetric Jaccard dilutes away. Integer test only
+    // (100*n_inter >= 90*min), so the pair set is cross-engine exact.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, pct = 90)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3)),
@@ -2228,6 +2235,28 @@ object ExtQueries {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
+    // the shingle-hash truth-set CTE shape (hsh/sizes/hot/kept/inter)
+    // with the integer min-side containment predicate
+    "dedup_containment" -> s"""
+      WITH $ShinglesCte,
+      hsh AS (SELECT DISTINCT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+      hot AS (SELECT h FROM hsh GROUP BY h HAVING count(*) > 500),
+      kept AS (SELECT doc_id, h FROM hsh
+               WHERE h NOT IN (SELECT h FROM hot)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM kept a JOIN kept b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             sa.n AS n_a, sb.n AS n_b,
+             CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END
+               AS contained_doc
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 100 * n_inter >= 90 * least(sa.n, sb.n)""",
     "dedup_clusters" -> DedupClustersSql,
     // representative per component == rows whose label is the min of
     // their cluster; composes the clusters oracle as a subquery

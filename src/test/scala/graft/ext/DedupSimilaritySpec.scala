@@ -312,6 +312,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(reps.map(_._2).sum == 6L)
   }
 
+  test("containment flags a doc embedded in a larger one that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = s"$small iota kappa lambda mu nu xi omicron pi rho sigma " +
+      "tau upsilon phi chi psi omega one two three four five six seven " +
+      "eight nine ten eleven twelve thirteen fourteen fifteen"
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated words entirely " +
+      "different content nothing shared here at all today"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, pct = 90).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+      .toSeq == Seq((1L, 2L, 1L)),
+      s"expected doc 1 contained in doc 2: ${cont.toSeq}")
+    // the same pair is invisible to 0.8-jaccard: the union dilutes it
+    val jac = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8).collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly caught it: ${jac.toSeq}")
+  }
+
+  test("containment pairs are integer-exact and include all high-jaccard pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, pct = 90)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jaccard >= 0.9 implies min-side containment >= 0.9
+    val highJac = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(highJac.subsetOf(cont),
+      s"missing high-jaccard pairs: ${highJac.diff(cont)}")
+  }
+
   test("connected components with a checkpoint dir: reliable rounds, cleaned up") {
     val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)

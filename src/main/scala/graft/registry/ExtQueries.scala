@@ -229,6 +229,36 @@ object ExtQueries {
         "doc_id", "text", shingleN = 3, k = 32, bands = 8,
         threshold = 0.5)
     }),
+    // incremental EXACT dedup with a bloom split: a fixed-size Bloom
+    // filter over the standing corpus's 60-bit content hashes routes
+    // each new-batch doc either straight to "kept" (bloom-negative =>
+    // PROVABLY new, no join at all) or into an exact md5 anti-join
+    // confirm (bloom-positive candidates only). At 100 TB the corpus
+    // side of the confirm join is read once to build a 16 MiB filter,
+    // and the per-batch confirm join processes only the candidate
+    // sliver — never batch x corpus. False positives cost a confirm
+    // row; false drops are impossible (the confirm is exact md5).
+    "dedup_bloom_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(TextOps.hex60(md5(col("text"))).as("hkey"),
+          md5(col("text")).as("corpus_md5"))
+      val batch = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"),
+          TextOps.hex60(md5(col("text"))).as("hkey"),
+          md5(col("text")).as("batch_md5"))
+      val bloom = graft.functions.Bloom.buildLongKeyFilter(
+        corpus, "hkey", expectedItems = corpus.count())
+      val might = graft.functions.Bloom.mightContain(bloom, col("hkey"))
+      val definiteNew = batch.filter(!might)
+      // exact confirm on the FULL md5, so a 60-bit hkey collision can
+      // cost a confirm-join row but never a wrong drop
+      val confirmed = batch.filter(might)
+        .join(corpus.select(col("corpus_md5")),
+          col("batch_md5") === col("corpus_md5"), "left_anti")
+      definiteNew.unionByName(confirmed)
+        .select(col("doc_id"), col("source"))
+    }),
     // asymmetric containment dedup: a small doc whose 3-shingle set is
     // >=90% inside another doc's (quotes, boilerplate, subset pages) —
     // the case symmetric Jaccard dilutes away. Integer test only
@@ -2235,6 +2265,15 @@ object ExtQueries {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
+    // the bloom routing is semantically transparent (definite-new ∪
+    // confirmed-new == batch minus corpus texts): the oracle is the
+    // plain md5 anti-join
+    "dedup_bloom_incremental" -> """
+      SELECT b.doc_id, b.source
+      FROM documents b
+      WHERE b.doc_id % 10 = 3
+        AND md5(b.text) NOT IN (SELECT md5(text) FROM documents c
+                                WHERE c.doc_id % 10 <> 3)""",
     // the shingle-hash truth-set CTE shape (hsh/sizes/hot/kept/inter)
     // with the integer min-side containment predicate
     "dedup_containment" -> s"""

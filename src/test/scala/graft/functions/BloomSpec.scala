@@ -51,6 +51,20 @@ class BloomSpec extends SparkSpec {
     assert(viaEval === bloom.mightContainLong(12345L))
   }
 
+  test("bloom-routed incremental dedup equals the plain anti-join") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = graft.registry.ExtQueries
+      .queries("dedup_bloom_incremental")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusMd5 = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(md5(col("text")).as("m"))
+    val want = docs.filter(col("doc_id") % 10 === 3)
+      .join(corpusMd5, md5(col("text")) === col("m"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("filter size is capped at MaxBits regardless of requested items") {
     val tiny = Bloom.buildLongKeyFilter(cust, "c_custkey",
       expectedItems = 1L << 40)

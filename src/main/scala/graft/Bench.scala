@@ -71,7 +71,8 @@ object Bench {
     "dedup_clusters", "dedup_incremental", "sim_ivf_topk",
     "stream_interval_join", "stream_session", "chunk_documents",
     "text_top_terms", "sink_partitioned_pruned", "join_salted_skew",
-    "corpus_curation_v2", "lsh_recall_report")
+    "corpus_curation_v2", "lsh_recall_report", "graph_pagerank",
+    "join_bloom_prefilter", "dedup_bloom_incremental")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -55,8 +55,11 @@ object Graph {
       .select(col("src").as("deg_id"), col("outdeg")).cache()
     try {
       val n = nodes.count()
-      require(n > 0, "pageRankPpb over an empty node set")
-      Materialize.eager(pageRankPlan(nodes, e, deg, iters, n))
+      // an empty graph (e.g. a corpus whose df-cap leaves no near-dup
+      // pairs) has an empty rank table, not an error
+      if (n == 0)
+        nodes.select(col("id").as("doc_id"), lit(0L).as("rank_ppb"))
+      else Materialize.eager(pageRankPlan(nodes, e, deg, iters, n))
     } finally {
       deg.unpersist(); e.unpersist()
     }

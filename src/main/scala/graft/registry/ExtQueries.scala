@@ -1253,14 +1253,17 @@ object ExtQueries {
         .select(col("name_a"), col("name_b"), col("distance"),
           col("parts_a"), col("parts_b"))
     }),
-    // PageRank centrality over the SAME 0.8-Jaccard near-dup graph the
-    // clustering family uses: which docs are central in their dup
-    // neighborhood (canonical-candidate ranking). ppb fixed point so
-    // three unrolled power iterations replay exactly in SQL — see
+    // PageRank centrality over the MinHash-LSH near-dup graph (the
+    // production candidate generator — its shingle-space pairs survive
+    // the df-cap at corpus scale where unigram-token pairs don't):
+    // which docs are central in their dup neighborhood
+    // (canonical-candidate ranking). ppb fixed point so three unrolled
+    // power iterations replay exactly in SQL — see
     // ext/Graph.pageRankPpb for the arithmetic contract.
     "graph_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")).cache()
       try {
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -3052,12 +3055,15 @@ object ExtQueries {
                         AND a.p_name < x.p_name
       WHERE levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3""",
 
-    // three unrolled integer power iterations over the shared pair
-    // graph; teleport (15*1e9)//(100*N), damped (85*sum)//100 — the
-    // exact expressions Graph.pageRankPpb evaluates (BIGINT casts on
-    // the HUGEINT window/aggregate sums, the r7 dtype lesson)
+    // three unrolled integer power iterations over the LSH pair graph
+    // (the shared minhash CTE block as a nested-WITH subquery);
+    // teleport (15*1e9)//(100*N), damped (85*sum)//100 — the exact
+    // expressions Graph.pageRankPpb evaluates (BIGINT casts on the
+    // HUGEINT window/aggregate sums, the r7 dtype lesson)
     "graph_pagerank" -> s"""
-      WITH ${pairGraphCtes("SELECT doc_id, text FROM documents")},
+      WITH lpairs AS (SELECT doc_a, doc_b FROM (${minhashPairsSql()}) lp),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM lpairs
+                UNION SELECT doc_b, doc_a FROM lpairs),
       nodes AS (SELECT DISTINCT src AS id FROM edges),
       deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
       nn AS (SELECT count(*) AS n FROM nodes),

@@ -27,6 +27,23 @@ object RetailQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Morton/Z-curve bit interleave of two 16-bit ints (x gets the even
+    * bit positions, y the odd) — 32 shift/mask terms summed, all
+    * BIGINT, identical term-for-term in [[zInterleaveSql]]. */
+  private def zInterleave(x: org.apache.spark.sql.Column,
+                          y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[zInterleave]]. */
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   def sales(s: SparkSession, dir: String): DataFrame =
     Tables.salesFromLineitem(t(s, dir, "lineitem"))
 
@@ -212,6 +229,38 @@ object RetailQueries {
         .agg(count(lit(1)).as("n"),
           min(col("o_orderkey")).as("key_lo"),
           max(col("o_orderkey")).as("key_hi"))
+    }),
+    // Z-order layout: the 2-D extension of sink_range_clustered. Both
+    // dims are min-max normalized to 16 bits with the same closed-form
+    // integer arithmetic (no sampling — any engine replays the exact
+    // boundaries), bit-interleaved into a 32-bit z-value, and sharded
+    // by its top 6 bits: every shard then spans ~1/8 of BOTH key
+    // ranges simultaneously, which is what lets min/max pruning cut a
+    // 100 TB scan on EITHER predicate column — the property a 1-D sort
+    // can only give one column. Audited as per-shard (n, lo, hi) of
+    // both dims after the hive-partitioned write + read-back.
+    "sink_zorder_layout" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("dy"))
+      val r = o.agg(min(col("ck")), max(col("ck")),
+        min(col("dy")), max(col("dy"))).head()
+      val (cLo, cHi, dLo, dHi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val z = o
+        .withColumn("x", expr(s"(ck - $cLo) * 65536 div ${cHi - cLo + 1}"))
+        .withColumn("y", expr(s"(dy - $dLo) * 65536 div ${dHi - dLo + 1}"))
+        .withColumn("zval", zInterleave(col("x"), col("y")))
+        .withColumn("zshard", expr("zval div 67108864")) // top 6 of 32 bits
+        .drop("x", "y")
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_zorder/orders"
+      z.write.mode("overwrite").partitionBy("zshard").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("zshard").cast("long").as("zshard"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+          min(col("dy")).as("dy_lo"), max(col("dy")).as("dy_hi"))
     }),
     // schema-evolution scan: an old-schema write and a new-schema
     // write (extra column) read back as ONE table via mergeSchema —
@@ -458,6 +507,29 @@ object RetailQueries {
              CAST(max(o_orderkey) AS BIGINT) AS key_hi
       FROM orders CROSS JOIN r
       GROUP BY 1""",
+    // identical closed-form normalization + 32-term interleave; the
+    // audit replays without any filesystem involvement
+    "sink_zorder_layout" -> s"""
+      WITH b AS (SELECT o_custkey AS ck,
+                        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                          AS BIGINT) AS dy
+                 FROM orders),
+      r AS (SELECT min(ck) AS clo, max(ck) AS chi,
+                   min(dy) AS dlo, max(dy) AS dhi FROM b),
+      n AS (SELECT ck, dy,
+                   (ck - clo) * 65536 // (chi - clo + 1) AS x,
+                   (dy - dlo) * 65536 // (dhi - dlo + 1) AS y
+            FROM b CROSS JOIN r),
+      z AS (SELECT ck, dy,
+                   ${zInterleaveSql("x", "y")} AS zval
+            FROM n)
+      SELECT CAST(zval // 67108864 AS BIGINT) AS zshard,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(ck) AS BIGINT) AS ck_lo,
+             CAST(max(ck) AS BIGINT) AS ck_hi,
+             CAST(min(dy) AS BIGINT) AS dy_lo,
+             CAST(max(dy) AS BIGINT) AS dy_hi
+      FROM z GROUP BY 1""",
     // old-schema rows (all) surface NULL for the added column; the
     // new-schema write carries the even keys
     "scan_schema_evolution" -> """

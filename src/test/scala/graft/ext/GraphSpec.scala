@@ -52,6 +52,14 @@ class GraphSpec extends SparkSpec {
       s"mass off: $total")
   }
 
+  test("an empty graph yields an empty rank table, not an error") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val out = Graph.pageRankPpb(nodes, edges, iters = 3)
+    assert(out.columns.toSeq === Seq("doc_id", "rank_ppb"))
+    assert(out.count() === 0)
+  }
+
   test("the power-iteration plan shuffles on graph keys, no cartesian or window") {
     val edges = edgeList.toDF("src", "dst")
     val nodes = edges.select(col("src").as("id")).distinct()

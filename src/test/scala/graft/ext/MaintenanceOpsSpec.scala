@@ -104,6 +104,28 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("z-order shards bound BOTH dimension spans simultaneously") {
+    val rows = graft.registry.RetailQueries
+      .queries("sink_zorder_layout")(spark, sf0001).collect()
+    assert(rows.length > 1)
+    val ckSpanGlobal = rows.map(_.getLong(3)).max - rows.map(_.getLong(2)).min
+    val dySpanGlobal = rows.map(_.getLong(5)).max - rows.map(_.getLong(4)).min
+    rows.foreach { r =>
+      val (ckSpan, dySpan) = (r.getLong(3) - r.getLong(2),
+        r.getLong(5) - r.getLong(4))
+      // top-6-bit z-sharding fixes the top 3 bits of EACH normalized
+      // dim: every shard spans ~1/8 of both ranges (1/6 with rounding
+      // slack) — a 1-D sort can bound only one of these
+      assert(ckSpan <= ckSpanGlobal / 6 + 1,
+        s"shard ${r.getLong(0)} custkey span $ckSpan vs global $ckSpanGlobal")
+      assert(dySpan <= dySpanGlobal / 6 + 1,
+        s"shard ${r.getLong(0)} day span $dySpan vs global $dySpanGlobal")
+    }
+    // the audit partitions the table: shard counts sum to the row count
+    val total = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
   test("dedup_fuzzy_names joins on the block key, never cross-joins names") {
     val plan = q("dedup_fuzzy_names").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")

@@ -851,6 +851,37 @@ object ExtQueries {
           (sum(floor(col("l_extendedprice") * 1000000).cast("long")).over(w)
             / 1000000.0).as("running_revenue"))
     }),
+    // RFM customer scoring: recency/frequency/monetary quintiles
+    // WITHIN each market segment (per-segment windows — scoring is
+    // relative to the peer group, and the window never goes global).
+    // Recency anchors on the corpus max order date (one scalar probe);
+    // monetary is the order-proof micro-unit sum; every score is an
+    // ntile under a fully tiebroken total order.
+    "analytics_rfm_scores" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("customer_id"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+      val maxD = o.agg(max(col("d"))).head().getDate(0)
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("customer_id"),
+        col("c_mktsegment"))
+      val rfm = o.groupBy(col("customer_id")).agg(
+          datediff(lit(maxD), max(col("d"))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          Windows.stableSum(col("o_totalprice")).as("monetary"))
+        .join(cust, Seq("customer_id"))
+      def w(order: org.apache.spark.sql.Column*) =
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment")).orderBy(order: _*)
+      rfm
+        .withColumn("r_score", ntile(5)
+          .over(w(col("recency_days"), col("customer_id"))).cast("long"))
+        .withColumn("f_score", ntile(5)
+          .over(w(col("frequency").desc, col("customer_id"))).cast("long"))
+        .withColumn("m_score", ntile(5)
+          .over(w(col("monetary").desc, col("customer_id"))).cast("long"))
+    }),
     "analytics_topk_per_group" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey"))
@@ -1130,6 +1161,30 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_clicks_window"),
           date_format(min(col("c_ts")), "yyyy-MM-dd HH:mm:ss")
             .as("first_click_s"))
+    }),
+    // linear multi-touch attribution — the credit-splitting complement
+    // of attribution_first_touch: every click in the purchase's 30-min
+    // lookback gets 1e6/n ppm credit (INTEGER division, so the split
+    // is cross-engine exact), accumulated per click. Same bounded
+    // equi-user range join; the per-purchase click count is a per-key
+    // window, never global.
+    "attribution_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val j = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") <= col("ts") &&
+            col("c_ts") >= col("ts") - expr("interval 30 minutes"))
+        .select(col("p_id"), col("click_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+      j.withColumn("n_clicks", count(lit(1)).over(w))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("1000000 div n_clicks")).as("credit_ppm"))
     }),
     // per-source equi-depth length quartiles: ntile under a TOTAL
     // order (n_tokens, doc_id) — standard-SQL distribution semantics
@@ -2784,6 +2839,29 @@ object ExtQueries {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY 1""",
+    // same anchor scalar, micro-unit monetary sum, and tiebroken
+    // per-segment ntile(5)s
+    "analytics_rfm_scores" -> s"""
+      WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+                        CAST(o_orderdate AS DATE) AS d, o_totalprice
+                 FROM orders),
+      mx AS (SELECT max(d) AS maxd FROM o),
+      rfm AS (SELECT customer_id,
+                     CAST((SELECT maxd FROM mx) - max(d) AS BIGINT)
+                       AS recency_days,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     ${stableSumSql("o_totalprice")} AS monetary
+              FROM o GROUP BY 1),
+      j AS (SELECT rfm.*, c.c_mktsegment
+            FROM rfm JOIN customer c ON c.c_custkey = rfm.customer_id)
+      SELECT customer_id, c_mktsegment, recency_days, frequency, monetary,
+             CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY recency_days, customer_id) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY frequency DESC, customer_id) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY monetary DESC, customer_id) AS BIGINT) AS m_score
+      FROM j""",
     "analytics_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
@@ -2917,6 +2995,22 @@ object ExtQueries {
         FROM events e
         ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
+    // per-purchase click counts via a grouped CTE (== the per-key
+    // window), integer ppm split summed per click
+    "attribution_linear" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events),
+      j AS (SELECT p.event_id AS p_id, c.event_id AS click_id
+            FROM ev p JOIN ev c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+      n AS (SELECT p_id, count(*) AS n_clicks FROM j GROUP BY 1)
+      SELECT j.click_id,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(1000000 // n.n_clicks) AS BIGINT) AS credit_ppm
+      FROM j JOIN n USING (p_id)
+      GROUP BY 1""",
     // purchases credited to the earliest click within the 30-minute
     // lookback (µs-truncated timestamps, like the interval join)
     "attribution_first_touch" -> """

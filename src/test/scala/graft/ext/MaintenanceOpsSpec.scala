@@ -126,6 +126,42 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === total)
   }
 
+  test("linear attribution conserves each purchase's credit up to floor loss") {
+    val rows = q("attribution_linear").collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getLong(2)).sum
+    // purchases with >=1 click in window (recompute independently)
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("ts") / 1000000000L).cast("long").as("sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("sec").as("csec"))
+    val nPurch = p.join(c, col("user_id") === col("cu") &&
+        col("csec") <= col("sec") && col("csec") >= col("sec") - 1800)
+      .select("p_id").distinct().count()
+    // each attributed purchase distributes 1e6 ppm minus < n_clicks
+    // of integer-floor remainder
+    assert(totalCredit <= 1000000L * nPurch)
+    assert(totalCredit > 990000L * nPurch,
+      s"credit $totalCredit vs $nPurch purchases")
+  }
+
+  test("rfm scores are quintiles within each segment") {
+    val rows = q("analytics_rfm_scores").collect()
+    assert(rows.nonEmpty)
+    Seq(5, 6, 7).foreach { i =>
+      assert(rows.forall(r => r.getLong(i) >= 1 && r.getLong(i) <= 5))
+    }
+    // quintiles are balanced per segment: max-min count <= 1
+    rows.groupBy(_.getString(4)).foreach { case (seg, rs) =>
+      val counts = rs.groupBy(_.getLong(5)).values.map(_.size)
+      assert(counts.max - counts.min <= 1,
+        s"unbalanced r_score quintiles in $seg: $counts")
+    }
+  }
+
   test("dedup_fuzzy_names joins on the block key, never cross-joins names") {
     val plan = q("dedup_fuzzy_names").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")

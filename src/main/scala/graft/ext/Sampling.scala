@@ -77,4 +77,65 @@ object Sampling {
       lit((default * Buckets).toLong))
     df.filter(bucket(key, salt) < th)
   }
+
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez
+    * 1985): pick the min-id seed, then k-1 times the point FARTHEST
+    * from the chosen set — the classic 2-approximation diversity
+    * sample for "cover the embedding space with k exemplars"
+    * (diverse finetuning subsets, eval-set seeding, cluster init).
+    *
+    * Determinism contract: per-point distance-to-set is kept as a
+    * FLOOR-ppm-quantized long of the in-order squared-distance fold
+    * (the [[graft.functions.DotProduct]] of the elementwise double
+    * difference with itself — the probed bit-identical fold shape), so
+    * every argmax compares LONGS with a vec_id tiebreak, and an SQL
+    * oracle replays the trace exactly. Floats never order anything.
+    *
+    * Scale shape: O(n·k) — each round is one narrow `least(mind,
+    * dist-to-new-center)` map over the cached working set (the new
+    * center rides in as a 64-float literal) plus one TakeOrdered
+    * argmax; no shuffle, no cross join. k driver actions of 1 row
+    * each. The working set is cached once and released; at corpus
+    * scale you run this on the deterministic-sample output, not the
+    * raw 100 TB (compose with [[deterministicSample]]).
+    *
+    * Returns the selection TRACE: (sel_idx, vec_id, dist_ppm) — the
+    * seed's dist_ppm is NULL (no chosen set existed yet). */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "kCenterCoreset needs k >= 1")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v")).cache()
+    try {
+      def distPpm(center: Seq[Float]): Column = {
+        val diff = zip_with(col("v"), typedlit(center),
+          (x, y) => x.cast("double") - y.cast("double"))
+        floor(graft.functions.VectorFunctions.dotNative(diff, diff)
+          * 1000000d).cast("long")
+      }
+      val seed = base.orderBy(col("vec_id")).limit(1).head()
+      var chosen = List[(Long, Long, java.lang.Long)](
+        (0L, seed.getLong(0), null))
+      var state = base.withColumn("mind", distPpm(seed.getSeq[Float](1)))
+      for (j <- 1 until k) {
+        val sel = state.orderBy(col("mind").desc, col("vec_id"))
+          .limit(1).head()
+        val (id, mind) = (sel.getLong(0), sel.getAs[Long]("mind"))
+        chosen ::= ((j.toLong, id, Long.box(mind)))
+        val cvec = base.filter(col("vec_id") === id).head().getSeq[Float](1)
+        state = state.withColumn("mind",
+          least(col("mind"), distPpm(cvec)))
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("sel_idx", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("dist_ppm", LongType, nullable = true)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chosen.reverse.map {
+          case (i, id, d) => org.apache.spark.sql.Row(i, id, d)
+        }, numSlices = 1), schema)
+    } finally base.unpersist()
+  }
 }

@@ -110,6 +110,47 @@ object ExtQueries {
   private def stableSumSql(c: String): String =
     s"(SUM(CAST(FLOOR($c*1000000) AS BIGINT)) / 1000000.0)"
 
+  /** ppm-quantized squared distance from the scanned `embedding` to a
+    * center (in-order fold of double diffs — the dist twin of
+    * [[dotSql]], matching Sampling.kCenterCoreset's DotProduct(diff,
+    * diff) shape exactly). */
+  private def kcDistPpmSql(centerCol: String): String = {
+    val d = s"(CAST(embedding[i] AS DOUBLE) - CAST($centerCol[i] AS DOUBLE))"
+    s"CAST(FLOOR(list_sum(list_transform(range(1,65), i -> $d * $d)) " +
+      "* 1000000) AS BIGINT)"
+  }
+
+  /** The unrolled k-center selection-trace oracle: d_j = min distance
+    * to centers 0..j-1, c_j = its (mind DESC, vec_id) argmax. The
+    * center embedding rides in as a CROSS JOIN of its 1-row relation
+    * (DuckDB forbids subqueries inside list lambdas). */
+  private def kCenterSql(k: Int): String = {
+    def ctrOf(c: String): String =
+      s"(SELECT embedding AS cemb FROM embeddings WHERE vec_id = " +
+        s"(SELECT vec_id FROM $c)) ctr"
+    val ctes = new StringBuilder(
+      "c0 AS (SELECT min(vec_id) AS vec_id FROM embeddings),\n")
+    ctes ++= s"""d1 AS (SELECT vec_id,
+      ${kcDistPpmSql("cemb")} AS mind
+      FROM embeddings CROSS JOIN ${ctrOf("c0")}),
+      c1 AS (SELECT vec_id, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1)"""
+    for (j <- 2 until k) {
+      ctes ++= s""",
+      d$j AS (SELECT e.vec_id,
+        least(p.mind, ${kcDistPpmSql("cemb")}) AS mind
+        FROM embeddings e JOIN d${j - 1} p ON p.vec_id = e.vec_id
+        CROSS JOIN ${ctrOf(s"c${j - 1}")}),
+      c$j AS (SELECT vec_id, mind FROM d$j
+              ORDER BY mind DESC, vec_id LIMIT 1)"""
+    }
+    val rows = (s"SELECT CAST(0 AS BIGINT) AS sel_idx, " +
+      "(SELECT vec_id FROM c0) AS vec_id, " +
+      "CAST(NULL AS BIGINT) AS dist_ppm") +:
+      (1 until k).map(j =>
+        s"SELECT $j, (SELECT vec_id FROM c$j), (SELECT mind FROM c$j)")
+    s"WITH $ctes\n${rows.mkString("\nUNION ALL ")}"
+  }
+
   private def hitsSql(w: String): String =
     s"CAST((length(p)-length(replace(p,' $w ','')))/${w.length + 2} AS BIGINT)"
 
@@ -607,6 +648,14 @@ object ExtQueries {
           nCentroids = Similarity.autoCentroids(emb.count()), iters = 2)
         .select(col("vec_id"), col("centroid_id"))
     }),
+    // greedy k-center coreset (farthest-point traversal): 8 maximally
+    // spread exemplars — the diversity-selection primitive. The
+    // selection trace is fully deterministic (ppm-quantized distances,
+    // vec_id tiebreaks), so the oracle replays all 8 rounds as
+    // unrolled CTEs. See Sampling.kCenterCoreset.
+    "sample_coreset_kcenter" -> ((s, dir) =>
+      Sampling.kCenterCoreset(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)),
     // embedding-diversity balancing: the k-means cells play the class
     // label and every cell downsamples to the minority cell's count —
     // the semantic-coverage counterpart of source-domain balancing,
@@ -2179,6 +2228,7 @@ object ExtQueries {
     // kmeans cells as the balancing class: same keep rule as
     // balance_event_classes (exact BIGINT cross-multiplication on the
     // salted hash bucket), over the assignment CTEs
+    "sample_coreset_kcenter" -> kCenterSql(8),
     "sample_cluster_balanced" -> s"""
       WITH ${ivfAssignCtes(2)},
       asg AS (SELECT vec_id, centroid_id FROM ca),

@@ -75,4 +75,35 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(viewFrac - 0.1) < 0.07, s"view rate off: $viewFrac")
     assert(got.keySet == Set("view", "purchase"))
   }
+
+  test("k-center coreset matches an independent driver-side greedy replay") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = Sampling.kCenterCoreset(emb, "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sortBy(_._1)
+    // independent replay: same quantization contract, plain Scala
+    val pts = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    def dPpm(a: Seq[Float], b: Seq[Float]): Long = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      math.floor(acc * 1000000).toLong
+    }
+    var chosen = Vector((0L, pts.head._1, -1L))
+    var mind = pts.map(p => p._1 -> dPpm(p._2, pts.head._2)).toMap
+    val byId = pts.toMap
+    for (j <- 1 until 6) {
+      val (selId, selD) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      chosen :+= ((j.toLong, selId, selD))
+      mind = mind.map { case (id, d) =>
+        id -> math.min(d, dPpm(byId(id), byId(selId)))
+      }
+    }
+    assert(got === chosen, s"trace diverged:\n got=$got\nwant=$chosen")
+    // the selection spreads: all ids distinct
+    assert(got.map(_._2).distinct.size === 6)
+  }
 }

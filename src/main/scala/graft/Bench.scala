@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1).
   *
   * Methodology (designed so a number can be trusted, not just read):
+  *  - AMBIENT LOAD is gated and recorded: /proc/loadavg is sampled
+  *    before the session spins up (the only moment loadavg measures
+  *    the MACHINE rather than the bench's own 32 threads); if it
+  *    exceeds SPARK_GRAFT_BENCH_MAXLOAD (default 2.0) the bench waits
+  *    up to SPARK_GRAFT_BENCH_LOAD_RETRIES x 30s for it to drain and,
+  *    failing that, stamps the artifact `env_suspect` so a
+  *    contaminated number cannot be read as a regression (round 8's
+  *    committed artifact absorbed a 2.6x ambient penalty silently).
+  *    Samples at every rep-block boundary land in the artifact's
+  *    "loadavg" field for forensics;
   *  - the session is warmed with a trivial scan first so the first
   *    timed query does not pay JVM/session startup;
   *  - reps are INTERLEAVED, not consecutive: rep r runs ALL queries in
@@ -76,6 +86,17 @@ object Bench {
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
+  /** 1-minute load average from /proc/loadavg (-1 if unreadable, e.g.
+    * non-Linux). Sampled BEFORE the session spins up, this is ambient
+    * machine load; sampled mid-run it includes the bench's own
+    * executors and is recorded for forensics only. */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +105,36 @@ object Bench {
       .toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
+
+    // Ambient-load gate (r8 lesson: the committed artifact absorbed a
+    // 2.6x penalty from a loaded machine and reported a phantom
+    // regression). Only the PRE-SESSION sample measures ambient load —
+    // once our 32 executor threads spin up, loadavg is dominated by
+    // the bench itself. If ambient load exceeds the threshold, wait
+    // (bounded) for it to drain; if it never does, proceed but stamp
+    // the artifact env_suspect so the number is read as contaminated
+    // rather than trusted.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "2.0").toDouble
+    val loadRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "6")
+      .toInt.max(0)
+    var loadStart = loadavg()
+    var loadWaits = 0
+    while (loadStart >= 0 && loadStart > maxLoad && loadWaits < loadRetries) {
+      System.err.println(
+        f"BENCH: ambient load $loadStart%.2f > $maxLoad%.1f, " +
+          s"waiting 30s (${loadWaits + 1}/$loadRetries)")
+      Thread.sleep(30000)
+      loadWaits += 1
+      loadStart = loadavg()
+    }
+    val envSuspect = loadStart >= 0 && loadStart > maxLoad
+    if (envSuspect) System.err.println(
+      f"BENCH: ambient load still $loadStart%.2f after $loadWaits waits " +
+        "- artifact will be flagged env_suspect")
+    // labeled loadavg samples embedded in the artifact (label -> value)
+    val loadSamples =
+      scala.collection.mutable.LinkedHashMap("pre_session" -> loadStart)
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -137,6 +188,7 @@ object Bench {
       // neighborhood each rep (fixed seeds keep runs reproducible)
       val order = new scala.util.Random(0x9E3779B9L * rep).shuffle(steadyNames)
       for (name <- order if !errors.contains(name)) runOne(name)
+      loadSamples(s"post_steady_rep$rep") = loadavg()
     }
 
     // the pipeline family is write-heavy; dirty pages accumulated by
@@ -169,6 +221,7 @@ object Bench {
       registry.PipelineQueries.clearScratch(spark)
       syncFs()
       if (gcBetween) System.gc()
+      loadSamples(s"post_pipe_rep$rep") = loadavg()
     }
 
     // per-stage attribution for the headline pipeline. MEDIANED over 3
@@ -242,24 +295,33 @@ object Bench {
     val stageJson = jobj(stages.map { case (k, v) => "\"" + k + "\":" + v })
     val curJson = jobj(curStages.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) })
-    // stage-probe coherence: the probes run sequentially at the END of
-    // a ~15-min bench, so an ambient load burst there contaminates all
-    // 3 probe runs at once while the e2e median (7 interleaved reps,
-    // earlier) stays clean. If the stage sum exceeds 2x the e2e
-    // median, the stages are attribution-suspect — flag it in the
-    // artifact instead of letting a reader conclude a stage regressed.
-    val salesMedian = results
-      .collectFirst { case ("pipeline_sales_e2e", _, med, _) => med }
-      .getOrElse(-1.0)
-    val stagesSuspect =
-      salesMedian > 0 && stages.map(_._2).sum > 2 * salesMedian
+    // stage-probe coherence: the stages PARTITION the sales pipeline,
+    // so their medianed sum must track an e2e wall time — compared
+    // against the e2e MIN rep (the cleanest sample; the median can
+    // itself be contaminated, and r8's was). The probes run
+    // sequentially at the END of a ~15-min bench, so an ambient load
+    // burst there contaminates all 3 probe runs at once; a stage sum
+    // more than ±35% away from the cleanest e2e rep is attribution
+    // noise — flag it instead of letting a reader conclude a stage
+    // regressed. (r8's committed numbers — sum 13.48 vs min 7.34 —
+    // trip this; the old `sum > 2x median` check waved them through.)
+    val salesMin = times.get("pipeline_sales_e2e")
+      .filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
+    val stageSum = stages.map(_._2).sum
+    val stagesSuspect = salesMin > 0 && stages.nonEmpty &&
+      math.abs(stageSum - salesMin) > 0.35 * salesMin
     val total = r3(results.map(_._3).filter(_ >= 0).sum)
 
+    loadSamples("end") = loadavg()
+    val loadJson = jobj(loadSamples.toSeq.map { case (k, v) =>
+      "\"" + k + "\":" + v })
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,"pipe_trim":1,""" +
         s""""stage_reps":$stageReps,"stages":$stageJson,""" +
         s""""stages_suspect":$stagesSuspect,""" +
+        s""""loadavg":$loadJson,"env_suspect":$envSuspect,""" +
+        s""""max_load":$maxLoad,"load_waits":$loadWaits,""" +
         s""""curation_stages":$curJson,"spread":$spread,"errors":$errFull}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -285,6 +347,7 @@ object Bench {
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
         s""""nqueries":${names.size},"nerrors":${errors.size},""" +
         s""""stages":$stageHead,"stages_suspect":$stagesSuspect,""" +
+        s""""load_start":$loadStart,"env_suspect":$envSuspect,""" +
         s""""curation_stages":$curHead,""" +
         s""""errors":$errHead,"detail":"$outFile"}""")
     System.out.flush()

@@ -40,7 +40,9 @@ object Graph {
     * action besides materialization is a node COUNT (a scalar, not a
     * collect).
     *
-    * @param nodes  one `id` column, distinct
+    * @param nodes  one `id` column, distinct; every node appears in
+    *               the output (one with no in-edges ranks at the
+    *               teleport term, never silently dropped)
     * @param edges  `src`, `dst` — must contain both directions
     * @param iters  power-iteration count (fixed, so the oracle can
     *               unroll it)
@@ -86,6 +88,15 @@ object Graph {
         .select(col("dst").as("id"),
           (lit(teleport) + expr("(85 * msum) div 100")).as("rank_fp"))
     }
-    ranks.select(col("id").as("doc_id"), col("rank_fp").as("rank_ppb"))
+    // every iteration rebuilds `ranks` from a groupBy over edge dsts,
+    // so a node that is never a dst (isolated, or in `nodes` beyond
+    // the edge endpoints) silently vanishes. Restore such nodes at the
+    // teleport rank — exactly what the full iteration computes for a
+    // node with no in-edges (its damped sum is empty every round), so
+    // edge-endpoint-only inputs are byte-identical to before.
+    nodes.select(col("id").as("n_id"))
+      .join(ranks, col("n_id") === col("id"), "left")
+      .select(col("n_id").as("doc_id"),
+        coalesce(col("rank_fp"), lit(teleport)).as("rank_ppb"))
   }
 }

@@ -35,6 +35,33 @@ object Materialize {
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger("graft.ext.Materialize")
 
+  /** Truncate a SMALL DataFrame's lineage by collecting it to the
+    * driver and recreating it as a literal local relation (values
+    * unchanged). The loop-carried-state idiom: inside an iterative
+    * driver loop (Lloyd rounds, codebook refinement), each round's
+    * frame otherwise embeds the previous round's whole subtree, so
+    * round j re-executes rounds 1..j-1 every time it is referenced —
+    * the k-means assignment subtree DOUBLED per iteration before this.
+    *
+    * BOUNDED BY CONTRACT AND ENFORCED: this collects — it is for
+    * metadata-scale frames only (centroid tables, codebooks: at most
+    * ~nCentroids x dim doubles), never corpus-scale. The collect runs
+    * through `limit(maxRows + 1)` so a contract violation dies with a
+    * pointer to the alternative instead of a driver heap dump. For
+    * loop state that is corpus-sized (e.g. kCenterCoreset's per-point
+    * distances), use [[eager]] instead: it truncates lineage WITHOUT
+    * moving data to the driver. */
+  def relit(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Materialize.relit is for metadata-scale loop state (centroids, " +
+        s"codebooks) and this frame exceeds $maxRows rows - corpus-sized " +
+        "state belongs in Materialize.eager (distributed lineage " +
+        "truncation), not a driver collect")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def eager(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val dynamic = sc.getConf.getBoolean("spark.dynamicAllocation.enabled",

@@ -92,17 +92,37 @@ object Sampling {
     * oracle replays the trace exactly. Floats never order anything.
     *
     * Scale shape: O(n·k) — each round is one narrow `least(mind,
-    * dist-to-new-center)` map over the cached working set (the new
-    * center rides in as a 64-float literal) plus one TakeOrdered
-    * argmax; no shuffle, no cross join. k driver actions of 1 row
-    * each. The working set is cached once and released; at corpus
-    * scale you run this on the deterministic-sample output, not the
-    * raw 100 TB (compose with [[deterministicSample]]).
+    * dist-to-new-center)` map over the working set (the new center
+    * rides in as a 64-float literal) plus one TakeOrdered argmax; no
+    * shuffle, no cross join. k driver actions of 1 row each. Each
+    * round's state is EAGERLY RE-MATERIALIZED ([[Materialize.eager]] —
+    * lineage truncation without a driver collect, since the state is
+    * corpus-sized): without this, round j's `least(...)` chain embeds
+    * every previous round's distance map and the argmax re-evaluates
+    * all j-1 of them — O(n·k²) expression work hiding under a plan
+    * that reads O(n·k). At corpus scale you run this on the
+    * deterministic-sample output, not the raw 100 TB (compose with
+    * [[deterministicSample]]).
+    *
+    * Stops early (returning fewer than k rows) once the farthest
+    * remaining point is at ppm-distance 0 from the chosen set: every
+    * remaining point then coincides with a chosen center, and
+    * continuing would re-select already-chosen ids as duplicate trace
+    * rows. Asking for k > #distinct-points yields #distinct rows.
     *
     * Returns the selection TRACE: (sel_idx, vec_id, dist_ppm) — the
     * seed's dist_ppm is NULL (no chosen set existed yet). */
   def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
-                     k: Int): DataFrame = {
+                     k: Int): DataFrame =
+    kCenterCoresetWithState(emb, idCol, vecCol, k)._1
+
+  /** Testing seam: also returns the final working-set state so a spec
+    * can assert the plan-shape contract (one distance expression in
+    * the final round's plan, not k — the materialization actually
+    * truncated the chain). */
+  private[graft] def kCenterCoresetWithState(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, "kCenterCoreset needs k >= 1")
     val spark = emb.sparkSession
     val base = emb.select(col(idCol).cast("long").as("vec_id"),
@@ -117,25 +137,30 @@ object Sampling {
       val seed = base.orderBy(col("vec_id")).limit(1).head()
       var chosen = List[(Long, Long, java.lang.Long)](
         (0L, seed.getLong(0), null))
-      var state = base.withColumn("mind", distPpm(seed.getSeq[Float](1)))
-      for (j <- 1 until k) {
+      var state = Materialize.eager(
+        base.withColumn("mind", distPpm(seed.getSeq[Float](1))))
+      var exhausted = false
+      for (j <- 1 until k if !exhausted) {
         val sel = state.orderBy(col("mind").desc, col("vec_id"))
           .limit(1).head()
         val (id, mind) = (sel.getLong(0), sel.getAs[Long]("mind"))
-        chosen ::= ((j.toLong, id, Long.box(mind)))
-        val cvec = base.filter(col("vec_id") === id).head().getSeq[Float](1)
-        state = state.withColumn("mind",
-          least(col("mind"), distPpm(cvec)))
+        if (mind <= 0L) exhausted = true // all remaining points coincide
+        else {
+          chosen ::= ((j.toLong, id, Long.box(mind)))
+          val cvec = base.filter(col("vec_id") === id).head().getSeq[Float](1)
+          state = Materialize.eager(state.withColumn("mind",
+            least(col("mind"), distPpm(cvec))))
+        }
       }
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("sel_idx", LongType, nullable = false),
         StructField("vec_id", LongType, nullable = false),
         StructField("dist_ppm", LongType, nullable = true)))
-      spark.createDataFrame(
+      (spark.createDataFrame(
         spark.sparkContext.parallelize(chosen.reverse.map {
           case (i, id, d) => org.apache.spark.sql.Row(i, id, d)
-        }, numSlices = 1), schema)
+        }, numSlices = 1), schema), state)
     } finally base.unpersist()
   }
 }

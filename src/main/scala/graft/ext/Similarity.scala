@@ -283,13 +283,9 @@ object Similarity {
     centroids
   }
 
-  /** Truncate a small DataFrame's lineage by collecting it and
-    * recreating it as a literal local relation (values unchanged). */
-  private def relit(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
-  }
+  /** Bounded-by-contract lineage truncation for loop-carried centroid
+    * /codebook state — shared idiom, see [[Materialize.relit]]. */
+  private def relit(df: DataFrame): DataFrame = Materialize.relit(df)
 
   /** IVF cell assignment over Lloyd-refined centroids. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,

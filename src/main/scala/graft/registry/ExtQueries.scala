@@ -516,6 +516,7 @@ object ExtQueries {
         .withColumn("position", row_number().over(w).cast("long"))
         .select(col("shard"), col("position"), col("doc_id"))
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_curr/shards"
+      reclaimOnExit(tmp)
       ordered.write.mode("overwrite").partitionBy("shard").parquet(tmp)
       s.read.parquet(tmp)
         .select(col("shard").cast("long").as("shard"), col("position"),
@@ -1316,20 +1317,30 @@ object ExtQueries {
     }),
     // exact-integer outlier detection: flag docs whose token count sits
     // more than 1.5 sd from the per-source mean, with the z-test
-    // rewritten as 4(nx-S)^2 > 9(n*SS - S^2) over BIGINTs — no float
-    // mean/variance anywhere, so the answer is bit-identical across
-    // engines. Per-source stats are a tiny aggregate broadcast back
-    // onto the doc stream: one shuffle for the stats, none for the scan.
+    // rewritten as 4(nx-S)^2 > 9(n*SS - S^2) — no float mean/variance
+    // anywhere, so the answer is bit-identical across engines. The
+    // predicate arithmetic runs in DecimalType(38,0): int64 wraps
+    // silently (non-ANSI) once n*SS or the squared term passes 2^63 —
+    // reachable at ~1e6 docs/source with ~30k-token docs — while
+    // decimal128 keeps every product exact to 1e38 (n~1e9 docs/source
+    // at 3e4 tokens peaks near 1e27; DuckDB's HUGEINT covers the same
+    // domain, so the cross-engine exactness claim survives scale).
+    // Per-source stats are a tiny aggregate broadcast back onto the
+    // doc stream: one shuffle for the stats, none for the scan.
     "quality_outlier_zscore" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
       val st = d.groupBy(col("source")).agg(count(lit(1)).as("n"),
         sum(col("n_tokens")).as("s"),
-        sum(col("n_tokens") * col("n_tokens")).as("ss"))
-      val dx = col("n") * col("n_tokens") - col("s")
+        sum(col("n_tokens").cast(dec) * col("n_tokens").cast(dec)).as("ss"))
+      val nD = col("n").cast(dec)
+      val sD = col("s").cast(dec)
+      val dx = nD * col("n_tokens").cast(dec) - sD
       d.join(broadcast(st), Seq("source"))
         .filter(col("n") > 1 &&
-          lit(4L) * dx * dx > lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+          lit(4).cast(dec) * dx * dx >
+            lit(9).cast(dec) * (nD * col("ss") - sD * sD))
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
     // ER-style fuzzy dedup: collapse exact-duplicate names FIRST (the
@@ -2486,8 +2497,8 @@ object ExtQueries {
       SELECT 'ivf_nprobe2' AS method,
              CAST(count(i.neighbor_id) AS BIGINT) AS matched,
              CAST(count(*) AS BIGINT) AS total,
-             CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
-               AS recall_ppm
+             CAST(count(i.neighbor_id) * 1000000 // NULLIF(count(*), 0)
+               AS BIGINT) AS recall_ppm
       FROM (${ivfTopKSql(k = 5, nProbe = 2, iters = 2)}) i
       RIGHT JOIN (
         WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
@@ -2506,13 +2517,18 @@ object ExtQueries {
     // the dedup-side recall composition: exact shingle-jaccard truth
     // set (DISTINCT hex60 shingle hashes — identical to shingleHex60's
     // per-doc set even under hash collisions) left-joined with the
-    // minhash-LSH oracle's candidate pairs
+    // minhash-LSH oracle's candidate pairs. NULLIF in the recall
+    // divisor (here and in the ann/pq twins): an empty truth set (a
+    // df-cap can leave zero 0.5-jaccard pairs) must report recall NULL
+    // on both engines — Spark's integer `div` nulls on zero while
+    // DuckDB's `//` raises, so without the guard the empty edge fails
+    // the harness instead of reporting an empty recall row
     "lsh_recall_report" -> s"""
       SELECT 'minhash_k32_b8' AS method,
              CAST(count(l.doc_b) AS BIGINT) AS matched,
              CAST(count(*) AS BIGINT) AS total,
-             CAST(count(l.doc_b) * 1000000 // count(*) AS BIGINT)
-               AS recall_ppm
+             CAST(count(l.doc_b) * 1000000 // NULLIF(count(*), 0)
+               AS BIGINT) AS recall_ppm
       FROM (
         WITH $ShinglesCte,
         hsh AS (SELECT DISTINCT doc_id, ${hex60Sql("shingle")} AS h
@@ -2557,8 +2573,8 @@ object ExtQueries {
       SELECT 'pq_m4_ksub16' AS method,
              CAST(count(i.neighbor_id) AS BIGINT) AS matched,
              CAST(count(*) AS BIGINT) AS total,
-             CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
-               AS recall_ppm
+             CAST(count(i.neighbor_id) * 1000000 // NULLIF(count(*), 0)
+               AS BIGINT) AS recall_ppm
       FROM (${pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
         shortlist = 50, iters = 2)}) i
       RIGHT JOIN (

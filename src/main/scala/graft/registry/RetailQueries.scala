@@ -223,6 +223,7 @@ object RetailQueries {
       val clustered = o.withColumn("bucket",
         expr(s"(o_orderkey - $lo) * $nBuckets div ${hi - lo + 1}"))
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_range/orders"
+      graft.ext.Scratch.reclaimOnExit(tmp)
       clustered.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       s.read.parquet(tmp)
         .groupBy(col("bucket").cast("long").as("bucket"))
@@ -255,6 +256,7 @@ object RetailQueries {
         .withColumn("zshard", expr("zval div 67108864")) // top 6 of 32 bits
         .drop("x", "y")
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_zorder/orders"
+      graft.ext.Scratch.reclaimOnExit(tmp)
       z.write.mode("overwrite").partitionBy("zshard").parquet(tmp)
       s.read.parquet(tmp)
         .groupBy(col("zshard").cast("long").as("zshard"))
@@ -269,6 +271,7 @@ object RetailQueries {
     "scan_schema_evolution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_evo/customer"
+      graft.ext.Scratch.reclaimOnExit(tmp)
       c.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
         .write.mode("overwrite").parquet(s"$tmp/v1")
       c.filter(col("c_custkey") % 2 === 0)

@@ -52,6 +52,23 @@ class GraphSpec extends SparkSpec {
       s"mass off: $total")
   }
 
+  test("isolated nodes survive at the teleport rank, never dropped") {
+    // node 6 is in `nodes` but touches no edge: each iteration's
+    // groupBy-over-dsts rebuild would silently lose it; the contract
+    // is every node returned, no-in-edge nodes at the teleport term
+    // (their damped sum is empty every round)
+    val edges = edgeList.toDF("src", "dst")
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .union(Seq(6L).toDF("id"))
+    val r = Graph.pageRankPpb(nodes, edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val teleport = 15L * Graph.Scale / (100L * 6L)
+    assert(r(6L) === teleport, s"isolated node not at teleport: $r")
+    // connected nodes all rank above the floor
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(r(_) > teleport), s"$r")
+  }
+
   test("an empty graph yields an empty rank table, not an error") {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     val nodes = edges.select(col("src").as("id")).distinct()

@@ -106,4 +106,34 @@ class SamplingSpec extends SparkSpec {
     // the selection spreads: all ids distinct
     assert(got.map(_._2).distinct.size === 6)
   }
+
+  test("k-center round state is materialized: final plan holds no distance chain") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (trace, state) =
+      Sampling.kCenterCoresetWithState(emb, "vec_id", "embedding", k = 5)
+    assert(trace.count() === 5)
+    // Each round eagerly materializes (lineage-truncating localCheckpoint),
+    // so the final state's plan is a materialized scan — NOT a k-deep
+    // least(zip_with...) chain whose round-j argmax re-evaluates all j-1
+    // prior distance maps (the O(n·k²) growth flagged in r8). Without the
+    // per-round Materialize.eager this plan contains k zip_with nodes.
+    val plan = state.queryExecution.analyzed.toString
+    assert(!plan.contains("zip_with"),
+      s"distance chain leaked into final state plan:\n$plan")
+    assert(state.columns.toSeq === Seq("vec_id", "v", "mind"))
+  }
+
+  test("k-center stops early instead of emitting duplicate centers") {
+    // 3 distinct points, one duplicated; ask for k=5
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)), (4L, Array(1f, 0f))) // 4 duplicates 1
+      .toDF("vec_id", "embedding")
+    val got = Sampling.kCenterCoreset(emb, "vec_id", "embedding", k = 5)
+      .collect()
+    // seed=1; ids 2,3 are pickable; 4 coincides with 1 (mind=0) so the
+    // traversal must stop at 3 rows rather than re-selecting chosen ids
+    assert(got.length === 3, got.mkString(","))
+    assert(got.map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
+  }
 }

@@ -206,6 +206,24 @@ class ScaleGuardsSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  // ---- relit bound ----
+  // Materialize.relit (the loop-carried-state lineage truncation used
+  // by the k-means/codebook loops) collects to the driver; its
+  // metadata-scale contract is enforced via a limit-probed collect,
+  // so a corpus-sized frame refuses loudly instead of heap-dumping.
+
+  test("Materialize.relit enforces its metadata-scale bound") {
+    val small = (0 until 10).map(i => (i.toLong, s"c$i")).toDF("id", "v")
+    val again = Materialize.relit(small)
+    assert(again.collect().toSet == small.collect().toSet)
+    assert(again.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Materialize.relit(spark.range(100).toDF("id"), maxRows = 50)
+    }
+    assert(e.getMessage.contains("Materialize.eager"))
+  }
+
   // ---- MERGE broadcast gate ----
   // mergeUpsert promises a huge update set degrades to a shuffled
   // anti-join. The gate is a bounded row probe: above the threshold no

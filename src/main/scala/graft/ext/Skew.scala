@@ -5,13 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Skew-handling join utilities.
   *
-  * AQE's skew-join split handles most runtime skew, but a known-hot
-  * key set (a handful of keys carrying a double-digit percentage of a
-  * 100 TB fact) still serializes on the reducers that own those keys.
   * Salting spreads each hot key over `saltFactor` sub-keys: the fact
   * side gets a random-but-deterministic salt, the dim side is
   * replicated once per salt value. Semantics are identical to the
   * plain equi-join.
+  *
+  * WHEN TO USE — measured, not assumed (tools/SkewProbe, 40M-row fact
+  * with one key carrying 30%/60% of rows joined to a 1M-row dim,
+  * broadcast off, local[32]): AQE's runtime skew split beat this salt
+  * 2.4–4.9x (medians: AQE split 2.6–2.8 s; salted 6.8–12.4 s; plain
+  * with skew-split disabled 6.6–11.4 s). The salt pays for dim
+  * replication (saltFactor x the dim shuffle) on EVERY key while AQE
+  * splits only the oversized partitions it observes, so on a batch
+  * shuffle join under AQE the right call is NO salt. Reach for
+  * saltedJoin only where the runtime split cannot: stream-stream
+  * stateful joins (no AQE), aggregation-shuffle skew feeding a join,
+  * or an engine/run with AQE disabled. SCALE.md ("salted join vs
+  * AQE") keeps the full probe table.
   */
 object Skew {
 

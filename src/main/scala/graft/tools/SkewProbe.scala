@@ -47,26 +47,43 @@ object SkewProbe {
 
     // fact: hotPct% of rows on key 0, the rest uniform over 1M keys;
     // dim: every key once. Both deterministic (no RNG) so every
-    // variant and rep joins byte-identical inputs.
+    // variant and rep joins byte-identical inputs. The incompressible
+    // `payload` column is load-bearing: it is aggregated after the
+    // join, so it survives column pruning and SHUFFLES with the fact —
+    // without it the fact side shuffles a lone near-constant key
+    // column whose lz4 blocks are so small the hot partition never
+    // crosses AQE's skew threshold, and the probe would measure AQE's
+    // detection floor, not its split (a real fact row always carries
+    // payload columns past the join)
     val nKeys = 1000000L
     def fact = spark.range(rows).select(col("id"),
+      xxhash64(col("id") + 1).as("payload"),
       when(pmod(col("id"), lit(100)) < hotPct, lit(0L))
         .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"))
     def dim = spark.range(nKeys).select(col("id").as("dk"),
       (col("id") * 7 % 97).as("dval"))
 
     def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      var skewMark = false
       val ts = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        val r = mk.agg(count(lit(1)), sum(col("dval"))).head()
+        // pmod keeps the payload checksum inside int64 under ANSI
+        val q = mk.agg(count(lit(1)), sum(col("dval")),
+          sum(pmod(col("payload"), lit(1000))))
+        // collect(), NOT head(): head wraps the plan in its own
+        // QueryExecution, leaving q's adaptive plan unexecuted and the
+        // skew marker below permanently false
+        val r = q.collect()(0)
         val s = (System.nanoTime() - t0) / 1e9
         require(r.getLong(0) == rows, s"$label lost rows: ${r.getLong(0)}")
+        // did AQE's OptimizeSkewedJoin actually rewrite this run's plan?
+        skewMark ||= q.queryExecution.executedPlan.toString.contains("skew=true")
         s
       }.sorted
       println(f"[skewprobe] $label%-16s min ${ts.head}%.2f median " +
-        f"${ts(ts.length / 2)}%.2f max ${ts.last}%.2f s")
+        f"${ts(ts.length / 2)}%.2f max ${ts.last}%.2f s  aqe_split=$skewMark")
     }
 
     def withSkewJoin(on: Boolean)(body: => Unit): Unit = {
@@ -82,6 +99,15 @@ object SkewProbe {
 
     withSkewJoin(on = true) {
       time("plain_aqe_skew")(fact.join(dim, col("k") === col("dk")))
+    }
+    // OptimizeSkewedJoin declines to split when the split would add a
+    // shuffle for a downstream requirement; force it so AQE shows its
+    // best case, not its conservative default
+    withSkewJoin(on = true) {
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      try time("plain_aqe_forced")(fact.join(dim, col("k") === col("dk")))
+      finally spark.conf
+        .set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
     }
     withSkewJoin(on = false) {
       time("plain_no_skew")(fact.join(dim, col("k") === col("dk")))

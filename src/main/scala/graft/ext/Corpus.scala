@@ -176,6 +176,50 @@ object Corpus {
       .drop("_cls", "_n")
   }
 
+  /** Strip corpus-wide boilerplate tokens: any token present in at
+    * least `dfNum/dfDen` of all documents (document frequency, not
+    * occurrences) is removed from every document, preserving the
+    * order and multiplicity of what remains — the token-level form of
+    * CCNet-style hot-line stripping (this corpus has no line
+    * structure), and the transform twin of the quality scores that
+    * merely MEASURE stopword density.
+    *
+    * Output: (doc_id, clean_text, n_removed).
+    *
+    * Scale shape: the hot set is bounded by CONSTRUCTION, not hope —
+    * a token needs df >= n*dfNum/dfDen, and total (doc, distinct
+    * token) incidences are <= n * maxDocTokens, so at most
+    * maxDocTokens * dfDen/dfNum tokens can qualify (~2x the average
+    * doc length at the default half threshold). That makes the hot
+    * set a driver-bounded literal (same contract discipline as
+    * [[balanceClasses]], loud refusal past the cap) and the strip
+    * itself a NARROW per-row array filter — no explode, no
+    * re-aggregation shuffle, no join: the 100 TB pass is map-only. */
+  def stripHotTokens(df: DataFrame, id: Column, text: Column,
+                     dfNum: Long = 1, dfDen: Long = 2,
+                     maxHot: Int = MaxClasses): DataFrame = {
+    require(dfNum > 0 && dfDen >= dfNum,
+      "stripHotTokens needs a df threshold in (0, 1]")
+    val n = df.count()
+    val hotAgg = df
+      .select(explode(array_distinct(TextOps.tokens(text))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * dfDen >= lit(n) * dfNum)
+    val rows = hotAgg.select(col("token"))
+      .limit(boundedProbe(maxHot)).collect()
+    require(rows.length <= maxHot,
+      s"stripHotTokens found more than $maxHot corpus-hot tokens - " +
+        "the df threshold is too low for this vocabulary; raise it or " +
+        "route the strip through a broadcast anti-join on exploded " +
+        "tokens for unbounded hot sets")
+    val hot = rows.map(_.getString(0)).sorted.toSeq
+    val toks = TextOps.tokens(text)
+    val kept = filter(toks, t => !array_contains(typedlit(hot), t))
+    df.select(id.as("doc_id"),
+      concat_ws(" ", kept).as("clean_text"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Class-cardinality cap shared by the mixing/balancing samplers:
     * their per-class constants fold back as broadcast frames or
     * literal maps, which is the right shape ONLY when the class

@@ -78,6 +78,27 @@ object Sampling {
     df.filter(bucket(key, salt) < th)
   }
 
+  /** Deterministic weighted fixed-size sample — priority sampling
+    * (Duffield, Lund & Thorup 2007): each row draws a uniform value
+    * (its deterministic [[bucket]]) and gets priority u/w; the k
+    * SMALLEST priorities win, so a row's inclusion probability scales
+    * with its weight while the total sample size is exactly k. The
+    * priority is integer math — `bucket * Buckets div weight` —
+    * with a (priority, key) total order, so the draw is replayable on
+    * any engine and partitioning, like every sampler here. Weights
+    * must be >= 1 (clamped). Plans as TakeOrdered: per-task local
+    * top-k, driver merges — never a global sort. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, "prioritySample needs k >= 1")
+    df.withColumn("_graft_u", bucket(key, salt) * Buckets)
+      .withColumn("_graft_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("_graft_pri", expr("_graft_u div _graft_w"))
+      .orderBy(col("_graft_pri"), key)
+      .limit(k)
+      .drop("_graft_u", "_graft_w", "_graft_pri")
+  }
+
   /** Greedy k-center coreset (farthest-point traversal, Gonzalez
     * 1985): pick the min-id seed, then k-1 times the point FARTHEST
     * from the chosen set — the classic 2-approximation diversity

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size frequency/cardinality sketches with engine-portable
+  * integer arithmetic — the 100 TB answer to "how often / how many
+  * distinct" questions that do not justify an exact global aggregate.
+  *
+  * Both sketches follow the library's exactness discipline: every
+  * hash is [[TextOps.hex60]] (md5-derived, identical in any engine),
+  * every estimate is integer/decimal arithmetic with a deterministic
+  * rounding point, so the SKETCH ITSELF is oracle-checkable — a
+  * width/depth/register change that silently degrades accuracy fails
+  * the hash gate, exactly like the ANN/LSH recall reports.
+  *
+  * Scale shape: both sketches are one groupBy over (row-stream x
+  * small constant) whose RESULT is metadata-sized (depth x width,
+  * resp. sources x registers); partial aggregation runs map-side, the
+  * shuffle carries only sketch cells. Merging two corpora's sketches
+  * is cell-wise (+ / max) — the mergeability that makes them
+  * per-partition/per-day composable where exact counts are not.
+  */
+object Sketches {
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over a token
+    * stream: depth independent hash rows, width slots each. Estimates
+    * only ever OVERCOUNT (min over depth rows bounds the collision
+    * inflation), never undercount. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row d's hash of a token: hex60 of "d:token" mod width — the d
+    * prefix makes the depth rows independent hash functions. `d` may
+    * be a literal or the exploded depth column. */
+  private def cmsSlot(d: Column, token: Column): Column =
+    TextOps.hex60(concat(d.cast("string"), lit(":"), token)) % CmsWidth
+
+  /** The sketch table: (d, slot, cnt) — CmsDepth x CmsWidth cells max,
+    * metadata-scale whatever the corpus size. `tokens` is one token
+    * OCCURRENCE per row. One scan: the depth dimension rides in as an
+    * exploded literal array, not CmsDepth re-reads of the stream. */
+  def cmsBuild(tokens: DataFrame, tokenCol: String): DataFrame =
+    tokens
+      .select(col(tokenCol).as("_t"),
+        explode(typedlit((0 until CmsDepth).toList)).as("d"))
+      .select(col("d"), cmsSlot(col("d"), col("_t")).as("slot"))
+      .groupBy(col("d"), col("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `terms` (one `term` row each) against a
+    * built sketch: min over the depth rows of the addressed cells.
+    * The sketch side is metadata-sized, so the join broadcasts. */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame): DataFrame =
+    terms
+      .select(col("term"),
+        explode(typedlit((0 until CmsDepth).toList)).as("d"))
+      .select(col("term"), col("d"),
+        cmsSlot(col("d"), col("term")).as("slot"))
+      .join(broadcast(sketch), Seq("d", "slot"))
+      .groupBy(col("term"))
+      .agg(min(col("cnt")).as("cms_est"))
+
+  /** HyperLogLog (Flajolet et al. 2007) distinct count in exact
+    * integer arithmetic, 256 registers.
+    *
+    * Per value: h = hex60(v) (60 bits); register index = h % 256; the
+    * remaining w = h div 256 (< 2^52) contributes
+    * rho = 53 - length(bin(w)) — i.e. leading-zero count in the
+    * 52-bit window plus one (bin() has no leading zeros in either
+    * engine; the w = 0 row degenerates to rho 52 instead of 53, a
+    * 2^-52-probability bias accepted for the shared closed form).
+    * Register value = max rho.
+    *
+    * The harmonic mean is kept EXACT by scaling: sum(2^-rho) over all
+    * m registers is computed as S = sum(2^(53 - rho)) + empty * 2^53
+    * (a BIGINT <= 256 * 2^53), and the estimate
+    * alpha_m * m^2 / (S / 2^53) becomes one decimal128 integer
+    * division — no float accumulation anywhere, so any engine gets
+    * the identical estimate. alpha_256 = 0.7213/(1 + 1.079/256) is
+    * frozen at ppm precision (709270). The paper's small/large-range
+    * corrections are deliberately omitted: the estimator is the raw
+    * one, bias and all, because the contract is cross-engine
+    * exactness of a FIXED formula, not best-in-class accuracy. */
+  val HllRegisters = 256
+  val HllAlphaPpm = 709270L
+
+  /** Per-group raw HLL registers: (groupCols*, idx, rho). The
+    * register index is the low 8 bits of the hash (bitwise AND), the
+    * rho-source the remaining bits (bitwise shift) — exact integer
+    * ops, never a float division that loses low bits past 2^53. */
+  def hllRegisters(df: DataFrame, valueCol: Column,
+                   groupCols: Seq[Column]): DataFrame = {
+    val h = TextOps.hex60(valueCol)
+    df.select(groupCols :+ (h % HllRegisters).as("idx") :+
+        (lit(53L) - length(bin(shiftright(h, 8))).cast("long")).as("rho"): _*)
+      .groupBy(groupCols :+ col("idx"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** alpha_256 * m^2 * 2^53, the constant numerator of the scaled
+    * harmonic mean — an exact 27-digit integer, frozen as a
+    * decimal128 literal shared with the SQL oracle (which spells the
+    * same digits as a HUGEINT). */
+  val HllNumerator: java.math.BigDecimal = new java.math.BigDecimal(
+    (BigInt(HllAlphaPpm) * HllRegisters * HllRegisters *
+      (BigInt(1) << 53)).bigInteger)
+
+  /** Per-group HLL estimate: (groupCols*, hll_est BIGINT).
+    * est = numerator div (S_all * 1e6), where S_all adds 2^53 for
+    * each of the m registers no value hashed into. */
+  def hllEstimate(df: DataFrame, valueCol: Column,
+                  groupCols: Seq[Column]): DataFrame = {
+    val m = HllRegisters.toLong
+    hllRegisters(df, valueCol, groupCols)
+      .groupBy(groupCols: _*)
+      .agg(
+        // the SQL form of shiftleft takes a column shift amount; the
+        // Scala function pins it to a literal Int
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("s_all",
+        col("s_present") + (lit(m) - col("n_present")) * lit(1L << 53))
+      .withColumn("hll_est",
+        expr(s"CAST('${HllNumerator.toPlainString}' AS DECIMAL(38,0)) div " +
+          "(CAST(s_all AS DECIMAL(38,0)) * 1000000)").cast("long"))
+      .drop("s_present", "n_present", "s_all")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextOps, Video, Windows}
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextOps, Video, Windows}
 
 /** The LLM-data-pipeline extension surface: dedup, similarity search,
   * text analysis, multimodal plumbing, event-time windowing. Oracle SQL
@@ -1413,7 +1413,71 @@ object ExtQueries {
         .groupBy(col("c_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           Windows.stableSum(col("o_totalprice")).as("total_price"))
-    })
+    }),
+
+    // ---- r9 additions ----
+    // bucketed point-in-interval join: the equi-join rewrite of a
+    // BETWEEN join Spark would otherwise plan broadcast-nested-loop
+    // (see ext/RangeJoin). Overlapping synthetic key bands over the
+    // part keyspace; intervals explode to ~4 buckets each at width
+    // 256, the exact BETWEEN re-applies post-join. Oracle: the naive
+    // range join, because the rewrite is semantically transparent.
+    "join_range_bucketed" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"))
+      val iv = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("interval_id"),
+        (col("n_nationkey").cast("long") * 600 + 1).as("lo"),
+        (col("n_nationkey").cast("long") * 600 + 1000).as("hi"))
+      RangeJoin.bucketedRangeJoin(pts, iv, "p_partkey", "lo", "hi",
+          bucketWidth = 256)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("p_partkey")).as("key_lo"),
+          max(col("p_partkey")).as("key_hi"))
+    }),
+    // count-min sketch accuracy report: exact top-20 token counts vs
+    // the 4x1024 CMS estimate — the sketch itself is hash-verified,
+    // so a width/depth change that degrades accuracy fails the gate
+    // (the frequency twin of the ANN/LSH recall reports)
+    "sketch_cms_error" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      Sketches.cmsEstimate(Sketches.cmsBuild(toks, "token"),
+          exact.select(col("token").as("term")))
+        .join(exact.withColumnRenamed("token", "term"), Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"))
+    }),
+    // HLL distinct-count report: per-source exact distinct tokens vs
+    // the 256-register integer-exact HLL estimate (ext/Sketches —
+    // scaled harmonic mean, no float accumulation anywhere)
+    "sketch_hll_distinct" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = tok.groupBy(col("source"))
+        .agg(countDistinct(col("token")).as("exact_distinct"))
+      exact.join(Sketches.hllEstimate(tok, col("token"),
+          Seq(col("source"))), Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("hll_est"))
+    }),
+    // priority sampling (Duffield-Lund-Thorup): token-weighted
+    // fixed-size doc draw — longer docs proportionally likelier,
+    // sample size exactly k, deterministic and engine-replayable
+    "sample_weighted_priority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      Sampling.prioritySample(docs, col("doc_id"), col("n_tokens"),
+        k = 100)
+    }),
+    // corpus-hot stopword strip: tokens in >= half of all docs are
+    // removed from every doc, order/multiplicity of the rest kept —
+    // the transform twin of the stopword-density quality scores
+    "corpus_stopword_strip" -> ((s, dir) =>
+      Corpus.stripHotTokens(t(s, dir, "documents"), col("doc_id"),
+        col("text"), dfNum = 1, dfDen = 2))
   )
 
   // =====================================================================
@@ -3260,6 +3324,100 @@ object ExtQueries {
              ${stableSumSql("o_totalprice")} AS total_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
-      GROUP BY 1"""
+      GROUP BY 1""",
+
+    // ---- r9 additions ----
+    // the bucket rewrite is semantically transparent: the oracle is
+    // the naive BETWEEN join
+    "join_range_bucketed" -> """
+      WITH iv AS (SELECT CAST(n_nationkey AS BIGINT) AS interval_id,
+                         CAST(n_nationkey AS BIGINT) * 600 + 1 AS lo,
+                         CAST(n_nationkey AS BIGINT) * 600 + 1000 AS hi
+                  FROM nation)
+      SELECT interval_id, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(min(p_partkey) AS BIGINT) AS key_lo,
+             CAST(max(p_partkey) AS BIGINT) AS key_hi
+      FROM iv JOIN part ON p_partkey BETWEEN lo AND hi
+      GROUP BY 1""",
+    // CMS replay: same depth-prefixed hex60 hashing, same cells
+    "sketch_cms_error" -> s"""
+      WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS token FROM documents),
+      ds AS (SELECT unnest(range(${Sketches.CmsDepth})) AS d),
+      ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM tk GROUP BY 1),
+      top AS (SELECT token AS term, exact_cnt FROM ex
+              ORDER BY exact_cnt DESC, token LIMIT 20),
+      cells AS (SELECT d,
+                  ${hex60Sql("CAST(d AS VARCHAR) || ':' || token")}
+                    % ${Sketches.CmsWidth} AS slot,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM tk CROSS JOIN ds GROUP BY 1, 2),
+      probe AS (SELECT term, exact_cnt, d,
+                  ${hex60Sql("CAST(d AS VARCHAR) || ':' || term")}
+                    % ${Sketches.CmsWidth} AS slot
+                FROM top CROSS JOIN ds)
+      SELECT term, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
+      FROM probe JOIN cells USING (d, slot)
+      GROUP BY 1, 2""",
+    // HLL replay: identical register math, HUGEINT for the scaled
+    // harmonic mean where Spark uses DECIMAL(38,0)
+    "sketch_hll_distinct" -> s"""
+      WITH tk AS (SELECT source,
+                    unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS token FROM documents),
+      h AS (SELECT source, ${hex60Sql("token")} AS hv FROM tk),
+      regs AS (SELECT source, hv % ${Sketches.HllRegisters} AS idx,
+                 CAST(max(53 - length(bin(hv >> 8))) AS BIGINT) AS rho
+               FROM h GROUP BY 1, 2),
+      sums AS (SELECT source,
+                 SUM(1::BIGINT << CAST(53 - rho AS INTEGER)) AS s_present,
+                 count(*) AS n_present
+               FROM regs GROUP BY 1),
+      est AS (SELECT source,
+                CAST(CAST('${Sketches.HllNumerator.toPlainString}' AS HUGEINT)
+                     // ((s_present
+                          + (${Sketches.HllRegisters} - n_present)
+                            * (1::BIGINT << 53)) * CAST(1000000 AS HUGEINT))
+                  AS BIGINT) AS hll_est
+              FROM sums)
+      SELECT tk2.source, tk2.exact_distinct, est.hll_est
+      FROM (SELECT source, CAST(count(DISTINCT token) AS BIGINT)
+              AS exact_distinct FROM tk GROUP BY 1) tk2
+      JOIN est USING (source)""",
+    // priority sampling replay: same bucket hash, same integer
+    // priority, same (priority, key) total order
+    "sample_weighted_priority" -> s"""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS BIGINT) AS n_tokens
+                 FROM documents)
+      SELECT doc_id, n_tokens FROM d
+      ORDER BY ${bucketSql("doc_id")} * ${Sampling.Buckets}
+                 // GREATEST(n_tokens, 1), doc_id
+      LIMIT 100""",
+    // stopword strip replay: df over distinct (doc, token), hot =
+    // df*2 >= n, positional reassembly via string_agg ORDER BY
+    "corpus_stopword_strip" -> """
+      WITH tok AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM documents),
+      dfr AS (SELECT token, count(*) AS df
+              FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token
+                    FROM tok) GROUP BY 1),
+      hot AS (SELECT token FROM dfr
+              WHERE df * 2 >= (SELECT count(*) FROM documents)),
+      pos AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM tok),
+      tx AS (SELECT doc_id, p, toks[CAST(p + 1 AS INTEGER)] AS token
+             FROM pos),
+      kept AS (SELECT doc_id, p, token FROM tx
+               WHERE token NOT IN (SELECT token FROM hot)),
+      agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY 1),
+      base AS (SELECT doc_id, len(toks) AS n_toks FROM tok)
+      SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+             CAST(b.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+      FROM base b LEFT JOIN agg a USING (doc_id)"""
   )
 }

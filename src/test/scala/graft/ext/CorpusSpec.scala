@@ -605,4 +605,35 @@ class CorpusSpec extends SparkSpec {
     assert(byW1.contains("cat"))
     assert(!byW1.contains("dog") && !byW1.contains("sat"))
   }
+  test("stripHotTokens removes exactly the >=half-df tokens, order kept") {
+    val out = Corpus.stripHotTokens(docs, col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    // independent driver-side replay
+    val n = rows.length
+    val df = rows.flatMap { case (_, t) =>
+      t.trim.split("\\s+").distinct }.groupBy(identity)
+      .view.mapValues(_.length.toLong)
+    val hot = df.filter { case (_, c) => c * 2 >= n }.keySet
+    assert(hot.nonEmpty, "fixture corpus should have corpus-hot tokens")
+    for ((id, text) <- rows) {
+      val toks = text.trim.split("\\s+").toSeq
+      val kept = toks.filterNot(hot)
+      val (gotText, gotRemoved) = out(id)
+      assert(gotText === kept.mkString(" "), s"doc $id text diverged")
+      assert(gotRemoved === (toks.size - kept.size).toLong)
+    }
+    // the strip is order/multiplicity-preserving on what remains:
+    // spot-check that a surviving duplicated token stays duplicated
+    val survivor = rows.collectFirst {
+      case (id, text) if text.trim.split("\\s+").count(t =>
+        !hot(t) && text.trim.split("\\s+").count(_ == t) > 1) > 0 => id
+    }
+    for (id <- survivor) {
+      val kept = out(id)._1.split(" ").toSeq
+      assert(kept.distinct.size < kept.size,
+        "multiplicity lost in reassembly")
+    }
+  }
 }

@@ -123,6 +123,31 @@ class SamplingSpec extends SparkSpec {
     assert(state.columns.toSeq === Seq("vec_id", "v", "mind"))
   }
 
+  test("priority sample is weight-biased, exact-size and replayable") {
+    val docs2 = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("w"))
+    val a = Sampling.prioritySample(docs2, col("doc_id"), col("w"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size === 50)
+    // replayable: identical draw under repartitioning
+    val b = Sampling.prioritySample(docs2.repartition(13), col("doc_id"),
+        col("w"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // driver-side replay of the integer priority order
+    val rows = docs2.as[(Long, Long)].collect()
+    val want = rows.map { case (id, w) =>
+      val u = TextOps.hex60Local(id.toString) % Sampling.Buckets
+      ((u * Sampling.Buckets) / math.max(w, 1L), id)
+    }.sorted.take(50).map(_._2).toSet
+    assert(a === want)
+    // weight bias: sampled docs skew longer than the corpus average
+    val avgAll = rows.map(_._2).sum.toDouble / rows.length
+    val avgSampled = rows.filter(r => a(r._1)).map(_._2).sum.toDouble / 50
+    assert(avgSampled > avgAll,
+      s"weighting had no effect: sampled $avgSampled vs corpus $avgAll")
+  }
+
   test("k-center stops early instead of emitting duplicate centers") {
     // 3 distinct points, one duplicated; ask for k=5
     val emb = Seq(

@@ -1477,7 +1477,79 @@ object ExtQueries {
     // the transform twin of the stopword-density quality scores
     "corpus_stopword_strip" -> ((s, dir) =>
       Corpus.stripHotTokens(t(s, dir, "documents"), col("doc_id"),
-        col("text"), dfNum = 1, dfDen = 2))
+        col("text"), dfNum = 1, dfDen = 2)),
+    // integer-exact TF-IDF: idf as (n*1e6) div df — the monotone
+    // integer proxy for ln(n/df); libm's ln is NOT guaranteed
+    // bit-identical across engines, integer division is. Top-3 terms
+    // per doc with a (score desc, token) total order. The window
+    // partitions by doc_id (high-cardinality key: hash-spread, no
+    // global sort); the df side joins on token
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfr, Seq("token"))
+        .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
+        .withColumn("score", col("tf") * col("idf_ppm"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"),
+          col("rnk"))
+    }),
+    // per-user 7-day rolling features at every event — the classic
+    // feature-engineering shape (one shuffle on the user key, a
+    // range-frame window sorted within partition; RANGE includes
+    // ts-second peers identically in any engine). The value sum rides
+    // the stable micro-unit integer fold
+    "window_rolling_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("ts").cast("long").as("ts_sec"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-7L * 86400, 0)
+      ev.select(col("event_id"), col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_7d"),
+        (sum(floor(col("value") * 1000000).cast("long")).over(w)
+          / 1000000.0).as("val_7d"))
+    }),
+    // ordered conversion funnel: first view, first click AFTER that
+    // view, first purchase AFTER that click; stage credited only
+    // within 7 days of the view. Three user-keyed aggregates + joins
+    // (co-partitioned on user_id end to end), never a window over
+    // the whole event stream
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), col("ts").cast("long").as("ts_sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_sec") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_sec") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("p_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("p_ts").isNotNull &&
+            col("p_ts") <= col("v_ts") + 604800L, "purchase")
+          .when(col("c_ts").isNotNull &&
+            col("c_ts") <= col("v_ts") + 604800L, "click")
+          .when(col("v_ts").isNotNull, "view")
+          .otherwise("none"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    })
   )
 
   // =====================================================================
@@ -3418,6 +3490,63 @@ object ExtQueries {
       base AS (SELECT doc_id, len(toks) AS n_toks FROM tok)
       SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
              CAST(b.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
-      FROM base b LEFT JOIN agg a USING (doc_id)"""
+      FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // integer idf replay: same (n*1e6) div df proxy, same tie order
+    "text_tfidf_top_terms" -> """
+      WITH tk AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(text), '\s+'))
+                      AS token FROM documents),
+      tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, tf.token, tf,
+               tf * (((SELECT count(*) FROM documents) * 1000000) // df)
+                 AS score
+             FROM tf JOIN dfr USING (token)),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+            FROM sc)
+      SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 3""",
+    // rolling range-frame replay: RANGE over epoch seconds includes
+    // same-second peers in both engines; micro-unit stable sum
+    "window_rolling_counts" -> """
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(count(*) OVER w AS BIGINT) AS n_7d,
+             (SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w
+               / 1000000.0) AS val_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+    // funnel replay: identical staged min-ts chain and 7-day cap
+    "events_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+                  FROM events),
+      v AS (SELECT user_id, min(ts_sec) AS v_ts FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(ts_sec) AS c_ts FROM ev e
+            JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_sec >= v_ts GROUP BY 1),
+      p AS (SELECT e.user_id, min(ts_sec) AS p_ts FROM ev e
+            JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_sec >= c_ts GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM ev),
+      st AS (SELECT u.user_id, CASE
+               WHEN p_ts IS NOT NULL AND p_ts <= v_ts + 604800
+                 THEN 'purchase'
+               WHEN c_ts IS NOT NULL AND c_ts <= v_ts + 604800
+                 THEN 'click'
+               WHEN v_ts IS NOT NULL THEN 'view'
+               ELSE 'none' END AS stage
+             FROM u LEFT JOIN v USING (user_id)
+                    LEFT JOIN c USING (user_id)
+                    LEFT JOIN p USING (user_id))
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+      FROM st GROUP BY 1"""
   )
 }

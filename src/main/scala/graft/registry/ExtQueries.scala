@@ -1549,6 +1549,100 @@ object ExtQueries {
           .when(col("v_ts").isNotNull, "view")
           .otherwise("none"))
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+    // integer-exact PMI collocations: pointwise mutual information as
+    // the monotone ratio proxy (N * n12 * 1e6) div (n1 * n2) — log is
+    // monotone, so thresholding/ranking the ratio equals PMI without
+    // libm. Products run in DecimalType(38,0): N*n12 and n1*n2 pass
+    // 2^63 near ~1e13 corpus bigrams, decimal128 keeps them exact
+    // (DuckDB HUGEINT covers the same domain); the final ppm stays
+    // int64 while N*1e6/minCount < 2^63, i.e. N < ~4.6e13 bigrams at
+    // minCount 5. Margin counts fold the already-grouped bigram table
+    // (vocabulary-sized), never the raw explode — two tiny hash-aggs
+    // joined back on the word keys
+    "vocab_pmi_collocations" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = t(s, dir, "documents").select(explode(
+          graft.functions.VectorFunctions.wordShingleStrings(
+            col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n12"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      val total = cnt.agg(sum(col("n12"))).first().getLong(0)
+      val m1 = cnt.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      val m2 = cnt.groupBy(col("w2")).agg(sum(col("n12")).as("n2"))
+      cnt.join(m1, Seq("w1")).join(m2, Seq("w2"))
+        .filter(col("n12") >= 5)
+        .withColumn("num", lit(total).cast(dec) * col("n12").cast(dec)
+          * lit(1000000).cast(dec))
+        .withColumn("den", col("n1").cast(dec) * col("n2").cast(dec))
+        .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+          expr("num div den").as("pmi_ppm"))
+    }),
+    // canonical text normalization: lowercase, collapse whitespace
+    // runs to one space, trim — the first pass of every dedup /
+    // tokenize chain. Pure per-row narrow map: no shuffle, fully
+    // codegen'd, only (doc_id, text) reaches the scan
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+            .as("norm_text"),
+          length(col("text")).cast("long").as("n_chars_raw"))
+        .withColumn("n_chars_norm",
+          length(col("norm_text")).cast("long"))),
+    // per-event local context: previous/next event type and gap
+    // seconds within the same user — the sequence-model windowing
+    // primitive. One shuffle on user_id; lag and lead share a single
+    // window sort on the deterministic (ts_sec, event_id) total order
+    "events_context_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_sec"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+          .as("prev_gap_sec"),
+        (lead(col("ts_sec"), 1).over(w) - col("ts_sec"))
+          .as("next_gap_sec"))
+    }),
+    // per-source winsorization: clamp token counts into the nearest-
+    // rank [p05, p95] band — the outlier-robust length normalizer
+    // before source mixing. Nearest-rank (value at rank ceil(q*n),
+    // integer (q*n+99) div 100) is exactly replayable cross-engine
+    // where interpolated percentiles are not. The rank walk runs on a
+    // per-source (n_tokens, count) HISTOGRAM — vocabulary-sized, so
+    // the window sort never touches the doc stream and a hot source
+    // cannot skew it; bounds broadcast back onto the scan
+    "quality_winsorize_per_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      val hist = d.groupBy(col("source"), col("n_tokens"))
+        .agg(count(lit(1)).as("c"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          bySrc.orderBy(col("n_tokens"))))
+        .withColumn("n", sum(col("c")).over(bySrc))
+      val bounds = cum
+        .withColumn("lo_rank", expr("(5 * n + 99) div 100"))
+        .withColumn("hi_rank", expr("(95 * n + 99) div 100"))
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") >= col("lo_rank"), col("n_tokens")))
+            .as("lo"),
+          min(when(col("cum") >= col("hi_rank"), col("n_tokens")))
+            .as("hi"))
+      d.join(broadcast(bounds), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("n_tokens")))
+            .as("n_tokens_w"))
     })
   )
 
@@ -3547,6 +3641,73 @@ object ExtQueries {
                     LEFT JOIN c USING (user_id)
                     LEFT JOIN p USING (user_id))
       SELECT stage, CAST(count(*) AS BIGINT) AS n_users
-      FROM st GROUP BY 1"""
+      FROM st GROUP BY 1""",
+    // same bigram split as vocab_bigram_conditionals; HUGEINT products
+    // replay the Spark side's decimal128, floor-div back to BIGINT
+    "vocab_pmi_collocations" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2),
+      cnt AS (SELECT split_part(bigram, ' ', 1) AS w1,
+          split_part(bigram, ' ', 2) AS w2,
+          CAST(count(*) AS BIGINT) AS n12
+        FROM bg GROUP BY 1, 2),
+      m1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+             FROM cnt GROUP BY 1),
+      m2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2
+             FROM cnt GROUP BY 1),
+      tot AS (SELECT CAST(sum(n12) AS BIGINT) AS total FROM cnt)
+      SELECT c.w1, c.w2, c.n12, m1.n1, m2.n2,
+        CAST((CAST(tot.total AS HUGEINT) * c.n12 * 1000000)
+             // (CAST(m1.n1 AS HUGEINT) * m2.n2) AS BIGINT) AS pmi_ppm
+      FROM cnt c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+      WHERE c.n12 >= 5""",
+    // same lower/trim/collapse chain; 'g' flag = Spark's replace-all
+    "text_normalize" -> """
+      WITH n AS (SELECT doc_id,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+            AS norm_text,
+          CAST(length(text) AS BIGINT) AS n_chars_raw
+        FROM documents)
+      SELECT doc_id, norm_text, n_chars_raw,
+             CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+      FROM n""",
+    // identical (ts_sec, event_id) total order, lag/lead replay
+    "events_context_window" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+                  FROM events)
+      SELECT event_id, user_id, event_type, ts_sec,
+             lag(event_type, 1) OVER w AS prev_type,
+             lead(event_type, 1) OVER w AS next_type,
+             ts_sec - lag(ts_sec, 1) OVER w AS prev_gap_sec,
+             lead(ts_sec, 1) OVER w - ts_sec AS next_gap_sec
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)""",
+    // same histogram cum-walk: value at rank ceil(q*n) via integer
+    // (q*n+99)//100, clamp with greatest/least
+    "quality_winsorize_per_source" -> """
+      WITH d AS (SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      hist AS (SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2),
+      cum AS (SELECT source, n_tokens,
+          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_tokens)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM hist),
+      b AS (SELECT source,
+          min(CASE WHEN cum >= (5 * n + 99) // 100
+              THEN n_tokens END) AS lo,
+          min(CASE WHEN cum >= (95 * n + 99) // 100
+              THEN n_tokens END) AS hi
+        FROM cum GROUP BY 1)
+      SELECT d.doc_id, d.source, d.n_tokens, b.lo, b.hi,
+             greatest(b.lo, least(b.hi, d.n_tokens)) AS n_tokens_w
+      FROM d JOIN b USING (source)"""
   )
 }

@@ -1643,6 +1643,117 @@ object ExtQueries {
           col("lo"), col("hi"),
           greatest(col("lo"), least(col("hi"), col("n_tokens")))
             .as("n_tokens_w"))
+    }),
+    // integer-exact MAD outliers: flag docs whose token count sits
+    // more than 3 median-absolute-deviations from the per-source
+    // median — the robust sibling of quality_outlier_zscore (one wild
+    // doc cannot drag the center the way it drags a mean). Both
+    // medians are nearest-rank (value at rank ceil(n/2)) walked over
+    // per-source HISTOGRAMS — first of n_tokens, then of |dev| —
+    // so nothing ever sorts the doc stream and the arithmetic is
+    // int64 end-to-end (no squares: |dev| and 3*MAD stay below the
+    // token-count bound). A source with MAD 0 (constant lengths)
+    // flags every non-median doc; documented, intended
+    "quality_outlier_mad" -> ((s, dir) => {
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      def medianOf(df: DataFrame, v: String, out: String): DataFrame =
+        df.groupBy(col("source"), col(v)).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(bySrc.orderBy(col(v))))
+          .withColumn("n", sum(col("c")).over(bySrc))
+          .groupBy(col("source"))
+          .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(v)))
+            .as(out))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      val med = medianOf(d, "n_tokens", "med")
+      val dev = d.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_tokens") - col("med")))
+      val mad = medianOf(dev, "dev", "mad")
+      dev.join(broadcast(mad), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("med"), col("mad"),
+          (col("dev") > lit(3L) * col("mad")).as("is_outlier"))
+    }),
+    // skip-gram co-occurrence pairs (word2vec training-data prep):
+    // directed (center, context) counts within a +-2 token window.
+    // No self-join: distance-1 pairs are the bigram explode both
+    // ways, distance-2 pairs are (w1,w3)/(w3,w1) of the trigram
+    // explode — reusing the same codegen'd shingle splitter as the
+    // vocab family, then one vocabulary-sized hash-agg
+    "vocab_skipgram_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(n: Int) = docs.select(explode(
+        graft.functions.VectorFunctions.wordShingleStrings(
+          col("text"), n)).as("g"))
+      val d1 = grams(2)
+        .select(substring_index(col("g"), " ", 1).as("a"),
+          substring_index(col("g"), " ", -1).as("b"))
+      val d2 = grams(3)
+        .select(substring_index(col("g"), " ", 1).as("a"),
+          substring_index(col("g"), " ", -1).as("b"))
+      val pairs = d1.select(col("a").as("center"), col("b").as("context"))
+        .unionAll(d1.select(col("b").as("center"), col("a").as("context")))
+        .unionAll(d2.select(col("a").as("center"), col("b").as("context")))
+        .unionAll(d2.select(col("b").as("center"), col("a").as("context")))
+      pairs.groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+    }),
+    // hourly OHLC bars over the event value stream — the time-series
+    // downsample every feature store ships. Open/close ride a single
+    // struct min/max ordered by the deterministic (ts_sec, event_id)
+    // total order (the unique tiebreak decides before the value field
+    // can); money math in stable micro-units. One hash-agg keyed by
+    // hour: map-side combine does almost all the work, the shuffle
+    // carries one row per (partition, hour). Volume sums in
+    // decimal128 and lands back in int64 (exact while a bar's total
+    // stays under 2^63 micro-units ~ 9.2e12 value units)
+    "window_ohlc_hourly" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts").cast("long").as("ts_sec"),
+        floor(col("value") * 1000000).cast("long").as("micro"))
+        .withColumn("hour", expr("ts_sec div 3600"))
+      ev.groupBy(col("hour"))
+        .agg(
+          min(struct(col("ts_sec"), col("event_id"), col("micro")))
+            .getField("micro").as("open_micro"),
+          max(col("micro")).as("high_micro"),
+          min(col("micro")).as("low_micro"),
+          max(struct(col("ts_sec"), col("event_id"), col("micro")))
+            .getField("micro").as("close_micro"),
+          count(lit(1)).as("n_events"),
+          sum(col("micro").cast(dec)).cast("long").as("vol_micro"))
+    }),
+    // first-order Markov transition matrix over per-user event
+    // sequences: directed (event_type -> next_type) counts with
+    // integer-ppm row-normalized probabilities — the sequence prior
+    // behind next-event prediction and anomaly scoring. One shuffle
+    // on user_id for the lead(), then a tiny type-x-type hash-agg;
+    // row totals ride a window over that matrix (NULL-type rows form
+    // their own partition in both engines, so no join can drop them)
+    "events_markov_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      // gate on lead(ts_sec) — never NULL — so a real next event with
+      // NULL type still counts as a transition into the NULL state
+      val trans = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts_sec"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      trans
+        .withColumn("total", sum(col("n")).over(byFrom))
+        .select(col("event_type"), col("next_type"), col("n"),
+          col("total"), expr("n * 1000000L div total").as("prob_ppm"))
     })
   )
 
@@ -3708,6 +3819,93 @@ object ExtQueries {
         FROM cum GROUP BY 1)
       SELECT d.doc_id, d.source, d.n_tokens, b.lo, b.hi,
              greatest(b.lo, least(b.hi, d.n_tokens)) AS n_tokens_w
-      FROM d JOIN b USING (source)"""
+      FROM d JOIN b USING (source)""",
+    // same two nearest-rank median walks over per-source histograms
+    "quality_outlier_mad" -> """
+      WITH d AS (SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      h1 AS (SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2),
+      c1 AS (SELECT source, n_tokens,
+          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_tokens)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM h1),
+      med AS (SELECT source,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN n_tokens END) AS med
+        FROM c1 GROUP BY 1),
+      dv AS (SELECT d.doc_id, d.source, d.n_tokens, m.med,
+          abs(d.n_tokens - m.med) AS dev
+        FROM d JOIN med m USING (source)),
+      h2 AS (SELECT source, dev, CAST(count(*) AS BIGINT) AS c
+        FROM dv GROUP BY 1, 2),
+      c2 AS (SELECT source, dev,
+          CAST(sum(c) OVER (PARTITION BY source ORDER BY dev)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM h2),
+      mad AS (SELECT source,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+        FROM c2 GROUP BY 1)
+      SELECT v.doc_id, v.source, v.n_tokens, v.med, a.mad,
+             v.dev > 3 * a.mad AS is_outlier
+      FROM dv v JOIN mad a USING (source)""",
+    // distance-1 pairs from bigrams both ways, distance-2 pairs from
+    // the (first, third) trigram projection both ways
+    "vocab_skipgram_pairs" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM tok WHERE len(toks) >= 2),
+      tg AS (SELECT unnest(list_transform(range(len(toks) - 2),
+          i -> toks[i+1] || ' ' || toks[i+3])) AS g
+        FROM tok WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT split_part(g, ' ', 1) AS center,
+               split_part(g, ' ', 2) AS context FROM bg
+        UNION ALL
+        SELECT split_part(g, ' ', 2), split_part(g, ' ', 1) FROM bg
+        UNION ALL
+        SELECT split_part(g, ' ', 1), split_part(g, ' ', 2) FROM tg
+        UNION ALL
+        SELECT split_part(g, ' ', 2), split_part(g, ' ', 1) FROM tg)
+      SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5""",
+    // ordered-aggregate first/last replay the struct min/max; HUGEINT
+    // sum replays the decimal128 volume fold
+    "window_ohlc_hourly" -> """
+      WITH ev AS (SELECT event_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+          CAST(FLOOR(value * 1000000) AS BIGINT) AS micro
+        FROM events)
+      SELECT ts_sec // 3600 AS hour,
+             first(micro ORDER BY ts_sec, event_id) AS open_micro,
+             max(micro) AS high_micro,
+             min(micro) AS low_micro,
+             last(micro ORDER BY ts_sec, event_id) AS close_micro,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(micro) AS BIGINT) AS vol_micro
+      FROM ev GROUP BY 1""",
+    // same lead() chain gated on the never-NULL next_ts; NULL types
+    // group and window-partition identically in both engines
+    "events_markov_transitions" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+      nx AS (SELECT event_type,
+          lead(event_type, 1) OVER w AS next_type,
+          lead(ts_sec, 1) OVER w AS next_ts
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+      tr AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM nx WHERE next_ts IS NOT NULL GROUP BY 1, 2),
+      tt AS (SELECT event_type, next_type, n,
+          CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM tr)
+      SELECT event_type, next_type, n, total,
+             CAST(n * 1000000 // total AS BIGINT) AS prob_ppm
+      FROM tt"""
   )
 }

@@ -1677,26 +1677,25 @@ object ExtQueries {
     }),
     // skip-gram co-occurrence pairs (word2vec training-data prep):
     // directed (center, context) counts within a +-2 token window.
-    // No self-join: distance-1 pairs are the bigram explode both
-    // ways, distance-2 pairs are (w1,w3)/(w3,w1) of the trigram
-    // explode — reusing the same codegen'd shingle splitter as the
-    // vocab family, then one vocabulary-sized hash-agg
+    // No self-join, and ONE corpus scan/explode: bigram and trigram
+    // shingles concatenate into one array (pair extraction first-
+    // token/last-token reads identically off both — a trigram's
+    // middle word is exactly the distance-2 skip), the reverse
+    // direction appends the swapped pair strings INSIDE the same
+    // array expression, and one hash-agg with map-side combine
+    // finishes. Plan: Scan -> Generate -> partial agg -> one shuffle
     "vocab_skipgram_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      def grams(n: Int) = docs.select(explode(
+      val fwd = concat(
         graft.functions.VectorFunctions.wordShingleStrings(
-          col("text"), n)).as("g"))
-      val d1 = grams(2)
-        .select(substring_index(col("g"), " ", 1).as("a"),
-          substring_index(col("g"), " ", -1).as("b"))
-      val d2 = grams(3)
-        .select(substring_index(col("g"), " ", 1).as("a"),
-          substring_index(col("g"), " ", -1).as("b"))
-      val pairs = d1.select(col("a").as("center"), col("b").as("context"))
-        .unionAll(d1.select(col("b").as("center"), col("a").as("context")))
-        .unionAll(d2.select(col("a").as("center"), col("b").as("context")))
-        .unionAll(d2.select(col("b").as("center"), col("a").as("context")))
-      pairs.groupBy(col("center"), col("context"))
+          col("text"), 2),
+        graft.functions.VectorFunctions.wordShingleStrings(
+          col("text"), 3))
+      val both = concat(fwd, transform(fwd, g => concat_ws(" ",
+        substring_index(g, " ", -1), substring_index(g, " ", 1))))
+      t(s, dir, "documents").select(explode(both).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("center"),
+          substring_index(col("g"), " ", -1).as("context"))
+        .groupBy(col("center"), col("context"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
     }),
@@ -1704,11 +1703,14 @@ object ExtQueries {
     // downsample every feature store ships. Open/close ride a single
     // struct min/max ordered by the deterministic (ts_sec, event_id)
     // total order (the unique tiebreak decides before the value field
-    // can); money math in stable micro-units. One hash-agg keyed by
-    // hour: map-side combine does almost all the work, the shuffle
-    // carries one row per (partition, hour). Volume sums in
-    // decimal128 and lands back in int64 (exact while a bar's total
-    // stays under 2^63 micro-units ~ 9.2e12 value units)
+    // can); money math in stable micro-units. One agg keyed by hour
+    // with map-side combine — struct-min buffers aren't UnsafeRow-
+    // mutable, so Spark plans partial SortAggregate rather than hash;
+    // the partial sort is on the GROUPING key only, and event streams
+    // arrive near time-ordered, so it's a near-linear run-merge, while
+    // the shuffle still carries one row per (partition, hour). Volume
+    // sums in decimal128 and lands back in int64 (exact while a bar's
+    // total stays under 2^63 micro-units ~ 9.2e12 value units)
     "window_ohlc_hourly" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val ev = Tables.events(s, dir).select(

@@ -1756,6 +1756,68 @@ object ExtQueries {
         .withColumn("total", sum(col("n")).over(byFrom))
         .select(col("event_type"), col("next_type"), col("n"),
           col("total"), expr("n * 1000000L div total").as("prob_ppm"))
+    }),
+    // per-source token-distribution diversity as integer-exact Gini
+    // impurity: 1e6 - sum(n_i^2)*1e6 div N^2 — the mode-collapse /
+    // template-spam audit (a source whose mass sits on few tokens
+    // scores near 0). No float probabilities: squares and the N^2
+    // denominator run in decimal128 (exact to 1e38; sum(n_i^2) passes
+    // 2^63 once a source holds ~3e9 copies of one token), the final
+    // ppm is int64. One explode + two vocabulary-keyed hash-aggs
+    "vocab_gini_diversity" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = t(s, dir, "documents").select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("n").cast(dec) * col("n").cast(dec)).as("ss"))
+        .withColumn("den",
+          col("n_tokens").cast(dec) * col("n_tokens").cast(dec))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          (lit(1000000L) - expr("(ss * 1000000) div den"))
+            .as("gini_ppm"))
+    }),
+    // language-ID confusion matrix: the n-gram heuristic's prediction
+    // vs the labeled lang column, with integer-ppm row shares — the
+    // eval-harness operator that turns a classifier into a gated
+    // metric (a heuristic regression shifts a cell and fails the
+    // hash). Tiny lang x lang hash-agg; shares ride a window over the
+    // matrix so no join can drop a row
+    "text_langid_confusion" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(col("lang"),
+          TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val byTrue = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      m.withColumn("total", sum(col("n")).over(byTrue))
+        .select(col("lang"), col("lang_pred"), col("n"), col("total"),
+          expr("n * 1000000L div total").as("share_ppm"))
+    }),
+    // per-label embedding centroids in stable micro-units: components
+    // floor-quantized to int64 at 1e6 (float sums order-drift; long
+    // sums don't), summed per (label, dim) with the fold in decimal128
+    // (exact while a class total stays under 1e38), mean as exact
+    // FLOOR division — (a - pmod(a, n)) div n, which equals DuckDB's
+    // // on negative sums where plain div would truncate toward zero.
+    // One posexplode + one hash-agg keyed by (label, dim): map-side
+    // combine collapses to classes x dims rows before the shuffle
+    "emb_label_centroids" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          floor(col("col").cast("double") * 1000000).cast("long")
+            .as("micro"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("micro").cast(dec)).cast("long").as("sum_micro"))
+        .withColumn("mean_micro",
+          expr("(sum_micro - pmod(sum_micro, n)) div n"))
     })
   )
 
@@ -3908,6 +3970,64 @@ object ExtQueries {
         FROM tr)
       SELECT event_type, next_type, n, total,
              CAST(n * 1000000 // total AS BIGINT) AS prob_ppm
-      FROM tt"""
+      FROM tt""",
+    // HUGEINT squares replay the decimal128 fold
+    "vocab_gini_diversity" -> """
+      WITH tf AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tf GROUP BY 1, 2),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          sum(CAST(n AS HUGEINT) * n) AS ss
+        FROM cnt GROUP BY 1)
+      SELECT source, n_types, n_tokens,
+        CAST(1000000 - (ss * 1000000)
+          // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+          AS gini_ppm
+      FROM ag""",
+    // same stopword-hit argmax chain as text_lang_id, joined to the
+    // labeled column; shares ride a window over the tiny matrix
+    "text_langid_confusion" -> s"""
+      WITH t AS (SELECT doc_id, lang, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      s AS (SELECT lang,
+              ${scoreSql("en")} AS c_en, ${scoreSql("es")} AS c_es,
+              ${scoreSql("de")} AS c_de, ${scoreSql("fr")} AS c_fr
+            FROM t),
+      pr AS (SELECT lang, CASE
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr
+                 THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+               WHEN c_de >= c_fr THEN 'de'
+               ELSE 'fr' END AS lang_pred
+             FROM s),
+      m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2),
+      tt AS (SELECT lang, lang_pred, n,
+          CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+        FROM m)
+      SELECT lang, lang_pred, n, total,
+             CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      FROM tt""",
+    // zipped unnests replay posexplode; DuckDB's BIGINT // truncates
+    // toward zero on negatives, so the oracle carries the SAME
+    // positive-remainder rewrite as the Spark side — the numerator is
+    // exactly divisible, making the division convention irrelevant
+    "emb_label_centroids" -> """
+      WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+          unnest(range(len(embedding))) AS dim,
+          unnest(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+            AS micro
+        FROM embeddings),
+      ag AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(micro) AS BIGINT) AS sum_micro
+        FROM ex GROUP BY 1, 2)
+      SELECT label, dim, n, sum_micro,
+             (sum_micro - ((sum_micro % n) + n) % n) // n AS mean_micro
+      FROM ag"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.dotNative
+import graft.functions.VectorFunctions.{dotNative, intDotNative}
 
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the correctness baseline, hyperplane-LSH
@@ -482,5 +482,65 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cosine"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Int8-quantized ANN with exact rerank — the memory-bandwidth scale
+    * path: stage 1 scans 8-bit codes (4x smaller than float32, integer
+    * ALU scoring via the codegen'd [[graft.functions.IntDotProduct]])
+    * and keeps only `k * candMult` candidates per query through the
+    * bounded [[graft.functions.TopKByScore]] heap; stage 2 fetches the
+    * FULL float vectors for just that tiny candidate sliver (broadcast
+    * join — the full-precision vectors are never shuffled corpus-wide)
+    * and re-scores exactly. At 100 TB the corpus-wide scan touches a
+    * quarter of the bytes of brute force and the expensive double math
+    * runs on |queries| * candMult * k rows, not |queries| * |corpus|.
+    *
+    * Quantization is symmetric round-half-up on the UNIT vector:
+    * `floor(nv_i * 127.0 + 0.5)` — a pure double-then-floor formula
+    * with one expression shape, so any SQL engine derives bit-identical
+    * codes and the candidate set (integer scores, id tiebreak) is
+    * hash-verifiable, not just the reranked output. Zero vectors
+    * normalize to NaN and are dropped BEFORE quantizing on both
+    * engines (FLOOR(NaN) casts differently per engine — the filter is
+    * a portability requirement, not hygiene). */
+  def int8RerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, candMult: Int = 4): DataFrame = {
+    val cand = k * candMult
+    def coded(df: DataFrame, idAs: String, vecAs: String, codeAs: String) =
+      withNormalized(df, vecCol, vecAs)
+        .filter(!isnan(element_at(col(vecAs), 1)))
+        .withColumn(codeAs, transform(col(vecAs),
+          x => floor(x * lit(127.0) + lit(0.5)).cast("long")))
+        .select(col(idCol).as(idAs), col(vecAs), col(codeAs))
+    val q = coded(queries, "query_id", "qv", "qq")
+    val c = coded(corpus, "neighbor_id", "cv", "cq")
+    // stage 1: integer scoring over codes only. iscore <= 64*127^2
+    // (~1.03e6) fits a double exactly, so reusing the double-scored
+    // heap keeps one total order (score desc, id asc) with zero
+    // rounding risk.
+    val candidates = broadcast(q.select(col("query_id"), col("qq")))
+      .join(c.select(col("neighbor_id"), col("cq")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intDotNative(col("qq"), col("cq")).as("iscore"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(
+        col("iscore").cast("double"), col("neighbor_id"), cand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+    // stage 2: exact rerank of |queries| * cand rows — candidates and
+    // queries broadcast, so the only corpus-side work is a hash-probe
+    // fetch of the few vectors that survived stage 1. A window (not
+    // the heap) is fine here: the input is already bounded.
+    val rer = broadcast(candidates)
+      .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
   }
 }

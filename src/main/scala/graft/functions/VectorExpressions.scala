@@ -68,6 +68,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two `array<long>` quantization codes —
+  * the int8-ANN scoring loop. Long accumulation is exact (64-dim int8
+  * codes bound the sum at 64*127^2 ≈ 1.03e6, nowhere near overflow),
+  * so the score is bit-identical in any integer-capable SQL engine.
+  * Same codegen rationale as [[DotProduct]]: the HOF formulation
+  * (`aggregate(zip_with(...))`) is CodegenFallback and allocates per
+  * row; this emits a primitive long loop inside whole-stage codegen —
+  * and on the candidate-generation path it touches every
+  * (query, corpus) pair, the hottest loop in the operator.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def checkElem(e: Expression): Unit = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => ()
+    case t => throw new IllegalArgumentException(
+      s"IntDotProduct needs array<long>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    checkElem(left); checkElem(right)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      checkElem(left); checkElem(right)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over an array of 64-bit token hashes: per bit
   * position, the sign of the +1/-1 votes across tokens. Equivalent to
   * 64 separate `aggregate` folds but one codegen'd pass over the array
@@ -383,6 +439,10 @@ object VectorFunctions {
   /** Column wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  /** Column wrapper for [[IntDotProduct]] (inputs: array<long>). */
+  def intDotNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   /** Column wrapper for [[SimHash64]] (input: array<long> of token
     * hashes). */

@@ -678,6 +678,15 @@ object ExtQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", dim = 64, m = 4, ksub = 16, k = 5)
     }),
+    // int8 symmetric quantization + exact rerank: the corpus-wide scan
+    // reads 8-bit codes (4x fewer bytes than float32, integer ALU
+    // scoring), full-precision vectors fetched only for the k*4
+    // candidate sliver — the memory-bandwidth ANN shape at 100 TB
+    "sim_int8_rerank_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8RerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, candMult = 4)
+    }),
 
     // ANN quality, REPORTED per round rather than only spec-asserted
     // (a parameter change that trades recall for speed must show up in
@@ -717,6 +726,26 @@ object ExtQueries {
       brute.join(pq, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
         .select(lit("pq_m4_ksub16").as("method"), col("matched"),
+          col("total"),
+          expr("matched * 1000000L div total").as("recall_ppm"))
+    }),
+    // recall of the int8-quantize+rerank path vs exact top-k: the
+    // quantization loses precision only in CANDIDATE selection (the
+    // rerank is exact double math), so this reports how often the true
+    // top-5 survives the k*4 int8 shortlist — and a candMult change
+    // cannot silently trade recall for scan speed.
+    "int8_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val i8 = Similarity.int8RerankTopK(emb, q, "vec_id", "embedding",
+          k = 5, candMult = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      brute.join(i8, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+        .select(lit("int8_cand4x").as("method"), col("matched"),
           col("total"),
           expr("matched * 1000000L div total").as("recall_ppm"))
     }),
@@ -1983,6 +2012,38 @@ object ExtQueries {
     * ADC: per-query lookup tables of `floor(subdot * 1e6)` summed
     * over the m subspaces. The score sum is BIGINT, so the ranking
     * order is exact on both engines. */
+  /** SQL twin of Similarity.int8RerankTopK: symmetric round-half-up
+    * int8 codes on the unit vector (`FLOOR(nv*127.0 + 0.5)` — one
+    * double expression shape, bit-identical across engines), integer
+    * dot shortlist of k*candMult with id tiebreak, exact double
+    * rerank. Zero vectors (NaN after normalize) dropped before
+    * quantizing on both engines — FLOOR(NaN) casts differently per
+    * engine. */
+  private def int8RerankSql(k: Int, candMult: Int): String = s"""
+    WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+    nz AS (SELECT vec_id, nv,
+             list_transform(nv,
+               x -> CAST(FLOOR(x*127.0 + 0.5) AS BIGINT)) AS code
+           FROM n WHERE NOT isnan(nv[1])),
+    q AS (SELECT vec_id AS query_id, nv AS qv, code AS qc
+          FROM nz WHERE vec_id < 10),
+    cand AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.nv AS cv,
+             list_sum(list_transform(range(1,65),
+               i -> qc[i]*e.code[i])) AS iscore
+      FROM q, nz e WHERE query_id <> e.vec_id),
+    topc AS (
+      SELECT query_id, neighbor_id, qv, cv
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY iscore DESC, neighbor_id) AS r FROM cand)
+      WHERE r <= ${k * candMult}),
+    rer AS (SELECT query_id, neighbor_id,
+                   ${dotSql("qv", "cv")} AS cosine FROM topc)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+    WHERE rank <= $k"""
+
   private def pqTopKSql(dim: Int, m: Int, ksub: Int, k: Int,
                         shortlist: Int, iters: Int): String = {
     val dsub = dim / m
@@ -2894,6 +2955,31 @@ object ExtQueries {
               ORDER BY cosine DESC, neighbor_id) AS rank
             FROM scored WHERE NOT isnan(cosine))
       WHERE rank <= 5""",
+
+    "sim_int8_rerank_topk" -> int8RerankSql(k = 5, candMult = 4),
+
+    // int8 shortlist recall vs exact top-k — same composition as
+    // ann_recall_report, over the int8RerankSql twin
+    "int8_recall_report" -> s"""
+      SELECT 'int8_cand4x' AS method,
+             CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(i.neighbor_id) * 1000000 // NULLIF(count(*), 0)
+               AS BIGINT) AS recall_ppm
+      FROM (${int8RerankSql(k = 5, candMult = 4)}) i
+      RIGHT JOIN (
+        WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 ${dotSql("qv", "e.nv")} AS cosine
+          FROM q, n e WHERE query_id <> e.vec_id)
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored WHERE NOT isnan(cosine))
+        WHERE rank <= 5) b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""",
 
     // recall of the shipped IVF config vs exact top-k: both operand
     // queries' oracles are reused as subqueries, so even the QUALITY

@@ -68,6 +68,44 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(150) >= 0.75, s"pq shortlist=150 recall@5 collapsed: ${r(150)}")
   }
 
+  test("int8 quantize+rerank recall@5 grows with candMult and clears the floor") {
+    def i8Recall(mult: Int): Double = {
+      val approx = topkSet(Similarity.int8RerankTopK(emb, queries,
+        "vec_id", "embedding", k = K, candMult = mult))
+      approx.intersect(truth).size.toDouble / truth.size
+    }
+    // recall = |shortlist ∩ truth| / |truth|: any true-top-5 member in
+    // the shortlist survives the exact rerank (at most 4 candidates
+    // outrank it globally), and the shortlist is prefix-monotone in
+    // candMult — so recall is provably monotone, and the assert guards
+    // the implementation, not the math
+    val r = Seq(1, 2, 4).map(m => m -> i8Recall(m)).toMap
+    info(s"int8 rerank recall@5 vs brute force by candMult: $r " +
+      s"(n=${emb.count()})")
+    assert(r(1) <= r(2) + 1e-9 && r(2) <= r(4) + 1e-9,
+      s"recall must be monotone in candMult: $r")
+    // int8 on the unit vector keeps ~2 decimal digits per coordinate;
+    // with a 4x shortlist the exact rerank recovers ~all of top-5
+    assert(r(4) >= 0.90, s"int8 candMult=4 recall@5 collapsed: ${r(4)}")
+  }
+
+  test("int8 rerank cosines are bit-identical to brute force on shared pairs") {
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "vec_id", "embedding", K)
+    val i8 = Similarity.int8RerankTopK(emb, queries, "vec_id",
+      "embedding", k = K, candMult = 4)
+    // the rerank stage is EXACT double math over the same normalized
+    // vectors — any pair both paths return must carry the identical
+    // score, or the quantization leaked into the output
+    val joined = brute.select($"query_id", $"neighbor_id",
+        $"cosine".as("b_cos"))
+      .join(i8.select($"query_id", $"neighbor_id", $"cosine".as("i_cos")),
+        Seq("query_id", "neighbor_id"))
+      .select($"b_cos", $"i_cos").as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (b, i) => assert(b == i, s"cosine drifted: $b vs $i") }
+  }
+
   test("hyperplane-LSH near-neighbor recall vs the exact pair set") {
     val threshold = 0.2
     val exact = Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding",

@@ -99,4 +99,70 @@ object Graph {
       .select(col("n_id").as("doc_id"),
         coalesce(col("rank_fp"), lit(teleport)).as("rank_ppb"))
   }
+
+  /** Triangle count (exact, each triangle once) plus the ORIENTED
+    * wedge count — the number of candidate probes the algorithm
+    * generated, i.e. its join work — over an UNDIRECTED distinct edge
+    * list (canonical `a < b` pairs). The clustering-structure probe a
+    * curation pipeline runs on its near-dup graph: a near-dup graph
+    * whose candidate wedges rarely close is chains (transcription
+    * drift), not clusters (true duplicates); and triangles/wedges is
+    * the closure selectivity of the probe join itself. (Oriented
+    * wedges are NOT the raw wedge census: a hub's raw wedges are
+    * deliberately never generated — see the star-graph spec.)
+    *
+    * Degree-ordered orientation (Chiba–Nishizeki / the standard
+    * MapReduce triangle scheme, cf. Suri & Vassilvitskii WWW'11):
+    * every edge points from its (degree, id)-smaller endpoint to the
+    * larger, so each triangle is counted exactly once, and — the 100 TB
+    * property — the oriented out-degree is O(sqrt(m)) even at a hub
+    * whose raw degree is millions. Wedge generation (the self-join on
+    * `src`) therefore does sum(outdeg^2) <= m*sqrt(m) work instead of
+    * the sum(deg^2) of a naive orientation, which is quadratic in the
+    * hubbiest key. Every step is an equi-join or count: wedges shuffle
+    * on (b, c) into the closing-edge join, AQE splits any residual
+    * skew, and both outputs are single integers (metadata-sized).
+    *
+    * Integer-only, so the counts hash-verify cross-engine. Empty edge
+    * list → (0, 0), not an empty frame.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a"), col("b")).distinct().cache()
+    try {
+      val deg = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).cast("long").as("d"))
+      // orient a->b iff (d_a, a) < (d_b, b); carry the dst's degree so
+      // wedge endpoints can be ordered without another deg join
+      val withDeg = und
+        .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      val lower = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(lower, col("a")).otherwise(col("b")).as("src"),
+        when(lower, col("b")).otherwise(col("a")).as("dst"),
+        when(lower, col("db")).otherwise(col("da")).as("dd")).cache()
+      try {
+        val e1 = oriented.select(col("src"), col("dst").as("w_b"),
+          col("dd").as("db1"))
+        val e2 = oriented.select(col("src"), col("dst").as("w_c"),
+          col("dd").as("dc2"))
+        val wedges = e1.join(e2, Seq("src"))
+          .filter(col("db1") < col("dc2") ||
+            (col("db1") === col("dc2") && col("w_b") < col("w_c")))
+          .select(col("w_b"), col("w_c"))
+        // b precedes c in (deg, id) order, so the closing edge b-c is
+        // oriented b->c by construction — one equi-join probes it, and
+        // a single global agg (count(*) vs count(matched)) yields both
+        // numbers in one pass with no driver-side action. Aggregation
+        // over an empty wedge set still emits the (0, 0) row.
+        val closed = wedges.join(oriented.select(col("src"), col("dst")),
+          col("w_b") === col("src") && col("w_c") === col("dst"), "left")
+        val out = closed.agg(count(lit(1)).as("wedges"),
+          count(col("src")).as("triangles"))
+        Materialize.relit(out)
+      } finally oriented.unpersist()
+    } finally und.unpersist()
+  }
 }

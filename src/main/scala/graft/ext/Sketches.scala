@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-size frequency/cardinality sketches with engine-portable
@@ -126,5 +127,68 @@ object Sketches {
         expr(s"CAST('${HllNumerator.toPlainString}' AS DECIMAL(38,0)) div " +
           "(CAST(s_all AS DECIMAL(38,0)) * 1000000)").cast("long"))
       .drop("s_present", "n_present", "s_all")
+  }
+
+  /** Equi-width histogram quantile estimator, REPORTED WITH ITS ERROR
+    * against the exact nearest-rank quantile — the quantile member of
+    * the sketch family: the histogram is one groupBy whose result is
+    * `buckets` rows (metadata scale, cell-wise mergeable across
+    * partitions/days exactly like the CMS/HLL states), where the exact
+    * path must see every distinct value. As with the CMS/HLL/recall
+    * reports, running the exact side next to the sketch is deliberate
+    * spec-side cost: the error column itself is hash-verified, so a
+    * bucket-count change cannot silently degrade the estimate.
+    *
+    * Determinism: bucket index is `floor((x - min) * B / (max - min))`
+    * clamped to B-1 — one double expression shape (multiply BEFORE
+    * divide, both engines) — and the estimate is the bucket's lower
+    * edge at the nearest-rank cumulative walk `cum >= (q*n + 99) // 100`
+    * (the library's winsorize/MAD convention). A degenerate column
+    * (min == max) pins every row to bucket 0 on both engines via an
+    * explicit guard rather than relying on 0/0 semantics.
+    *
+    * Output: one row per q — (q, est, exact, abs_err), doubles with
+    * identical derivation on both engines. */
+  def histQuantileError(df: DataFrame, value: Column, buckets: Int,
+                        qs: Seq[Int]): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be integer percents in [1,100]: $qs")
+    val vals = df.select(value.cast("double").as("x")).filter(!isnan(col("x")))
+    val stats = broadcast(vals.agg(min(col("x")).as("mn"),
+      max(col("x")).as("mx"), count(lit(1)).as("n")))
+    val idx = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(buckets - 1L),
+        floor((col("x") - col("mn")) * buckets / (col("mx") - col("mn")))
+          .cast("long")))
+    val hist = vals.join(stats).withColumn("b", idx)
+      .groupBy(col("b"), col("mn"), col("mx"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    val cumB = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(cumB))
+    // exact side: cumulative walk over the VALUE histogram (groupBy x,
+    // never a global row_number sort — the winsorize shape)
+    val vhist = vals.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val cumX = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vcum = vhist.withColumn("cum", sum(col("c")).over(cumX))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(qs.toDF("q"))
+    val est = qdf.join(cum)
+      .filter(col("cum") >= expr(s"(q * n + 99) div 100"))
+      .groupBy(col("q"), col("mn"), col("mx"))
+      .agg(min(col("b")).as("b_est"))
+      .select(col("q"),
+        (col("mn") + col("b_est") * (col("mx") - col("mn")) / buckets)
+          .as("est"))
+    val exact = qdf.join(broadcast(vals.agg(count(lit(1)).as("n"))))
+      .join(vcum.select(col("x"), col("cum")))
+      .filter(col("cum") >= expr(s"(q * n + 99) div 100"))
+      .groupBy(col("q")).agg(min(col("x")).as("exact"))
+    est.join(exact, Seq("q"))
+      .select(col("q").cast("long").as("q"), col("est"), col("exact"),
+        abs(col("est") - col("exact")).as("abs_err"))
   }
 }

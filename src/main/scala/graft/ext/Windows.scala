@@ -79,4 +79,47 @@ object Windows {
         date_format(max(ts), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         stableSum(col("value")).as("sum_value"))
   }
+
+  /** Peak concurrency per key: the maximum number of simultaneously
+    * "held" events, where each event occupies [t, t + holdSec) — the
+    * capacity question (peak simultaneous sessions, connections,
+    * downloads) answered by the classic sweep line: +1 at start, -1 at
+    * end, peak = max prefix sum. End boundaries sort BEFORE starts at
+    * the same instant (delta asc), making the hold end-exclusive; ties
+    * beyond (t, delta) need no rule because permuting equal deltas
+    * never changes the max prefix.
+    *
+    * The naive sweep is one running sum over the key's ENTIRE
+    * timeline — a single sort task per key at 100 TB. This is the
+    * split-merge form: pass 1 sweeps each (key, day) slice
+    * independently (the prefix maximum and the net delta sum of the
+    * slice), pass 2 runs the same prefix sum over the METADATA-SIZED
+    * per-day rollup — peak(day) = carry-in + local prefix max, where
+    * carry-in is the cumulative net sum of all earlier days. Identical
+    * result to the global sweep (prefix sums split associatively at
+    * any cut), but the wide shuffle partitions by (key, day) and the
+    * only per-key serial pass touches one row per day.
+    */
+  def peakConcurrency(df: DataFrame, key: Column, tsSec: Column,
+                      holdSec: Long): DataFrame = {
+    require(holdSec > 0, s"holdSec must be positive, got $holdSec")
+    val ev = df.select(key.as("k"), tsSec.cast("long").as("t"))
+    val bounds = ev.select(col("k"), col("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("k"), (col("t") + holdSec).as("t"),
+        lit(-1L).as("delta")))
+      .withColumn("day", expr("t div 86400"))
+    val inDay = Window.partitionBy(col("k"), col("day"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = bounds.withColumn("run", sum(col("delta")).over(inDay))
+      .groupBy(col("k"), col("day"))
+      .agg(max(col("run")).as("day_max"), sum(col("delta")).as("day_sum"))
+    val carry = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily.withColumn("carry",
+        coalesce(sum(col("day_sum")).over(carry), lit(0L)))
+      .groupBy(col("k"))
+      .agg(max(col("carry") + col("day_max")).as("peak_concurrency"))
+      .select(col("k"), col("peak_concurrency"))
+  }
 }

@@ -81,6 +81,37 @@ object Merge {
     * the key, and nothing is globally sorted. The per-key sort is the
     * inherent cost of history reconstruction; at 100 TB the keyspace
     * distributes and each partition sorts only its keys' versions. */
+  /** Per-group algebraic aggregate STATE over a value column: count,
+    * exact micro-unit sum (floor-quantized BIGINT — order-proof and
+    * mergeable where a double sum is neither), min, max. The state a
+    * maintained rollup persists per partition/day. */
+  def aggState(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(value * 1000000).cast("long")).as("sum_micro"),
+        min(value).as("vmin"), max(value).as("vmax"))
+
+  /** Incremental aggregate maintenance: fold any number of
+    * [[aggState]] frames (the standing rollup + the new batch's state)
+    * into one WITHOUT rescanning the data that produced them — the
+    * pre-aggregation contract that makes a 100 TB rollup affordable:
+    * the nightly job aggregates only the new partition
+    * (corpus x batch, not corpus x corpus) and merges states, because
+    * every state column is algebraic (counts and integer sums add,
+    * min/max fold). The merge itself touches rows = groups, metadata
+    * scale.
+    *
+    * The correctness contract — merge(states) == aggState(full data) —
+    * is exactly what the oracle row hash-checks: the SQL twin
+    * aggregates the full table directly. */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_micro")).as("sum_micro"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+  }
+
   def scd2(changes: DataFrame, key: Seq[String], tracked: Seq[String],
            orderCol: Column): DataFrame = {
     val byKey = Window.partitionBy(key.map(col): _*).orderBy(orderCol)

@@ -1418,6 +1418,17 @@ object ExtQueries {
         Graph.pageRankPpb(nodes, edges, iters = 3)
       } finally pairs.unpersist()
     }),
+    // exact triangle count + oriented-wedge (probe work) count over
+    // the near-dup graph: degree-ordered orientation caps the oriented
+    // out-degree at O(sqrt(m)), so wedge generation survives hub keys
+    // that would make the naive neighbor self-join quadratic
+    "graph_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Graph.triangleStats(pairs)
+    }),
     // explicit runtime-filter join: a Bloom filter built over the
     // dimension side's keys prunes the FACT SCAN before any shuffle;
     // the exact join afterwards absorbs false positives, so the output
@@ -1491,6 +1502,31 @@ object ExtQueries {
       exact.join(Sketches.hllEstimate(tok, col("token"),
           Seq(col("source"))), Seq("source"))
         .select(col("source"), col("exact_distinct"), col("hll_est"))
+    }),
+    // equi-width histogram quantile estimate WITH its error vs the
+    // exact nearest-rank quantile — the quantile member of the sketch
+    // family (128 mergeable cells vs every distinct value); like the
+    // CMS/HLL/recall reports, the error column is itself hash-verified
+    "sketch_quantile_error" -> ((s, dir) =>
+      Sketches.histQuantileError(t(s, dir, "orders"),
+        col("o_totalprice"), buckets = 128, qs = Seq(50, 90, 99))),
+    // incremental aggregate maintenance: per-month aggregate STATE
+    // (count / micro-unit sum / min / max) computed separately over a
+    // 90% base and a 10% delta, then merged state-to-state — the
+    // pre-aggregation contract at 100 TB (aggregate only the new
+    // partition, fold states); the oracle aggregates the FULL table
+    // directly, so merge == recompute is the hash-checked claim
+    "agg_partial_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      def state(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Merge.aggState(d, Seq("month"), col("o_totalprice"))
+      graft.ops.Merge.mergeAggStates(
+          Seq(state(o.filter(col("o_orderkey") % 10 =!= 0)),
+            state(o.filter(col("o_orderkey") % 10 === 0))), Seq("month"))
+        .select(col("month"), col("n"),
+          (col("sum_micro") / 1000000.0).as("total_price"),
+          col("vmin"), col("vmax"))
     }),
     // priority sampling (Duffield-Lund-Thorup): token-weighted
     // fixed-size doc draw — longer docs proportionally likelier,
@@ -1624,6 +1660,14 @@ object ExtQueries {
     // seconds within the same user — the sequence-model windowing
     // primitive. One shuffle on user_id; lag and lead share a single
     // window sort on the deterministic (ts_sec, event_id) total order
+    // peak simultaneous activity per event type (each event holds its
+    // slot for 30 min): the sweep-line in split-merge form — per-day
+    // local sweeps + a metadata-sized per-day rollup walk, never one
+    // serial pass over a key's whole timeline
+    "events_concurrency_peak" -> ((s, dir) =>
+      Windows.peakConcurrency(Tables.events(s, dir), col("event_type"),
+          col("ts").cast("long"), holdSec = 1800L)
+        .select(col("k").as("event_type"), col("peak_concurrency"))),
     "events_context_window" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_id"),
         col("user_id"), col("event_type"),
@@ -3743,6 +3787,38 @@ object ExtQueries {
               GROUP BY e.dst)
       SELECT id AS doc_id, rank_fp AS rank_ppb FROM it3""",
 
+    // degree-ordered triangle census: orient every edge from its
+    // (degree, id)-smaller endpoint, wedge on shared src, probe the
+    // closing edge (oriented b->c by construction) — integer counts
+    "graph_triangles" -> s"""
+      WITH lpairs AS (SELECT doc_a AS a, doc_b AS b
+                      FROM (${minhashPairsSql()}) lp),
+      und AS (SELECT DISTINCT a, b FROM lpairs),
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS id FROM und
+                    UNION ALL SELECT b AS id FROM und)
+              GROUP BY 1),
+      ore AS (SELECT
+                CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                     THEN a ELSE b END AS src,
+                CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                     THEN b ELSE a END AS dst,
+                CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                     THEN db.d ELSE da.d END AS dd
+              FROM und
+              JOIN deg da ON da.id = und.a
+              JOIN deg db ON db.id = und.b),
+      wedge AS (SELECT e1.src, e1.dst AS w_b, e2.dst AS w_c
+                FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+                WHERE e1.dd < e2.dd
+                   OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+      closed AS (SELECT w.w_b, o.src
+                 FROM wedge w LEFT JOIN ore o
+                   ON o.src = w.w_b AND o.dst = w.w_c)
+      SELECT CAST(count(*) AS BIGINT) AS wedges,
+             CAST(count(src) AS BIGINT) AS triangles
+      FROM closed""",
+
     // the bloom prefilter is semantically transparent: the oracle is
     // the PLAIN join — that transparency is the operator's contract
     "join_bloom_prefilter" -> s"""
@@ -3767,6 +3843,45 @@ object ExtQueries {
       FROM iv JOIN part ON p_partkey BETWEEN lo AND hi
       GROUP BY 1""",
     // CMS replay: same depth-prefixed hex60 hashing, same cells
+    // merge == recompute: the Spark side folds base+delta aggregate
+    // states; the oracle aggregates the full table in one pass
+    "agg_partial_merge" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n,
+             ${stableSumSql("o_totalprice")} AS total_price,
+             min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+      FROM orders GROUP BY 1""",
+
+    // histogram quantile estimate + error vs exact nearest-rank: the
+    // bucket index and the estimate are single double expression
+    // shapes; ranks via the (q*n+99)//100 cum-walk convention
+    "sketch_quantile_error" -> """
+      WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                 WHERE NOT isnan(o_totalprice)),
+      s AS (SELECT min(x) AS mn, max(x) AS mx,
+              CAST(count(*) AS BIGINT) AS n FROM v),
+      h AS (SELECT CASE WHEN mx = mn THEN 0
+                     ELSE least(127, CAST(FLOOR((x - mn) * 128 / (mx - mn))
+                       AS BIGINT)) END AS b,
+                   mn, mx, n, CAST(count(*) AS BIGINT) AS c
+            FROM v, s GROUP BY 1, 2, 3, 4),
+      cum AS (SELECT *, sum(c) OVER (ORDER BY b
+                ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+      qs AS (SELECT unnest([50, 90, 99]) AS q),
+      est AS (SELECT q, mn, mx, min(b) AS b_est
+              FROM qs, cum WHERE cum >= (q * n + 99) // 100
+              GROUP BY 1, 2, 3),
+      vh AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+      vc AS (SELECT x, sum(c) OVER (ORDER BY x
+               ROWS UNBOUNDED PRECEDING) AS cum FROM vh),
+      ex AS (SELECT q, min(x) AS exact
+             FROM qs, s, vc WHERE cum >= (q * n + 99) // 100
+             GROUP BY 1)
+      SELECT CAST(e.q AS BIGINT) AS q,
+             mn + b_est * (mx - mn) / 128 AS est, exact,
+             abs(mn + b_est * (mx - mn) / 128 - exact) AS abs_err
+      FROM est e JOIN ex ON e.q = ex.q""",
+
     "sketch_cms_error" -> s"""
       WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
                     AS token FROM documents),
@@ -3936,6 +4051,31 @@ object ExtQueries {
              CAST(length(norm_text) AS BIGINT) AS n_chars_norm
       FROM n""",
     // identical (ts_sec, event_id) total order, lag/lead replay
+    // split-merge sweep line: per-(key, day) local prefix maxima +
+    // a per-day rollup walk; ends (-1) sort before starts (+1) at the
+    // same instant, so the 30-min hold is end-exclusive
+    "events_concurrency_peak" -> """
+      WITH ev AS (SELECT event_type AS k,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+      b AS (SELECT k, t, CAST(1 AS BIGINT) AS delta FROM ev
+            UNION ALL
+            SELECT k, t + 1800, CAST(-1 AS BIGINT) FROM ev),
+      d AS (SELECT k, t, delta, t // 86400 AS day FROM b),
+      run AS (SELECT k, day, delta,
+                sum(delta) OVER (PARTITION BY k, day ORDER BY t, delta
+                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM d),
+      daily AS (SELECT k, day, max(run) AS day_max,
+                  sum(delta) AS day_sum
+                FROM run GROUP BY 1, 2),
+      wc AS (SELECT k, day, day_max,
+               coalesce(sum(day_sum) OVER (PARTITION BY k ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS carry
+             FROM daily)
+      SELECT k AS event_type,
+             CAST(max(carry + day_max) AS BIGINT) AS peak_concurrency
+      FROM wc GROUP BY 1""",
     "events_context_window" -> """
       WITH ev AS (SELECT event_id, user_id, event_type,
                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec

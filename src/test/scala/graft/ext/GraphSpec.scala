@@ -77,6 +77,29 @@ class GraphSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("triangleStats counts the square-with-diagonal exactly") {
+    // square 1-2-3-4-1 plus diagonal 1-3: two triangles (1,2,3) and
+    // (1,3,4); degree order is 2 < 4 < 1 < 3 ((deg, id) asc), so both
+    // wedges form at the degree-2 corners and close through 1->3
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(pairs).as[(Long, Long)].collect().toSeq
+    assert(r === Seq((2L, 2L)), s"wedges/triangles: $r")
+  }
+
+  test("triangleStats: triangle-free star and empty input") {
+    // star: every leaf orients INTO the hub (leaves are (deg,id)-
+    // smaller), so no source has two out-edges — zero candidate
+    // wedges even though the star has 3 raw wedges. Exactly the
+    // orientation's point: a hub generates no quadratic probe work.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val rs = Graph.triangleStats(star).as[(Long, Long)].collect().head
+    assert(rs === ((0L, 0L)), s"star wedges/triangles: $rs")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val re = Graph.triangleStats(empty).as[(Long, Long)].collect().head
+    assert(re === ((0L, 0L)), s"empty graph must report (0,0): $re")
+  }
+
   test("the power-iteration plan shuffles on graph keys, no cartesian or window") {
     val edges = edgeList.toDF("src", "dst")
     val nodes = edges.select(col("src").as("id")).distinct()

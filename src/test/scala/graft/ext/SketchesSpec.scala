@@ -86,4 +86,33 @@ class SketchesSpec extends SparkSpec {
     assert(est > 0 && est < exact * 3 + 200,
       s"estimate $est implausible vs exact $exact")
   }
+
+  test("histogram quantile error is bounded by one bucket width") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val b = 64
+    val stats = li.agg(min(col("l_extendedprice")),
+      max(col("l_extendedprice"))).as[(Double, Double)].head()
+    val width = (stats._2 - stats._1) / b
+    val rows = Sketches.histQuantileError(li, col("l_extendedprice"),
+        buckets = b, qs = Seq(50, 90, 99))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (q, est, exact, err) =>
+      // the nearest-rank value lies inside the chosen bucket, so the
+      // lower-edge estimate sits within one width below it
+      assert(est <= exact + 1e-6 && err <= width + 1e-6,
+        s"q=$q est=$est exact=$exact err=$err width=$width")
+    }
+  }
+
+  test("histogram quantile estimator: degenerate constant column") {
+    val const = Seq.fill(100)(42.0).toDF("x")
+    val rows = Sketches.histQuantileError(const, col("x"), buckets = 16,
+        qs = Seq(50, 99))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length === 2)
+    rows.foreach { case (q, est, exact, err) =>
+      assert(est === 42.0 && exact === 42.0 && err === 0.0, s"q=$q: $est")
+    }
+  }
 }

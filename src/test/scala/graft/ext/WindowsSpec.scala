@@ -36,4 +36,38 @@ class WindowsSpec extends SparkSpec {
     val a = p50(1); val b = p50(7)
     assert(math.abs(a - b) / math.max(a, 1.0) < 0.02, s"$a vs $b")
   }
+
+  test("peakConcurrency: overlap, end-exclusive boundary, cross-day carry") {
+    def peaks(rows: Seq[(String, Long)]): Map[String, Long] =
+      Windows.peakConcurrency(rows.toDF("k", "t"), col("k"), col("t"), 15L)
+        .as[(String, Long)].collect().toMap
+    // a: [0,15) [10,25) [20,35) -> pairwise overlaps, peak 2
+    // b: [0,15) [15,30) -> end-exclusive: NOT concurrent, peak 1
+    val r = peaks(Seq(("a", 0L), ("a", 10L), ("a", 20L),
+      ("b", 0L), ("b", 15L)))
+    assert(r === Map("a" -> 2L, "b" -> 1L), s"$r")
+    // holds spanning the day cut: starts at 86390/86395 (day 0), both
+    // still held at 86400+ (day 1) where a third starts — the peak is
+    // only visible through the cross-day carry-in
+    val c = peaks(Seq(("c", 86390L), ("c", 86395L), ("c", 86401L)))
+    assert(c === Map("c" -> 3L), s"cross-day carry lost: $c")
+  }
+
+  test("peakConcurrency split-merge equals a driver-side global sweep") {
+    // deterministic pseudo-random fixture crossing several day cuts
+    val ts = (1 to 400).map(i => (i * 2654435761L) % 300000L)
+    val hold = 7200L
+    val expected = {
+      val bounds = ts.map(t => (t, 1L)) ++ ts.map(t => (t + hold, -1L))
+      var cur = 0L; var peak = 0L
+      bounds.sortBy(b => (b._1, b._2)).foreach { case (_, d) =>
+        cur += d; if (cur > peak) peak = cur
+      }
+      peak
+    }
+    val got = Windows.peakConcurrency(
+        ts.map(t => ("k", t)).toDF("k", "t"), col("k"), col("t"), hold)
+      .as[(String, Long)].collect().head._2
+    assert(got === expected, s"split-merge $got != global sweep $expected")
+  }
 }

@@ -16,6 +16,27 @@ class MergeSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("aggState merge over any split equals the state of the full data") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+    val full = Merge.aggState(li, Seq("m"), col("l_extendedprice"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    // 3-way split on an unrelated key: states must fold back exactly
+    val parts = Seq(0, 1, 2).map(r =>
+      Merge.aggState(li.filter(col("l_orderkey") % 3 === r), Seq("m"),
+        col("l_extendedprice")))
+    val merged = Merge.mergeAggStates(parts, Seq("m"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(merged === full, "merged states diverge from direct aggregation")
+    // merging a single state is the identity
+    val one = Merge.mergeAggStates(Seq(parts.head), Seq("m"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val direct = Merge.aggState(li.filter(col("l_orderkey") % 3 === 0),
+        Seq("m"), col("l_extendedprice"))
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(one === direct)
+  }
+
   test("mergeUpsert refuses ambiguous duplicate update keys") {
     val base = Seq((1L, "a")).toDF("k", "v")
     val upd = Seq((1L, "x"), (1L, "y")).toDF("k", "v")

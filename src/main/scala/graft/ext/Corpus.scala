@@ -526,6 +526,53 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** One BPE merge-selection round — the tokenizer-training
+    * primitive: count adjacent CHARACTER pairs inside words, weighted
+    * by word frequency, and rank the merge candidates. (A full BPE
+    * trainer repeats this after applying the winning merge; the count
+    * phase is the distributed-scale step — the merge table itself is
+    * vocabulary-sized driver state.)
+    *
+    * Scale shape: word counting first (one hash-agg collapses the
+    * corpus to its vocabulary — at 100 TB that is the 1000x reduction
+    * step), THEN pair explosion over the vocabulary only, weighted by
+    * the counts; a corpus-wide pair explode would shuffle
+    * characters-of-corpus instead of characters-of-vocabulary.
+    * Integer counts, (n desc, pair) total order at the limit. */
+  def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(TextOps.tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): sparse
+    * bag-of-words vectors with a FIXED dimensionality — term index is
+    * `hex60(token) % dims`, value is the term frequency. The
+    * vocabulary-free featurizer: no fitted dictionary to broadcast or
+    * version, identical output for any corpus split, which is what
+    * makes it the streaming/incremental-safe choice at 100 TB (a
+    * dictionary featurizer re-fits — and silently re-indexes — as the
+    * corpus grows). Collisions are the accepted tradeoff and are
+    * deterministic here (md5-derived hash), so the whole sparse matrix
+    * hash-verifies cross-engine.
+    *
+    * Output: (doc_id, dim, tf) sparse triplets — one explode and one
+    * map-side-combined hash-agg, no joins, no driver state. */
+  def hashedBow(df: DataFrame, id: Column, text: Column,
+                dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("token"))
+      .select(col("doc_id"),
+        (TextOps.hex60(col("token")) % dims).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Corpus-level bigram familiarity — the no-model quality /
     * perplexity proxy (CCNet-style LM filtering without a trained
     * LM): the fraction (integer ppm) of a document's word bigrams

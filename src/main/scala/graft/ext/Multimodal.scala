@@ -190,6 +190,61 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash record: 56-bit difference hash. */
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Difference hash (dHash) over the decoded raster — the standard
+    * perceptual image fingerprint (resample to a tiny grid, hash the
+    * sign of horizontal luma gradients): near-identical images — same
+    * content re-encoded, resized, or slightly color-shifted — land
+    * within a few Hamming bits, so the hash feeds the exact same
+    * Hamming-band near-dup machinery as [[Dedup]]'s text SimHash
+    * (band-bucket join, then bit_count verify). This is the image
+    * column's dedup key at 100 TB: 8 bytes per image replace the
+    * payload in every comparison, and the banding keeps pair
+    * generation inverted-index shaped.
+    *
+    * Variant notes: 8x8 nearest-neighbor luma grid (integer resample
+    * `sx = gx*w/8` — floor division, exact cross-engine), 7 horizontal
+    * comparisons per row = 56 bits, deliberately inside the positive
+    * signed-64 range (the same reason the library's text hashes are
+    * 60-bit: a sign bit ruins integer-exact SQL replay). Luma is the
+    * integer BT.601 form `299*R + 587*G + 114*B` (x1000 — comparisons
+    * are scale-invariant, so the division is never taken). Strict `>`
+    * on the gradient, matching the oracle's CASE.
+    *
+    * Real-decode contract like [[decodeFeatures]]: the grid reads the
+    * PARSED raster bytes; the oracle recomputes the same bits from the
+    * fixture generator's closed form. */
+  def dhash(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.payload)
+        val w = img.width; val h = img.height
+        def luma(gx: Int, gy: Int): Long = {
+          val sx = gx * w / 8; val sy = gy * h / 8
+          val base = (sy * w + sx) * 3
+          299L * (img.raster(base) & 0xff) +
+            587L * (img.raster(base + 1) & 0xff) +
+            114L * (img.raster(base + 2) & 0xff)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        MediaHash(r.media_id, hash)
+      }
+    }
+  }
+
   /** Gate: every payload's parsed header must agree with the record's
     * metadata columns. Returns the number of records checked; throws
     * on the first inconsistent partition-local record. Distributed —

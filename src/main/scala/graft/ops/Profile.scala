@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling: per-column row count, NULL count and exact distinct
@@ -29,5 +29,40 @@ object Profile {
     df.columns.toSeq.zipWithIndex.map { case (c, i) =>
       (c, n, row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
     }.toDF("column", "n_rows", "n_null", "n_distinct")
+  }
+
+  /** Month-over-month volume drift — the ingest-monitoring gate a
+    * standing pipeline runs before trusting a new partition: per-month
+    * row count and order-proof value sum, the relative change vs the
+    * previous month as integer ppm, and a flag when the swing exceeds
+    * `thresholdPpm`. The first month has no baseline: NULL delta, flag
+    * 0 (absence of evidence is not drift).
+    *
+    * Scale shape: the corpus collapses to one row per month in a
+    * map-side-combined agg; the lag window runs over that
+    * METADATA-SIZED frame, so the single-partition window is months
+    * long, never rows long.
+    *
+    * Integer discipline: the signed relative change is computed as
+    * `sign * (|n - prev| * 1e6 div prev)` — division only ever sees
+    * non-negative operands, sidestepping the truncate-vs-floor
+    * divergence engines exhibit on negative integer division. */
+  def monthlyDrift(df: DataFrame, dateCol: Column, valueCol: Column,
+                   thresholdPpm: Long = 200000L): DataFrame = {
+    val monthly = df
+      .groupBy(date_format(dateCol, "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(valueCol * 1000000).cast("long")) / 1000000.0)
+          .as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    monthly.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta_ppm",
+        when(col("prev_n").isNull, lit(null).cast("long"))
+          .when(col("n") >= col("prev_n"),
+            expr("(n - prev_n) * 1000000L div prev_n"))
+          .otherwise(-expr("(prev_n - n) * 1000000L div prev_n")))
+      .withColumn("drift_flag",
+        when(abs(coalesce(col("delta_ppm"), lit(0L))) > thresholdPpm,
+          lit(1L)).otherwise(lit(0L)))
   }
 }

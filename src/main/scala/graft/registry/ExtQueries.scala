@@ -164,6 +164,16 @@ object ExtQueries {
        |    (media_id*31 + x*7 + y*13 + ${c * 29}) % 256)))) AS BIGINT)"""
       .stripMargin
 
+  /** Integer BT.601 luma (x1000) of the fixture pixel at dHash grid
+    * cell (`gx`, `gy`) — 8x8 nearest-neighbor resample, floor-div
+    * index math mirroring Multimodal.dhash exactly. */
+  private def phashLumaSql(gx: String, gy: String): String = {
+    def chan(c: Int): String =
+      s"((media_id*31 + ((($gx))*width//8)*7 + " +
+        s"((($gy))*height//8)*13 + ${c * 29}) % 256)"
+    s"(299*${chan(0)} + 587*${chan(1)} + 114*${chan(2)})"
+  }
+
   /** Same channel sum AFTER a factor-2 nearest-neighbor resize: kept
     * pixel (X, Y) is source pixel (2X, 2Y). */
   private def ppmResChanSumSql(c: Int): String =
@@ -450,6 +460,18 @@ object ExtQueries {
     // corpus-wide top-50 word bigrams (vocabulary induction seed)
     "vocab_top_bigrams" -> ((s, dir) =>
       Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
+    // one BPE merge-selection round: adjacent char-pair counts
+    // weighted by word frequency, computed over the VOCABULARY (the
+    // corpus collapses to distinct words first — the 1000x reduction
+    // that makes tokenizer training affordable at corpus scale)
+    "vocab_bpe_pairs" -> ((s, dir) =>
+      Corpus.bpePairCounts(t(s, dir, "documents"), col("text"), k = 30)),
+    // hashing-trick featurization: fixed-dim sparse bag-of-words with
+    // no fitted vocabulary — split-invariant and streaming-safe, the
+    // deterministic md5 dim index makes the sparse matrix hash-verify
+    "features_hashed_bow" -> ((s, dir) =>
+      Corpus.hashedBow(t(s, dir, "documents"), col("doc_id"),
+        col("text"), dims = 64)),
     // context-window chunking: docs -> 64-token pieces with provenance
     "chunk_documents" -> ((s, dir) =>
       Corpus.chunkDocuments(t(s, dir, "documents"), col("doc_id"),
@@ -779,6 +801,12 @@ object ExtQueries {
       Multimodal.frameScanlines(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")),
         stride = 2).toDF()),
+    // 56-bit dHash perceptual fingerprint from the REAL P6 decode:
+    // 8 bytes/image replace the payload in every dedup comparison and
+    // feed the SimHash-style hamming-band pair machinery
+    "mm_image_phash" -> ((s, dir) =>
+      Multimodal.dhash(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
     // resize-then-decode: proves the nearest-neighbor downscale emits
     // valid P6 whose pixels are exactly the stride-sampled source
     // pixels (the oracle replays the generator formula at 2x stride)
@@ -2721,6 +2749,25 @@ object ExtQueries {
         FROM tok WHERE len(toks) >= 2)
       SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    // vocabulary-first BPE pair counts: pairs explode over DISTINCT
+    // words only, weighted by the word's corpus count
+    "vocab_bpe_pairs" -> """
+      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS word FROM documents),
+      wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wn
+             FROM w GROUP BY 1),
+      p AS (SELECT wn, unnest(list_transform(range(1, strlen(word)),
+              i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+            FROM wc WHERE strlen(word) >= 2)
+      SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
+    "features_hashed_bow" -> s"""
+      WITH tok AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+      SELECT doc_id, CAST(${hex60Sql("token")} % 64 AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2""",
     "emb_normalize" -> s"""
       WITH n AS (SELECT vec_id,
           sqrt(list_sum(list_transform(embedding,
@@ -3159,6 +3206,23 @@ object ExtQueries {
              CAST((sum_r + sum_g + sum_b) * 1000000
                   // (width*height*3*255) AS BIGINT) AS brightness_ppm
       FROM sums""",
+    // dHash replay: 8x8 NN luma grid from the generator formula, 7
+    // horizontal strict-> comparisons per row, bit y*7+x — 56 bits,
+    // positive signed-64 by construction
+    "mm_image_phash" -> s"""
+      WITH dims AS (SELECT doc_id AS media_id,
+              CAST(4 + doc_id % 13 AS BIGINT) AS width,
+              CAST(3 + doc_id % 7 AS BIGINT) AS height
+            FROM documents)
+      SELECT media_id,
+             CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+               list_transform(range(0, 7), x ->
+                 CASE WHEN ${phashLumaSql("x+1", "y")}
+                         > ${phashLumaSql("x", "y")}
+                      THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                      ELSE 0 END)))) AS BIGINT) AS phash
+      FROM dims""",
+
     // decode after a factor-2 nearest-neighbor resize: kept pixel
     // (X, Y) is source pixel (2X, 2Y), new dims are ceil-halved, and
     // n_bytes replays the re-encoded header for the NEW dims

@@ -465,6 +465,13 @@ object RetailQueries {
     // table profiling (extension of the A1 stats gate)
     "profile_table" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "customer"))),
+    // month-over-month volume drift: the ingest-monitoring gate — the
+    // corpus collapses to one row per month map-side, the lag window
+    // runs over that metadata-sized frame; signed ppm via the
+    // sign-decomposed div (negative integer division is engine-divergent)
+    "profile_month_drift" -> ((s, dir) =>
+      graft.ops.Profile.monthlyDrift(t(s, dir, "orders"),
+        col("o_orderdate"), col("o_totalprice"))),
 
     // ---- §2.9 set ops (Spark built-ins; not in the reference) ----
     "setop_union_except" -> ((s, dir) => {
@@ -713,6 +720,27 @@ object RetailQueries {
            count(DISTINCT $c) AS n_distinct FROM customer""")
         .mkString(" UNION ALL ")
     },
+    // sign-decomposed ppm division: both engines truncate NON-NEGATIVE
+    // integer division identically, so the sign is applied outside
+    "profile_month_drift" -> """
+      WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              CAST(count(*) AS BIGINT) AS n,
+              (SUM(CAST(FLOOR(o_totalprice*1000000) AS BIGINT))
+                 / 1000000.0) AS total
+            FROM orders GROUP BY 1),
+      l AS (SELECT month, n, total,
+              lag(n) OVER (ORDER BY month) AS prev_n FROM m),
+      d AS (SELECT month, n, total, prev_n,
+              CASE WHEN prev_n IS NULL THEN NULL
+                   WHEN n >= prev_n THEN (n - prev_n) * 1000000 // prev_n
+                   ELSE -((prev_n - n) * 1000000 // prev_n)
+              END AS delta_ppm
+            FROM l)
+      SELECT month, n, total, prev_n, CAST(delta_ppm AS BIGINT) AS delta_ppm,
+             CASE WHEN abs(coalesce(delta_ppm, 0)) > 200000
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS drift_flag
+      FROM d""",
     "setop_union_except" ->
       """WITH a AS (SELECT o_orderkey FROM orders WHERE o_custkey % 3 = 0),
         b AS (SELECT o_orderkey FROM orders WHERE o_custkey % 2 = 0),

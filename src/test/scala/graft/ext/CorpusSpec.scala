@@ -636,4 +636,37 @@ class CorpusSpec extends SparkSpec {
         "multiplicity lost in reassembly")
     }
   }
+
+  test("bpePairCounts: vocabulary-weighted char pairs, hand-checked") {
+    // aaab x2: pairs aa,aa,ab each weighted 2 -> aa:4, ab:2
+    // ab   x1: ab:1 -> ab total 3; single-char word dropped
+    val docs = Seq("aaab aaab ab x").toDF("text")
+    val out = Corpus.bpePairCounts(docs, col("text"), k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("aa", 4L), ("ab", 3L)), s"$out")
+  }
+
+  test("hashedBow: mass conservation, dim range, split invariance") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bow = Corpus.hashedBow(docs, col("doc_id"), col("text"), dims = 64)
+      .cache()
+    try {
+      val (massBow, dimMin, dimMax) = bow
+        .agg(sum("tf"), min("dim"), max("dim"))
+        .as[(Long, Long, Long)].head()
+      val massTok = docs
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .count()
+      assert(massBow === massTok, "token mass lost in featurization")
+      assert(dimMin >= 0 && dimMax < 64, s"dim range [$dimMin, $dimMax]")
+      // no fitted state: featurizing any split yields the same rows
+      val half = Corpus.hashedBow(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), dims = 64)
+        .withColumnRenamed("tf", "tf_half")
+      val diverged = half.join(bow, Seq("doc_id", "dim"))
+        .filter(col("tf_half") =!= col("tf")).count()
+      assert(diverged === 0L, "split featurization diverged")
+    } finally bow.unpersist()
+  }
 }

@@ -128,4 +128,39 @@ class MultimodalSpec extends SparkSpec {
       yield Ppm.pixelValue(9L, x, y, c).toLong).sum
     assert(fs.sampled_sum == expect)
   }
+
+  private def mediaOf(id: Long, payload: Array[Byte], w: Int, h: Int) =
+    Multimodal.MediaRecord(id, "image", payload, w, h, "image/ppm")
+
+  test("dhash: identical payloads hash identically, 56-bit positive range") {
+    val (w, h) = Multimodal.fixtureDims(42L)
+    val p = Ppm.encode(42L, w, h)
+    val hs = Multimodal.dhash(
+        Seq(mediaOf(1L, p, w, h), mediaOf(2L, p.clone(), w, h)).toDS())
+      .collect().map(m => m.media_id -> m.phash).toMap
+    assert(hs(1L) == hs(2L), "same pixels must hash equal")
+    assert(hs(1L) >= 0L && hs(1L) < (1L << 56), s"out of range: ${hs(1L)}")
+  }
+
+  test("dhash is a PERCEPTUAL hash: tiny perturbation stays near, " +
+      "different image lands far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val w = 16; val h = 16
+    val base = Ppm.encode(7L, w, h)
+    // flip the low bit of R at pixel (0,0): that pixel backs exactly
+    // one grid cell (gx=0, gy=0), which participates in exactly one
+    // horizontal comparison — at most 1 hash bit can move
+    val headerLen = s"P6\n$w $h\n255\n".length
+    val tweaked = base.clone()
+    tweaked(headerLen) = ((tweaked(headerLen) & 0xff) ^ 1).toByte
+    val other = Ppm.encode(1234567L, w, h)
+    val hs = Multimodal.dhash(Seq(
+        mediaOf(1L, base, w, h), mediaOf(2L, tweaked, w, h),
+        mediaOf(3L, other, w, h)).toDS())
+      .collect().map(m => m.media_id -> m.phash).toMap
+    assert(hamming(hs(1L), hs(2L)) <= 2,
+      s"near-identical images drifted ${hamming(hs(1L), hs(2L))} bits")
+    assert(hamming(hs(1L), hs(3L)) >= 10,
+      s"unrelated images implausibly close: ${hamming(hs(1L), hs(3L))}")
+  }
 }

@@ -11,14 +11,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events table with its NANOS-precision timestamp surfaced as a
-    * microsecond TimestampType. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (Spark
-    * has no TIMESTAMP(NANOS) type); `div 1000` floors to micros exactly
-    * like engines that read the column natively. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events table with `ts` surfaced as a microsecond TimestampType,
+    * adapting to how the corpus generator wrote the column:
+    *  - TIMESTAMP(NANOS) parquet (rounds <= 9) reads as a long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Spark has no
+    *    nanos type); `div 1000` floors to micros exactly like engines
+    *    that read the column natively;
+    *  - TIMESTAMP(MICROS) parquet (round 10 corpus) reads as a
+    *    timestamp directly; the cast only normalizes NTZ to the
+    *    session-zoned type (UTC session -> identical instants).
+    * Dispatching on the READ schema keeps every downstream query
+    * byte-identical across both generator vintages. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** lineitem -> retail `sales` source shape (FIXTURES.md §B mapping):
     * sale_id = l_orderkey-l_linenumber, l_shipdate -> sale_date,

@@ -51,16 +51,20 @@ object Sketches {
 
   /** Point estimates for `terms` (one `term` row each) against a
     * built sketch: min over the depth rows of the addressed cells.
-    * The sketch side is metadata-sized, so the join broadcasts. */
+    * The sketch side is metadata-sized, so the join broadcasts.
+    * LEFT join + coalesce(0): a cell no value ever hashed into counts
+    * as zero, so a never-seen term estimates 0 (instead of vanishing)
+    * and the min stays a true upper bound over ALL depth rows rather
+    * than the touched subset. */
   def cmsEstimate(sketch: DataFrame, terms: DataFrame): DataFrame =
     terms
       .select(col("term"),
         explode(typedlit((0 until CmsDepth).toList)).as("d"))
       .select(col("term"), col("d"),
         cmsSlot(col("d"), col("term")).as("slot"))
-      .join(broadcast(sketch), Seq("d", "slot"))
+      .join(broadcast(sketch), Seq("d", "slot"), "left")
       .groupBy(col("term"))
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   /** HyperLogLog (Flajolet et al. 2007) distinct count in exact
     * integer arithmetic, 256 registers.
@@ -147,6 +151,22 @@ object Sketches {
     * (min == max) pins every row to bucket 0 on both engines via an
     * explicit guard rather than relying on 0/0 semantics.
     *
+    * Scale shape of the EXACT side: on a continuous column the
+    * distinct-value histogram is ~n rows, so a cumulative walk with an
+    * unpartitioned `Window.orderBy(x)` is a single-task global sort —
+    * the one shape this library bans. Both cumulative sums here use
+    * the split-merge form proven by [[Windows.peakConcurrency]]
+    * instead: prefix sums are computed WITHIN each estimate bucket
+    * (a `partitionBy(b)` window — n/B rows per task, B-way parallel),
+    * and the cross-bucket carry — sum of all earlier buckets' counts —
+    * comes from a triangular broadcast join over the <= B-row bucket
+    * totals (metadata-sized; O(B^2) pairs, trivial for any sane B).
+    * Prefix sums split associatively at any cut, so the result is
+    * identical to the global walk; the plan contains ZERO unpartitioned
+    * windows (asserted in PlanShapeSpec). At larger scale, raising
+    * `buckets` widens both the estimate grid and the exact-side
+    * parallelism together.
+    *
     * Output: one row per q — (q, est, exact, abs_err), doubles with
     * identical derivation on both engines. */
   def histQuantileError(df: DataFrame, value: Column, buckets: Int,
@@ -161,29 +181,39 @@ object Sketches {
       .otherwise(least(lit(buckets - 1L),
         floor((col("x") - col("mn")) * buckets / (col("mx") - col("mn")))
           .cast("long")))
-    val hist = vals.join(stats).withColumn("b", idx)
-      .groupBy(col("b"), col("mn"), col("mx"), col("n"))
-      .agg(count(lit(1)).as("c"))
-    val cumB = Window.orderBy(col("b"))
+    // the ONE data-sized aggregation: per-(bucket, value) counts;
+    // everything downstream is bucket-partitioned or metadata-sized
+    val vhist = vals.join(stats).withColumn("b", idx)
+      .groupBy(col("b"), col("x")).agg(count(lit(1)).as("c"))
+    // local prefix sums, B-way parallel (never a global sort)
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(cumB))
-    // exact side: cumulative walk over the VALUE histogram (groupBy x,
-    // never a global row_number sort — the winsorize shape)
-    val vhist = vals.groupBy(col("x")).agg(count(lit(1)).as("c"))
-    val cumX = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vcum = vhist.withColumn("cum", sum(col("c")).over(cumX))
+    val local = vhist.withColumn("lcum", sum(col("c")).over(inBucket))
+    val btot = vhist.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+    // carry(b) = counts in strictly earlier buckets — triangular
+    // broadcast join over <= B rows in place of a running-sum window
+    val carry = btot.as("cur").join(broadcast(btot.as("prev")),
+        col("prev.b") < col("cur.b"), "left")
+      .groupBy(col("cur.b").as("b"))
+      .agg(coalesce(sum(col("prev.bc")), lit(0L)).as("carry"))
+    val vcum = local.join(broadcast(carry), Seq("b"))
+      .withColumn("cum", col("carry") + col("lcum"))
+    // estimate side: the bucket histogram is btot itself (<= B rows);
+    // inclusive cumulative counts via the same triangular form
+    val hcum = btot.as("cur").join(broadcast(btot.as("prev")),
+        col("prev.b") <= col("cur.b"))
+      .groupBy(col("cur.b").as("b")).agg(sum(col("prev.bc")).as("cum"))
     val spark = df.sparkSession
     import spark.implicits._
     val qdf = broadcast(qs.toDF("q"))
-    val est = qdf.join(cum)
+    val est = qdf.join(broadcast(hcum)).join(stats)
       .filter(col("cum") >= expr(s"(q * n + 99) div 100"))
       .groupBy(col("q"), col("mn"), col("mx"))
       .agg(min(col("b")).as("b_est"))
       .select(col("q"),
         (col("mn") + col("b_est") * (col("mx") - col("mn")) / buckets)
           .as("est"))
-    val exact = qdf.join(broadcast(vals.agg(count(lit(1)).as("n"))))
+    val exact = qdf.join(stats)
       .join(vcum.select(col("x"), col("cum")))
       .filter(col("cum") >= expr(s"(q * n + 99) div 100"))
       .groupBy(col("q")).agg(min(col("x")).as("exact"))

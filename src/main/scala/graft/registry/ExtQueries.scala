@@ -3963,8 +3963,8 @@ object ExtQueries {
                   ${hex60Sql("CAST(d AS VARCHAR) || ':' || term")}
                     % ${Sketches.CmsWidth} AS slot
                 FROM top CROSS JOIN ds)
-      SELECT term, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
-      FROM probe JOIN cells USING (d, slot)
+      SELECT term, exact_cnt, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+      FROM probe LEFT JOIN cells USING (d, slot)
       GROUP BY 1, 2""",
     // HLL replay: identical register math, HUGEINT for the scaled
     // harmonic mean where Spark uses DECIMAL(38,0)

@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // default to sf0.1 — the scale Bench/TimeQuery run at — so
+    // size-stat-driven choices (broadcast vs shuffle, AQE splits) in
+    // the printed plan match what the bench actually executes
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -134,6 +134,24 @@ class PlanShapeSpec extends SparkSpec {
       s"window sort in the per-group sample plan:\n$plan")
   }
 
+  test("quantile-error exact side runs bucket-partitioned — no unpartitioned window") {
+    // on a continuous column the distinct-value histogram is ~n rows;
+    // an unpartitioned running-sum window over it would be a
+    // single-task global sort. The split-merge rewrite leaves exactly
+    // one window, partitioned by the bucket index (n/B rows per task),
+    // with the cross-bucket carry as a metadata-sized broadcast join
+    val plan = extPlan("sketch_quantile_error")
+    val windows = "Window \\[[^\\]]*\\](, \\[[^\\]]*\\])*".r
+      .findAllIn(plan).toList
+    assert(windows.nonEmpty, s"expected the in-bucket window:\n$plan")
+    windows.foreach { w =>
+      // simple-mode print: Window [exprs], [partitionSpec], [orderSpec];
+      // an unpartitioned window drops the middle bracket group
+      assert(w.count(_ == '[') >= 3,
+        s"unpartitioned window in the quantile plan: $w\n$plan")
+    }
+  }
+
   test("gap-fill grid joins broadcast — the fact table never reshuffles for the grid") {
     // hours x types is the bounded build side; the counts side arrives
     // hash-partitioned from its own aggregation and must not pick up a

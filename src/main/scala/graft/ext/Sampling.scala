@@ -86,13 +86,23 @@ object Sampling {
     * priority is integer math — `bucket * Buckets div weight` —
     * with a (priority, key) total order, so the draw is replayable on
     * any engine and partitioning, like every sampler here. Weights
-    * must be >= 1 (clamped). Plans as TakeOrdered: per-task local
-    * top-k, driver merges — never a global sort. */
+    * must be in [1, Buckets): the clamp floors at 1, and weights at or
+    * above Buckets (1e6) are REFUSED loudly at run time — `u * Buckets
+    * div w` has ~u*Buckets/w distinct priority levels, so beyond that
+    * bound the draw quietly degenerates toward the key tiebreak
+    * instead of a weighted draw. Rescale weights into [1, 1e6) before
+    * sampling (only the ratio matters). Plans as TakeOrdered: per-task
+    * local top-k, driver merges — never a global sort. */
   def prioritySample(df: DataFrame, key: Column, weight: Column,
                      k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, "prioritySample needs k >= 1")
+    val w = weight.cast("long")
     df.withColumn("_graft_u", bucket(key, salt) * Buckets)
-      .withColumn("_graft_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("_graft_w", when(w >= Buckets, raise_error(concat(
+          lit(s"prioritySample: weight must be < $Buckets " +
+            "(integer-priority resolution bound), got "),
+          w.cast("string"))).cast("long"))
+        .otherwise(greatest(w, lit(1L))))
       .withColumn("_graft_pri", expr("_graft_u div _graft_w"))
       .orderBy(col("_graft_pri"), key)
       .limit(k)

@@ -1585,16 +1585,24 @@ object ExtQueries {
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // tf * idf_ppm runs in decimal128 (HUGEINT in the oracle): at
+      // n ~ 1e9 docs idf_ppm reaches ~1e15, so a rare high-tf term
+      // (tf >~ 9e3) would overflow an int64 product and corrupt the
+      // RANKING. Ranking therefore orders on the decimal; the emitted
+      // score column casts back to int64 (exact while tf*n*1e6 < 2^63,
+      // i.e. every realistic top-3 row; the pmi/gini discipline)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("token"))
+        .orderBy(col("score_dec").desc, col("token"))
       tf.join(dfr, Seq("token"))
         .withColumn("idf_ppm", expr(s"(${n}L * 1000000L) div df"))
-        .withColumn("score", col("tf") * col("idf_ppm"))
+        .withColumn("score_dec",
+          col("tf").cast(dec) * col("idf_ppm").cast(dec))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("token"), col("tf"), col("score"),
-          col("rnk"))
+        .select(col("doc_id"), col("token"), col("tf"),
+          col("score_dec").cast("long").as("score"), col("rnk"))
     }),
     // per-user 7-day rolling features at every event — the classic
     // feature-engineering shape (one shuffle on the user key, a
@@ -4035,7 +4043,8 @@ object ExtQueries {
       dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
               FROM tf GROUP BY 1),
       sc AS (SELECT doc_id, tf.token, tf,
-               tf * (((SELECT count(*) FROM documents) * 1000000) // df)
+               CAST(tf AS HUGEINT) *
+                 (((SELECT count(*) FROM documents) * 1000000) // df)
                  AS score
              FROM tf JOIN dfr USING (token)),
       r AS (SELECT *, row_number() OVER

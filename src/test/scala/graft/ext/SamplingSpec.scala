@@ -148,6 +148,20 @@ class SamplingSpec extends SparkSpec {
       s"weighting had no effect: sampled $avgSampled vs corpus $avgAll")
   }
 
+  test("priority sample refuses weights at/above the resolution bound") {
+    val docs2 = docs.select(col("doc_id"),
+      (TextOps.tokenCount(col("text")) + Sampling.Buckets).as("w"))
+    val e = intercept[Exception] {
+      Sampling.prioritySample(docs2, col("doc_id"), col("w"), k = 5)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("resolution bound")),
+      s"expected the loud weight refusal, got: $e")
+  }
+
   test("k-center stops early instead of emitting duplicate centers") {
     // 3 distinct points, one duplicated; ask for k=5
     val emb = Seq(

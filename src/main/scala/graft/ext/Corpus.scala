@@ -550,6 +550,84 @@ object Corpus {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** The full iterative BPE trainer (Sennrich et al. 2016, the
+    * tokenizer-induction loop [[bpePairCounts]] is round zero of):
+    * `rounds` times, count adjacent SYMBOL pairs over the vocabulary
+    * weighted by word frequency, pick the most frequent pair
+    * ((n desc, left, right) total order — deterministic, replayable
+    * tie-break), and merge its non-overlapping left-to-right
+    * occurrences into one symbol in every word.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY once (the
+    * 1000x hash-agg reduction; at 100 TB the vocab is million-scale,
+    * comfortably distributed), and every round after that touches only
+    * vocabulary-sized data — one pair-count shuffle, a single-row
+    * TakeOrdered to the driver (the chosen merge: bounded, 1 row per
+    * round), and a narrow per-word re-tokenize. Loop-carried vocab
+    * state is re-materialized per round via [[Materialize.eager]]
+    * (distributed lineage truncation), so round j does not re-execute
+    * rounds 1..j-1 — the kCenterCoreset lesson.
+    *
+    * Re-tokenization is a codegen'd `aggregate` fold over the symbol
+    * array: push each symbol, and when the running tail equals the
+    * merge's left and the incoming symbol its right, pop+push the
+    * fused symbol. A freshly fused symbol can never serve as the LEFT
+    * of the same merge (it is strictly longer), which makes the fold
+    * exactly the greedy non-overlapping left-to-right scan of the
+    * reference algorithm.
+    *
+    * Returns (mergeTable, finalVocab): the merge table is (round,
+    * lft, rgt, n) driver-built rows (metadata-sized by construction —
+    * `rounds` rows); finalVocab is the distributed (symbol, n)
+    * inventory after all merges, n summed over word frequencies. */
+  def bpeMerges(df: DataFrame, text: Column,
+                rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 1000,
+      s"bpeMerges rounds must be in [1, 1000], got $rounds")
+    val spark = df.sparkSession
+    var vocab = Materialize.eager(
+      df.select(explode(TextOps.tokens(text)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+        .select(col("wn"), expr(
+          "transform(sequence(1, length(word)), " +
+            "i -> substring(word, i, 1))").as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wn"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS lft, syms[i] AS rgt))"))
+          .as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, a, b, n))
+        val fused = a + b
+        vocab = Materialize.eager(vocab.withColumn("syms",
+          aggregate(col("syms"), expr("cast(array() as array<string>)"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+              .otherwise(concat(acc, array(x))))))
+        round += 1
+      }
+    }
+    import spark.implicits._
+    val mergeTable = merges.toSeq.toDF("merge_round", "lft", "rgt", "n")
+    val finalVocab = vocab
+      .select(col("wn"), explode(col("syms")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("wn")).as("n"))
+    (mergeTable, finalVocab)
+  }
+
   /** Hashing-trick featurization (Weinberger et al. 2009): sparse
     * bag-of-words vectors with a FIXED dimensionality — term index is
     * `hex60(token) % dims`, value is the term frequency. The

@@ -27,6 +27,12 @@ object ExtQueries {
   private def reclaimOnExit(path: String): Unit =
     graft.ext.Scratch.reclaimOnExit(path)
 
+  /** Merge rounds for the registered BPE-trainer queries: enough that
+    * later rounds merge MERGED symbols (the part round-0 pair counts
+    * cannot see), small enough that the unrolled-CTE oracle stays
+    * readable. */
+  private val BpeRounds = 8
+
   // ---- curation v2: the composed flagship's stage chain ----
   // Exposed as (name, stage-transform) pairs so the SAME chain serves
   // two consumers: the registered query folds the stages into one
@@ -466,6 +472,17 @@ object ExtQueries {
     // that makes tokenizer training affordable at corpus scale)
     "vocab_bpe_pairs" -> ((s, dir) =>
       Corpus.bpePairCounts(t(s, dir, "documents"), col("text"), k = 30)),
+    // the full iterative BPE trainer: 8 merge rounds (apply top pair,
+    // re-tokenize, re-count) over the vocabulary; each round's chosen
+    // merge hash-verified against an unrolled-CTE DuckDB replay
+    "vocab_bpe_merges" -> ((s, dir) =>
+      Corpus.bpeMerges(t(s, dir, "documents"), col("text"),
+        rounds = BpeRounds)._1),
+    // the symbol inventory AFTER those merges (weighted by word
+    // frequency) — the induced tokenizer vocabulary itself
+    "vocab_bpe_vocab" -> ((s, dir) =>
+      Corpus.bpeMerges(t(s, dir, "documents"), col("text"),
+        rounds = BpeRounds)._2),
     // hashing-trick featurization: fixed-dim sparse bag-of-words with
     // no fitted vocabulary — split-invariant and streaming-safe, the
     // deterministic md5 dim index makes the sparse matrix hash-verify
@@ -1934,6 +1951,49 @@ object ExtQueries {
   // Oracle SQL
   // =====================================================================
 
+  /** Unrolled-CTE DuckDB replay of the iterative BPE trainer
+    * ([[graft.ext.Corpus.bpeMerges]]), `rounds` rounds deep — the
+    * dedup_clusters/kCenterCoreset oracle idiom: the loop the Spark
+    * side runs on the driver is unrolled into static SQL so DuckDB
+    * recomputes every round's pair counts, merge choice and
+    * re-tokenization from scratch.
+    *
+    * Vocabulary state rides as a DOUBLE-SPACE-joined symbol string
+    * ("  lo  w  e  r  "), so applying a merge is one plain
+    * `replace(s, ' l  o ', ' lo ')`: each occurrence keeps one outer
+    * space on each side, left-to-right non-overlapping replace = the
+    * greedy BPE scan, and RE2's missing lookarounds never enter the
+    * picture. Deliberately a DIFFERENT mechanism than the Spark
+    * side's array fold — two independent derivations hash-matching is
+    * the point of the oracle. Ends with vN (the final vocabulary
+    * state) plus one tR CTE per round (that round's chosen merge);
+    * the caller appends the final SELECT. */
+  private def bpeCteSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS word FROM documents),
+      v0 AS (SELECT CAST(count(*) AS BIGINT) AS wn,
+               '  ' || array_to_string(list_transform(range(strlen(word)),
+                   i -> substr(word, CAST(i + 1 AS INTEGER), 1)), '  ')
+               || '  ' AS s
+             FROM w GROUP BY word)"""
+    for (r <- 1 to rounds) sb ++= s""",
+      p$r AS (SELECT l[i+1] AS lft, l[i+2] AS rgt,
+               CAST(sum(wn) AS BIGINT) AS n
+             FROM (SELECT wn, list_filter(string_split(s, '  '),
+                     x -> x <> '') AS l FROM v${r - 1}),
+                  unnest(range(len(l) - 1)) AS u(i)
+             GROUP BY 1, 2),
+      t$r AS (SELECT lft, rgt, n FROM p$r
+             ORDER BY n DESC, lft, rgt LIMIT 1),
+      v$r AS (SELECT wn, CASE WHEN lft IS NULL THEN s ELSE
+               replace(s, ' ' || lft || '  ' || rgt || ' ',
+                       ' ' || lft || rgt || ' ') END AS s
+             FROM v${r - 1} LEFT JOIN t$r ON TRUE)"""
+    sb.result()
+  }
+
   /** DuckDB twin of [[graft.ext.TextOps.hex60]]: 60-bit int from the
     * md5 hex prefix. */
   private def hex60Sql(s: String): String =
@@ -2769,6 +2829,18 @@ object ExtQueries {
             FROM wc WHERE strlen(word) >= 2)
       SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
+    // iterative-BPE replay: the trainer loop unrolled into static CTEs
+    // (one pR/tR/vR triple per round); merge table = each round's t
+    "vocab_bpe_merges" -> (bpeCteSql(BpeRounds) +
+      (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, lft, rgt, n FROM t$r")
+        .mkString("\n      ", "\n      UNION ALL ", "")),
+    // final-vocabulary replay: explode vN's symbol strings, sum wn
+    "vocab_bpe_vocab" -> (bpeCteSql(BpeRounds) + s"""
+      SELECT sym AS symbol, CAST(sum(wn) AS BIGINT) AS n
+      FROM (SELECT wn, unnest(list_filter(string_split(s, '  '),
+              x -> x <> '')) AS sym FROM v$BpeRounds)
+      GROUP BY 1"""),
     "features_hashed_bow" -> s"""
       WITH tok AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -646,6 +646,46 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq(("aa", 4L), ("ab", 3L)), s"$out")
   }
 
+  test("bpeMerges replays the Sennrich example: 3 merges by hand") {
+    // vocabulary {low:5, lower:2, newest:6, widest:3} — round-1 pair
+    // counts put (e,s) and (s,t) both at 9, lex tie-break picks (e,s);
+    // round 2 merges (es,t) at 9; round 3 has (l,o) and (o,w) tied at
+    // 7, lex picks (l,o)
+    val docs = Seq(
+      ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+    ).toDF("text")
+    val (merges, vocab) = Corpus.bpeMerges(docs, col("text"), rounds = 3)
+    val m = merges.as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(m === Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L)), s"$m")
+    // final symbol inventory: low->[lo w], lower->[lo w e r],
+    // newest->[n e w est], widest->[w i d est], weighted by counts
+    val v = vocab.as[(String, Long)].collect().toMap
+    assert(v === Map("lo" -> 7L, "w" -> 16L, "e" -> 8L, "r" -> 2L,
+      "n" -> 6L, "est" -> 9L, "i" -> 3L, "d" -> 3L), s"$v")
+  }
+
+  test("bpeMerges re-tokenization is the greedy non-overlapping scan") {
+    // merge (a,a) applied to 'aaa' must give [aa, a] (greedy
+    // left-to-right), never [a, aa]; round 2 then fuses (aa, a)
+    val docs = Seq("aa aa aa aaa").toDF("text")
+    val (merges, vocab) = Corpus.bpeMerges(docs, col("text"), rounds = 2)
+    val m = merges.as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(m === Seq((1L, "a", "a", 5L), (2L, "aa", "a", 1L)), s"$m")
+    val v = vocab.as[(String, Long)].collect().toMap
+    assert(v === Map("aa" -> 3L, "aaa" -> 1L), s"$v")
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val docs = Seq("ab ab").toDF("text")
+    val (merges, vocab) = Corpus.bpeMerges(docs, col("text"), rounds = 5)
+    assert(merges.as[(Long, String, String, Long)].collect().toSeq
+      === Seq((1L, "a", "b", 2L)))
+    assert(vocab.as[(String, Long)].collect().toMap === Map("ab" -> 2L))
+  }
+
   test("hashedBow: mass conservation, dim range, split invariance") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -1,0 +1,1407 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextOps, Video, Windows}
+
+
+import QueryShared._
+
+/** Fact-table analytics, event-time windows, joins, sketches, load maintenance.
+  *
+  * One family slice of the extension registry — [[ExtQueries]]
+  * aggregates every slice behind the unchanged `queries` /
+  * `oracleSql` surface (the r10 split of the 4.4k-line
+  * monolith; entries are verbatim, no behavior change).
+  */
+object ExtQueriesAnalytics {
+
+  val queries: Map[String, Q] = Map(
+
+    // both fact tables staged ONCE bucketed+sorted by their join key,
+    // then joined exchange-free (PlanShapeSpec pins the no-shuffle
+    // plan) — the curated-layout shape that turns every repeated
+    // fact-to-fact join at 100 TB from two shuffles into zero
+    "sink_bucketed_join" -> ((s, dir) => {
+      val joined = graft.ops.Bucketing.colocatedJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "o_orderkey", "l_orderkey", nBuckets = 8,
+        graft.ops.Bucketing.scratchRoot(s))
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Windows.stableSum(col("l_extendedprice")
+            * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    "window_tumbling" -> ((s, dir) =>
+      Windows.tumbling(Tables.events(s, dir), col("ts"), 3600,
+        Seq(col("event_type")))
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start")),
+    "window_sliding" -> ((s, dir) =>
+      Windows.sliding(Tables.events(s, dir), col("ts"), 3600, 1800)
+        .withColumn("window_epoch", col("window_start").cast("long"))
+        .drop("window_start")),
+    "window_session" -> ((s, dir) =>
+      Windows.sessionize(Tables.events(s, dir), col("user_id"), col("ts"),
+        1800)),
+    // gap-filled hourly series: every (event_type, hour) cell of the
+    // global time range, zero-filled where no events landed — the
+    // resample step between raw events and any time-series consumer
+    // (a model can't learn from silently missing rows). The grid is
+    // hours x types: both sides are bounded (8760 cells/year x a
+    // class-capped type set), so the unconditioned broadcast join IS
+    // the scale shape, and the deliverable is the grid itself.
+    "window_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (floor(col("ts").cast("long") / 3600) * 3600).cast("long")
+          .as("window_epoch"))
+      val counts = ev.groupBy(col("event_type"), col("window_epoch"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = ev.agg(min(col("window_epoch")).as("lo"),
+          max(col("window_epoch")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+          .as("window_epoch"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.join(broadcast(types))
+        .join(counts, Seq("event_type", "window_epoch"), "left")
+        .select(col("event_type"), col("window_epoch"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+    // built-in session_window in BATCH mode — same semantics as the
+    // lag+cumsum sessionization and the streaming twin
+    "window_session_builtin" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"))),
+    "events_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+
+    "analytics_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Windows.stableSum(col("l_quantity")).as("sum_qty"),
+          Windows.stableSum(col("l_extendedprice")).as("sum_base_price"),
+          Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))),
+    "analytics_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          (sum(floor(col("l_extendedprice") * 1000000).cast("long")).over(w)
+            / 1000000.0).as("running_revenue"))
+    }),
+    // RFM customer scoring: recency/frequency/monetary quintiles
+    // WITHIN each market segment (per-segment windows — scoring is
+    // relative to the peer group, and the window never goes global).
+    // Recency anchors on the corpus max order date (one scalar probe);
+    // monetary is the order-proof micro-unit sum; every score is an
+    // ntile under a fully tiebroken total order.
+    "analytics_rfm_scores" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("customer_id"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+      val maxD = o.agg(max(col("d"))).head().getDate(0)
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("customer_id"),
+        col("c_mktsegment"))
+      val rfm = o.groupBy(col("customer_id")).agg(
+          datediff(lit(maxD), max(col("d"))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          Windows.stableSum(col("o_totalprice")).as("monetary"))
+        .join(cust, Seq("customer_id"))
+      def w(order: org.apache.spark.sql.Column*) =
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment")).orderBy(order: _*)
+      rfm
+        .withColumn("r_score", ntile(5)
+          .over(w(col("recency_days"), col("customer_id"))).cast("long"))
+        .withColumn("f_score", ntile(5)
+          .over(w(col("frequency").desc, col("customer_id"))).cast("long"))
+        .withColumn("m_score", ntile(5)
+          .over(w(col("monetary").desc, col("customer_id"))).cast("long"))
+    }),
+    "analytics_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // fact x dim join-aggregate: revenue by order priority. The orders
+    // side is the smaller input -> broadcast by the planner (verified
+    // in plans); one shuffle for the final group-by.
+    "analytics_priority_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
+    // star join through three broadcast dims: revenue per region
+    "analytics_region_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
+    // rollup subtotals (counts only -- engine-portable)
+    "analytics_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))),
+    "analytics_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+    "events_from_json_struct" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k_num"))),
+    // pivot: event counts per user, one column per event type
+    "analytics_pivot" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+    // cube: subtotals over both grouping dimensions
+    "analytics_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))),
+    // moving 7-day revenue per supplier: RANGE frame over event-time
+    "analytics_moving_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("long").as("epoch_s"),
+          floor(col("l_extendedprice") * 1000000).cast("long").as("micros"))
+        .withColumn("moving_7d_revenue",
+          (sum(col("micros")).over(w) / 1000000.0))
+        .drop("micros")
+    }),
+    // lead/lag/ntile/first_value over an event-time order — the
+    // remaining window-function family in one pass (single shuffle on
+    // the partition key, all four functions share the frame)
+    "analytics_lead_lag_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+          lead(col("l_extendedprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("l_extendedprice")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("first_price"))
+    }),
+    // except all (multiset difference)
+    "setop_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val b = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1).select(col("l_orderkey"))
+      a.exceptAll(b)
+    }),
+    // funnel: per user, did signup -> click -> purchase happen in order
+    "analytics_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstOf = (t: String) => min(when(col("event_type") === t,
+        col("ts").cast("double"))).as(s"first_$t")
+      ev.groupBy(col("user_id"))
+        .agg(firstOf("signup"), firstOf("click"), firstOf("purchase"))
+        .select(col("user_id"),
+          col("first_signup").isNotNull.as("did_signup"),
+          (col("first_click") > col("first_signup")).as("clicked_after_signup"),
+          (col("first_purchase") > col("first_click")
+            && col("first_click") > col("first_signup"))
+            .as("purchased_after_click"))
+    }),
+    // top entry paths: each user's first three events in (ts,
+    // event_id) order joined into a path string, counted, top-20 —
+    // ORDERED-sequence aggregation (sort_array over collected
+    // (rn, type) structs), the one aggregate family rank/window
+    // queries don't exercise. Per-user window + hash agg on the path
+    // string; the top-20 is a TakeOrdered, never a global sort.
+    "analytics_event_paths" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val first3 = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      first3.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_steps"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .filter(col("n_steps") === 3)
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    }),
+    // weekly cohort retention: users by first-activity week x active week
+    "analytics_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val week = (c: org.apache.spark.sql.Column) =>
+        floor(c.cast("double") / 604800).cast("long")
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(week(col("ts"))).as("cohort_week"))
+      ev.select(col("user_id"), week(col("ts")).as("active_week"))
+        .distinct()
+        .join(firstWeek, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("active_week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // tf-idf-ish top terms per doc: score = tf * N / df, rational (no
+    // log -- cross-engine exact), top 3 by (score desc, term). Runs the
+    // FULL corpus: two shuffles (tf group-by, df group-by + term join)
+    // plus the per-doc window — the cost the bench measures
+    "text_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", col("tf") * lit(n * 1.0) / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // salted equi-join for known-hot keys: identical semantics to the
+    // plain join (same oracle as analytics_priority_revenue)
+    "join_salted_skew" -> ((s, dir) =>
+      graft.ext.Skew.saltedJoin(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", saltFactor = 8,
+          spread = col("l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Windows.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
+    // exact interpolated percentiles (probed bit-identical to DuckDB's
+    // quantile_cont)
+    "analytics_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))),
+    // incremental watermark load (the strategy the reference's metadata
+    // reserves): initial batch to a cutoff, then append past the high
+    // watermark; the final table must equal the full source
+    "incremental_watermark_load" -> ((s, dir) => {
+      // per-SESSION scratch path (keyed by applicationId), cleared
+      // up-front: repeated invocations in one session (bench reps)
+      // reuse ONE directory instead of leaking an orphaned copy of the
+      // orders table per run, and two concurrent sessions sharing
+      // /tmp can no longer clobber each other's table mid-run
+      val scratch = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incr_scratch_${s.sparkContext.applicationId}").toString
+      reclaimOnExit(scratch)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val tmp = scratch + "/orders"
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val batch1 = src.filter(col("o_orderdate") <= lit("1998-01-01")
+        .cast("timestamp"))
+      val wm1 = graft.ops.Load.incrementalAppend(batch1, tmp,
+        "o_orderdate", None)
+      // re-run with unchanged watermark: must append nothing
+      graft.ops.Load.incrementalAppend(batch1, tmp, "o_orderdate", wm1)
+      // second batch: everything past the watermark
+      graft.ops.Load.incrementalAppend(src, tmp, "o_orderdate", wm1)
+      s.read.parquet(tmp).select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_iso"),
+        col("o_totalprice"))
+    }),
+    // keyed MERGE (upsert + delete) over immutable storage — the
+    // copy-on-write plan every lakehouse table format executes: one
+    // broadcast anti-join of base against the update keys plus a
+    // union; the base never shuffles. Update/new/delete sets are
+    // derived deterministically from the customer table (disjoint
+    // custkey residues) so the oracle replays the full MERGE.
+    "merge_upsert_customers" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      val mods = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("SEGMENT_UPDATED"))
+        .withColumn("is_delete", lit(false))
+      val news = base.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW_"), col("c_name")).as("c_name"),
+          lit("SEGMENT_NEW").as("c_mktsegment"))
+        .withColumn("is_delete", lit(false))
+      val dels = base.filter(col("c_custkey") % 10 === 1)
+        .withColumn("is_delete", lit(true))
+      graft.ops.Merge.mergeUpsert(base,
+        mods.unionByName(news).unionByName(dels),
+        Seq("c_custkey"), deleteFlag = Some("is_delete"))
+    }),
+    // SCD TYPE 2 dimension history from a change log: each customer's
+    // order-priority history as validity intervals. The change order
+    // is the BIGINT (epoch_day * 1e10 + orderkey) encoding — a total
+    // order both engines compute identically (same-day orders break
+    // ties on orderkey). Consecutive no-op replays collapse.
+    "scd2_customer_priority" -> ((s, dir) => {
+      val ord = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long") * 10000000000L +
+        col("o_orderkey").cast("long")
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("customer_id"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate"), col("o_orderkey"))
+      graft.ops.Merge.scd2(changes, Seq("customer_id"),
+          Seq("priority"), ord)
+        .select(col("customer_id"), col("priority"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("version"))
+    }),
+    // first-touch attribution: each purchase credited to the user's
+    // EARLIEST click in the preceding 30 minutes, with the candidate
+    // count. Equi-key (user) hash join + bounded range filter + min
+    // aggregate — the batch twin of the interval join's shape, and
+    // the other half of attribution beside asof (last-touch).
+    "attribution_first_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") <= col("ts") &&
+            col("c_ts") >= col("ts") - expr("interval 30 minutes"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks_window"),
+          date_format(min(col("c_ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_click_s"))
+    }),
+    // linear multi-touch attribution — the credit-splitting complement
+    // of attribution_first_touch: every click in the purchase's 30-min
+    // lookback gets 1e6/n ppm credit (INTEGER division, so the split
+    // is cross-engine exact), accumulated per click. Same bounded
+    // equi-user range join; the per-purchase click count is a per-key
+    // window, never global.
+    "attribution_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val j = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") <= col("ts") &&
+            col("c_ts") >= col("ts") - expr("interval 30 minutes"))
+        .select(col("p_id"), col("click_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+      j.withColumn("n_clicks", count(lit(1)).over(w))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("1000000 div n_clicks")).as("credit_ppm"))
+    }),
+    // per-source equi-depth length quartiles: ntile under a TOTAL
+    // order (n_tokens, doc_id) — standard-SQL distribution semantics
+    // both engines share; per-source windows only, nothing global
+    "stats_length_quartiles" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      d.withColumn("quartile", ntile(4).over(w).cast("long"))
+    }),
+    // as-of join: every event enriched with its user's most recent
+    // (<= ts) purchase — union+window implementation, one shuffle
+    "asof_join_last_purchase" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumn("purchase_epoch", col("ts").cast("double"))
+      AsOfJoin.asofLe(events, purchases, "user_id", "ts",
+          Seq("purchase_value", "purchase_epoch"))
+        .select(col("event_id"), col("purchase_value"), col("purchase_epoch"))
+    }),
+    // snapshot diff / CDC derivation: classify every PK as added /
+    // removed / changed between two table versions via ONE full-outer
+    // join (a hash exchange per side on the PK — co-partitioned and
+    // exchange-free if both snapshots are bucketed by PK, the
+    // sink_bucketed_join layout). Attribute comparison is null-safe
+    // (<=>) so NULL-valued columns diff correctly. v2 is the
+    // merge_upsert mutation pattern, so the expected diff is
+    // closed-form: %10==0 changed, %10==1 removed, %10==2 added twin.
+    "diff_snapshots" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      val v2 = base.filter(col("c_custkey") % 10 =!= 1)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 0, lit("SEGMENT_V2"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(base.filter(col("c_custkey") % 10 === 2).select(
+          (col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW_"), col("c_name")).as("c_name"),
+          lit("SEGMENT_NEW").as("c_mktsegment")))
+      val a = base.select(col("c_custkey").as("k_old"),
+        col("c_name").as("name_old"), col("c_mktsegment").as("seg_old"))
+      val b = v2.select(col("c_custkey").as("k_new"),
+        col("c_name").as("name_new"), col("c_mktsegment").as("seg_new"))
+      a.join(b, col("k_old") === col("k_new"), "full_outer")
+        .withColumn("change_type",
+          when(col("k_old").isNull, lit("added"))
+            .when(col("k_new").isNull, lit("removed"))
+            .when(!(col("seg_old") <=> col("seg_new")) ||
+              !(col("name_old") <=> col("name_new")), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(coalesce(col("k_old"), col("k_new")).as("c_custkey"),
+          col("change_type"), col("seg_old").as("old_segment"),
+          col("seg_new").as("new_segment"))
+    }),
+    // compaction planner: greedy next-fit packing of shard sizes into
+    // ~target-byte groups via a running-sum window. The input is the
+    // FILE MANIFEST (one row per shard/file), not the data — at 100 TB
+    // that is ~1e5 rows, so the single global-order window is a
+    // metadata computation, not a data-scale sort. Pure integer
+    // arithmetic end to end.
+    "sink_compaction_plan" -> ((s, dir) => {
+      val target = 8192L
+      val shards = t(s, dir, "documents")
+        .groupBy((col("doc_id") % 64).as("shard"))
+        .agg(sum(col("n_chars")).as("size_bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("size_bytes").desc, col("shard"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      shards
+        .withColumn("cum_before",
+          coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+        .select(col("shard"), col("size_bytes"),
+          (col("cum_before") / target).cast("long").as("compact_group"))
+    }),
+    // exact-integer outlier detection: flag docs whose token count sits
+    // more than 1.5 sd from the per-source mean, with the z-test
+    // rewritten as 4(nx-S)^2 > 9(n*SS - S^2) — no float mean/variance
+    // anywhere, so the answer is bit-identical across engines. The
+    // predicate arithmetic runs in DecimalType(38,0): int64 wraps
+    // silently (non-ANSI) once n*SS or the squared term passes 2^63 —
+    // reachable at ~1e6 docs/source with ~30k-token docs — while
+    // decimal128 keeps every product exact to 1e38 (n~1e9 docs/source
+    // at 3e4 tokens peaks near 1e27; DuckDB's HUGEINT covers the same
+    // domain, so the cross-engine exactness claim survives scale).
+    // Per-source stats are a tiny aggregate broadcast back onto the
+    // doc stream: one shuffle for the stats, none for the scan.
+    "quality_outlier_zscore" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val st = d.groupBy(col("source")).agg(count(lit(1)).as("n"),
+        sum(col("n_tokens")).as("s"),
+        sum(col("n_tokens").cast(dec) * col("n_tokens").cast(dec)).as("ss"))
+      val nD = col("n").cast(dec)
+      val sD = col("s").cast(dec)
+      val dx = nD * col("n_tokens").cast(dec) - sD
+      d.join(broadcast(st), Seq("source"))
+        .filter(col("n") > 1 &&
+          lit(4).cast(dec) * dx * dx >
+            lit(9).cast(dec) * (nD * col("ss") - sD * sD))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+    // explicit runtime-filter join: a Bloom filter built over the
+    // dimension side's keys prunes the FACT SCAN before any shuffle;
+    // the exact join afterwards absorbs false positives, so the output
+    // is exactly the plain join's (what the oracle checks). At 100 TB
+    // this is the difference between shuffling every fact row and
+    // shuffling only the ~segment-share that can join — the filter is
+    // a fixed-size (<=16 MiB) codegen constant, not a collected key
+    // set. See functions/Bloom.scala.
+    "join_bloom_prefilter" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("c_custkey"))
+      val orders = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))
+      // two bounded jobs on the SMALL side (count + sketch agg): the
+      // build side is dimension-sized by contract
+      val bloom = graft.functions.Bloom.buildLongKeyFilter(
+        cust, "c_custkey", expectedItems = cust.count())
+      orders
+        .filter(graft.functions.Bloom.mightContain(bloom, col("o_custkey")))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Windows.stableSum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // bucketed point-in-interval join: the equi-join rewrite of a
+    // BETWEEN join Spark would otherwise plan broadcast-nested-loop
+    // (see ext/RangeJoin). Overlapping synthetic key bands over the
+    // part keyspace; intervals explode to ~4 buckets each at width
+    // 256, the exact BETWEEN re-applies post-join. Oracle: the naive
+    // range join, because the rewrite is semantically transparent.
+    "join_range_bucketed" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"))
+      val iv = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("interval_id"),
+        (col("n_nationkey").cast("long") * 600 + 1).as("lo"),
+        (col("n_nationkey").cast("long") * 600 + 1000).as("hi"))
+      RangeJoin.bucketedRangeJoin(pts, iv, "p_partkey", "lo", "hi",
+          bucketWidth = 256)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("p_partkey")).as("key_lo"),
+          max(col("p_partkey")).as("key_hi"))
+    }),
+    // count-min sketch accuracy report: exact top-20 token counts vs
+    // the 4x1024 CMS estimate — the sketch itself is hash-verified,
+    // so a width/depth change that degrades accuracy fails the gate
+    // (the frequency twin of the ANN/LSH recall reports)
+    "sketch_cms_error" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      Sketches.cmsEstimate(Sketches.cmsBuild(toks, "token"),
+          exact.select(col("token").as("term")))
+        .join(exact.withColumnRenamed("token", "term"), Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"))
+    }),
+    // HLL distinct-count report: per-source exact distinct tokens vs
+    // the 256-register integer-exact HLL estimate (ext/Sketches —
+    // scaled harmonic mean, no float accumulation anywhere)
+    "sketch_hll_distinct" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = tok.groupBy(col("source"))
+        .agg(countDistinct(col("token")).as("exact_distinct"))
+      exact.join(Sketches.hllEstimate(tok, col("token"),
+          Seq(col("source"))), Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("hll_est"))
+    }),
+    // equi-width histogram quantile estimate WITH its error vs the
+    // exact nearest-rank quantile — the quantile member of the sketch
+    // family (128 mergeable cells vs every distinct value); like the
+    // CMS/HLL/recall reports, the error column is itself hash-verified
+    "sketch_quantile_error" -> ((s, dir) =>
+      Sketches.histQuantileError(t(s, dir, "orders"),
+        col("o_totalprice"), buckets = 128, qs = Seq(50, 90, 99))),
+    // incremental aggregate maintenance: per-month aggregate STATE
+    // (count / micro-unit sum / min / max) computed separately over a
+    // 90% base and a 10% delta, then merged state-to-state — the
+    // pre-aggregation contract at 100 TB (aggregate only the new
+    // partition, fold states); the oracle aggregates the FULL table
+    // directly, so merge == recompute is the hash-checked claim
+    "agg_partial_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      def state(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Merge.aggState(d, Seq("month"), col("o_totalprice"))
+      graft.ops.Merge.mergeAggStates(
+          Seq(state(o.filter(col("o_orderkey") % 10 =!= 0)),
+            state(o.filter(col("o_orderkey") % 10 === 0))), Seq("month"))
+        .select(col("month"), col("n"),
+          (col("sum_micro") / 1000000.0).as("total_price"),
+          col("vmin"), col("vmax"))
+    }),
+    // per-user 7-day rolling features at every event — the classic
+    // feature-engineering shape (one shuffle on the user key, a
+    // range-frame window sorted within partition; RANGE includes
+    // ts-second peers identically in any engine). The value sum rides
+    // the stable micro-unit integer fold
+    "window_rolling_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("ts").cast("long").as("ts_sec"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-7L * 86400, 0)
+      ev.select(col("event_id"), col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_7d"),
+        (sum(floor(col("value") * 1000000).cast("long")).over(w)
+          / 1000000.0).as("val_7d"))
+    }),
+    // ordered conversion funnel: first view, first click AFTER that
+    // view, first purchase AFTER that click; stage credited only
+    // within 7 days of the view. Three user-keyed aggregates + joins
+    // (co-partitioned on user_id end to end), never a window over
+    // the whole event stream
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), col("ts").cast("long").as("ts_sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_sec") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_sec") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("p_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("p_ts").isNotNull &&
+            col("p_ts") <= col("v_ts") + 604800L, "purchase")
+          .when(col("c_ts").isNotNull &&
+            col("c_ts") <= col("v_ts") + 604800L, "click")
+          .when(col("v_ts").isNotNull, "view")
+          .otherwise("none"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+    // per-event local context: previous/next event type and gap
+    // seconds within the same user — the sequence-model windowing
+    // primitive. One shuffle on user_id; lag and lead share a single
+    // window sort on the deterministic (ts_sec, event_id) total order
+    // peak simultaneous activity per event type (each event holds its
+    // slot for 30 min): the sweep-line in split-merge form — per-day
+    // local sweeps + a metadata-sized per-day rollup walk, never one
+    // serial pass over a key's whole timeline
+    "events_concurrency_peak" -> ((s, dir) =>
+      Windows.peakConcurrency(Tables.events(s, dir), col("event_type"),
+          col("ts").cast("long"), holdSec = 1800L)
+        .select(col("k").as("event_type"), col("peak_concurrency"))),
+    "events_context_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_sec"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+          .as("prev_gap_sec"),
+        (lead(col("ts_sec"), 1).over(w) - col("ts_sec"))
+          .as("next_gap_sec"))
+    }),
+    // hourly OHLC bars over the event value stream — the time-series
+    // downsample every feature store ships. Open/close ride a single
+    // struct min/max ordered by the deterministic (ts_sec, event_id)
+    // total order (the unique tiebreak decides before the value field
+    // can); money math in stable micro-units. One agg keyed by hour
+    // with map-side combine — struct-min buffers aren't UnsafeRow-
+    // mutable, so Spark plans partial SortAggregate rather than hash;
+    // the partial sort is on the GROUPING key only, and event streams
+    // arrive near time-ordered, so it's a near-linear run-merge, while
+    // the shuffle still carries one row per (partition, hour). Volume
+    // sums in decimal128 and lands back in int64 (exact while a bar's
+    // total stays under 2^63 micro-units ~ 9.2e12 value units)
+    "window_ohlc_hourly" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts").cast("long").as("ts_sec"),
+        floor(col("value") * 1000000).cast("long").as("micro"))
+        .withColumn("hour", expr("ts_sec div 3600"))
+      ev.groupBy(col("hour"))
+        .agg(
+          min(struct(col("ts_sec"), col("event_id"), col("micro")))
+            .getField("micro").as("open_micro"),
+          max(col("micro")).as("high_micro"),
+          min(col("micro")).as("low_micro"),
+          max(struct(col("ts_sec"), col("event_id"), col("micro")))
+            .getField("micro").as("close_micro"),
+          count(lit(1)).as("n_events"),
+          sum(col("micro").cast(dec)).cast("long").as("vol_micro"))
+    }),
+    // first-order Markov transition matrix over per-user event
+    // sequences: directed (event_type -> next_type) counts with
+    // integer-ppm row-normalized probabilities — the sequence prior
+    // behind next-event prediction and anomaly scoring. One shuffle
+    // on user_id for the lead(), then a tiny type-x-type hash-agg;
+    // row totals ride a window over that matrix (NULL-type rows form
+    // their own partition in both engines, so no join can drop them)
+    "events_markov_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      // gate on lead(ts_sec) — never NULL — so a real next event with
+      // NULL type still counts as a transition into the NULL state
+      val trans = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts_sec"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      trans
+        .withColumn("total", sum(col("n")).over(byFrom))
+        .select(col("event_type"), col("next_type"), col("n"),
+          col("total"), expr("n * 1000000L div total").as("prob_ppm"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // bucketing changes the physical layout, never the values: the
+    // oracle is the plain join over the same projections
+    "sink_bucketed_join" -> s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1""",
+    "window_tumbling" -> s"""
+      SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch,
+             event_type, count(*) AS n_events,
+             ${stableSumSql("value")} AS sum_value
+      FROM events GROUP BY 1, 2""",
+    // the full (type x hour) grid with zero fill — range() generates
+    // the hour axis, the distinct type set is the other
+    "window_gapfill" -> """
+      WITH b AS (SELECT event_type,
+          CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch
+        FROM events),
+      c AS (SELECT event_type, window_epoch,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1, 2),
+      r AS (SELECT min(window_epoch) AS lo, max(window_epoch) AS hi FROM b),
+      h AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS window_epoch
+            FROM r),
+      ty AS (SELECT DISTINCT event_type FROM events)
+      SELECT ty.event_type, h.window_epoch,
+             COALESCE(c.n_events, 0) AS n_events
+      FROM h CROSS JOIN ty
+      LEFT JOIN c ON c.event_type = ty.event_type
+        AND c.window_epoch = h.window_epoch""",
+    "window_sliding" -> s"""
+      WITH w AS (
+        SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - k) * 1800 AS window_epoch,
+               value
+        FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS off(k))
+      SELECT window_epoch, count(*) AS n_events,
+             ${stableSumSql("value")} AS sum_value
+      FROM w GROUP BY 1""",
+    "window_session" -> s"""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      ids AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             ${stableSumSql("value")} AS sum_value
+      FROM ids GROUP BY 1, 2""",
+    "window_session_builtin" ->
+      """WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      ids AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id, count(*) AS n_events
+      FROM ids GROUP BY user_id, session_seq""",
+    "events_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        FROM events""",
+
+    "analytics_q1" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             ${stableSumSql("l_quantity")} AS sum_qty,
+             ${stableSumSql("l_extendedprice")} AS sum_base_price,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2""",
+    "analytics_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*1000000) AS BIGINT))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) / 1000000.0
+                 AS running_revenue
+        FROM lineitem WHERE l_suppkey < 10""",
+    "analytics_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+        WHERE rank <= 3""",
+    "analytics_priority_revenue" -> s"""
+      SELECT o_orderpriority,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "analytics_region_revenue" -> s"""
+      SELECT r_name,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1""",
+    // same anchor scalar, micro-unit monetary sum, and tiebroken
+    // per-segment ntile(5)s
+    "analytics_rfm_scores" -> s"""
+      WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+                        CAST(o_orderdate AS DATE) AS d, o_totalprice
+                 FROM orders),
+      mx AS (SELECT max(d) AS maxd FROM o),
+      rfm AS (SELECT customer_id,
+                     CAST((SELECT maxd FROM mx) - max(d) AS BIGINT)
+                       AS recency_days,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     ${stableSumSql("o_totalprice")} AS monetary
+              FROM o GROUP BY 1),
+      j AS (SELECT rfm.*, c.c_mktsegment
+            FROM rfm JOIN customer c ON c.c_custkey = rfm.customer_id)
+      SELECT customer_id, c_mktsegment, recency_days, frequency, monetary,
+             CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY recency_days, customer_id) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY frequency DESC, customer_id) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY monetary DESC, customer_id) AS BIGINT) AS m_score
+      FROM j""",
+    "analytics_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "analytics_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem""",
+    "events_from_json_struct" ->
+      """SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        FROM events""",
+    "analytics_pivot" ->
+      """SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id""",
+    "analytics_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "analytics_moving_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*1000000) AS BIGINT))
+                 OVER (PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+                       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) / 1000000.0 AS moving_7d_revenue
+        FROM lineitem WHERE l_suppkey < 5""",
+    "analytics_lead_lag_ntile" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+               lag(l_extendedprice, 1) OVER w AS prev_price,
+               lead(l_extendedprice, 1) OVER w AS next_price,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               first_value(l_extendedprice) OVER
+                 (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_price
+        FROM lineitem WHERE l_suppkey < 5
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+    "setop_except_all" ->
+      """SELECT l_orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1""",
+    // first-3 path per user under the (epoch_us, event_id) total
+    // order (the staged source floors ts to microseconds), then path
+    // counts, top-20 with (count desc, path) tie-break
+    "analytics_event_paths" -> """
+      WITH f AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+               count(*) AS n_steps
+        FROM f WHERE rn <= 3 GROUP BY user_id),
+      c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p WHERE n_steps = 3 GROUP BY 1)
+      SELECT path, n_users FROM c
+      ORDER BY n_users DESC, path LIMIT 20""",
+    "analytics_funnel" ->
+      """WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN epoch(ts) END) AS s,
+                 min(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS c,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS p
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               s IS NOT NULL AS did_signup,
+               c > s AS clicked_after_signup,
+               p > c AND c > s AS purchased_after_click
+        FROM f""",
+    "analytics_cohort_retention" ->
+      """WITH w AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(ts)/604800) AS BIGINT) AS active_week
+          FROM events),
+        fw AS (SELECT user_id, min(active_week) AS cohort_week
+               FROM w GROUP BY user_id),
+        dw AS (SELECT DISTINCT user_id, active_week FROM w)
+        SELECT cohort_week, active_week - cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM dw JOIN fw USING (user_id)
+        GROUP BY 1, 2""",
+    "text_top_terms" ->
+      """WITH docs AS (SELECT * FROM documents),
+        terms AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM docs),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM terms GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM docs),
+        scored AS (
+          SELECT doc_id, term, tf * (n * 1.0) / df AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf * (n * 1.0) / df DESC, term) AS rank
+          FROM tf JOIN dfreq USING (term), n)
+        SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+        FROM scored WHERE rank <= 3""",
+    "join_salted_skew" -> s"""
+      SELECT o_orderpriority,
+             ${stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "analytics_percentiles" ->
+      """SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY 1""",
+    "incremental_watermark_load" ->
+      """SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_iso,
+               o_totalprice
+        FROM orders""",
+    "asof_join_last_purchase" ->
+      """WITH p AS (
+          SELECT user_id, ts, max(value) AS purchase_value,
+                 epoch(ts) AS purchase_epoch
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT e.event_id, p.purchase_value, p.purchase_epoch
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    // per-purchase click counts via a grouped CTE (== the per-key
+    // window), integer ppm split summed per click
+    "attribution_linear" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events),
+      j AS (SELECT p.event_id AS p_id, c.event_id AS click_id
+            FROM ev p JOIN ev c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+      n AS (SELECT p_id, count(*) AS n_clicks FROM j GROUP BY 1)
+      SELECT j.click_id,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(1000000 // n.n_clicks) AS BIGINT) AS credit_ppm
+      FROM j JOIN n USING (p_id)
+      GROUP BY 1""",
+    // purchases credited to the earliest click within the 30-minute
+    // lookback (µs-truncated timestamps, like the interval join)
+    "attribution_first_touch" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts FROM events)
+      SELECT p.event_id,
+             count(*) AS n_clicks_window,
+             strftime(min(c.ts), '%Y-%m-%d %H:%M:%S') AS first_click_s
+      FROM ev p JOIN ev c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      GROUP BY p.event_id""",
+    // ntile(4) under the same (n_tokens, doc_id) total order — the
+    // SQL-standard first-(n%4)-buckets-get-one-extra distribution
+    "stats_length_quartiles" -> """
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(ntile(4) OVER (PARTITION BY source
+               ORDER BY len(regexp_split_to_array(trim(text), '\s+')),
+                        doc_id) AS BIGINT) AS quartile
+      FROM documents""",
+    // full MERGE replay: base rows without updates + applied upserts,
+    // minus flagged deletes — the same disjoint custkey residues
+    "merge_upsert_customers" -> """
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                           c_name, c_mktsegment FROM customer),
+      upd AS (
+        SELECT c_custkey, c_name,
+               'SEGMENT_UPDATED' AS c_mktsegment, false AS is_delete
+        FROM base WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW_' || c_name,
+               'SEGMENT_NEW', false
+        FROM base WHERE c_custkey % 10 = 2
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, true
+        FROM base WHERE c_custkey % 10 = 1)
+      SELECT b.c_custkey, b.c_name, b.c_mktsegment
+      FROM base b ANTI JOIN upd u ON b.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment FROM upd WHERE NOT is_delete""",
+
+    // SCD2 replay: null-safe change collapse (IS DISTINCT FROM lag),
+    // then validity intervals via lead over the surviving versions
+    "scd2_customer_priority" -> """
+      WITH ch AS (
+        SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+               o_orderpriority AS priority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 * 10000000000 + o_orderkey AS ord
+        FROM orders),
+      sel AS (
+        SELECT customer_id, priority, ord FROM ch
+        QUALIFY priority IS DISTINCT FROM
+          lag(priority) OVER (PARTITION BY customer_id ORDER BY ord))
+      SELECT customer_id, priority, ord AS valid_from,
+             lead(ord) OVER (PARTITION BY customer_id ORDER BY ord)
+               AS valid_to,
+             lead(ord) OVER (PARTITION BY customer_id ORDER BY ord) IS NULL
+               AS is_current,
+             CAST(row_number() OVER (PARTITION BY customer_id ORDER BY ord)
+               AS BIGINT) AS version
+      FROM sel""",
+
+    // snapshot diff: same v2 mutation pattern, FULL OUTER JOIN on the
+    // PK, IS DISTINCT FROM for null-safe attribute comparison
+    "diff_snapshots" -> """
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                           c_name, c_mktsegment FROM customer),
+      v2 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN 'SEGMENT_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM base WHERE c_custkey % 10 <> 1
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW_' || c_name, 'SEGMENT_NEW'
+        FROM base WHERE c_custkey % 10 = 2)
+      SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+             CASE WHEN a.c_custkey IS NULL THEN 'added'
+                  WHEN b.c_custkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             a.c_mktsegment AS old_segment,
+             b.c_mktsegment AS new_segment
+      FROM base a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+      WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+         OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+         OR a.c_name IS DISTINCT FROM b.c_name""",
+    // next-fit packing: running sum over (size DESC, shard), integer
+    // floor-divide by the target — BIGINT casts on every windowed SUM
+    // (DuckDB SUM OVER returns HUGEINT, the r7 dtype lesson)
+    "sink_compaction_plan" -> """
+      WITH shards AS (
+        SELECT doc_id % 64 AS shard,
+               CAST(sum(n_chars) AS BIGINT) AS size_bytes
+        FROM documents GROUP BY 1),
+      c AS (
+        SELECT shard, size_bytes,
+               CAST(coalesce(sum(size_bytes) OVER (
+                 ORDER BY size_bytes DESC, shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM shards)
+      SELECT shard, size_bytes, cum_before // 8192 AS compact_group
+      FROM c""",
+    // exact-integer z-test: 4(nx-S)^2 > 9(n*SS - S^2) over BIGINTs
+    "quality_outlier_zscore" -> """
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+                 FROM documents),
+      st AS (SELECT source, count(*) AS n,
+                    CAST(sum(n_tokens) AS BIGINT) AS s,
+                    CAST(sum(n_tokens * n_tokens) AS BIGINT) AS ss
+             FROM d GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM d JOIN st USING (source)
+      WHERE st.n > 1
+        AND 4 * (st.n * d.n_tokens - st.s) * (st.n * d.n_tokens - st.s)
+          > 9 * (st.n * st.ss - st.s * st.s)""",
+
+    // the bloom prefilter is semantically transparent: the oracle is
+    // the PLAIN join — that transparency is the operator's contract
+    "join_bloom_prefilter" -> s"""
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             count(*) AS n_orders,
+             ${stableSumSql("o_totalprice")} AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1""",
+
+    // the bucket rewrite is semantically transparent: the oracle is
+    // the naive BETWEEN join
+    "join_range_bucketed" -> """
+      WITH iv AS (SELECT CAST(n_nationkey AS BIGINT) AS interval_id,
+                         CAST(n_nationkey AS BIGINT) * 600 + 1 AS lo,
+                         CAST(n_nationkey AS BIGINT) * 600 + 1000 AS hi
+                  FROM nation)
+      SELECT interval_id, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(min(p_partkey) AS BIGINT) AS key_lo,
+             CAST(max(p_partkey) AS BIGINT) AS key_hi
+      FROM iv JOIN part ON p_partkey BETWEEN lo AND hi
+      GROUP BY 1""",
+    // CMS replay: same depth-prefixed hex60 hashing, same cells
+    // merge == recompute: the Spark side folds base+delta aggregate
+    // states; the oracle aggregates the full table in one pass
+    "agg_partial_merge" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n,
+             ${stableSumSql("o_totalprice")} AS total_price,
+             min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+      FROM orders GROUP BY 1""",
+
+    // histogram quantile estimate + error vs exact nearest-rank: the
+    // bucket index and the estimate are single double expression
+    // shapes; ranks via the (q*n+99)//100 cum-walk convention
+    "sketch_quantile_error" -> """
+      WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                 WHERE NOT isnan(o_totalprice)),
+      s AS (SELECT min(x) AS mn, max(x) AS mx,
+              CAST(count(*) AS BIGINT) AS n FROM v),
+      h AS (SELECT CASE WHEN mx = mn THEN 0
+                     ELSE least(127, CAST(FLOOR((x - mn) * 128 / (mx - mn))
+                       AS BIGINT)) END AS b,
+                   mn, mx, n, CAST(count(*) AS BIGINT) AS c
+            FROM v, s GROUP BY 1, 2, 3, 4),
+      cum AS (SELECT *, sum(c) OVER (ORDER BY b
+                ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+      qs AS (SELECT unnest([50, 90, 99]) AS q),
+      est AS (SELECT q, mn, mx, min(b) AS b_est
+              FROM qs, cum WHERE cum >= (q * n + 99) // 100
+              GROUP BY 1, 2, 3),
+      vh AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+      vc AS (SELECT x, sum(c) OVER (ORDER BY x
+               ROWS UNBOUNDED PRECEDING) AS cum FROM vh),
+      ex AS (SELECT q, min(x) AS exact
+             FROM qs, s, vc WHERE cum >= (q * n + 99) // 100
+             GROUP BY 1)
+      SELECT CAST(e.q AS BIGINT) AS q,
+             mn + b_est * (mx - mn) / 128 AS est, exact,
+             abs(mn + b_est * (mx - mn) / 128 - exact) AS abs_err
+      FROM est e JOIN ex ON e.q = ex.q""",
+
+    "sketch_cms_error" -> s"""
+      WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                    AS token FROM documents),
+      ds AS (SELECT unnest(range(${Sketches.CmsDepth})) AS d),
+      ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM tk GROUP BY 1),
+      top AS (SELECT token AS term, exact_cnt FROM ex
+              ORDER BY exact_cnt DESC, token LIMIT 20),
+      cells AS (SELECT d,
+                  ${hex60Sql("CAST(d AS VARCHAR) || ':' || token")}
+                    % ${Sketches.CmsWidth} AS slot,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM tk CROSS JOIN ds GROUP BY 1, 2),
+      probe AS (SELECT term, exact_cnt, d,
+                  ${hex60Sql("CAST(d AS VARCHAR) || ':' || term")}
+                    % ${Sketches.CmsWidth} AS slot
+                FROM top CROSS JOIN ds)
+      SELECT term, exact_cnt, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+      FROM probe LEFT JOIN cells USING (d, slot)
+      GROUP BY 1, 2""",
+    // HLL replay: identical register math, HUGEINT for the scaled
+    // harmonic mean where Spark uses DECIMAL(38,0)
+    "sketch_hll_distinct" -> s"""
+      WITH tk AS (SELECT source,
+                    unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS token FROM documents),
+      h AS (SELECT source, ${hex60Sql("token")} AS hv FROM tk),
+      regs AS (SELECT source, hv % ${Sketches.HllRegisters} AS idx,
+                 CAST(max(53 - length(bin(hv >> 8))) AS BIGINT) AS rho
+               FROM h GROUP BY 1, 2),
+      sums AS (SELECT source,
+                 SUM(1::BIGINT << CAST(53 - rho AS INTEGER)) AS s_present,
+                 count(*) AS n_present
+               FROM regs GROUP BY 1),
+      est AS (SELECT source,
+                CAST(CAST('${Sketches.HllNumerator.toPlainString}' AS HUGEINT)
+                     // ((s_present
+                          + (${Sketches.HllRegisters} - n_present)
+                            * (1::BIGINT << 53)) * CAST(1000000 AS HUGEINT))
+                  AS BIGINT) AS hll_est
+              FROM sums)
+      SELECT tk2.source, tk2.exact_distinct, est.hll_est
+      FROM (SELECT source, CAST(count(DISTINCT token) AS BIGINT)
+              AS exact_distinct FROM tk GROUP BY 1) tk2
+      JOIN est USING (source)""",
+    // rolling range-frame replay: RANGE over epoch seconds includes
+    // same-second peers in both engines; micro-unit stable sum
+    "window_rolling_counts" -> """
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(count(*) OVER w AS BIGINT) AS n_7d,
+             (SUM(CAST(FLOOR(value*1000000) AS BIGINT)) OVER w
+               / 1000000.0) AS val_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+    // funnel replay: identical staged min-ts chain and 7-day cap
+    "events_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+                  FROM events),
+      v AS (SELECT user_id, min(ts_sec) AS v_ts FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(ts_sec) AS c_ts FROM ev e
+            JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_sec >= v_ts GROUP BY 1),
+      p AS (SELECT e.user_id, min(ts_sec) AS p_ts FROM ev e
+            JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_sec >= c_ts GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM ev),
+      st AS (SELECT u.user_id, CASE
+               WHEN p_ts IS NOT NULL AND p_ts <= v_ts + 604800
+                 THEN 'purchase'
+               WHEN c_ts IS NOT NULL AND c_ts <= v_ts + 604800
+                 THEN 'click'
+               WHEN v_ts IS NOT NULL THEN 'view'
+               ELSE 'none' END AS stage
+             FROM u LEFT JOIN v USING (user_id)
+                    LEFT JOIN c USING (user_id)
+                    LEFT JOIN p USING (user_id))
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+      FROM st GROUP BY 1""",
+    // identical (ts_sec, event_id) total order, lag/lead replay
+    // split-merge sweep line: per-(key, day) local prefix maxima +
+    // a per-day rollup walk; ends (-1) sort before starts (+1) at the
+    // same instant, so the 30-min hold is end-exclusive
+    "events_concurrency_peak" -> """
+      WITH ev AS (SELECT event_type AS k,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+      b AS (SELECT k, t, CAST(1 AS BIGINT) AS delta FROM ev
+            UNION ALL
+            SELECT k, t + 1800, CAST(-1 AS BIGINT) FROM ev),
+      d AS (SELECT k, t, delta, t // 86400 AS day FROM b),
+      run AS (SELECT k, day, delta,
+                sum(delta) OVER (PARTITION BY k, day ORDER BY t, delta
+                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM d),
+      daily AS (SELECT k, day, max(run) AS day_max,
+                  sum(delta) AS day_sum
+                FROM run GROUP BY 1, 2),
+      wc AS (SELECT k, day, day_max,
+               coalesce(sum(day_sum) OVER (PARTITION BY k ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS carry
+             FROM daily)
+      SELECT k AS event_type,
+             CAST(max(carry + day_max) AS BIGINT) AS peak_concurrency
+      FROM wc GROUP BY 1""",
+    "events_context_window" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+                  FROM events)
+      SELECT event_id, user_id, event_type, ts_sec,
+             lag(event_type, 1) OVER w AS prev_type,
+             lead(event_type, 1) OVER w AS next_type,
+             ts_sec - lag(ts_sec, 1) OVER w AS prev_gap_sec,
+             lead(ts_sec, 1) OVER w - ts_sec AS next_gap_sec
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)""",
+    // ordered-aggregate first/last replay the struct min/max; HUGEINT
+    // sum replays the decimal128 volume fold
+    "window_ohlc_hourly" -> """
+      WITH ev AS (SELECT event_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+          CAST(FLOOR(value * 1000000) AS BIGINT) AS micro
+        FROM events)
+      SELECT ts_sec // 3600 AS hour,
+             first(micro ORDER BY ts_sec, event_id) AS open_micro,
+             max(micro) AS high_micro,
+             min(micro) AS low_micro,
+             last(micro ORDER BY ts_sec, event_id) AS close_micro,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(micro) AS BIGINT) AS vol_micro
+      FROM ev GROUP BY 1""",
+    // same lead() chain gated on the never-NULL next_ts; NULL types
+    // group and window-partition identically in both engines
+    "events_markov_transitions" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+      nx AS (SELECT event_type,
+          lead(event_type, 1) OVER w AS next_type,
+          lead(ts_sec, 1) OVER w AS next_ts
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+      tr AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM nx WHERE next_ts IS NOT NULL GROUP BY 1, 2),
+      tt AS (SELECT event_type, next_type, n,
+          CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM tr)
+      SELECT event_type, next_type, n, total,
+             CAST(n * 1000000 // total AS BIGINT) AS prob_ppm
+      FROM tt""",
+  )
+}

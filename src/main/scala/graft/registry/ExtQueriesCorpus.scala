@@ -1,0 +1,748 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextOps, Video, Windows}
+
+
+import QueryShared._
+
+/** Corpus curation, vocabulary induction (incl. the BPE trainer), packing and decontamination.
+  *
+  * One family slice of the extension registry — [[ExtQueries]]
+  * aggregates every slice behind the unchanged `queries` /
+  * `oracleSql` surface (the r10 split of the 4.4k-line
+  * monolith; entries are verbatim, no behavior change).
+  */
+object ExtQueriesCorpus {
+
+  val queries: Map[String, Q] = Map(
+
+    // ExactSubstr-lite: drop exact 8-word chunks already seen earlier
+    // in the corpus, reassemble the survivors per document
+    "dedup_repeated_segments" -> ((s, dir) =>
+      Corpus.segmentDedup(t(s, dir, "documents"), col("doc_id"),
+        col("text"), segWords = 8)),
+    // C4-style rule filter, one audit flag per rule + the conjunction
+    "text_c4_filter" -> ((s, dir) =>
+      Corpus.c4QualityFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
+    // Gopher-style shape rules (word-count/word-length/alpha/symbol/
+    // bullet/ellipsis/stopword), one audit flag per rule
+    "text_gopher_filter" -> ((s, dir) =>
+      Corpus.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
+    // corpus-wide top-50 word bigrams (vocabulary induction seed)
+    "vocab_top_bigrams" -> ((s, dir) =>
+      Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
+    // one BPE merge-selection round: adjacent char-pair counts
+    // weighted by word frequency, computed over the VOCABULARY (the
+    // corpus collapses to distinct words first — the 1000x reduction
+    // that makes tokenizer training affordable at corpus scale)
+    "vocab_bpe_pairs" -> ((s, dir) =>
+      Corpus.bpePairCounts(t(s, dir, "documents"), col("text"), k = 30)),
+    // the full iterative BPE trainer: 8 merge rounds (apply top pair,
+    // re-tokenize, re-count) over the vocabulary; each round's chosen
+    // merge hash-verified against an unrolled-CTE DuckDB replay
+    "vocab_bpe_merges" -> ((s, dir) =>
+      Corpus.bpeMerges(t(s, dir, "documents"), col("text"),
+        rounds = BpeRounds)._1),
+    // the symbol inventory AFTER those merges (weighted by word
+    // frequency) — the induced tokenizer vocabulary itself
+    "vocab_bpe_vocab" -> ((s, dir) =>
+      Corpus.bpeMerges(t(s, dir, "documents"), col("text"),
+        rounds = BpeRounds)._2),
+    // hashing-trick featurization: fixed-dim sparse bag-of-words with
+    // no fitted vocabulary — split-invariant and streaming-safe, the
+    // deterministic md5 dim index makes the sparse matrix hash-verify
+    "features_hashed_bow" -> ((s, dir) =>
+      Corpus.hashedBow(t(s, dir, "documents"), col("doc_id"),
+        col("text"), dims = 64)),
+    // context-window chunking: docs -> 64-token pieces with provenance
+    "chunk_documents" -> ((s, dir) =>
+      Corpus.chunkDocuments(t(s, dir, "documents"), col("doc_id"),
+        col("text"), chunkTokens = 64)),
+    // Zipf audit: term-count histogram in power-of-two bins
+    "vocab_freq_histogram" -> ((s, dir) =>
+      Corpus.freqHistogram(t(s, dir, "documents"), col("text"))),
+    // no-model perplexity proxy: fraction of a doc's bigrams seen
+    // >= 5 times corpus-wide (integer ppm, hash-joined on hex60)
+    "text_bigram_familiarity" -> ((s, dir) =>
+      Corpus.bigramFamiliarity(t(s, dir, "documents"), col("doc_id"),
+        col("text"), minCount = 5)),
+    // per-domain curriculum selection: best 5 docs per source by
+    // quality score, through the bounded-heap aggregate (each task
+    // forwards <= 5 rows per source — no per-domain window sort)
+    "curate_topk_per_source" -> ((s, dir) => {
+      val scored = TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), col("text"))
+        // empty text -> 0/0 = NaN score; the heap agg skips NaN rows,
+        // so exclude them explicitly to keep the oracle's rank frame
+        // identical (the SQL twin filters NOT isnan likewise)
+        .filter(!isnan(col("quality_score")))
+      scored.groupBy(col("source"))
+        .agg(graft.functions.TopK.topkByScore(col("quality_score"),
+          col("doc_id"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          col("col.score").as("quality_score"),
+          (col("pos") + 1).cast("long").as("rank"))
+    }),
+
+    // token-budget curation: per source, best-quality docs greedily
+    // until a 500-token budget — the selection step between scoring
+    // and training-set assembly. Strict prefix semantics (cumsum
+    // window), so the kept set is order-replayable cross-engine.
+    "curate_token_budget" -> ((s, dir) => {
+      val scored = TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), col("text"))
+        .filter(!isnan(col("quality_score")))
+      Corpus.tokenBudgetSelect(scored, col("source"),
+          Seq(col("quality_score").desc, col("doc_id")),
+          col("n_tokens"), budget = 500L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+    }),
+    // curriculum-ordered training shards: docs hash-assigned to
+    // shards, ordered best-quality-first WITHIN each shard with their
+    // position, written hive-partitioned by shard and read back —
+    // the write layout a curriculum loader streams in order (parquet
+    // preserves row order within files). Per-shard windows only;
+    // shard count scales with the corpus.
+    "sink_curriculum_shards" -> ((s, dir) => {
+      val scored = TextOps.withQualityScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"))
+        .filter(!isnan(col("quality_score")))
+        .withColumn("shard", Sampling.bucket(col("doc_id"), "shard") % 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val ordered = scored
+        .withColumn("position", row_number().over(w).cast("long"))
+        .select(col("shard"), col("position"), col("doc_id"))
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_curr/shards"
+      reclaimOnExit(tmp)
+      ordered.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("shard").cast("long").as("shard"), col("position"),
+          col("doc_id"))
+    }),
+    // conditional bigram table (n-gram-LM building block): top-3
+    // continuations per first word with integer-ppm conditional
+    // probabilities
+    "vocab_bigram_conditionals" -> ((s, dir) =>
+      Corpus.bigramConditionals(t(s, dir, "documents"), col("text"),
+        k = 3, minFirst = 10L)),
+    // the REMOVAL step contamination_check motivates: train docs
+    // sharing >= 5 test 13-gram shingles are dropped, and the cleaned
+    // corpus is summarized per source — composes the verified overlap
+    // operator, like corpus_curation_e2e composes its stages
+    "decontaminate_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val test = docs.filter(col("doc_id") % 20 === 0)
+      val bad = Dedup.crossCorpusOverlap(train, test, "doc_id", "text",
+          shingleN = 13)
+        .filter(col("n_shared_shingles") >= 5)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(bad, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    }),
+    // the v2 composed flagship: quality filter -> exact dedup ->
+    // near-dup keep-representative -> benchmark decontamination ->
+    // per-source token-budget selection, fused into ONE plan under one
+    // composed oracle — the full selection path from raw corpus to
+    // budgeted training set. Per-stage wall attribution comes from
+    // curationV2StageSeconds in the bench.
+    "corpus_curation_v2" -> ((s, dir) =>
+      curationV2Stages(s, dir).foldLeft(curationV2Docs(s, dir)) {
+        case (df, (_, stage)) => stage(df)
+      }),
+
+    // group count grows with the corpus via autoGroups (~64 docs per
+    // group, power of two; SQL twin derives the same count from
+    // count(*)), so per-group fold memory stays constant at any scale
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.packSequences(docs, col("doc_id"), col("text"),
+        budgetTokens = 512, nGroups = Packing.autoGroups(docs.count()))
+    }),
+    // packing WITH the per-document bin offset — the (bin, offset)
+    // position map a training loader consumes to derive attention
+    // boundaries without re-tokenizing; same fold, one more running
+    // value, replayed by the same recursive-walk oracle
+    "pack_with_positions" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.packWithPositions(docs, col("doc_id"), col("text"),
+        budgetTokens = 512, nGroups = Packing.autoGroups(docs.count()))
+    }),
+    // contamination: training docs sharing a 13-gram with the held-out
+    // slice (doc_id % 20 == 0 plays the benchmark set)
+    "contamination_check" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusOverlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 13)
+    }),
+    // corpus-hot stopword strip: tokens in >= half of all docs are
+    // removed from every doc, order/multiplicity of the rest kept —
+    // the transform twin of the stopword-density quality scores
+    "corpus_stopword_strip" -> ((s, dir) =>
+      Corpus.stripHotTokens(t(s, dir, "documents"), col("doc_id"),
+        col("text"), dfNum = 1, dfDen = 2)),
+    // integer-exact PMI collocations: pointwise mutual information as
+    // the monotone ratio proxy (N * n12 * 1e6) div (n1 * n2) — log is
+    // monotone, so thresholding/ranking the ratio equals PMI without
+    // libm. Products run in DecimalType(38,0): N*n12 and n1*n2 pass
+    // 2^63 near ~1e13 corpus bigrams, decimal128 keeps them exact
+    // (DuckDB HUGEINT covers the same domain); the final ppm stays
+    // int64 while N*1e6/minCount < 2^63, i.e. N < ~4.6e13 bigrams at
+    // minCount 5. Margin counts fold the already-grouped bigram table
+    // (vocabulary-sized), never the raw explode — two tiny hash-aggs
+    // joined back on the word keys
+    "vocab_pmi_collocations" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = t(s, dir, "documents").select(explode(
+          graft.functions.VectorFunctions.wordShingleStrings(
+            col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n12"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      val total = cnt.agg(sum(col("n12"))).first().getLong(0)
+      val m1 = cnt.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      val m2 = cnt.groupBy(col("w2")).agg(sum(col("n12")).as("n2"))
+      cnt.join(m1, Seq("w1")).join(m2, Seq("w2"))
+        .filter(col("n12") >= 5)
+        .withColumn("num", lit(total).cast(dec) * col("n12").cast(dec)
+          * lit(1000000).cast(dec))
+        .withColumn("den", col("n1").cast(dec) * col("n2").cast(dec))
+        .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+          expr("num div den").as("pmi_ppm"))
+    }),
+    // skip-gram co-occurrence pairs (word2vec training-data prep):
+    // directed (center, context) counts within a +-2 token window.
+    // No self-join, and ONE corpus scan/explode: bigram and trigram
+    // shingles concatenate into one array (pair extraction first-
+    // token/last-token reads identically off both — a trigram's
+    // middle word is exactly the distance-2 skip), the reverse
+    // direction appends the swapped pair strings INSIDE the same
+    // array expression, and one hash-agg with map-side combine
+    // finishes. Plan: Scan -> Generate -> partial agg -> one shuffle
+    "vocab_skipgram_pairs" -> ((s, dir) => {
+      val fwd = concat(
+        graft.functions.VectorFunctions.wordShingleStrings(
+          col("text"), 2),
+        graft.functions.VectorFunctions.wordShingleStrings(
+          col("text"), 3))
+      val both = concat(fwd, transform(fwd, g => concat_ws(" ",
+        substring_index(g, " ", -1), substring_index(g, " ", 1))))
+      t(s, dir, "documents").select(explode(both).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("center"),
+          substring_index(col("g"), " ", -1).as("context"))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+    }),
+    // per-source token-distribution diversity as integer-exact Gini
+    // impurity: 1e6 - sum(n_i^2)*1e6 div N^2 — the mode-collapse /
+    // template-spam audit (a source whose mass sits on few tokens
+    // scores near 0). No float probabilities: squares and the N^2
+    // denominator run in decimal128 (exact to 1e38; sum(n_i^2) passes
+    // 2^63 once a source holds ~3e9 copies of one token), the final
+    // ppm is int64. One explode + two vocabulary-keyed hash-aggs
+    "vocab_gini_diversity" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = t(s, dir, "documents").select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("n").cast(dec) * col("n").cast(dec)).as("ss"))
+        .withColumn("den",
+          col("n_tokens").cast(dec) * col("n_tokens").cast(dec))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          (lit(1000000L) - expr("(ss * 1000000) div den"))
+            .as("gini_ppm"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // exact greedy first-fit replayed as a recursive walk per group;
+    // the group count is derived from count(*) with the same integer
+    // formula as Packing.autoGroups (~64 docs/group, power of two)
+    "pack_sequences" ->
+      packWalkSql("doc_id, n_tokens, pack_group, bin_id"),
+    "pack_with_positions" -> packWalkSql(
+      "doc_id, n_tokens, pack_group, bin_id, fill - n_tokens AS seq_start"),
+    "contamination_check" -> s"""
+      WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB)
+      SELECT train_id, test_id, count(*) AS n_shared_shingles
+      FROM hA2 JOIN hB USING (h) GROUP BY 1, 2""",
+    // contamination REMOVAL: the overlap oracle's CTEs re-used, then
+    // the cleaned train corpus summarized per source
+    "decontaminate_corpus" -> s"""
+      WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB),
+      ov AS (SELECT train_id, test_id, count(*) AS n_shared
+             FROM hA2 JOIN hB USING (h) GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT train_id FROM ov WHERE n_shared >= 5)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE doc_id % 20 <> 0
+        AND doc_id NOT IN (SELECT train_id FROM bad)
+      GROUP BY source""",
+    // the composed v2 flagship: every stage's oracle fragment reused
+    // in sequence — C4 CTEs, md5 exact-dedup, the recursive cluster
+    // walk, 13-gram decontamination over the CURATED train slice (hot
+    // shingle df computed on the same slice the Spark side uses), then
+    // the quality-scored budget cumsum
+    "corpus_curation_v2" -> s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(text), '\\s+') AS btoks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id, source, text FROM base
+        WHERE len(btoks) >= 10
+          AND (contains(p, ' the ') OR contains(p, ' a '))
+          AND CAST(len(list_distinct(btoks)) AS BIGINT) * 1000000
+              // CAST(len(btoks) AS BIGINT) >= 300000
+          AND NOT contains(lower(text), '{')
+          AND NOT contains(lower(text), 'lorem ipsum')),
+      ex AS (SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM c4) WHERE doc_id = keeper),
+      ${clustersCtes("SELECT doc_id, text FROM ex")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      corpus AS (SELECT ex.doc_id, ex.source, ex.text FROM ex
+                 JOIN comp USING (doc_id) WHERE component = ex.doc_id),
+      train AS (SELECT * FROM corpus WHERE doc_id % 20 <> 0),
+      shA AS (SELECT DISTINCT doc_id AS train_id,
+          unnest(list_transform(
+            range(len(regexp_split_to_array(trim(text), '\\s+')) - 12),
+            i -> array_to_string(
+              (regexp_split_to_array(trim(text), '\\s+'))[i+1:i+13], ' ')))
+            AS shingle
+        FROM train),
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB),
+      ov AS (SELECT train_id, test_id, count(*) AS n_shared
+             FROM hA2 JOIN hB USING (h) GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT train_id FROM ov WHERE n_shared >= 5),
+      clean AS (SELECT doc_id, source, text FROM train
+                WHERE doc_id NOT IN (SELECT train_id FROM bad)),
+      t2 AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM clean),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t2),
+      q2 AS (SELECT doc_id, source, n_tokens,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      sel AS (SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM q2 WHERE NOT isnan(quality_score))
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= 500""",
+    // same quality-score arithmetic as text_quality_score, ranked per
+    // source under the heap aggregate's total order (score desc, id)
+    "curate_topk_per_source" -> s"""
+      WITH t AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id, source,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m)
+      SELECT source, doc_id, quality_score,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+      FROM q WHERE NOT isnan(quality_score) QUALIFY rank <= 5""",
+    // same quality CTEs, then a strict-prefix cumsum under the same
+    // (quality desc, doc_id) total order, kept while <= budget
+    "curate_token_budget" -> s"""
+      WITH t AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id, source, n_tokens,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      c AS (SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM q WHERE NOT isnan(quality_score))
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 500""",
+    // same quality CTEs, hash shard, per-shard quality order
+    "sink_curriculum_shards" -> s"""
+      WITH t AS (SELECT doc_id, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      sh2 AS (SELECT doc_id, quality_score,
+          (${hex60Sql("'shard' || CAST(doc_id AS VARCHAR)")}
+             % ${Sampling.Buckets}) % 8 AS shard
+        FROM q WHERE NOT isnan(quality_score))
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY quality_score DESC, doc_id) AS BIGINT) AS position,
+             doc_id
+      FROM sh2""",
+    // bigram counts (same split as vocab_top_bigrams), per-first-word
+    // totals + rank, integer-ppm conditionals
+    "vocab_bigram_conditionals" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2),
+      cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n,
+          split_part(bigram, ' ', 1) AS w1,
+          split_part(bigram, ' ', 2) AS w2
+        FROM bg GROUP BY 1),
+      ranked AS (SELECT w1, w2, n,
+          CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS total,
+          CAST(row_number() OVER (PARTITION BY w1
+            ORDER BY n DESC, w2) AS BIGINT) AS rank
+        FROM cnt)
+      SELECT w1, w2, n, total,
+        CAST(n * 1000000 // total AS BIGINT) AS cond_ppm, rank
+      FROM ranked WHERE total >= 10 AND rank <= 3""",
+    // zipped unnests replay the non-overlapping 8-word chunking; the
+    // keep-first min runs over the SAME hex60 hash groups as Spark (a
+    // 60-bit collision would merge identically on both engines)
+    "dedup_repeated_segments" -> s"""
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      seg AS (SELECT doc_id,
+          unnest(range((len(toks) + 7) // 8)) AS seg_idx,
+          unnest(list_transform(range((len(toks) + 7) // 8),
+            i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS seg
+        FROM tok),
+      k AS (SELECT doc_id, seg_idx, seg,
+          (doc_id * ${Corpus.SegStride} + seg_idx)
+            = min(doc_id * ${Corpus.SegStride} + seg_idx)
+                OVER (PARTITION BY ${hex60Sql("seg")}) AS keep
+        FROM seg)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        md5(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep))
+          AS dedup_md5
+      FROM k GROUP BY doc_id""",
+    // zipped unnests replay the 64-token chunking; per-chunk token
+    // count is recomputed from the chunk text exactly like Spark
+    "chunk_documents" -> """
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      seg AS (SELECT doc_id,
+          unnest(range((len(toks) + 63) // 64)) AS chunk_idx,
+          unnest(list_transform(range((len(toks) + 63) // 64),
+            i -> array_to_string(toks[i*64+1 : i*64+64], ' '))) AS seg
+        FROM tok)
+      SELECT doc_id, chunk_idx,
+        CAST(len(regexp_split_to_array(trim(seg), '\s+')) AS BIGINT)
+          AS n_tokens,
+        md5(seg) AS chunk_md5
+      FROM seg""",
+    // bin = number of binary digits of the term count (floor(log2)+1):
+    // Spark length(bin(x)) == DuckDB length(bin(x)) for x >= 1
+    "vocab_freq_histogram" -> """
+      WITH tf AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+          AS term FROM documents),
+      c AS (SELECT term, count(*) AS occ FROM tf GROUP BY 1)
+      SELECT CAST(length(bin(occ)) AS BIGINT) AS df_bucket,
+        CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(occ) AS BIGINT) AS n_occurrences
+      FROM c GROUP BY 1""",
+    // n_words >= 1 always (trim of a non-empty doc splits to >= 1
+    // token), so the integer floor-div cannot hit zero
+    "text_c4_filter" -> """
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+            // CAST(len(toks) AS BIGINT) AS distinct_ppm,
+          (contains(p, ' the ') OR contains(p, ' a ')) AS has_stopword,
+          NOT contains(lower(text), '{') AS no_brace,
+          NOT contains(lower(text), 'lorem ipsum') AS no_lorem
+        FROM t)
+      SELECT doc_id, n_words, distinct_ppm,
+        n_words >= 10 AS min_words, has_stopword,
+        distinct_ppm >= 300000 AS diverse, no_brace, no_lorem,
+        (n_words >= 10 AND has_stopword AND distinct_ppm >= 300000
+          AND no_brace AND no_lorem) AS keep
+      FROM m""",
+    // Gopher shape rules: every metric an integer-ppm floor-div over
+    // the same token/line splits Spark uses; stopword hits are exact
+    // token membership (list_contains), not substring
+    "text_gopher_filter" -> """
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          string_split(text, chr(10)) AS lines
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS mean_word_len_ppm,
+          CAST(len(list_filter(toks,
+              tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
+            // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS symbol_ppm,
+          CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+              OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+            AS BIGINT) AS n_ell,
+          CAST(list_contains(toks, 'the') AS BIGINT)
+            + CAST(list_contains(toks, 'be') AS BIGINT)
+            + CAST(list_contains(toks, 'to') AS BIGINT)
+            + CAST(list_contains(toks, 'of') AS BIGINT)
+            + CAST(list_contains(toks, 'and') AS BIGINT)
+            + CAST(list_contains(toks, 'that') AS BIGINT)
+            + CAST(list_contains(toks, 'have') AS BIGINT)
+            + CAST(list_contains(toks, 'with') AS BIGINT) AS stop_hits
+        FROM t)
+      SELECT doc_id, n_words, mean_word_len_ppm, alpha_ppm, symbol_ppm,
+        n_bullet * 1000000 // n_lines AS bullet_line_ppm,
+        n_ell * 1000000 // n_lines AS ellipsis_line_ppm,
+        stop_hits,
+        (n_words >= 10 AND n_words <= 100000) AS word_count_ok,
+        (mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000)
+          AS word_len_ok,
+        alpha_ppm >= 800000 AS mostly_alpha,
+        symbol_ppm <= 100000 AS low_symbol,
+        n_bullet * 1000000 // n_lines <= 900000 AS few_bullets,
+        n_ell * 1000000 // n_lines <= 300000 AS few_ellipsis,
+        stop_hits >= 2 AS enough_stopwords,
+        (n_words >= 10 AND n_words <= 100000
+         AND mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000
+         AND alpha_ppm >= 800000 AND symbol_ppm <= 100000
+         AND n_bullet * 1000000 // n_lines <= 900000
+         AND n_ell * 1000000 // n_lines <= 300000
+         AND stop_hits >= 2) AS keep
+      FROM m""",
+    // familiarity joins on the SAME hex60 hash groups as Spark (a
+    // 60-bit collision would merge counts identically on both engines)
+    "text_bigram_familiarity" -> s"""
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      big AS (SELECT doc_id, ${hex60Sql("bigram")} AS h FROM (
+          SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+              i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+          FROM tok WHERE len(toks) >= 2)),
+      fam AS (SELECT h FROM big GROUP BY h HAVING count(*) >= 5),
+      sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                    count(f.h) AS n_familiar
+             FROM big b LEFT JOIN fam f USING (h) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(n_familiar, 0) AS BIGINT) AS n_familiar,
+             CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN n_familiar * 1000000 // n_bigrams
+                  ELSE 0 END AS BIGINT) AS familiar_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "vocab_top_bigrams" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2)
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    // vocabulary-first BPE pair counts: pairs explode over DISTINCT
+    // words only, weighted by the word's corpus count
+    "vocab_bpe_pairs" -> """
+      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS word FROM documents),
+      wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wn
+             FROM w GROUP BY 1),
+      p AS (SELECT wn, unnest(list_transform(range(1, strlen(word)),
+              i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+            FROM wc WHERE strlen(word) >= 2)
+      SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
+    // iterative-BPE replay: the trainer loop unrolled into static CTEs
+    // (one pR/tR/vR triple per round); merge table = each round's t
+    "vocab_bpe_merges" -> (bpeCteSql(BpeRounds) +
+      (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, lft, rgt, n FROM t$r")
+        .mkString("\n      ", "\n      UNION ALL ", "")),
+    // final-vocabulary replay: explode vN's symbol strings, sum wn
+    "vocab_bpe_vocab" -> (bpeCteSql(BpeRounds) + s"""
+      SELECT sym AS symbol, CAST(sum(wn) AS BIGINT) AS n
+      FROM (SELECT wn, unnest(list_filter(string_split(s, '  '),
+              x -> x <> '')) AS sym FROM v$BpeRounds)
+      GROUP BY 1"""),
+    "features_hashed_bow" -> s"""
+      WITH tok AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+      SELECT doc_id, CAST(${hex60Sql("token")} % 64 AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2""",
+    // stopword strip replay: df over distinct (doc, token), hot =
+    // df*2 >= n, positional reassembly via string_agg ORDER BY
+    "corpus_stopword_strip" -> """
+      WITH tok AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM documents),
+      dfr AS (SELECT token, count(*) AS df
+              FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token
+                    FROM tok) GROUP BY 1),
+      hot AS (SELECT token FROM dfr
+              WHERE df * 2 >= (SELECT count(*) FROM documents)),
+      pos AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM tok),
+      tx AS (SELECT doc_id, p, toks[CAST(p + 1 AS INTEGER)] AS token
+             FROM pos),
+      kept AS (SELECT doc_id, p, token FROM tx
+               WHERE token NOT IN (SELECT token FROM hot)),
+      agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY 1),
+      base AS (SELECT doc_id, len(toks) AS n_toks FROM tok)
+      SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+             CAST(b.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+      FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // same bigram split as vocab_bigram_conditionals; HUGEINT products
+    // replay the Spark side's decimal128, floor-div back to BIGINT
+    "vocab_pmi_collocations" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+        FROM tok WHERE len(toks) >= 2),
+      cnt AS (SELECT split_part(bigram, ' ', 1) AS w1,
+          split_part(bigram, ' ', 2) AS w2,
+          CAST(count(*) AS BIGINT) AS n12
+        FROM bg GROUP BY 1, 2),
+      m1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+             FROM cnt GROUP BY 1),
+      m2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2
+             FROM cnt GROUP BY 1),
+      tot AS (SELECT CAST(sum(n12) AS BIGINT) AS total FROM cnt)
+      SELECT c.w1, c.w2, c.n12, m1.n1, m2.n2,
+        CAST((CAST(tot.total AS HUGEINT) * c.n12 * 1000000)
+             // (CAST(m1.n1 AS HUGEINT) * m2.n2) AS BIGINT) AS pmi_ppm
+      FROM cnt c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+      WHERE c.n12 >= 5""",
+    // distance-1 pairs from bigrams both ways, distance-2 pairs from
+    // the (first, third) trigram projection both ways
+    "vocab_skipgram_pairs" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM tok WHERE len(toks) >= 2),
+      tg AS (SELECT unnest(list_transform(range(len(toks) - 2),
+          i -> toks[i+1] || ' ' || toks[i+3])) AS g
+        FROM tok WHERE len(toks) >= 3),
+      pairs AS (
+        SELECT split_part(g, ' ', 1) AS center,
+               split_part(g, ' ', 2) AS context FROM bg
+        UNION ALL
+        SELECT split_part(g, ' ', 2), split_part(g, ' ', 1) FROM bg
+        UNION ALL
+        SELECT split_part(g, ' ', 1), split_part(g, ' ', 2) FROM tg
+        UNION ALL
+        SELECT split_part(g, ' ', 2), split_part(g, ' ', 1) FROM tg)
+      SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5""",
+    // HUGEINT squares replay the decimal128 fold
+    "vocab_gini_diversity" -> """
+      WITH tf AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tf GROUP BY 1, 2),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          sum(CAST(n AS HUGEINT) * n) AS ss
+        FROM cnt GROUP BY 1)
+      SELECT source, n_types, n_tokens,
+        CAST(1000000 - (ss * 1000000)
+          // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+          AS gini_ppm
+      FROM ag""",
+  )
+}

@@ -1,0 +1,420 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{AsOfJoin, Audio, Corpus, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TextOps, Video, Windows}
+
+
+import QueryShared._
+
+/** Deduplication generators and the near-dup graph analyses built on them.
+  *
+  * One family slice of the extension registry — [[ExtQueries]]
+  * aggregates every slice behind the unchanged `queries` /
+  * `oracleSql` surface (the r10 split of the 4.4k-line
+  * monolith; entries are verbatim, no behavior change).
+  */
+object ExtQueriesDedup {
+
+  val queries: Map[String, Q] = Map(
+
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.exactGroups(docs.union(copies), col("doc_id"), col("text"))
+    }),
+    // the whole near-dup family runs over the FULL documents table —
+    // no row caps: these are the queries whose scale behavior the
+    // bench is meant to measure
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.5)),
+    // the PRODUCTION dedup shape: a new ingest batch (doc_id % 10 = 3
+    // plays the daily increment) deduped against the standing corpus
+    // at |corpus| x |batch| bucket cost — never corpus x corpus. The
+    // oracle is the full-LSH pair set filtered to batch-touching
+    // pairs, which the incremental plan must reproduce exactly.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.5)
+    }),
+    // incremental EXACT dedup with a bloom split: a fixed-size Bloom
+    // filter over the standing corpus's 60-bit content hashes routes
+    // each new-batch doc either straight to "kept" (bloom-negative =>
+    // PROVABLY new, no join at all) or into an exact md5 anti-join
+    // confirm (bloom-positive candidates only). At 100 TB the corpus
+    // side of the confirm join is read once to build a 16 MiB filter,
+    // and the per-batch confirm join processes only the candidate
+    // sliver — never batch x corpus. False positives cost a confirm
+    // row; false drops are impossible (the confirm is exact md5).
+    "dedup_bloom_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(TextOps.hex60(md5(col("text"))).as("hkey"),
+          md5(col("text")).as("corpus_md5"))
+      val batch = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"),
+          TextOps.hex60(md5(col("text"))).as("hkey"),
+          md5(col("text")).as("batch_md5"))
+      val bloom = graft.functions.Bloom.buildLongKeyFilter(
+        corpus, "hkey", expectedItems = corpus.count())
+      val might = graft.functions.Bloom.mightContain(bloom, col("hkey"))
+      val definiteNew = batch.filter(!might)
+      // exact confirm on the FULL md5, so a 60-bit hkey collision can
+      // cost a confirm-join row but never a wrong drop
+      val confirmed = batch.filter(might)
+        .join(corpus.select(col("corpus_md5")),
+          col("batch_md5") === col("corpus_md5"), "left_anti")
+      definiteNew.unionByName(confirmed)
+        .select(col("doc_id"), col("source"))
+    }),
+    // asymmetric containment dedup: a small doc whose 3-shingle set is
+    // >=90% inside another doc's (quotes, boilerplate, subset pages) —
+    // the case symmetric Jaccard dilutes away. Integer test only
+    // (100*n_inter >= 90*min), so the pair set is cross-engine exact.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, pct = 90)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // staged corpus-level pair table (build-once contract; shared
+      // with dedup_keep_representative)
+      val pairs = graft.ext.PairStage.jaccardPairs(s, dir)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+    }),
+    // the dedup OUTPUT, not just the clustering: one representative
+    // (the min-doc_id component label) per near-dup cluster with its
+    // cluster size — what a curation pipeline actually keeps. Unique
+    // docs are their own singleton cluster.
+    "dedup_keep_representative" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ext.PairStage.jaccardPairs(s, dir)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .select(col("component").as("doc_id"), col("cluster_size"))
+    }),
+    // the LLM-side flagship: the full curation chain a training-data
+    // pipeline runs end-to-end — C4 quality filter -> exact dedup
+    // (keep-first by content hash) -> near-dup keep-representative
+    // (0.8-Jaccard clusters) -> context-window chunking. Every stage
+    // is an already-verified operator; this registers their
+    // COMPOSITION with one composed oracle, the way
+    // pipeline_sales_e2e does for the retail side.
+    "corpus_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val kept = docs.join(
+        Corpus.c4QualityFlags(docs, col("doc_id"), col("text"))
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"))
+      // exact dedup: min doc_id per content hash (hash-agg, no window)
+      val exact = kept.join(
+        kept.groupBy(md5(col("text")).as("_h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"))
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val reps = Dedup
+        .connectedComponents(exact.select(col("doc_id")), pairs)
+        .filter(col("doc_id") === col("component")).select("doc_id")
+      Corpus.chunkDocuments(exact.join(reps, Seq("doc_id")),
+        col("doc_id"), col("text"), chunkTokens = 64)
+    }),
+    // multi-table LSH candidates -> exact cosine verify: the scale-safe
+    // registered shape (bucket-keyed shuffle, NO nested-loop join; the
+    // all-pairs brute form survives only as the spec-side recall
+    // baseline). Plane count grows with the corpus via autoPlanes.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+        planes = Similarity.autoPlanes(emb.count()), tables = 4,
+        threshold = 0.3)
+    }),
+    // ER-style fuzzy dedup: collapse exact-duplicate names FIRST (the
+    // quadratic killer — identical names form Θ(k²) pairs for free),
+    // then block the DISTINCT names on (first token, length band) and
+    // pair block-mates at edit distance 1..3. Pair generation is
+    // block-local: the join key is the block, never a cross join, and
+    // the distinct-name relation is vocabulary-sized, not corpus-sized.
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      val names = t(s, dir, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).cast("long").as("rep_key"),
+          count(lit(1)).as("n_parts"))
+      val blocked = names
+        .withColumn("w1", split(col("p_name"), " ").getItem(0))
+        .withColumn("lb", (length(col("p_name")) / lit(3)).cast("long"))
+      val a = blocked.select(col("p_name").as("name_a"),
+        col("n_parts").as("parts_a"), col("w1"), col("lb"))
+      val b = blocked.select(col("p_name").as("name_b"),
+        col("n_parts").as("parts_b"), col("w1"), col("lb"))
+      a.join(b, Seq("w1", "lb"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("distance",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("distance").between(1L, 3L))
+        .select(col("name_a"), col("name_b"), col("distance"),
+          col("parts_a"), col("parts_b"))
+    }),
+    // PageRank centrality over the MinHash-LSH near-dup graph (the
+    // production candidate generator — its shingle-space pairs survive
+    // the df-cap at corpus scale where unigram-token pairs don't):
+    // which docs are central in their dup neighborhood
+    // (canonical-candidate ranking). ppb fixed point so three unrolled
+    // power iterations replay exactly in SQL — see
+    // ext/Graph.pageRankPpb for the arithmetic contract.
+    "graph_pagerank" -> ((s, dir) => {
+      // the near-dup pair table is STAGED (built once per session by
+      // whichever graph consumer runs first, read by the rest) — the
+      // production build-once contract; no cache/unpersist dance, the
+      // parquet artifact IS the materialization
+      val pairs = graft.ext.PairStage.lshPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = edges.select(col("src").as("id")).distinct()
+      Graph.pageRankPpb(nodes, edges, iters = 3)
+    }),
+    // exact triangle count + oriented-wedge (probe work) count over
+    // the near-dup graph: degree-ordered orientation caps the oriented
+    // out-degree at O(sqrt(m)), so wedge generation survives hub keys
+    // that would make the naive neighbor self-join quadratic
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = graft.ext.PairStage.lshPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Graph.triangleStats(pairs)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0)
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5,
+               min(doc_id) AS doc_id_kept, count(*) AS n_copies
+        FROM all_docs GROUP BY 1""",
+    "dedup_minhash_lsh" -> minhashPairsSql(),
+    // full-LSH pairs restricted to batch-touching ones: the
+    // incremental plan must emit exactly this set
+    "dedup_incremental" -> minhashPairsSql(
+      extraWhere = " AND (doc_a % 10 = 3 OR doc_b % 10 = 3)"),
+    "dedup_simhash" -> s"""
+      WITH tokraw AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents),
+      tokd AS (SELECT DISTINCT doc_id, token FROM tokraw),
+      h AS (SELECT doc_id, ${hex60Sql("token")} AS th FROM tokd),
+      sg AS (SELECT doc_id,
+         $SimhashBitSum AS sh
+       FROM h GROUP BY doc_id),
+      chunks AS (SELECT doc_id, sh, unnest([
+          {c: 0, k: (sh >> 0) & 65535},  {c: 1, k: (sh >> 16) & 65535},
+          {c: 2, k: (sh >> 32) & 65535}, {c: 3, k: (sh >> 48) & 65535}])
+          AS ck FROM sg),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sh AS sh_a,
+                      y.doc_id AS doc_b, y.sh AS sh_b
+               FROM chunks x JOIN chunks y
+                 ON x.ck = y.ck AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+    "dedup_ngram_jaccard" ->
+      """WITH tokraw AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents),
+        toks AS (
+          SELECT doc_id, token FROM tokraw
+          WHERE token NOT IN (SELECT token FROM tokraw
+                              GROUP BY token HAVING count(*) > 500)),
+        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM tokraw GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter, sa.n_tokens AS n_a, sb.n_tokens AS n_b,
+               n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8""",
+    // the bloom routing is semantically transparent (definite-new ∪
+    // confirmed-new == batch minus corpus texts): the oracle is the
+    // plain md5 anti-join
+    "dedup_bloom_incremental" -> """
+      SELECT b.doc_id, b.source
+      FROM documents b
+      WHERE b.doc_id % 10 = 3
+        AND md5(b.text) NOT IN (SELECT md5(text) FROM documents c
+                                WHERE c.doc_id % 10 <> 3)""",
+    // the shingle-hash truth-set CTE shape (hsh/sizes/hot/kept/inter)
+    // with the integer min-side containment predicate
+    "dedup_containment" -> s"""
+      WITH $ShinglesCte,
+      hsh AS (SELECT DISTINCT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+      hot AS (SELECT h FROM hsh GROUP BY h HAVING count(*) > 500),
+      kept AS (SELECT doc_id, h FROM hsh
+               WHERE h NOT IN (SELECT h FROM hot)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM kept a JOIN kept b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             sa.n AS n_a, sb.n AS n_b,
+             CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END
+               AS contained_doc
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 100 * n_inter >= 90 * least(sa.n, sb.n)""",
+    "dedup_clusters" -> DedupClustersSql,
+    // representative per component == rows whose label is the min of
+    // their cluster; composes the clusters oracle as a subquery
+    "dedup_keep_representative" -> s"""
+      SELECT component AS doc_id,
+             CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ($DedupClustersSql) GROUP BY component""",
+    // the composed curation chain: C4 keep-conditions (text_c4_filter
+    // oracle), exact keep-first over md5(text), the shared clusters
+    // CTE block restricted to the exact-dedup survivors,
+    // representative filter, then the chunk_documents replay
+    "corpus_curation_e2e" -> s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS btoks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id, text FROM base
+        WHERE len(btoks) >= 10
+          AND (contains(p, ' the ') OR contains(p, ' a '))
+          AND CAST(len(list_distinct(btoks)) AS BIGINT) * 1000000
+              // CAST(len(btoks) AS BIGINT) >= 300000
+          AND NOT contains(lower(text), '{')
+          AND NOT contains(lower(text), 'lorem ipsum')),
+      ex AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM c4) WHERE doc_id = keeper),
+      ${clustersCtes("SELECT doc_id, text FROM ex")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      corpus AS (SELECT ex.doc_id, ex.text FROM ex
+                 JOIN comp USING (doc_id) WHERE component = ex.doc_id),
+      ctok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM corpus),
+      seg AS (SELECT doc_id,
+          unnest(range((len(toks) + 63) // 64)) AS chunk_idx,
+          unnest(list_transform(range((len(toks) + 63) // 64),
+            i -> array_to_string(toks[i*64+1 : i*64+64], ' '))) AS seg
+        FROM ctok)
+      SELECT doc_id, chunk_idx,
+        CAST(len(regexp_split_to_array(trim(seg), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        md5(seg) AS chunk_md5
+      FROM seg""",
+    "dedup_embedding_cosine" -> lshPairsSql(tables = 4, threshold = 0.3),
+    // blocked fuzzy pairs over DISTINCT names: same (first token,
+    // length-band) blocking, levenshtein 1..3, lexicographic ordering
+    "dedup_fuzzy_names" -> """
+      WITH names AS (SELECT p_name, count(*) AS n_parts
+                     FROM part GROUP BY p_name),
+      b AS (SELECT p_name, n_parts,
+                   split_part(p_name, ' ', 1) AS w1,
+                   len(p_name) // 3 AS lb
+            FROM names)
+      SELECT a.p_name AS name_a, x.p_name AS name_b,
+             CAST(levenshtein(a.p_name, x.p_name) AS BIGINT) AS distance,
+             CAST(a.n_parts AS BIGINT) AS parts_a,
+             CAST(x.n_parts AS BIGINT) AS parts_b
+      FROM b a JOIN b x ON a.w1 = x.w1 AND a.lb = x.lb
+                        AND a.p_name < x.p_name
+      WHERE levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3""",
+
+    // three unrolled integer power iterations over the LSH pair graph
+    // (the shared minhash CTE block as a nested-WITH subquery);
+    // teleport (15*1e9)//(100*N), damped (85*sum)//100 — the exact
+    // expressions Graph.pageRankPpb evaluates (BIGINT casts on the
+    // HUGEINT window/aggregate sums, the r7 dtype lesson)
+    "graph_pagerank" -> s"""
+      WITH lpairs AS (SELECT doc_a, doc_b FROM (${minhashPairsSql()}) lp),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM lpairs
+                UNION SELECT doc_b, doc_a FROM lpairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT id, CAST(1000000000 // n AS BIGINT) AS rank_fp
+             FROM nodes, nn),
+      it1 AS (SELECT e.dst AS id,
+                     CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+                          + 85 * sum(r.rank_fp // d.outdeg) // 100
+                       AS BIGINT) AS rank_fp
+              FROM edges e
+              JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+              GROUP BY e.dst),
+      it2 AS (SELECT e.dst AS id,
+                     CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+                          + 85 * sum(r.rank_fp // d.outdeg) // 100
+                       AS BIGINT) AS rank_fp
+              FROM edges e
+              JOIN it1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+              GROUP BY e.dst),
+      it3 AS (SELECT e.dst AS id,
+                     CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+                          + 85 * sum(r.rank_fp // d.outdeg) // 100
+                       AS BIGINT) AS rank_fp
+              FROM edges e
+              JOIN it2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+              GROUP BY e.dst)
+      SELECT id AS doc_id, rank_fp AS rank_ppb FROM it3""",
+
+    // degree-ordered triangle census: orient every edge from its
+    // (degree, id)-smaller endpoint, wedge on shared src, probe the
+    // closing edge (oriented b->c by construction) — integer counts
+    "graph_triangles" -> s"""
+      WITH lpairs AS (SELECT doc_a AS a, doc_b AS b
+                      FROM (${minhashPairsSql()}) lp),
+      und AS (SELECT DISTINCT a, b FROM lpairs),
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS id FROM und
+                    UNION ALL SELECT b AS id FROM und)
+              GROUP BY 1),
+      ore AS (SELECT
+                CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                     THEN a ELSE b END AS src,
+                CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                     THEN b ELSE a END AS dst,
+                CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                     THEN db.d ELSE da.d END AS dd
+              FROM und
+              JOIN deg da ON da.id = und.a
+              JOIN deg db ON db.id = und.b),
+      wedge AS (SELECT e1.src, e1.dst AS w_b, e2.dst AS w_c
+                FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+                WHERE e1.dd < e2.dd
+                   OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+      closed AS (SELECT w.w_b, o.src
+                 FROM wedge w LEFT JOIN ore o
+                   ON o.src = w.w_b AND o.dst = w.w_c)
+      SELECT CAST(count(*) AS BIGINT) AS wedges,
+             CAST(count(src) AS BIGINT) AS triangles
+      FROM closed""",
+  )
+}

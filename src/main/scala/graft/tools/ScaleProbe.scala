@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * union of identical copies would instead square the pair count and
   * probe a 100x-duplication regime no one claims to handle.
   *
+  * Wall time alone proved too blunt: at 50k -> 500k docs five of six
+  * r9 ratios sat at 1.4-1.6x, dominated by fixed per-query overhead
+  * (session, planning, small-stage scheduling), proving only "no
+  * regime change yet". The probe therefore ALSO records BYTES MOVED —
+  * per-task input / shuffle-read / shuffle-write sums captured by a
+  * SparkListener over the final timed rep — which have no overhead
+  * floor: a linear operator must show ~10x byte growth on 10x data,
+  * and a superlinear pair-explosion shows up as a squared shuffle long
+  * before wall time notices. Listener events are async off the task
+  * path, so the tally is read after a bounded quiescence wait.
+  *
   * Usage: runMain graft.tools.ScaleProbe [baseDir] [derivedDir] [reps]
   * (defaults /root/testdata/sf0.1, /tmp/graft_sf1, 3). The derived
   * corpus is built once and reused; delete derivedDir to rebuild.
@@ -33,12 +44,56 @@ object ScaleProbe {
     "dedup_bloom_incremental", "sim_ivf_topk", "graph_pagerank",
     "dedup_containment")
 
-  def deriveSf1(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  /** Per-task byte tally. Updates arrive on the async listener bus;
+    * [[quiesce]] waits for the event stream to drain before a
+    * snapshot is read. */
+  private final class ByteTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      events.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snap(): (Long, Long, Long) =
+      (input.get(), shuffleRead.get(), shuffleWrite.get())
+    /** Wait (bounded) until no new task-end events for two polls. */
+    def quiesce(): Unit = {
+      var last = -1L
+      var stable = 0
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(150)
+        val e = events.get()
+        if (e == last) stable += 1 else { stable = 0; last = e }
+      }
+    }
+  }
+
+  /** Derive a `copies`x corpus. Documents scale to any factor (every
+    * copy's tokens carry a distinct suffix — no cross-copy shingle
+    * collisions at any count). Embeddings CAP at min(copies, 10):
+    * the decorrelation device is a cyclic rotation of the dim-64
+    * vector, and rotations alias past the dimension (copy i and
+    * i+64 would be identical vectors — a fake 100%-duplicate regime),
+    * so the ANN probe stays a 10x probe while the text side scales
+    * further. */
+  def deriveSf1(spark: SparkSession, baseDir: String, outDir: String,
+                copies: Int = 10): Unit = {
+    require(copies >= 2, s"need >= 2 copies, got $copies")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val idStep = 10000000L
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val docCopies = (0 until 10).map { i =>
+    val docCopies = (0 until copies).map { i =>
       val text =
         if (i == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", "$1_" + i)
@@ -48,7 +103,7 @@ object ScaleProbe {
     }
     docCopies.reduce(_.unionAll(_)).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val embCopies = (0 until 10).map { i =>
+    val embCopies = (0 until math.min(copies, 10)).map { i =>
       val rot =
         if (i == 0) col("embedding")
         else concat(slice(col("embedding"), i + 1, dim - i),
@@ -64,6 +119,10 @@ object ScaleProbe {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    val copies = if (args.length > 3) args(3).toInt else 10
+    // optional comma-list to probe a subset (e.g. the doc-side family
+    // at copies > 10, where the embedding side stays a 10x corpus)
+    val only = if (args.length > 4) Some(args(4).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,35 +135,63 @@ object ScaleProbe {
 
     if (!new java.io.File(s"$outDir/embeddings.parquet").exists()) {
       println(s"[scaleprobe] deriving 10x corpus at $outDir")
-      deriveSf1(spark, baseDir, outDir)
+      deriveSf1(spark, baseDir, outDir, copies)
     }
     val n0 = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val n1 = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scaleprobe] documents $n0 -> $n1, reps=$reps")
 
-    def median(name: String, dir: String): Double = {
+    val tally = new ByteTally
+    spark.sparkContext.addSparkListener(tally)
+
+    /** (wall median, input, shuffle-read, shuffle-write bytes) — bytes
+      * from the final timed rep only (they are deterministic per run;
+      * summing reps would just multiply by reps). Read and write are
+      * reported SEPARATELY: write counts each shuffle's data once,
+      * while read >> write exposes multi-pass consumption (spilled
+      * sort-merge joins re-reading runs). */
+    def measure(name: String, dir: String): (Double, Long, Long, Long) = {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, dir).count() // untimed warm-up
       spark.catalog.clearCache(); System.gc()
-      val ts = (1 to reps).map { _ =>
+      var bytes = (0L, 0L, 0L)
+      val ts = (1 to reps).map { r =>
+        val pre = if (r == reps) { tally.quiesce(); tally.snap() }
+          else (0L, 0L, 0L)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val s = (System.nanoTime() - t0) / 1e9
+        if (r == reps) {
+          tally.quiesce()
+          val post = tally.snap()
+          bytes = (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3)
+        }
         spark.catalog.clearCache(); System.gc()
         s
       }.sorted
-      ts(ts.length / 2)
+      (ts(ts.length / 2), bytes._1, bytes._2, bytes._3)
     }
 
-    val rows = Probed.map { name =>
-      val t0 = median(name, baseDir)
-      val t1 = median(name, outDir)
-      println(f"[scaleprobe] $name%-24s sf0.1 $t0%7.2f s   sf1 $t1%7.2f s" +
-        f"   ratio ${t1 / t0}%5.2fx")
-      (name, t0, t1)
+    def mb(b: Long): Double = b / 1048576.0
+    val rows = Probed.filter(n => only.forall(_.contains(n))).map { name =>
+      val (t0, in0, sr0, sw0) = measure(name, baseDir)
+      val (t1, in1, sr1, sw1) = measure(name, outDir)
+      def ratio(a: Long, b: Long): String =
+        if (a <= 0) "  n/a" else f"${b.toDouble / a}%5.2f"
+      println(f"[scaleprobe] $name%-24s wall $t0%6.2f -> $t1%6.2f s " +
+        f"(${t1 / t0}%5.2fx)   input ${mb(in0)}%8.1f -> ${mb(in1)}%9.1f MB " +
+        f"(${ratio(in0, in1)}x)   shufW ${mb(sw0)}%8.1f -> " +
+        f"${mb(sw1)}%9.1f MB (${ratio(sw0, sw1)}x)   shufR ${mb(sr0)}%8.1f" +
+        f" -> ${mb(sr1)}%9.1f MB (${ratio(sr0, sr1)}x)")
+      (name, t0, t1, in0, in1, sr0, sr1, sw0, sw1)
     }
-    println("[scaleprobe] summary " + rows.map { case (n, t0, t1) =>
-      f""""$n":[$t0%.2f,$t1%.2f]""" }.mkString("{", ",", "}"))
+    println("[scaleprobe] summary " +
+      rows.map { case (n, t0, t1, in0, in1, sr0, sr1, sw0, sw1) =>
+        f""""$n":{"wall":[$t0%.2f,$t1%.2f],"input_mb":[${mb(in0)}%.1f,""" +
+          f"""${mb(in1)}%.1f],"shuffle_write_mb":[${mb(sw0)}%.1f,""" +
+          f"""${mb(sw1)}%.1f],"shuffle_read_mb":[${mb(sr0)}%.1f,""" +
+          f"""${mb(sr1)}%.1f]}"""
+      }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

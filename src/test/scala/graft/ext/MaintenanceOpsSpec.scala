@@ -131,9 +131,11 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val totalCredit = rows.map(_.getLong(2)).sum
     // purchases with >=1 click in window (recompute independently)
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    // Tables.events normalizes both corpus vintages (nanos-long and
+    // micros-timestamp parquet) to a TimestampType; cast = epoch sec
+    val ev = graft.Tables.events(spark, sf0001)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        (col("ts") / 1000000000L).cast("long").as("sec"))
+        col("ts").cast("long").as("sec"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("sec"))
     val c = ev.filter(col("event_type") === "click")

@@ -582,13 +582,28 @@ object Corpus {
     * inventory after all merges, n summed over word frequencies. */
   def bpeMerges(df: DataFrame, text: Column,
                 rounds: Int): (DataFrame, DataFrame) = {
+    val (mergeTable, state) = bpeTrain(df, text, rounds)
+    (mergeTable, bpeSymbolCounts(state))
+  }
+
+  /** Symbol inventory (symbol, n) of a trained BPE state frame. */
+  def bpeSymbolCounts(state: DataFrame): DataFrame =
+    state.select(col("wn"), explode(col("syms")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("wn")).as("n"))
+
+  /** The trainer loop itself: returns (mergeTable, state) where state
+    * is the post-merge vocabulary frame (word, wn, syms) — the
+    * artifact a production pipeline persists once and tokenizes
+    * against many times (see [[PairStage.bpeTrained]]). */
+  def bpeTrain(df: DataFrame, text: Column,
+               rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 1000,
-      s"bpeMerges rounds must be in [1, 1000], got $rounds")
+      s"bpeTrain rounds must be in [1, 1000], got $rounds")
     val spark = df.sparkSession
     var vocab = Materialize.eager(
       df.select(explode(TextOps.tokens(text)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-        .select(col("wn"), expr(
+        .select(col("word"), col("wn"), expr(
           "transform(sequence(1, length(word)), " +
             "i -> substring(word, i, 1))").as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer
@@ -621,11 +636,28 @@ object Corpus {
       }
     }
     import spark.implicits._
-    val mergeTable = merges.toSeq.toDF("merge_round", "lft", "rgt", "n")
-    val finalVocab = vocab
-      .select(col("wn"), explode(col("syms")).as("symbol"))
-      .groupBy(col("symbol")).agg(sum(col("wn")).as("n"))
-    (mergeTable, finalVocab)
+    (merges.toSeq.toDF("merge_round", "lft", "rgt", "n"), vocab)
+  }
+
+  /** The TOKENIZATION pass — what a 100 TB pipeline actually runs
+    * after training: per-document BPE token counts under the learned
+    * vocabulary. The per-word segment count is a VOCABULARY-level
+    * lookup (a word's tokenization depends only on the word), so the
+    * corpus-sized side does one explode and one hash-join against the
+    * vocabulary-sized (word -> n_word_bpe) table — the re-tokenize
+    * fold never runs over corpus rows. Inner join is total by
+    * construction: the vocabulary was induced from this corpus.
+    *
+    * Output: (doc_id, n_words, n_bpe_tokens) integer rows. */
+  def bpeTokenize(df: DataFrame, id: Column, text: Column,
+                  state: DataFrame): DataFrame = {
+    val wt = state.select(col("word"),
+      size(col("syms")).cast("long").as("n_word_bpe"))
+    df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("word"))
+      .join(wt, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_word_bpe")).as("n_bpe_tokens"))
   }
 
   /** Hashing-trick featurization (Weinberger et al. 2009): sparse

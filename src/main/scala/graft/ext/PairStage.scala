@@ -56,6 +56,31 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged trained-BPE artifacts — (mergeTable, state): the
+    * train-once/tokenize-many contract. The trainer's driver loop runs
+    * ONCE per (corpus dir, rounds) key; the merge table (metadata-
+    * sized) and the post-merge vocabulary state (word, wn, syms) land
+    * as parquet, and every consumer — merge-table audit, symbol
+    * inventory, the corpus tokenization pass — reads the artifacts. */
+  def bpeTrained(spark: SparkSession, dir: String,
+                 rounds: Int): (DataFrame, DataFrame) = {
+    val key = Seq("bpe", spark.sparkContext.applicationId, dir, rounds)
+      .mkString("|")
+    val path = staged.getOrElseUpdate(key, {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bpe_" +
+        s"${spark.sparkContext.applicationId}_" +
+        java.lang.Integer.toHexString(key.hashCode)
+      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+      val (merges, state) = Corpus.bpeTrain(
+        graft.Tables.load(spark, dir, "documents"),
+        col("text"), rounds)
+      merges.write.mode("overwrite").parquet(s"$p/merges")
+      state.write.mode("overwrite").parquet(s"$p/state")
+      p
+    })
+    (spark.read.parquet(s"$path/merges"), spark.read.parquet(s"$path/state"))
+  }
+
   /** The staged exact n-gram-jaccard pair table over the RAW documents
     * corpus — shared by the clustering consumers (components +
     * representative selection). Same build-once contract and keying as

@@ -45,15 +45,24 @@ object ExtQueriesCorpus {
       Corpus.bpePairCounts(t(s, dir, "documents"), col("text"), k = 30)),
     // the full iterative BPE trainer: 8 merge rounds (apply top pair,
     // re-tokenize, re-count) over the vocabulary; each round's chosen
-    // merge hash-verified against an unrolled-CTE DuckDB replay
+    // merge hash-verified against an unrolled-CTE DuckDB replay. The
+    // trainer runs ONCE per session (PairStage.bpeTrained stages the
+    // merge table + vocabulary state; the three BPE queries read the
+    // artifacts — train-once/tokenize-many)
     "vocab_bpe_merges" -> ((s, dir) =>
-      Corpus.bpeMerges(t(s, dir, "documents"), col("text"),
-        rounds = BpeRounds)._1),
+      graft.ext.PairStage.bpeTrained(s, dir, BpeRounds)._1),
     // the symbol inventory AFTER those merges (weighted by word
     // frequency) — the induced tokenizer vocabulary itself
     "vocab_bpe_vocab" -> ((s, dir) =>
-      Corpus.bpeMerges(t(s, dir, "documents"), col("text"),
-        rounds = BpeRounds)._2),
+      Corpus.bpeSymbolCounts(
+        graft.ext.PairStage.bpeTrained(s, dir, BpeRounds)._2)),
+    // the tokenization PASS under the learned vocabulary: per-doc BPE
+    // token counts via a corpus explode + one vocabulary-sized lookup
+    // join (the fold never runs over corpus rows)
+    "text_bpe_tokenize" -> ((s, dir) =>
+      Corpus.bpeTokenize(t(s, dir, "documents"), col("doc_id"),
+        col("text"),
+        graft.ext.PairStage.bpeTrained(s, dir, BpeRounds)._2)),
     // hashing-trick featurization: fixed-dim sparse bag-of-words with
     // no fitted vocabulary — split-invariant and streaming-safe, the
     // deterministic md5 dim index makes the sparse matrix hash-verify
@@ -653,6 +662,18 @@ object ExtQueriesCorpus {
       SELECT sym AS symbol, CAST(sum(wn) AS BIGINT) AS n
       FROM (SELECT wn, unnest(list_filter(string_split(s, '  '),
               x -> x <> '')) AS sym FROM v$BpeRounds)
+      GROUP BY 1"""),
+    // tokenization replay: per-word segment counts from vN, joined to
+    // the doc-level word stream — the same vocabulary-lookup shape
+    "text_bpe_tokenize" -> (bpeCteSql(BpeRounds) + s""",
+      wt AS (SELECT word, CAST(len(list_filter(string_split(s, '  '),
+               x -> x <> '')) AS BIGINT) AS n_word_bpe FROM v$BpeRounds),
+      dw AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+             FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_word_bpe) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN wt USING (word)
       GROUP BY 1"""),
     "features_hashed_bow" -> s"""
       WITH tok AS (SELECT doc_id,

@@ -248,7 +248,7 @@ object QueryShared {
     sb ++= """
       WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
                    AS word FROM documents),
-      v0 AS (SELECT CAST(count(*) AS BIGINT) AS wn,
+      v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wn,
                '  ' || array_to_string(list_transform(range(strlen(word)),
                    i -> substr(word, CAST(i + 1 AS INTEGER), 1)), '  ')
                || '  ' AS s
@@ -262,7 +262,7 @@ object QueryShared {
              GROUP BY 1, 2),
       t$r AS (SELECT lft, rgt, n FROM p$r
              ORDER BY n DESC, lft, rgt LIMIT 1),
-      v$r AS (SELECT wn, CASE WHEN lft IS NULL THEN s ELSE
+      v$r AS (SELECT word, wn, CASE WHEN lft IS NULL THEN s ELSE
                replace(s, ' ' || lft || '  ' || rgt || ' ',
                        ' ' || lft || rgt || ' ') END AS s
              FROM v${r - 1} LEFT JOIN t$r ON TRUE)"""

@@ -678,6 +678,19 @@ class CorpusSpec extends SparkSpec {
     assert(v === Map("aa" -> 3L, "aaa" -> 1L), s"$v")
   }
 
+  test("bpeTokenize counts per-doc segments under the learned vocab") {
+    // after the 3 merges above: low->[lo w]=2, lower->[lo w e r]=4,
+    // newest->[n e w est]=4, widest->[w i d est]=4
+    // doc: 16 words, 5*2 + 2*4 + 6*4 + 3*4 = 54 bpe tokens
+    val docs = Seq(
+      (1L, ("low " * 5) + ("lower " * 2) + ("newest " * 6) +
+        ("widest " * 3))).toDF("doc_id", "text")
+    val (_, state) = Corpus.bpeTrain(docs, col("text"), rounds = 3)
+    val out = Corpus.bpeTokenize(docs, col("doc_id"), col("text"), state)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 16L, 54L)), s"$out")
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val docs = Seq("ab ab").toDF("text")
     val (merges, vocab) = Corpus.bpeMerges(docs, col("text"), rounds = 5)

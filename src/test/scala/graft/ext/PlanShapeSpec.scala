@@ -55,6 +55,38 @@ class PlanShapeSpec extends SparkSpec {
     graft.registry.ExtQueries.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  test("staged-pair consumers read the artifact, never recompute pair-gen") {
+    // graph_pagerank / graph_triangles read PairStage's parquet edge
+    // list; if the staging silently regressed to inline re-derivation,
+    // shingle/minhash expressions would reappear in their plans and
+    // the bench would quietly triple-pay the dominant cost again
+    Seq("graph_pagerank", "graph_triangles").foreach { name =>
+      val plan = extPlan(name)
+      assert(!plan.toLowerCase.contains("shingle") &&
+        !plan.toLowerCase.contains("minhash"),
+        s"$name recomputes pair-gen instead of reading the staged " +
+          s"artifact:\n$plan")
+    }
+    // both graph queries eagerly materialize their small results
+    // (lineage truncated by design), so the positive artifact-scan
+    // assertion runs on lsh_recall_report, whose candidate side reads
+    // the same staged table through a lazy plan
+    val recall = extPlan("lsh_recall_report")
+    assert(recall.contains("graft_lsh_pairs"),
+      s"lsh_recall_report does not scan the staged pair artifact:\n$recall")
+  }
+
+  test("bpe tokenization joins the corpus against a vocabulary lookup") {
+    // the per-word fold must stay on the vocabulary side: the corpus
+    // side of text_bpe_tokenize is explode + join + agg, with no
+    // higher-order aggregate() fold over document rows
+    val plan = extPlan("text_bpe_tokenize")
+    assert(plan.contains("graft_bpe_"),
+      s"tokenize does not read the staged trained state:\n$plan")
+    assert(!plan.toLowerCase.contains("aggregate(lambdafunction"),
+      s"re-tokenize fold leaked onto the corpus side:\n$plan")
+  }
+
   test("segment dedup plans hash aggregates + joins, never a window sort") {
     val plan = extPlan("dedup_repeated_segments")
     assert(!plan.contains("Window "), s"window in segment dedup:\n$plan")

@@ -24,6 +24,14 @@ class BenchStatsSpec extends AnyFunSuite {
       === Seq("q_fast" -> 2.0))
   }
 
+  test("sub-second jitter below the absolute floor never flags") {
+    // 1.6x ratio but only 90ms absolute: scheduler noise, not a plan
+    val prev = Map("q_tiny" -> 0.15, "q_real" -> 1.0)
+    val cur = Map("q_tiny" -> 0.24, "q_real" -> 1.6)
+    assert(Bench.regressions(prev, cur, threshold = 1.3)
+      === Seq("q_real" -> 1.6))
+  }
+
   test("failed / absent queries never enter the regression compare") {
     val prev = Map("a" -> -1.0, "b" -> 0.0, "c" -> 1.0)
     val cur = Map("a" -> 5.0, "b" -> 5.0, "c" -> -1.0)

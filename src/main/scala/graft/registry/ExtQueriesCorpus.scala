@@ -174,6 +174,23 @@ object ExtQueriesCorpus {
       curationV2Stages(s, dir).foldLeft(curationV2Docs(s, dir)) {
         case (df, (_, stage)) => stage(df)
       }),
+    // the funnel AUDIT of the same chain: rows surviving each stage —
+    // the per-stage observability artifact a production curation run
+    // emits next to its output (which rule dropped how much). One lazy
+    // plan of unioned per-prefix counts; each stage's count recomputes
+    // its prefix (honest at audit time — a deployed pipeline counts
+    // its cached staged outputs instead)
+    "corpus_curation_funnel" -> ((s, dir) => {
+      val prefixes = curationV2Stages(s, dir)
+        .scanLeft("raw" -> curationV2Docs(s, dir)) {
+          case ((_, df), (name, stage)) => name -> stage(df)
+        }
+      prefixes.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionAll(_))
+    }),
 
     // group count grows with the corpus via autoGroups (~64 docs per
     // group, power of two; SQL twin derives the same count from
@@ -327,71 +344,28 @@ object ExtQueriesCorpus {
     // in sequence — C4 CTEs, md5 exact-dedup, the recursive cluster
     // walk, 13-gram decontamination over the CURATED train slice (hot
     // shingle df computed on the same slice the Spark side uses), then
-    // the quality-scored budget cumsum
+    // the quality-scored budget cumsum (chain shared with the funnel
+    // audit below via QueryShared.curationV2Ctes)
     "corpus_curation_v2" -> s"""
-      WITH RECURSIVE
-      base AS (SELECT doc_id, source, text,
-          regexp_split_to_array(trim(text), '\\s+') AS btoks,
-          ' ' || lower(text) || ' ' AS p
-        FROM documents),
-      c4 AS (SELECT doc_id, source, text FROM base
-        WHERE len(btoks) >= 10
-          AND (contains(p, ' the ') OR contains(p, ' a '))
-          AND CAST(len(list_distinct(btoks)) AS BIGINT) * 1000000
-              // CAST(len(btoks) AS BIGINT) >= 300000
-          AND NOT contains(lower(text), '{')
-          AND NOT contains(lower(text), 'lorem ipsum')),
-      ex AS (SELECT doc_id, source, text FROM (
-          SELECT doc_id, source, text,
-                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-          FROM c4) WHERE doc_id = keeper),
-      ${clustersCtes("SELECT doc_id, text FROM ex")},
-      comp AS (SELECT node AS doc_id, min(lbl) AS component
-               FROM walk GROUP BY node),
-      corpus AS (SELECT ex.doc_id, ex.source, ex.text FROM ex
-                 JOIN comp USING (doc_id) WHERE component = ex.doc_id),
-      train AS (SELECT * FROM corpus WHERE doc_id % 20 <> 0),
-      shA AS (SELECT DISTINCT doc_id AS train_id,
-          unnest(list_transform(
-            range(len(regexp_split_to_array(trim(text), '\\s+')) - 12),
-            i -> array_to_string(
-              (regexp_split_to_array(trim(text), '\\s+'))[i+1:i+13], ' ')))
-            AS shingle
-        FROM train),
-      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
-      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
-      hA2 AS (SELECT train_id, h FROM hA
-              WHERE h NOT IN (SELECT h FROM hot)),
-      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
-      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB),
-      ov AS (SELECT train_id, test_id, count(*) AS n_shared
-             FROM hA2 JOIN hB USING (h) GROUP BY 1, 2),
-      bad AS (SELECT DISTINCT train_id FROM ov WHERE n_shared >= 5),
-      clean AS (SELECT doc_id, source, text FROM train
-                WHERE doc_id NOT IN (SELECT train_id FROM bad)),
-      t2 AS (SELECT doc_id, source, text,
-          ' ' || lower(text) || ' ' AS p FROM clean),
-      m AS (SELECT doc_id, source,
-          CAST(length(text) AS BIGINT) AS n_chars,
-          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-            AS n_tokens,
-          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
-            AS n_punct,
-          ${scoreSql("en")} AS c_en
-        FROM t2),
-      q2 AS (SELECT doc_id, source, n_tokens,
-          least(1.0, n_tokens / 50.0) * 0.4
-            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
-            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
-            AS quality_score
-        FROM m),
-      sel AS (SELECT source, doc_id, n_tokens,
-          CAST(SUM(n_tokens) OVER (PARTITION BY source
-            ORDER BY quality_score DESC, doc_id
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        FROM q2 WHERE NOT isnan(quality_score))
+      $curationV2Ctes
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM sel WHERE cum_tokens <= 500""",
+    // funnel replay: one count per stage CTE of the same chain
+    "corpus_curation_funnel" -> s"""
+      $curationV2Ctes
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+             CAST((SELECT count(*) FROM base) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'c4_filter',
+             CAST((SELECT count(*) FROM c4) AS BIGINT)
+      UNION ALL SELECT 2, 'exact_dedup',
+             CAST((SELECT count(*) FROM ex) AS BIGINT)
+      UNION ALL SELECT 3, 'neardup_reps',
+             CAST((SELECT count(*) FROM corpus) AS BIGINT)
+      UNION ALL SELECT 4, 'decontam',
+             CAST((SELECT count(*) FROM clean) AS BIGINT)
+      UNION ALL SELECT 5, 'budget_select',
+             CAST((SELECT count(*) FROM sel WHERE cum_tokens <= 500)
+                  AS BIGINT)""",
     // same quality-score arithmetic as text_quality_score, ranked per
     // source under the heap aggregate's total order (score desc, id)
     "curate_topk_per_source" -> s"""

@@ -642,4 +642,74 @@ object QueryShared {
           ON g.pack_group = w.pack_group AND g.rn = w.rn + 1)
       SELECT $select FROM walk"""
 
+  /** The curation-v2 CTE chain (raw -> c4 -> exact-dedup -> near-dup
+    * representatives -> decontaminated train slice -> budget cumsum),
+    * shared by the flagship oracle (final budget select) and the
+    * funnel audit (per-stage counts). Stage boundaries: base, c4, ex,
+    * corpus, clean, sel. */
+  private[registry] def curationV2Ctes: String = s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(text), '\\s+') AS btoks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id, source, text FROM base
+        WHERE len(btoks) >= 10
+          AND (contains(p, ' the ') OR contains(p, ' a '))
+          AND CAST(len(list_distinct(btoks)) AS BIGINT) * 1000000
+              // CAST(len(btoks) AS BIGINT) >= 300000
+          AND NOT contains(lower(text), '{')
+          AND NOT contains(lower(text), 'lorem ipsum')),
+      ex AS (SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM c4) WHERE doc_id = keeper),
+      ${clustersCtes("SELECT doc_id, text FROM ex")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      corpus AS (SELECT ex.doc_id, ex.source, ex.text FROM ex
+                 JOIN comp USING (doc_id) WHERE component = ex.doc_id),
+      train AS (SELECT * FROM corpus WHERE doc_id % 20 <> 0),
+      shA AS (SELECT DISTINCT doc_id AS train_id,
+          unnest(list_transform(
+            range(len(regexp_split_to_array(trim(text), '\\s+')) - 12),
+            i -> array_to_string(
+              (regexp_split_to_array(trim(text), '\\s+'))[i+1:i+13], ' ')))
+            AS shingle
+        FROM train),
+      hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
+      hot AS (SELECT h FROM hA GROUP BY h HAVING count(*) > 500),
+      hA2 AS (SELECT train_id, h FROM hA
+              WHERE h NOT IN (SELECT h FROM hot)),
+      shB AS ${shingleSetSql(13, "doc_id % 20 = 0", "test_id")},
+      hB AS (SELECT test_id, ${hex60Sql("shingle")} AS h FROM shB),
+      ov AS (SELECT train_id, test_id, count(*) AS n_shared
+             FROM hA2 JOIN hB USING (h) GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT train_id FROM ov WHERE n_shared >= 5),
+      clean AS (SELECT doc_id, source, text FROM train
+                WHERE doc_id NOT IN (SELECT train_id FROM bad)),
+      t2 AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM clean),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t2),
+      q2 AS (SELECT doc_id, source, n_tokens,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      q3 AS (SELECT doc_id, source, n_tokens, quality_score FROM q2
+             WHERE NOT isnan(quality_score)),
+      sel AS (SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM q3)"""
+
 }

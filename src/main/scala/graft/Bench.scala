@@ -105,7 +105,8 @@ object Bench {
     "stream_interval_join", "stream_session", "chunk_documents",
     "text_top_terms", "sink_partitioned_pruned", "join_salted_skew",
     "corpus_curation_v2", "lsh_recall_report", "graph_pagerank",
-    "join_bloom_prefilter", "dedup_bloom_incremental")
+    "join_bloom_prefilter", "dedup_bloom_incremental",
+    "graph_triangles", "text_bpe_tokenize")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -176,14 +176,17 @@ object ExtQueriesCorpus {
       }),
     // the funnel AUDIT of the same chain: rows surviving each stage —
     // the per-stage observability artifact a production curation run
-    // emits next to its output (which rule dropped how much). One lazy
-    // plan of unioned per-prefix counts; each stage's count recomputes
-    // its prefix (honest at audit time — a deployed pipeline counts
-    // its cached staged outputs instead)
+    // emits next to its output (which rule dropped how much). Each
+    // stage materializes ONCE (the audit run's natural execution: a
+    // deployed pipeline counts its staged outputs) and the counts
+    // union over the materialized frames — never a per-prefix
+    // recompute, which would run the chain 6x
     "corpus_curation_funnel" -> ((s, dir) => {
       val prefixes = curationV2Stages(s, dir)
-        .scanLeft("raw" -> curationV2Docs(s, dir)) {
-          case ((_, df), (name, stage)) => name -> stage(df)
+        .scanLeft("raw" ->
+          graft.ext.Materialize.eager(curationV2Docs(s, dir))) {
+          case ((_, df), (name, stage)) =>
+            name -> graft.ext.Materialize.eager(stage(df))
         }
       prefixes.zipWithIndex.map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"))

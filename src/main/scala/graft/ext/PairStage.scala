@@ -56,6 +56,31 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged IVF coarse-quantizer index — the build-once/search-
+    * many contract for the ANN family: one Lloyd fit per (corpus dir,
+    * nCentroids, iters) key, persisted as (centroid_id, cv) parquet
+    * (nCentroids x dim doubles — an exact IEEE round-trip, so staged
+    * and inline fits are value-identical), read by every consumer
+    * (top-k search, k-means assignment, cluster-balanced sampling,
+    * the recall report). */
+  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int,
+                   iters: Int): DataFrame = {
+    val key = Seq("ivf", spark.sparkContext.applicationId, dir,
+      nCentroids, iters).mkString("|")
+    val path = staged.getOrElseUpdate(key, {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
+        s"${spark.sparkContext.applicationId}_" +
+        java.lang.Integer.toHexString(key.hashCode)
+      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+      Similarity.ivfCentroids(
+          graft.Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", nCentroids, iters)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** The staged trained-BPE artifacts — (mergeTable, state): the
     * train-once/tokenize-many contract. The trainer's driver loop runs
     * ONCE per (corpus dir, rounds) key; the merge table (metadata-

@@ -289,10 +289,18 @@ object Similarity {
 
   /** IVF cell assignment over Lloyd-refined centroids. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int, iters: Int = 2): DataFrame = {
+                nCentroids: Int, iters: Int = 2): DataFrame =
+    ivfAssignWith(ivfCentroids(df, idCol, vecCol, nCentroids, iters),
+      df, idCol, vecCol)
+
+  /** [[ivfAssign]] against PRE-FIT centroids (e.g. the staged index
+    * from [[PairStage.ivfCentroids]]) — the build-once/assign-many
+    * path; values identical to an inline fit with the same params. */
+  def ivfAssignWith(centroids: DataFrame, df: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
     val normed = withNormalized(df, vecCol, "v")
       .select(col(idCol).as("vec_id"), col("v"))
-    assignTo(normed, ivfCentroids(df, idCol, vecCol, nCentroids, iters))
+    assignTo(normed, centroids)
   }
 
   /** Product-quantization codebooks (Jegou et al. 2011): split the
@@ -449,8 +457,16 @@ object Similarity {
     * search stays a bucket join keyed on centroid id. */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, nCentroids: Int, k: Int,
-              nProbe: Int = 1, iters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nCentroids, iters)
+              nProbe: Int = 1, iters: Int = 2): DataFrame =
+    ivfTopKWith(ivfCentroids(df, idCol, vecCol, nCentroids, iters),
+      df, queries, idCol, vecCol, k, nProbe)
+
+  /** [[ivfTopK]] against PRE-FIT centroids (the staged index path —
+    * [[PairStage.ivfCentroids]]): search-many without re-running the
+    * Lloyd fit; values identical to the inline fit. */
+  def ivfTopKWith(centroids: DataFrame, df: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int = 1): DataFrame = {
     val normed = withNormalized(df, vecCol, "v")
       .select(col(idCol).as("vec_id"), col("v"))
     val corpusCells = assignTo(normed, centroids)

@@ -65,11 +65,14 @@ object ExtQueriesSimilarity {
     // fixed count would leave n/const vectors per cell and the
     // within-cell scan linear again at 100x
     "sim_ivf_topk" -> ((s, dir) => {
+      // the Lloyd fit is STAGED (one fit per session, persisted by
+      // PairStage.ivfCentroids; all four ANN-family consumers read
+      // it) — build-once/search-many, value-identical to inline
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding",
-        nCentroids = Similarity.autoCentroids(emb.count()), k = 5,
-        nProbe = 2)
+      val cents = graft.ext.PairStage.ivfCentroids(s, dir,
+        Similarity.autoCentroids(emb.count()), iters = 2)
+      Similarity.ivfTopKWith(cents, emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
     }),
     // k-means cluster assignment as a first-class OUTPUT (corpus
     // partitioning for diversity balancing / per-cluster sampling),
@@ -79,8 +82,10 @@ object ExtQueriesSimilarity {
     // round in SQL)
     "emb_kmeans_assign" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfAssign(emb, "vec_id", "embedding",
-          nCentroids = Similarity.autoCentroids(emb.count()), iters = 2)
+      Similarity.ivfAssignWith(
+          graft.ext.PairStage.ivfCentroids(s, dir,
+            Similarity.autoCentroids(emb.count()), iters = 2),
+          emb, "vec_id", "embedding")
         .select(col("vec_id"), col("centroid_id"))
     }),
     // greedy k-center coreset (farthest-point traversal): 8 maximally
@@ -98,8 +103,10 @@ object ExtQueriesSimilarity {
     // deterministic class rebalancing)
     "sample_cluster_balanced" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-          nCentroids = Similarity.autoCentroids(emb.count()), iters = 2)
+      val assigned = Similarity.ivfAssignWith(
+          graft.ext.PairStage.ivfCentroids(s, dir,
+            Similarity.autoCentroids(emb.count()), iters = 2),
+          emb, "vec_id", "embedding")
         .select(col("vec_id"), col("centroid_id"))
       Corpus.balanceClasses(assigned, col("centroid_id"), col("vec_id"))
         .select(col("vec_id"), col("centroid_id"))
@@ -134,9 +141,10 @@ object ExtQueriesSimilarity {
       val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-          nCentroids = Similarity.autoCentroids(emb.count()), k = 5,
-          nProbe = 2)
+      val ivf = Similarity.ivfTopKWith(
+          graft.ext.PairStage.ivfCentroids(s, dir,
+            Similarity.autoCentroids(emb.count()), iters = 2),
+          emb, q, "vec_id", "embedding", k = 5, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))

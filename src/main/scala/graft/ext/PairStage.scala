@@ -81,6 +81,32 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged PQ index — (codebooks, encoded corpus): the two
+    * artifacts a production PQ deployment persists (re-encoding the
+    * corpus per search would defeat the compression). One per-subspace
+    * k-means fit + one encoding pass per (corpus dir, dim, m, ksub,
+    * iters) key; both parquet round-trips are exact (double arrays /
+    * int codes). */
+  def pqIndex(spark: SparkSession, dir: String, dim: Int, m: Int,
+              ksub: Int, iters: Int): (DataFrame, DataFrame) = {
+    val key = Seq("pq", spark.sparkContext.applicationId, dir, dim, m,
+      ksub, iters).mkString("|")
+    val path = staged.getOrElseUpdate(key, {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_pq_" +
+        s"${spark.sparkContext.applicationId}_" +
+        java.lang.Integer.toHexString(key.hashCode)
+      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dim, m, ksub, iters)
+      books.write.mode("overwrite").parquet(s"$p/books")
+      Similarity.pqEncodeWith(books, emb, "vec_id", "embedding", dim, m)
+        .write.mode("overwrite").parquet(s"$p/codes")
+      p
+    })
+    (spark.read.parquet(s"$path/books"), spark.read.parquet(s"$path/codes"))
+  }
+
   /** The staged trained-BPE artifacts — (mergeTable, state): the
     * train-once/tokenize-many contract. The trainer's driver loop runs
     * ONCE per (corpus dir, rounds) key; the merge table (metadata-

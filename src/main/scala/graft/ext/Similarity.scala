@@ -380,11 +380,15 @@ object Similarity {
     * this is the point — the search scans 8-byte codes, not
     * dim x 4-byte floats. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-               m: Int, ksub: Int, iters: Int = 2): DataFrame = {
-    val books = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
+               m: Int, ksub: Int, iters: Int = 2): DataFrame =
+    pqEncodeWith(pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters),
+      df, idCol, vecCol, dim, m)
+
+  /** [[pqEncode]] against pre-fit codebooks (the staged-index path). */
+  def pqEncodeWith(books: DataFrame, df: DataFrame, idCol: String,
+                   vecCol: String, dim: Int, m: Int): DataFrame =
     pqAssign(pqSliced(df, idCol, vecCol, dim, m), books)
       .select(col("vec_id"), col("j"), col("code_id"))
-  }
 
   /** PQ top-k search: asymmetric distance computation over the code
     * space to build a per-query SHORTLIST, then exact re-ranking of
@@ -415,10 +419,23 @@ object Similarity {
   def pqTopK(df: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, m: Int, ksub: Int, k: Int,
              shortlist: Int = 50, iters: Int = 2): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val books = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
     val codes = pqAssign(pqSliced(df, idCol, vecCol, dim, m), books)
       .select(col("vec_id"), col("j"), col("code_id"))
+    pqTopKWith(books, codes, df, queries, idCol, vecCol, dim, m, k,
+      shortlist)
+  }
+
+  /** [[pqTopK]] against a PRE-BUILT index — codebooks AND the encoded
+    * corpus (the two artifacts a production PQ deployment persists:
+    * re-encoding n vectors per search would defeat the compression).
+    * Staged by [[PairStage.pqIndex]]; values identical to the inline
+    * fit. */
+  def pqTopKWith(books: DataFrame, codes: DataFrame, df: DataFrame,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, k: Int,
+                 shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val qSliced = pqSliced(queries, idCol, vecCol, dim, m)
       .select(col("vec_id").as("query_id"), col("j"), col("xj").as("qj"))
     val lut = qSliced.join(broadcast(books), Seq("j"))

@@ -115,9 +115,15 @@ object ExtQueriesSimilarity {
     // vector, search by integer ADC lookup-table sums — like the IVF
     // fit, the ITERATIVE per-subspace k-means is hash-verified in SQL
     "sim_pq_topk" -> ((s, dir) => {
+      // codebooks + encoded corpus are STAGED (PairStage.pqIndex):
+      // a deployed PQ index persists both — re-encoding per search
+      // would defeat the compression
       val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", dim = 64, m = 4, ksub = 16, k = 5)
+      val (books, codes) = graft.ext.PairStage.pqIndex(s, dir,
+        dim = 64, m = 4, ksub = 16, iters = 2)
+      Similarity.pqTopKWith(books, codes, emb,
+        emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, m = 4, k = 5)
     }),
     // int8 symmetric quantization + exact rerank: the corpus-wide scan
     // reads 8-bit codes (4x fewer bytes than float32, integer ALU
@@ -162,8 +168,10 @@ object ExtQueriesSimilarity {
       val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
-          dim = 64, m = 4, ksub = 16, k = 5)
+      val (books, codes) = graft.ext.PairStage.pqIndex(s, dir,
+        dim = 64, m = 4, ksub = 16, iters = 2)
+      val pq = Similarity.pqTopKWith(books, codes, emb, q,
+          "vec_id", "embedding", dim = 64, m = 4, k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       brute.join(pq, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))

@@ -1,0 +1,48 @@
+package graft.ext
+
+import scala.util.control.NonFatal
+
+import graft.SparkSpec
+
+/** Registry-wide physical-plan lint (the spec twin of
+  * `tools/PlanLint`): every ExtQueries plan is rendered at sf0.001
+  * and checked for the two join shapes that do not survive scale —
+  * CartesianProduct (never acceptable: |A| x |B| work with no
+  * pruning) and BroadcastNestedLoopJoin (acceptable ONLY when the
+  * broadcast side is metadata-sized BY CONSTRUCTION). The BNLJ
+  * allowlist is pinned exactly: a new query that quietly plans a
+  * nested-loop join over a data-sized side fails here, naming
+  * itself, instead of shipping.
+  */
+class RegistryPlanLintSpec extends SparkSpec {
+
+  /** Queries whose BroadcastNestedLoopJoin sides are metadata-sized
+    * by construction — 1-row stats frames (sketch_quantile_error),
+    * the <=10-vector query set and centroid tables of the ANN family
+    * (condition-free broadcast joins plan as BNLJ), the k-means
+    * centroid broadcast of the assignment/balancing pair, and the
+    * bounded hours x types grid of the gap-fill. */
+  private val BnljAllowed = Set(
+    "ann_recall_report", "emb_kmeans_assign", "int8_recall_report",
+    "pq_recall_report", "sample_cluster_balanced", "sim_bruteforce_topk",
+    "sim_bruteforce_topk_agg", "sim_int8_rerank_topk", "sim_ivf_topk",
+    "sketch_quantile_error", "window_gapfill")
+
+  test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- graft.registry.ExtQueries.queries.toSeq.sortBy(_._1)) {
+      try {
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name plans a CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+            !BnljAllowed.contains(name))
+          offenders += s"$name plans an unallowlisted BroadcastNestedLoopJoin"
+      } catch {
+        case NonFatal(e) =>
+          offenders += s"$name failed to plan: ${e.getClass.getSimpleName}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -557,18 +557,30 @@ object Bench {
     // regression summary, compact: count + worst three only
     val regressHead = jobj(regress.take(3).map { case (k, r) =>
       "\"" + k + "\":" + r3(r) })
-    spark.stop()
-    println(
+    // The compact line must survive the driver's ~2 KB tail capture
+    // INTACT or the round records parsed:null (the r4/5 failure). The
+    // headline set grows over rounds, so the line is rebuilt with
+    // progressively less optional detail (all of it lives in the full
+    // artifact) until it fits, rather than trusting it always will.
+    def compactLine(withCuration: Boolean, withStages: Boolean): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
         s""""nqueries":${names.size},"nerrors":${errors.size},""" +
-        s""""stages":$stageHead,"stages_suspect":$stagesSuspect,""" +
+        (if (withStages)
+          s""""stages":$stageHead,""" else "") +
+        s""""stages_suspect":$stagesSuspect,""" +
         s""""fusion_gain":$fusionGain,""" +
         s""""load_start":$loadStart,"env_suspect":$suspect,""" +
         s""""reruns":$rerunsUsed,"regress_n":${regress.size},""" +
         s""""regress_top":$regressHead,""" +
-        s""""curation_stages":$curHead,""" +
-        s""""errors":$errHead,"detail":"$outFile"}""")
+        (if (withCuration)
+          s""""curation_stages":$curHead,""" else "") +
+        s""""errors":$errHead,"detail":"$outFile"}"""
+    val line = Seq(compactLine(true, true), compactLine(false, true),
+      compactLine(false, false)).find(_.length <= 1900)
+      .getOrElse(compactLine(false, false))
+    spark.stop()
+    println(line)
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -107,6 +107,27 @@ object PairStage {
     (spark.read.parquet(s"$path/books"), spark.read.parquet(s"$path/codes"))
   }
 
+  /** The staged int8 index: the normalized + symmetric-int8-coded
+    * corpus frame (id, unit vector, codes) a deployed int8 scan
+    * persists — quantizing per query batch would defeat the 4x
+    * bandwidth saving. Exact parquet round-trip (doubles + longs). */
+  def int8Index(spark: SparkSession, dir: String): DataFrame = {
+    val key = Seq("int8", spark.sparkContext.applicationId, dir)
+      .mkString("|")
+    val path = staged.getOrElseUpdate(key, {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_int8_" +
+        s"${spark.sparkContext.applicationId}_" +
+        java.lang.Integer.toHexString(key.hashCode)
+      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+      Similarity.int8Coded(
+          graft.Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", "neighbor_id", "cv", "cq")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** The staged trained-BPE artifacts — (mergeTable, state): the
     * train-once/tokenize-many contract. The trainer's driver loop runs
     * ONCE per (corpus dir, rounds) key; the merge table (metadata-

@@ -536,17 +536,32 @@ object Similarity {
     * normalize to NaN and are dropped BEFORE quantizing on both
     * engines (FLOOR(NaN) casts differently per engine — the filter is
     * a portability requirement, not hygiene). */
+  /** Normalized + symmetric-int8-coded frame — the persisted artifact
+    * of a deployed int8 index (id, unit vector, int8 codes). */
+  def int8Coded(df: DataFrame, idCol: String, vecCol: String,
+                idAs: String, vecAs: String, codeAs: String): DataFrame =
+    withNormalized(df, vecCol, vecAs)
+      .filter(!isnan(element_at(col(vecAs), 1)))
+      .withColumn(codeAs, transform(col(vecAs),
+        x => floor(x * lit(127.0) + lit(0.5)).cast("long")))
+      .select(col(idCol).as(idAs), col(vecAs), col(codeAs))
+
   def int8RerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int, candMult: Int = 4): DataFrame = {
+                     vecCol: String, k: Int, candMult: Int = 4): DataFrame =
+    int8RerankTopKWith(
+      int8Coded(corpus, idCol, vecCol, "neighbor_id", "cv", "cq"),
+      queries, idCol, vecCol, k, candMult)
+
+  /** [[int8RerankTopK]] against a PRE-CODED corpus (the staged-index
+    * path — [[PairStage.int8Index]]): quantizing the corpus per query
+    * batch would defeat the 4x bandwidth saving the codes exist for.
+    * Values identical to the inline coding. */
+  def int8RerankTopKWith(codedCorpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         candMult: Int = 4): DataFrame = {
     val cand = k * candMult
-    def coded(df: DataFrame, idAs: String, vecAs: String, codeAs: String) =
-      withNormalized(df, vecCol, vecAs)
-        .filter(!isnan(element_at(col(vecAs), 1)))
-        .withColumn(codeAs, transform(col(vecAs),
-          x => floor(x * lit(127.0) + lit(0.5)).cast("long")))
-        .select(col(idCol).as(idAs), col(vecAs), col(codeAs))
-    val q = coded(queries, "query_id", "qv", "qq")
-    val c = coded(corpus, "neighbor_id", "cv", "cq")
+    val q = int8Coded(queries, idCol, vecCol, "query_id", "qv", "qq")
+    val c = codedCorpus
     // stage 1: integer scoring over codes only. iscore <= 64*127^2
     // (~1.03e6) fits a double exactly, so reusing the double-scored
     // heap keeps one total order (score desc, id asc) with zero

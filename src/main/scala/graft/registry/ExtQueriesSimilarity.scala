@@ -131,7 +131,9 @@ object ExtQueriesSimilarity {
     // candidate sliver — the memory-bandwidth ANN shape at 100 TB
     "sim_int8_rerank_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.int8RerankTopK(emb, emb.filter(col("vec_id") < 10),
+      Similarity.int8RerankTopKWith(
+        graft.ext.PairStage.int8Index(s, dir),
+        emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, candMult = 4)
     }),
 
@@ -190,7 +192,8 @@ object ExtQueriesSimilarity {
       val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val i8 = Similarity.int8RerankTopK(emb, q, "vec_id", "embedding",
+      val i8 = Similarity.int8RerankTopKWith(
+          graft.ext.PairStage.int8Index(s, dir), q, "vec_id", "embedding",
           k = 5, candMult = 4)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       brute.join(i8, Seq("query_id", "neighbor_id"), "left")

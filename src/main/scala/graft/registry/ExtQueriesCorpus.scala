@@ -203,6 +203,25 @@ object ExtQueriesCorpus {
       Packing.packSequences(docs, col("doc_id"), col("text"),
         budgetTokens = 512, nGroups = Packing.autoGroups(docs.count()))
     }),
+    // packing-efficiency audit: fill rate of the packed bins in
+    // integer ppm — padding waste is wasted training FLOPs, so a
+    // production packer ships this number next to its output (the
+    // recall-report convention applied to packing). One hash-agg over
+    // the packed frame; capacity = bins x budget, fill can exceed 1e6
+    // only via oversized single docs (an honest signal, not clamped)
+    "pack_efficiency_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.packSequences(docs, col("doc_id"), col("text"),
+          budgetTokens = 512, nGroups = Packing.autoGroups(docs.count()))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_group"), col("bin_id")).as("n_bins"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(lit("nextfit_512").as("method"), col("n_docs"),
+          col("n_bins"), col("total_tokens"),
+          (col("n_bins") * 512L).as("capacity_tokens"),
+          expr("total_tokens * 1000000L div (n_bins * 512L)")
+            .as("fill_ppm"))
+    }),
     // packing WITH the per-document bin offset — the (bin, offset)
     // position map a training loader consumes to derive attention
     // boundaries without re-tokenizing; same fold, one more running
@@ -311,6 +330,21 @@ object ExtQueriesCorpus {
     // formula as Packing.autoGroups (~64 docs/group, power of two)
     "pack_sequences" ->
       packWalkSql("doc_id, n_tokens, pack_group, bin_id"),
+    // efficiency replay: one aggregate over the same recursive walk
+    // (bin identity as a joined string key — pack_group and bin_id
+    // are both BIGINTs, ':' cannot collide)
+    "pack_efficiency_report" -> s"""
+      SELECT 'nextfit_512' AS method,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT pack_group || ':' || bin_id) AS BIGINT)
+          AS n_bins,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(count(DISTINCT pack_group || ':' || bin_id) * 512
+             AS BIGINT) AS capacity_tokens,
+        CAST(sum(n_tokens) * 1000000
+             // (count(DISTINCT pack_group || ':' || bin_id) * 512)
+             AS BIGINT) AS fill_ppm
+      FROM (${packWalkSql("doc_id, n_tokens, pack_group, bin_id")}) w""",
     "pack_with_positions" -> packWalkSql(
       "doc_id, n_tokens, pack_group, bin_id, fill - n_tokens AS seq_start"),
     "contamination_check" -> s"""

@@ -333,6 +333,32 @@ object Bench {
       }
     }
 
+    def syncFs(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Exception => () }
+
+    // Pre-build the session-staged artifacts (LSH/jaccard pair tables,
+    // IVF/PQ/int8 indexes, trained BPE) with ONE untimed touch of a
+    // consumer per family BEFORE the first gated block: a first-use
+    // build is a parquet write inside a timed query, whose kernel
+    // writeback jiffies are not in /proc/self — the bench's own staging
+    // I/O would read as foreign CPU and spend the rerun budget on a
+    // false contamination signal, while attributing build cost to
+    // whichever staged-family query the rep-1 shuffle happens to order
+    // first. Every timed rep then sees only read-side work, which is
+    // also the deployed steady-state shape these queries claim to
+    // measure. Params match the registry's canonical calls, so the
+    // touched build IS the one the timed reps read.
+    for (name <- Seq("sim_ivf_topk", "sim_pq_topk", "sim_int8_rerank_topk",
+           "graph_pagerank", "dedup_clusters", "vocab_bpe_merges")
+         if SparkEntry.queries.contains(name)) {
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case NonFatal(_) => () } // a real failure re-surfaces timed
+      finally spark.catalog.clearCache()
+    }
+    syncFs() // flush staging writeback outside the gated windows
+    if (gcBetween) System.gc()
+
     for (rep <- 1 to reps) {
       // deterministic per-rep shuffle: every query gets a different
       // neighborhood each rep (fixed seeds keep runs reproducible)
@@ -347,9 +373,6 @@ object Bench {
     // with the max landing wherever writeback did). Flush ONCE before
     // the pass and after each rep so every rep starts with a clean
     // writeback queue.
-    def syncFs(): Unit =
-      try { new ProcessBuilder("sync").start().waitFor(); () }
-      catch { case _: Exception => () }
     syncFs()
     // one UNTIMED warm-up rep: the pipeline family's code paths
     // (gates, clean, model, load, log sinks) first run here, so their

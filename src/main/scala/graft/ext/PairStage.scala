@@ -28,8 +28,45 @@ import org.apache.spark.sql.functions.col
   */
 object PairStage {
 
-  private val staged =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val staged = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.CompletableFuture[String]]
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Resolve (building at most once) the scratch path for `key`.
+    * The directory name embeds an md5 of the FULL key: a 32-bit
+    * `hashCode` suffix (pre-r11) lets two distinct (dir, params) keys
+    * collide at birthday scale, silently overwriting one artifact
+    * while both map entries point at it — consumers of the first key
+    * would read the second key's rows with no error. Builds are
+    * serialized per key through a lazily-completed future installed
+    * with `putIfAbsent` (exactly one caller runs `build`; concurrent
+    * first-touch callers block on the future instead of racing two
+    * overwrite writes onto one path); a failed build is evicted so a
+    * later call can retry rather than joining a poisoned future. */
+  private def stagedPath(spark: SparkSession, tag: String, key: String)
+                        (build: String => Unit): String = {
+    val fresh = new java.util.concurrent.CompletableFuture[String]
+    staged.putIfAbsent(key, fresh) match {
+      case Some(existing) => existing.join()
+      case None =>
+        try {
+          val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+            s"${spark.sparkContext.applicationId}_${md5hex(key)}"
+          Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+          build(p)
+          fresh.complete(p)
+          p
+        } catch { case e: Throwable =>
+          staged.remove(key, fresh)
+          fresh.completeExceptionally(e)
+          throw e
+        }
+    }
+  }
 
   /** The staged near-dup pair table (doc_a, doc_b), building it on
     * first use. Thread-safe per key; the value is identical to
@@ -41,18 +78,13 @@ object PairStage {
                threshold: Double = 0.5): DataFrame = {
     val key = Seq(spark.sparkContext.applicationId, dir, idCol, textCol,
       shingleN, k, bands, threshold).mkString("|")
-    val path = staged.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_lsh_pairs_" +
-        s"${spark.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(key.hashCode)
-      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+    val path = stagedPath(spark, "lsh_pairs", key) { p =>
       Dedup.minhashLshPairs(
           graft.Tables.load(spark, dir, "documents"),
           idCol, textCol, shingleN, k, bands, threshold)
         .select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -67,17 +99,12 @@ object PairStage {
                    iters: Int): DataFrame = {
     val key = Seq("ivf", spark.sparkContext.applicationId, dir,
       nCentroids, iters).mkString("|")
-    val path = staged.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
-        s"${spark.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(key.hashCode)
-      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+    val path = stagedPath(spark, "ivf", key) { p =>
       Similarity.ivfCentroids(
           graft.Tables.load(spark, dir, "embeddings"),
           "vec_id", "embedding", nCentroids, iters)
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -91,19 +118,14 @@ object PairStage {
               ksub: Int, iters: Int): (DataFrame, DataFrame) = {
     val key = Seq("pq", spark.sparkContext.applicationId, dir, dim, m,
       ksub, iters).mkString("|")
-    val path = staged.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_pq_" +
-        s"${spark.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(key.hashCode)
-      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+    val path = stagedPath(spark, "pq", key) { p =>
       val emb = graft.Tables.load(spark, dir, "embeddings")
       val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
         dim, m, ksub, iters)
       books.write.mode("overwrite").parquet(s"$p/books")
       Similarity.pqEncodeWith(books, emb, "vec_id", "embedding", dim, m)
         .write.mode("overwrite").parquet(s"$p/codes")
-      p
-    })
+    }
     (spark.read.parquet(s"$path/books"), spark.read.parquet(s"$path/codes"))
   }
 
@@ -114,17 +136,12 @@ object PairStage {
   def int8Index(spark: SparkSession, dir: String): DataFrame = {
     val key = Seq("int8", spark.sparkContext.applicationId, dir)
       .mkString("|")
-    val path = staged.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_int8_" +
-        s"${spark.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(key.hashCode)
-      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+    val path = stagedPath(spark, "int8", key) { p =>
       Similarity.int8Coded(
           graft.Tables.load(spark, dir, "embeddings"),
           "vec_id", "embedding", "neighbor_id", "cv", "cq")
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -138,18 +155,13 @@ object PairStage {
                  rounds: Int): (DataFrame, DataFrame) = {
     val key = Seq("bpe", spark.sparkContext.applicationId, dir, rounds)
       .mkString("|")
-    val path = staged.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_bpe_" +
-        s"${spark.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(key.hashCode)
-      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+    val path = stagedPath(spark, "bpe", key) { p =>
       val (merges, state) = Corpus.bpeTrain(
         graft.Tables.load(spark, dir, "documents"),
         col("text"), rounds)
       merges.write.mode("overwrite").parquet(s"$p/merges")
       state.write.mode("overwrite").parquet(s"$p/state")
-      p
-    })
+    }
     (spark.read.parquet(s"$path/merges"), spark.read.parquet(s"$path/state"))
   }
 
@@ -163,18 +175,13 @@ object PairStage {
                    threshold: Double = 0.8): DataFrame = {
     val key = Seq("jacc", spark.sparkContext.applicationId, dir, idCol,
       textCol, threshold).mkString("|")
-    val path = staged.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_jacc_pairs_" +
-        s"${spark.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(key.hashCode)
-      Scratch.reclaimOnExitHadoop(p, spark.sessionState.newHadoopConf())
+    val path = stagedPath(spark, "jacc_pairs", key) { p =>
       Dedup.jaccardPairs(
           graft.Tables.load(spark, dir, "documents"),
           idCol, textCol, threshold)
         .select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     spark.read.parquet(path)
   }
 }

@@ -85,24 +85,24 @@ object Sampling {
     * with its weight while the total sample size is exactly k. The
     * priority is integer math — `bucket * Buckets div weight` —
     * with a (priority, key) total order, so the draw is replayable on
-    * any engine and partitioning, like every sampler here. Weights
-    * must be in [1, Buckets): the clamp floors at 1, and weights at or
-    * above Buckets (1e6) are REFUSED loudly at run time — `u * Buckets
-    * div w` has ~u*Buckets/w distinct priority levels, so beyond that
-    * bound the draw quietly degenerates toward the key tiebreak
-    * instead of a weighted draw. Rescale weights into [1, 1e6) before
-    * sampling (only the ratio matters). Plans as TakeOrdered: per-task
+    * any engine and partitioning, like every sampler here. Weights are
+    * SATURATED into [1, Buckets): `u * Buckets div w` has ~u*Buckets/w
+    * distinct priority levels, so a weight at or above Buckets (1e6)
+    * would quietly degenerate toward the key tiebreak — such rows
+    * clamp to Buckets-1 (max-weight behavior: a >=1M-token document
+    * draws like any other maximally-heavy row) instead of aborting the
+    * whole job on one data-dependent row (the pre-r11 refusal made a
+    * single pathological document unrecoverable). Only weight RATIOS
+    * matter, so callers wanting full resolution above the bound
+    * rescale before sampling. Plans as TakeOrdered: per-task
     * local top-k, driver merges — never a global sort. */
   def prioritySample(df: DataFrame, key: Column, weight: Column,
                      k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, "prioritySample needs k >= 1")
     val w = weight.cast("long")
     df.withColumn("_graft_u", bucket(key, salt) * Buckets)
-      .withColumn("_graft_w", when(w >= Buckets, raise_error(concat(
-          lit(s"prioritySample: weight must be < $Buckets " +
-            "(integer-priority resolution bound), got "),
-          w.cast("string"))).cast("long"))
-        .otherwise(greatest(w, lit(1L))))
+      .withColumn("_graft_w",
+        least(greatest(w, lit(1L)), lit(Buckets - 1L)))
       .withColumn("_graft_pri", expr("_graft_u div _graft_w"))
       .orderBy(col("_graft_pri"), key)
       .limit(k)

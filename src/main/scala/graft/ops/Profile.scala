@@ -39,9 +39,16 @@ object Profile {
     * 0 (absence of evidence is not drift).
     *
     * Scale shape: the corpus collapses to one row per month in a
-    * map-side-combined agg; the lag window runs over that
-    * METADATA-SIZED frame, so the single-partition window is months
-    * long, never rows long.
+    * map-side-combined agg, and even that metadata-sized frame never
+    * sees an unpartitioned window (this library bans the shape
+    * outright rather than reasoning per-site about which single-task
+    * sorts are "small enough"): the lag runs split-merge like
+    * [[graft.ext.Sketches.histQuantileError]] — partitioned BY YEAR
+    * (years-way parallel), with each year's first in-data month taking
+    * its predecessor from a triangular join over the <=years-row
+    * last-month-per-year table. Lag splits at any cut, so the result
+    * is identical to a global lag (the oracle replays it as one —
+    * two derivations agreeing).
     *
     * Integer discipline: the signed relative change is computed as
     * `sign * (|n - prev| * 1e6 div prev)` — division only ever sees
@@ -54,8 +61,25 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         (sum(floor(valueCol * 1000000).cast("long")) / 1000000.0)
           .as("total"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
-    monthly.withColumn("prev_n", lag(col("n"), 1).over(w))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gy")).orderBy(col("month"))
+    val lagged = monthly.withColumn("_gy", substring(col("month"), 1, 4))
+      .withColumn("_prev_in_year", lag(col("n"), 1).over(wy))
+    // carry: the last in-data month's n per year; each year's first
+    // in-data month takes the greatest EARLIER year's value (max_by
+    // skips null-year rows of the left join, so the overall first
+    // month keeps a NULL baseline). Joins are broadcast over a frame
+    // bounded by the year count of the data.
+    val lastOfYear = lagged.groupBy(col("_gy").as("_ly"))
+      .agg(max_by(col("n"), col("month")).as("_last_n"))
+    val carry = lagged.filter(col("_prev_in_year").isNull)
+      .select(col("month").as("_fm"), col("_gy").as("_fy"))
+      .join(broadcast(lastOfYear), col("_ly") < col("_fy"), "left")
+      .groupBy(col("_fm"))
+      .agg(max_by(col("_last_n"), col("_ly")).as("_carry_n"))
+    lagged.join(broadcast(carry), col("month") === col("_fm"), "left")
+      .withColumn("prev_n", coalesce(col("_prev_in_year"), col("_carry_n")))
+      .drop("_gy", "_prev_in_year", "_fm", "_carry_n", "_fy")
       .withColumn("delta_ppm",
         when(col("prev_n").isNull, lit(null).cast("long"))
           .when(col("n") >= col("prev_n"),

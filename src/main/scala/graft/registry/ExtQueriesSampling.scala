@@ -200,7 +200,8 @@ object ExtQueriesSampling {
                  FROM documents)
       SELECT doc_id, n_tokens FROM d
       ORDER BY ${bucketSql("doc_id")} * ${Sampling.Buckets}
-                 // GREATEST(n_tokens, 1), doc_id
+                 // LEAST(GREATEST(n_tokens, 1), ${Sampling.Buckets - 1}),
+               doc_id
       LIMIT 100""",
   )
 }

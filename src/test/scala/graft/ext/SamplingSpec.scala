@@ -148,18 +148,21 @@ class SamplingSpec extends SparkSpec {
       s"weighting had no effect: sampled $avgSampled vs corpus $avgAll")
   }
 
-  test("priority sample refuses weights at/above the resolution bound") {
+  test("priority sample saturates weights at/above the resolution bound") {
+    // weights pushed past Buckets must clamp to Buckets-1 (max-weight
+    // behavior) instead of aborting the job on one data-dependent row:
+    // the draw over the shifted weights equals the draw over weights
+    // pre-clamped at the bound.
     val docs2 = docs.select(col("doc_id"),
       (TextOps.tokenCount(col("text")) + Sampling.Buckets).as("w"))
-    val e = intercept[Exception] {
-      Sampling.prioritySample(docs2, col("doc_id"), col("w"), k = 5)
-        .collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("resolution bound")),
-      s"expected the loud weight refusal, got: $e")
+    val got = Sampling.prioritySample(docs2, col("doc_id"), col("w"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val clamped = docs2.select(col("doc_id"),
+      least(col("w"), lit(Sampling.Buckets - 1L)).as("w"))
+    val want = Sampling.prioritySample(clamped, col("doc_id"), col("w"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(got.size === 5)
   }
 
   test("k-center stops early instead of emitting duplicate centers") {

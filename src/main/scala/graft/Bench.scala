@@ -106,7 +106,8 @@ object Bench {
     "text_top_terms", "sink_partitioned_pruned", "join_salted_skew",
     "corpus_curation_v2", "lsh_recall_report", "graph_pagerank",
     "join_bloom_prefilter", "dedup_bloom_incremental",
-    "graph_triangles", "text_bpe_tokenize")
+    "graph_triangles", "text_bpe_tokenize", "sim_ivf_incremental",
+    "sim_ivf_filtered_topk", "stream_neardup_gate")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

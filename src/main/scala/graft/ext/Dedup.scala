@@ -210,6 +210,37 @@ object Dedup {
   def minhashA(i: Int): Long = TextOps.hex60Local(s"mh_a:$i") % (MinhashP - 1) + 1
   def minhashB(i: Int): Long = TextOps.hex60Local(s"mh_b:$i") % MinhashP
 
+  /** The k-component minhash signature as a PER-ROW array column —
+    * value-identical to [[minhashSignatures]] (same (a_i, b_i, P)
+    * family; min is duplicate-insensitive, so the array fold over
+    * shingles equals the exploded aggregate's min) but computed with
+    * ZERO shuffle: one `aggregate` pass over the shingle array
+    * carrying a k-long running-min accumulator. This is the shape an
+    * ingest-time gate on an unbounded stream requires — the signature
+    * must ride each incoming row as a narrow map (a groupBy would be
+    * a streaming aggregation with its own output-mode/watermark
+    * semantics). A shingle-less document (empty text) keeps the init
+    * value P in every component; the batch formulation has no row for
+    * it at all — callers joining corpus x batch never see the
+    * difference (the corpus side has no P-valued signatures to
+    * collide with). */
+  def minhashSignatureArray(text: Column, shingleN: Int = 3,
+                            k: Int = 32): Column = {
+    val bs = transform(
+      graft.functions.VectorFunctions.shingleHex60(text, shingleN),
+      h => h % MinhashP)
+    val params = typedlit((0 until k).map(i => (minhashA(i), minhashB(i))))
+    aggregate(bs, typedlit(Seq.fill(k)(MinhashP)),
+      (acc, b) => zip_with(acc, params, (m, p) =>
+        least(m, (p.getField("_1") * b + p.getField("_2")) % MinhashP)))
+  }
+
+  /** [[bandBuckets]] surfaced for the staged-signature consumers (the
+    * streaming gate joins incoming docs' bands against the standing
+    * corpus's banded signature index). */
+  def minhashBandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    bandBuckets(sigs, k, bands)
+
   /** MinHash signature columns: ONE portable md5 per distinct shingle
     * (hex60, reduced mod 2^31-1), then k derived universal hashes
     * h_i(s) = (a_i * base + b_i) mod 2^31-1 — hashing cost is one

@@ -108,6 +108,53 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged minhash SIGNATURE INDEX of the standing corpus
+    * (`doc_id % 10 != excludeMod` — the modular daily-increment split
+    * the incremental dedup family uses): (doc_id, mh_0..mh_{k-1}),
+    * the artifact a deployed ingest-time near-dup gate persists and
+    * appends per accepted batch. The gate's stream side joins its
+    * bands against this index every micro-batch; rebuilding corpus
+    * signatures per batch would re-pay the corpus-wide shingle/
+    * signature work the index exists to amortize. Exact parquet
+    * round-trip (int64 columns). */
+  def minhashCorpusSigs(spark: SparkSession, dir: String,
+                        excludeMod: Int, shingleN: Int = 3,
+                        k: Int = 32): DataFrame = {
+    val key = Seq("mhsig", spark.sparkContext.applicationId, dir,
+      excludeMod, shingleN, k).mkString("|")
+    val path = stagedPath(spark, "mhsig", key) { p =>
+      Dedup.minhashSignatures(
+          graft.Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 10 =!= excludeMod),
+          col("doc_id"), col("text"), shingleN, k)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The staged STALE-index fit for the incremental-ANN family: Lloyd
+    * centroids fit on the STANDING corpus only (`vec_id % 10 !=
+    * excludeMod` — the same modular split [[Dedup.minhashLshIncremental]]'s
+    * registry entry uses for its daily-increment replay), never on the
+    * incoming batch. This is the artifact a production index carries
+    * between refits; the upsert report and the stale-index recall
+    * audit both read it, so the batch is assigned with exactly the
+    * centroids the standing index persisted. */
+  def ivfCentroidsCorpus(spark: SparkSession, dir: String,
+                         nCentroids: Int, iters: Int,
+                         excludeMod: Int): DataFrame = {
+    val key = Seq("ivfc", spark.sparkContext.applicationId, dir,
+      nCentroids, iters, excludeMod).mkString("|")
+    val path = stagedPath(spark, "ivfc", key) { p =>
+      Similarity.ivfCentroids(
+          graft.Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") % 10 =!= excludeMod),
+          "vec_id", "embedding", nCentroids, iters)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** The staged PQ index — (codebooks, encoded corpus): the two
     * artifacts a production PQ deployment persists (re-encoding the
     * corpus per search would defeat the compression). One per-subspace

@@ -517,6 +517,74 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Incremental IVF index maintenance — the batch-upsert contract of
+    * a production ANN deployment (mirrors [[Dedup.minhashLshIncremental]]'s
+    * corpus x batch shape): the standing index's centroids are NOT
+    * refit per ingest; new vectors are assigned with the EXISTING
+    * (stale) centroids at corpus-independent cost — one broadcast-join
+    * argmax over the batch only, never a corpus re-scan — and the
+    * upserted index state is the union of assignments. This report is
+    * the maintenance artifact that decides when staleness has
+    * accumulated enough to refit: per-cell membership before/after the
+    * upsert plus a staleness counter (`stale_ppm` — the ppm fraction
+    * of index rows assigned since the last fit) and a `refit_due` flag
+    * once it exceeds `refitPpm`. Integer ppm arithmetic, so the
+    * trigger decision itself is engine-exact and oracle-verifiable.
+    *
+    * Scale shape: two broadcast-argmax assignment passes (corpus one
+    * is the standing index read; batch one is the only new work), two
+    * cell-cardinality aggregations, and a 1-row totals broadcast —
+    * per-ingest cost is O(|batch| x nCentroids), exactly the
+    * dedup_incremental contract transplanted to ANN. */
+  def ivfUpsertReport(centroids: DataFrame, corpus: DataFrame,
+                      batch: DataFrame, idCol: String, vecCol: String,
+                      refitPpm: Long = 50000L): DataFrame = {
+    val cc = ivfAssignWith(centroids, corpus, idCol, vecCol)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_corpus"))
+    val bc = ivfAssignWith(centroids, batch, idCol, vecCol)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_added"))
+    val cells = cc.join(bc, Seq("centroid_id"), "full")
+      .select(col("centroid_id"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+    val tot = cells.agg(sum(col("n_corpus")).as("tc"),
+      sum(col("n_added")).as("ta"))
+    cells.join(broadcast(tot))
+      .withColumn("stale_ppm", expr("ta * 1000000L div (tc + ta)"))
+      .withColumn("refit_due",
+        when(col("stale_ppm") > refitPpm, lit(1L)).otherwise(lit(0L)))
+      .select(col("centroid_id"), col("n_corpus"), col("n_added"),
+        (col("n_corpus") + col("n_added")).as("n_total"),
+        col("stale_ppm"), col("refit_due"))
+  }
+
+  /** Filtered ANN search — predicate + top-k ("nearest among docs
+    * where lang = 'en'"), the shape real retrieval almost always
+    * takes. The predicate is pushed BELOW the cell assignment (filter
+    * -> assign == assign -> filter per row, so the probed cells scan
+    * only eligible vectors — at 100 TB the filter rides the parquet
+    * scan and the assignment job touches the selectivity-sized
+    * sliver), and nProbe is COMPENSATED for selectivity: a cell holds
+    * ~selectivity x fewer eligible vectors, so probing the same cell
+    * count would scan ~selectivity x fewer candidates and recall would
+    * collapse as the filter tightens. probeN =
+    * min(nCentroids, max(nProbe, ceil(nProbe * n / kept))) — integer
+    * ceil division on driver-collected counts (two count jobs, both
+    * bounded), replayed exactly by the SQL twin from the same
+    * count(*)s. */
+  def ivfFilteredTopKWith(centroids: DataFrame, df: DataFrame,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, pred: Column, k: Int,
+                          nProbe: Int, nCentroids: Int): DataFrame = {
+    val n = df.count()
+    val kept = df.filter(pred).count()
+    require(kept > 0, "filtered ANN: predicate matches no rows")
+    val probeN = math.min(nCentroids.toLong,
+      math.max(nProbe.toLong, (nProbe.toLong * n + kept - 1) / kept)).toInt
+    ivfTopKWith(centroids, df.filter(pred), queries, idCol, vecCol, k,
+      probeN)
+  }
+
   /** Int8-quantized ANN with exact rerank — the memory-bandwidth scale
     * path: stage 1 scans 8-bit codes (4x smaller than float32, integer
     * ALU scoring via the codegen'd [[graft.functions.IntDotProduct]])

@@ -202,6 +202,73 @@ object ExtQueriesSimilarity {
           col("total"),
           expr("matched * 1000000L div total").as("recall_ppm"))
     }),
+    // incremental IVF index maintenance (the ANN twin of
+    // dedup_incremental's corpus x batch contract): the standing
+    // index's centroids stay FIXED between refits — the batch
+    // (vec_id % 10 == 7, the daily-increment replay) is assigned with
+    // the stale staged centroids at O(|batch| x nCentroids) cost,
+    // never a corpus re-fit — and the output is the upsert report a
+    // production index emits: per-cell membership before/after plus
+    // the integer-ppm staleness counter and refit trigger
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val cents = graft.ext.PairStage.ivfCentroidsCorpus(s, dir,
+        Similarity.autoCentroids(corpus.count()), iters = 2,
+        excludeMod = 7)
+      Similarity.ivfUpsertReport(cents, corpus, batch,
+        "vec_id", "embedding")
+    }),
+    // recall of BOTH maintenance states against exact brute force
+    // over the full corpus — the pair of numbers the refit policy
+    // rests on: (a) the UPSERTED index (full corpus searched with the
+    // STALE centroids, fit on the standing 90% only) quantifies what
+    // staleness costs at the trigger threshold; (b) the POST-REFIT
+    // index (centroids refit on the full corpus — what the fired
+    // refit_due trigger produces) proves the refit restores the
+    // staged-index recall floor. Probe-compensation is the measured
+    // alternative and loses: the stale index needs ~3x nProbe to
+    // reach the fresh floor (AnnIncrementalSpec sweep), a per-search
+    // cost paid forever vs the refit's one-time cost. Hash-verified
+    // like the other recall reports (all operand oracles composed).
+    "ann_incremental_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallRow(cents: DataFrame, method: String) = {
+        val ivf = Similarity.ivfTopKWith(cents, emb, q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+          .select(lit(method).as("method"), col("matched"), col("total"),
+            expr("matched * 1000000L div total").as("recall_ppm"))
+      }
+      recallRow(graft.ext.PairStage.ivfCentroidsCorpus(s, dir,
+          Similarity.autoCentroids(corpus.count()), iters = 2,
+          excludeMod = 7), "ivf_stale_nprobe2")
+        .unionByName(recallRow(graft.ext.PairStage.ivfCentroids(s, dir,
+          Similarity.autoCentroids(emb.count()), iters = 2),
+          "ivf_postrefit_nprobe2"))
+    }),
+    // filtered ANN search — predicate + top-k ("nearest among docs
+    // where lang='en'"), the shape real retrieval almost always
+    // takes: the predicate is pushed below the cell assignment (the
+    // probed cells scan only eligible vectors) and nProbe is
+    // compensated for selectivity by the integer formula both engines
+    // derive from the same two count(*)s
+    "sim_ivf_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nc = Similarity.autoCentroids(emb.count())
+      val cents = graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2)
+      Similarity.ivfFilteredTopKWith(cents, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        col("label") % 4 === 1, k = 5, nProbe = 2, nCentroids = nc)
+    }),
     // recall of the MinHash-LSH candidate generator against exact
     // shingle jaccard over the SAME 3-shingle space — the dedup twin
     // of the ANN/PQ recall reports: a band/row or threshold change
@@ -421,6 +488,40 @@ object ExtQueriesSimilarity {
         WHERE rank <= 5) b
         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""",
 
+    "sim_ivf_incremental" -> ivfUpsertReportSql(iters = 2,
+      excludeMod = 7, refitPpm = 50000L),
+    // stale-centroid fit (corpus only) + full-corpus assignment +
+    // search, UNIONed with the post-refit (full-fit) state — the two
+    // maintenance states' recall twins share the brute-force truth
+    "ann_incremental_recall" -> {
+      def recallSql(method: String, ivfSql: String) = s"""
+      SELECT '$method' AS method,
+             CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(i.neighbor_id) * 1000000 // NULLIF(count(*), 0)
+               AS BIGINT) AS recall_ppm
+      FROM ($ivfSql) i
+      RIGHT JOIN (
+        WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 ${dotSql("qv", "e.nv")} AS cosine
+          FROM q, n e WHERE query_id <> e.vec_id)
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored WHERE NOT isnan(cosine))
+        WHERE rank <= 5) b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+      recallSql("ivf_stale_nprobe2", ivfTopKSql(k = 5, nProbe = 2,
+        iters = 2, fitWhere = "vec_id % 10 <> 7", assignFrom = "av")) +
+        "\n      UNION ALL\n" +
+        recallSql("ivf_postrefit_nprobe2",
+          ivfTopKSql(k = 5, nProbe = 2, iters = 2))
+    },
+    "sim_ivf_filtered_topk" -> ivfFilteredTopKSql(k = 5, nProbe = 2,
+      iters = 2, predSql = "label % 4 = 1"),
     // recall of the shipped IVF config vs exact top-k: both operand
     // queries' oracles are reused as subqueries, so even the QUALITY
     // number is hash-verified

@@ -354,8 +354,18 @@ object QueryShared {
     * power-of-two-near-sqrt formula as [[Similarity.autoCentroids]]. */
   /** The Lloyd-fit + final-assignment CTE block (nv through ca) —
     * shared by the IVF search oracle and the standalone k-means
-    * assignment oracle. Emits `ca(vec_id, centroid_id, v)`. */
-  private[registry] def ivfAssignCtes(iters: Int): String = {
+    * assignment oracle. Emits `ca(vec_id, centroid_id, v)`.
+    *
+    * `fitWhere` restricts the FIT universe (nv and the centroid-count
+    * derivation) — the stale-index shape of the incremental family,
+    * where centroids are fit on the standing corpus only.
+    * `assignFrom = "av"` makes the final assignment run over ALL
+    * embeddings (an extra `av` CTE) instead of the fit set — the
+    * upserted-index shape where batch vectors are assigned with stale
+    * centroids. Defaults emit byte-identical SQL to the pre-r11
+    * builder, so existing oracles are untouched. */
+  private[registry] def ivfAssignCtes(iters: Int, fitWhere: String = "",
+                                      assignFrom: String = "nv"): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""a$it AS (SELECT vec_id, centroid_id, v FROM (
@@ -378,30 +388,36 @@ object QueryShared {
          |       FROM $prev p LEFT JOIN n$it USING (centroid_id))"""
         .stripMargin
     }.mkString(",\n      ")
-    s"""nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
+    val fw = if (fitWhere.isEmpty) "" else s" WHERE $fitWhere"
+    val av = if (assignFrom == "nv") ""
+      else s"\n      av AS (SELECT vec_id, $NormSql AS v FROM embeddings),"
+    s"""nv AS (SELECT vec_id, $NormSql AS v FROM embeddings$fw),
       nc_t AS (SELECT GREATEST(4, LEAST(4096,
                  CASE WHEN n <= 1 THEN 1
                       ELSE (CAST(1 AS BIGINT)
                             << CAST((length(bin(n - 1)) + 1) // 2 AS INTEGER))
                  END)) AS nc
-               FROM (SELECT count(*) AS n FROM embeddings)),
+               FROM (SELECT count(*) AS n FROM embeddings$fw)),
       c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM
                (SELECT vec_id, v,
                        row_number() OVER (ORDER BY vec_id) AS rn FROM nv)
              CROSS JOIN nc_t WHERE rn <= nc),
-      $iterCtes,
+      $iterCtes,$av
       ca AS (SELECT vec_id, centroid_id, v FROM (
-          SELECT nv.vec_id, c$iters.centroid_id, nv.v,
-                 row_number() OVER (PARTITION BY nv.vec_id
-                   ORDER BY ${dotSql("nv.v", s"c$iters.cv")} DESC,
+          SELECT $assignFrom.vec_id, c$iters.centroid_id, $assignFrom.v,
+                 row_number() OVER (PARTITION BY $assignFrom.vec_id
+                   ORDER BY ${dotSql(s"$assignFrom.v", s"c$iters.cv")} DESC,
                             c$iters.centroid_id) AS rn
-          FROM nv CROSS JOIN c$iters) WHERE rn = 1)"""
+          FROM $assignFrom CROSS JOIN c$iters) WHERE rn = 1)"""
   }
 
-  private[registry] def ivfTopKSql(k: Int, nProbe: Int, iters: Int): String = {
+  private[registry] def ivfTopKSql(k: Int, nProbe: Int, iters: Int,
+                                   fitWhere: String = "",
+                                   assignFrom: String = "nv"): String = {
     s"""
-      WITH ${ivfAssignCtes(iters)},
-      q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+      WITH ${ivfAssignCtes(iters, fitWhere, assignFrom)},
+      q AS (SELECT vec_id AS query_id, v AS qv
+            FROM $assignFrom WHERE vec_id < 10),
       qp AS (SELECT query_id, centroid_id, qv FROM (
           SELECT q.query_id, c$iters.centroid_id, q.qv,
                  row_number() OVER (PARTITION BY q.query_id
@@ -417,6 +433,80 @@ object QueryShared {
               ORDER BY cosine DESC, neighbor_id) AS rank FROM scored
             WHERE NOT isnan(cosine))
       WHERE rank <= $k"""
+  }
+
+  /** DuckDB twin of Similarity.ivfFilteredTopKWith: same full-corpus
+    * fit, assignment restricted to predicate survivors (filter->assign
+    * == assign->filter per row, so `ca JOIN embeddings WHERE pred`
+    * replays the Spark side's filter-first plan), and the
+    * selectivity-compensated probe count derived from the same two
+    * count(*)s with the same integer ceil division. */
+  private[registry] def ivfFilteredTopKSql(k: Int, nProbe: Int,
+                                           iters: Int,
+                                           predSql: String): String = {
+    s"""
+      WITH ${ivfAssignCtes(iters)},
+      pn_t AS (SELECT LEAST(nc, GREATEST($nProbe,
+                 ($nProbe * n + kept - 1) // kept)) AS pn
+               FROM (SELECT count(*) AS n FROM embeddings)
+               CROSS JOIN (SELECT count(*) AS kept FROM embeddings
+                           WHERE $predSql)
+               CROSS JOIN nc_t),
+      fa AS (SELECT ca.vec_id, ca.centroid_id, ca.v
+             FROM ca JOIN embeddings e ON ca.vec_id = e.vec_id
+             WHERE $predSql),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+      qp AS (SELECT query_id, centroid_id, qv FROM (
+          SELECT q.query_id, c$iters.centroid_id, q.qv,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSql("q.qv", s"c$iters.cv")} DESC,
+                            c$iters.centroid_id) AS rn
+          FROM q CROSS JOIN c$iters) WHERE rn <= (SELECT pn FROM pn_t)),
+      scored AS (SELECT query_id, fa.vec_id AS neighbor_id,
+                   ${dotSql("qp.qv", "fa.v")} AS cosine
+                 FROM qp JOIN fa USING (centroid_id)
+                 WHERE query_id <> fa.vec_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored
+            WHERE NOT isnan(cosine))
+      WHERE rank <= $k"""
+  }
+
+  /** DuckDB twin of Similarity.ivfUpsertReport over the modular
+    * corpus/batch split: centroids fit on the standing corpus
+    * (`vec_id % 10 <> excludeMod`), batch assigned with those STALE
+    * centroids, per-cell before/after counts full-joined, staleness
+    * ppm and the refit trigger in exact integer arithmetic. */
+  private[registry] def ivfUpsertReportSql(iters: Int, excludeMod: Int,
+                                           refitPpm: Long): String = {
+    s"""
+      WITH ${ivfAssignCtes(iters, fitWhere = s"vec_id % 10 <> $excludeMod")},
+      bnv AS (SELECT vec_id, $NormSql AS v FROM embeddings
+              WHERE vec_id % 10 = $excludeMod),
+      ba AS (SELECT vec_id, centroid_id FROM (
+          SELECT bnv.vec_id, c$iters.centroid_id,
+                 row_number() OVER (PARTITION BY bnv.vec_id
+                   ORDER BY ${dotSql("bnv.v", s"c$iters.cv")} DESC,
+                            c$iters.centroid_id) AS rn
+          FROM bnv CROSS JOIN c$iters) WHERE rn = 1),
+      cc_t AS (SELECT centroid_id, count(*) AS n_corpus FROM ca GROUP BY 1),
+      bc_t AS (SELECT centroid_id, count(*) AS n_added FROM ba GROUP BY 1),
+      cells AS (SELECT COALESCE(cc_t.centroid_id, bc_t.centroid_id)
+                         AS centroid_id,
+                       COALESCE(n_corpus, 0) AS n_corpus,
+                       COALESCE(n_added, 0) AS n_added
+                FROM cc_t FULL JOIN bc_t
+                  ON cc_t.centroid_id = bc_t.centroid_id),
+      tot AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS tc,
+                     CAST(SUM(n_added) AS BIGINT) AS ta FROM cells)
+      SELECT centroid_id, CAST(n_corpus AS BIGINT) AS n_corpus,
+             CAST(n_added AS BIGINT) AS n_added,
+             CAST(n_corpus + n_added AS BIGINT) AS n_total,
+             CAST(ta * 1000000 // (tc + ta) AS BIGINT) AS stale_ppm,
+             CAST(CASE WHEN ta * 1000000 // (tc + ta) > $refitPpm
+                       THEN 1 ELSE 0 END AS BIGINT) AS refit_due
+      FROM cells CROSS JOIN tot"""
   }
 
   /** DuckDB twin of Similarity.pqTopK: the same deterministic init

@@ -146,6 +146,29 @@ object StreamQueries {
       StreamOps.runToMemory(mk(streamSource(s, dir)), s"graft_mem_$name", mode)
     }
 
+  /** Staged INCOMING-document stream source (`doc_id % 10 == modEq` —
+    * the modular daily-increment slice), one staging per (session,
+    * sfDir, modEq): the ingest-side twin of [[streamSource]] for the
+    * document-stream queries (the near-dup gate). */
+  private val stagedDocs =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+
+  private def docStreamSource(s: SparkSession, dir: String,
+                              modEq: Int): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === modEq)
+      .select(col("doc_id"), col("text"))
+    val stage = stagedDocs.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, modEq), {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_stream_docs").toString
+        docs.write.mode("overwrite").parquet(d)
+        graft.ext.Scratch.reclaimOnExit(d)
+        d
+      })
+    s.readStream.schema(docs.schema).parquet(stage)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, dir) =>
       runStream(s, dir, "tumbling")(src =>
@@ -199,6 +222,22 @@ object StreamQueries {
       runStream(s, dir, "dedup_bounded", OutputMode.Append())(src =>
         StreamOps.streamingDedup(src, Seq("user_id", "event_type"),
           withinWatermark = true))),
+    // ingest-time near-dup gate: incoming docs (the daily-increment
+    // slice as a bounded stream) band their narrow per-row minhash
+    // signatures and stream-static join against the STANDING corpus's
+    // staged signature index — near-dups are flagged BEFORE landing.
+    // Emits exactly the corpus x batch component of the batch
+    // incremental dedup (parity spec-pinned; the oracle is the full
+    // LSH pair set restricted to exactly-one-side-batch pairs).
+    "stream_neardup_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
+      val sigs = graft.ext.PairStage.minhashCorpusSigs(s, dir,
+        excludeMod = 3)
+      StreamOps.runToMemory(
+        StreamOps.nearDupGate(docStreamSource(s, dir, modEq = 3), sigs,
+          "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+          threshold = 0.5),
+        "graft_mem_neardup_gate", OutputMode.Append())
+    }),
     // stream-stream INTERVAL join: each click matched to the same
     // user's purchases within the following 30 minutes. The bounded
     // time condition + both-side watermarks are what keep the join
@@ -390,6 +429,12 @@ object StreamQueries {
     // single micro-batch => no mid-stream eviction => same key set
     "stream_dedup_bounded" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the full-LSH pair set restricted to exactly-one-side-batch pairs
+    // (corpus x batch): what the ingest gate must flag. Batch-internal
+    // pairs are excluded — the gate checks arrivals against the
+    // STANDING corpus; intra-batch dedup is the batch job's concern.
+    "stream_neardup_gate" -> QueryShared.minhashPairsSql(
+      extraWhere = " AND ((doc_a % 10 = 3) <> (doc_b % 10 = 3))"),
     "stream_enrich_dim" -> """
       SELECT e.event_id, e.user_id, c.c_name,
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey

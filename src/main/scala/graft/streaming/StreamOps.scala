@@ -339,6 +339,62 @@ object StreamOps {
     spark.read.parquet(path)
   }
 
+  /** Ingest-time near-duplicate gate — the STREAMING shape of
+    * [[graft.ext.Dedup.minhashLshIncremental]]'s corpus x batch
+    * contract: each incoming document computes its minhash signature
+    * as a narrow per-row map ([[graft.ext.Dedup.minhashSignatureArray]]
+    * — zero shuffle on the stream side), bands it, and stream-static
+    * joins its band keys against the STANDING corpus's staged
+    * signature index ([[graft.ext.PairStage.minhashCorpusSigs]]);
+    * colliding candidates are then estimate-verified against the
+    * corpus signatures carried by the same index. Emits the
+    * (doc_a, doc_b, est_jaccard) near-dup pairs touching the stream —
+    * exactly the corpus x batch component of the batch incremental
+    * dedup (spec-pinned parity), so a doc can be flagged/dropped
+    * BEFORE it lands in the corpus.
+    *
+    * Scale shape: both joins are stream-static (stateless — no
+    * watermark, no join state); per micro-batch the work is
+    * |batch| x bands bucket probes plus the candidate sliver's
+    * estimate join, never corpus x corpus. The only streaming state
+    * is the emit-once pair dedup (bounded by the near-dup rate, the
+    * same rows a downstream sink would hold anyway). */
+  def nearDupGate(stream: DataFrame, corpusSigs: DataFrame,
+                  idCol: String, textCol: String, shingleN: Int = 3,
+                  k: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigd = stream
+      .select(col(idCol).as("_gate_id"), col(textCol).as("_gate_text"))
+      .withColumn("_sig",
+        graft.ext.Dedup.minhashSignatureArray(col("_gate_text"),
+          shingleN, k))
+    val streamBands = sigd.select(col("_gate_id"), col("_sig"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r)
+          .map(i => col("_sig")(i)): _*).as("key"))): _*)).as("bk"))
+      .select(col("_gate_id"), col("_sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val corpusBands =
+      graft.ext.Dedup.minhashBandBuckets(corpusSigs, k, bands)
+    val cands = streamBands
+      .join(corpusBands, Seq("band", "key"))
+      .select(col("doc_id").as("_corpus_id"), col("_gate_id"), col("_sig"))
+      .dropDuplicates("_corpus_id", "_gate_id")
+    val matches = (0 until k)
+      .map(i => when(col(s"mh_$i") === col("_sig")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(corpusSigs.withColumnRenamed("doc_id", "_corpus_id"),
+        Seq("_corpus_id"))
+      .withColumn("est_jaccard", matches * 1.0 / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(least(col("_corpus_id"), col("_gate_id")).as("doc_a"),
+        greatest(col("_corpus_id"), col("_gate_id")).as("doc_b"),
+        col("est_jaccard"))
+  }
+
   /** Run a streaming query over a bounded source to completion into an
     * in-memory table, returning the result — used by specs to assert
     * batch/stream parity. */

@@ -20,13 +20,17 @@ class RegistryPlanLintSpec extends SparkSpec {
     * by construction — 1-row stats frames (sketch_quantile_error),
     * the <=10-vector query set and centroid tables of the ANN family
     * (condition-free broadcast joins plan as BNLJ), the k-means
-    * centroid broadcast of the assignment/balancing pair, and the
-    * bounded hours x types grid of the gap-fill. */
+    * centroid broadcast of the assignment/balancing pair, the bounded
+    * hours x types grid of the gap-fill, and the incremental/filtered
+    * ANN additions (same centroid/query-set broadcasts plus the
+    * upsert report's 1-row staleness-totals frame). */
   private val BnljAllowed = Set(
-    "ann_recall_report", "emb_kmeans_assign", "int8_recall_report",
-    "pq_recall_report", "sample_cluster_balanced", "sim_bruteforce_topk",
-    "sim_bruteforce_topk_agg", "sim_int8_rerank_topk", "sim_ivf_topk",
-    "sketch_quantile_error", "window_gapfill")
+    "ann_incremental_recall", "ann_recall_report", "emb_kmeans_assign",
+    "int8_recall_report", "pq_recall_report", "sample_cluster_balanced",
+    "sim_bruteforce_topk", "sim_bruteforce_topk_agg",
+    "sim_int8_rerank_topk", "sim_ivf_filtered_topk",
+    "sim_ivf_incremental", "sim_ivf_topk", "sketch_quantile_error",
+    "window_gapfill")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

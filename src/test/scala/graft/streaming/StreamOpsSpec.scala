@@ -375,4 +375,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(after == got, "replayed batch changed the log")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
+
+  test("near-dup gate: stream == batch incremental's corpus x batch component, multi-batch safe") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    // batch truth: the incremental dedup's pairs with exactly one side
+    // in the batch (the gate checks arrivals against the STANDING
+    // corpus only; intra-batch pairs are the batch job's concern)
+    val want = graft.ext.Dedup.minhashLshIncremental(corpus, batch,
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.5)
+      .filter((col("doc_a") % 10 === 3) =!= (col("doc_b") % 10 === 3))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain corpus x batch near-dups")
+    val sigs = graft.ext.Dedup.minhashSignatures(corpus,
+      col("doc_id"), col("text"), 3, 32)
+    // TWO files -> two micro-batches: the gate must behave identically
+    // when arrivals are split across batches (stream-static joins are
+    // stateless; the emit-once dedup is the only state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    batch.filter(col("doc_id") % 20 === 3).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    batch.filter(col("doc_id") % 20 =!= 3).coalesce(1)
+      .write.mode("append").parquet(dir)
+    graft.ext.Scratch.reclaimOnExit(dir)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = StreamOps.runToMemory(
+        StreamOps.nearDupGate(src, sigs, "doc_id", "text"),
+        "gate_test", OutputMode.Append())
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want,
+      s"gate/batch divergence: extra=${got -- want} missing=${want -- got}")
+  }
 }

@@ -611,6 +611,7 @@ object Corpus {
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
+      val roundT0 = System.nanoTime()
       val top = vocab.filter(size(col("syms")) >= 2)
         .select(col("wn"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
@@ -632,6 +633,13 @@ object Corpus {
                 element_at(acc, lit(-1)) === lit(a) && x === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
               .otherwise(concat(acc, array(x))))))
+        // per-round cost line (the [graft.cc]/[scaleprobe] logging
+        // convention): each round is one vocab-sized pair-count
+        // shuffle + a 1-row TakeOrdered + the re-tokenize map, so the
+        // O(rounds x vocab-shuffle) claim gets measured numbers —
+        // SCALE.md cites these from the 64-round staging build
+        println(f"[graft.bpe] round=$round%d wall=" +
+          f"${(System.nanoTime() - roundT0) / 1e9}%.2fs merge=$a+$b n=$n")
         round += 1
       }
     }

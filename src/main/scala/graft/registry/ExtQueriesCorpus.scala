@@ -51,6 +51,19 @@ object ExtQueriesCorpus {
     // artifacts — train-once/tokenize-many)
     "vocab_bpe_merges" -> ((s, dir) =>
       graft.ext.PairStage.bpeTrained(s, dir, BpeRounds)._1),
+    // the trainer at REALISTIC vocabulary scale: 64 merge rounds
+    // (8x the readable-oracle setting — late rounds merge symbols
+    // that only exist because of earlier merges, the regime a toy
+    // round count never reaches). Still fully hash-verified: the
+    // unrolled-CTE oracle stays LINEAR in rounds via AS MATERIALIZED
+    // state CTEs (without the hint DuckDB re-inlines the chain,
+    // 2^rounds evaluations). Per-round wall cost is logged by the
+    // trainer ([graft.bpe] lines) — the O(rounds x vocab-shuffle)
+    // claim's number in SCALE.md. Staged like the 8-round artifacts;
+    // the 8-round prefix equality is spec-pinned (greedy BPE is
+    // prefix-stable in rounds).
+    "vocab_bpe_merges64" -> ((s, dir) =>
+      graft.ext.PairStage.bpeTrained(s, dir, 64)._1),
     // the symbol inventory AFTER those merges (weighted by word
     // frequency) — the induced tokenizer vocabulary itself
     "vocab_bpe_vocab" -> ((s, dir) =>
@@ -666,6 +679,10 @@ object ExtQueriesCorpus {
     // (one pR/tR/vR triple per round); merge table = each round's t
     "vocab_bpe_merges" -> (bpeCteSql(BpeRounds) +
       (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, lft, rgt, n FROM t$r")
+        .mkString("\n      ", "\n      UNION ALL ", "")),
+    "vocab_bpe_merges64" -> (bpeCteSql(64) +
+      (1 to 64).map(r =>
         s"SELECT CAST($r AS BIGINT) AS merge_round, lft, rgt, n FROM t$r")
         .mkString("\n      ", "\n      UNION ALL ", "")),
     // final-vocabulary replay: explode vN's symbol strings, sum wn

@@ -242,13 +242,22 @@ object QueryShared {
     * side's array fold — two independent derivations hash-matching is
     * the point of the oracle. Ends with vN (the final vocabulary
     * state) plus one tR CTE per round (that round's chosen merge);
-    * the caller appends the final SELECT. */
+    * the caller appends the final SELECT.
+    *
+    * Every vocabulary-state CTE carries the `AS MATERIALIZED` hint:
+    * v_{r-1} is referenced twice per round (the pair count and the
+    * next state), so without it DuckDB's default inlining re-derives
+    * the chain per reference — 2^rounds evaluations of v0, fine at 8
+    * rounds, impossible at 64. Materialization makes the unroll
+    * linear in rounds (measured 0.9s at 64 rounds / sf0.01) with
+    * identical results — which is what keeps the REALISTIC-vocab
+    * trainer hash-verified instead of falling back to rows-only. */
   private[registry] def bpeCteSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """
       WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
                    AS word FROM documents),
-      v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wn,
+      v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wn,
                '  ' || array_to_string(list_transform(range(strlen(word)),
                    i -> substr(word, CAST(i + 1 AS INTEGER), 1)), '  ')
                || '  ' AS s
@@ -262,7 +271,7 @@ object QueryShared {
              GROUP BY 1, 2),
       t$r AS (SELECT lft, rgt, n FROM p$r
              ORDER BY n DESC, lft, rgt LIMIT 1),
-      v$r AS (SELECT word, wn, CASE WHEN lft IS NULL THEN s ELSE
+      v$r AS MATERIALIZED (SELECT word, wn, CASE WHEN lft IS NULL THEN s ELSE
                replace(s, ' ' || lft || '  ' || rgt || ' ',
                        ' ' || lft || rgt || ' ') END AS s
              FROM v${r - 1} LEFT JOIN t$r ON TRUE)"""

@@ -691,6 +691,35 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq((1L, 16L, 54L)), s"$out")
   }
 
+  test("bpeTrain at 64 rounds: prefix-stable vs rounds=8, deterministic, well-formed") {
+    // greedy BPE is PREFIX-STABLE in rounds (round r depends only on
+    // the state after r-1), so the 64-round trainer's first 8 merges
+    // must equal the oracle-verified 8-round table exactly — this
+    // chains the realistic-vocab run to the hash-verified setting.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text"))
+    val (m64, _) = Corpus.bpeTrain(docs, col("text"), rounds = 64)
+    val rows64 = m64.as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(rows64.size === 64,
+      s"fixture vocabulary exhausted before 64 merges: ${rows64.size}")
+    assert(rows64.map(_._1) === (1L to 64L),
+      "merge rounds must be contiguous")
+    val (m8, _) = Corpus.bpeTrain(docs, col("text"), rounds = 8)
+    assert(rows64.take(8) ===
+      m8.as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1),
+      "64-round prefix diverged from the 8-round trainer")
+    // late rounds must be merging MERGED symbols (multi-char operands)
+    // — the regime the 8-round setting never reaches, and the reason
+    // 64 rounds is the realistic-vocab test at all
+    assert(rows64.drop(32).exists(r => r._2.length > 1 || r._3.length > 1),
+      "no late-round merge consumed a merged symbol")
+    // determinism: an independent re-train replays the identical table
+    val (again, _) = Corpus.bpeTrain(docs, col("text"), rounds = 64)
+    assert(again.as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(_._1) === rows64, "re-train diverged (non-determinism)")
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val docs = Seq("ab ab").toDF("text")
     val (merges, vocab) = Corpus.bpeMerges(docs, col("text"), rounds = 5)

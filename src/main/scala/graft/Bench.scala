@@ -351,7 +351,9 @@ object Bench {
     // measure. Params match the registry's canonical calls, so the
     // touched build IS the one the timed reps read.
     for (name <- Seq("sim_ivf_topk", "sim_pq_topk", "sim_int8_rerank_topk",
-           "graph_pagerank", "dedup_clusters", "vocab_bpe_merges")
+           "graph_pagerank", "dedup_clusters", "vocab_bpe_merges",
+           "vocab_bpe_merges64", "sim_ivf_incremental",
+           "stream_neardup_gate")
          if SparkEntry.queries.contains(name)) {
       try { SparkEntry.queries(name)(spark, sfDir).count(); () }
       catch { case NonFatal(_) => () } // a real failure re-surfaces timed
@@ -409,7 +411,19 @@ object Bench {
     // r7's lone probe caught a writeback burst and reported LOAD 3x
     // while the e2e median IMPROVED, so round-over-round stage numbers
     // were incoherent with the headline they attribute.
+    //
+    // r11: attribution is TASK METRICS, not wall clocks (VERDICT r10
+    // #3 — three rounds of 2x probe-sum disagreement were ambient
+    // noise stretching wall). A TaskTally on the listener bus collects
+    // per-task executor run/cpu time and bytes; sales stages map
+    // listener task timestamps into the pipeline log's stage windows,
+    // curation stages bracket quiesced cumulative snapshots. The
+    // trust flag and fusion gain run on CPU time — a foreign process
+    // stealing cores stretches wall but cannot add to our tasks' cpu,
+    // so same-plan probe runs must agree on it.
     val stageReps = 3
+    val stageTally = new graft.tools.TaskTally
+    spark.sparkContext.addSparkListener(stageTally)
     // One UNTIMED warm-up probe + an explicit GC between probe runs:
     // each probe materializes 5 per-stage checkpoints whose blocks are
     // only reclaimed after the referencing frames are GC'd — without
@@ -422,44 +436,76 @@ object Bench {
     registry.PipelineQueries.clearScratch(spark)
     syncFs()
     if (gcBetween) System.gc()
-    val stageRuns = (1 to stageReps).flatMap { _ =>
-      val run =
-        try Some(registry.PipelineQueries.salesStageSeconds(spark, sfDir))
-        catch { case NonFatal(e) =>
-          System.err.println(s"stage probe failed: ${e.getMessage}")
-          None
-        }
-      registry.PipelineQueries.clearScratch(spark)
-      syncFs()
-      if (gcBetween) System.gc()
-      run
-    }
-    val stages: Seq[(String, Double)] =
-      if (stageRuns.isEmpty) Seq.empty
-      else stageRuns.head.map(_._1).map { k =>
-        val vs = stageRuns.flatMap(_.collect { case (`k`, v) => v }).sorted
+    val stageRuns: Seq[Seq[(String, Double, graft.tools.TaskSnap)]] =
+      (1 to stageReps).flatMap { _ =>
+        val run =
+          try {
+            val win = registry.PipelineQueries.salesStageWindows(spark, sfDir)
+            stageTally.quiesce()
+            Some(win.map { case (n, a, b) =>
+              (n, (b - a) / 1e3, stageTally.window(a, b)) })
+          } catch { case NonFatal(e) =>
+            System.err.println(s"stage probe failed: ${e.getMessage}")
+            None
+          }
+        registry.PipelineQueries.clearScratch(spark)
+        syncFs()
+        if (gcBetween) System.gc()
+        run
+      }
+    def medBy(runs: Seq[Seq[(String, Double, graft.tools.TaskSnap)]],
+              of: ((String, Double, graft.tools.TaskSnap)) => Double)
+        : Seq[(String, Double)] =
+      if (runs.isEmpty) Seq.empty
+      else runs.head.map(_._1).map { k =>
+        val vs = runs.flatMap(_.collect { case t @ (`k`, _, _) => of(t) })
+          .sorted
         k -> vs(vs.length / 2)
+      }
+    val stages: Seq[(String, Double)] = medBy(stageRuns, _._2)
+    val stagesCpu: Seq[(String, Double)] = medBy(stageRuns, _._3.cpuSec)
+    val stagesTask: Seq[(String, Double)] = medBy(stageRuns, _._3.taskSec)
+    val stagesShufMb: Seq[(String, Double)] =
+      medBy(stageRuns, _._3.shuffleWrite / 1048576.0)
+
+    // the FUSED pipeline's task metrics (one untimed tally-bracketed
+    // run): the like-for-like denominator for the cpu fusion gain —
+    // staged-sum wall over fused-min wall compared two different
+    // clocks under different load; staged cpu over fused cpu compares
+    // the same work counted the same way.
+    val fusedSnap: Option[graft.tools.TaskSnap] =
+      try {
+        stageTally.quiesce()
+        val pre = stageTally.snap()
+        SparkEntry.queries("pipeline_sales_e2e")(spark, sfDir).count()
+        stageTally.quiesce()
+        Some(stageTally.snap().minus(pre))
+      } catch { case NonFatal(e) =>
+        System.err.println(s"fused tally run failed: ${e.getMessage}")
+        None
+      } finally {
+        registry.PipelineQueries.clearScratch(spark)
+        spark.catalog.clearCache()
+        if (gcBetween) System.gc()
       }
 
     // per-stage attribution for the LLM-side composed flagship
-    // (corpus_curation_v2), same 3-run median discipline
-    val curRuns = (1 to stageReps).flatMap { _ =>
-      val run =
-        try Some(registry.ExtQueries.curationV2StageSeconds(spark, sfDir))
-        catch { case NonFatal(e) =>
-          System.err.println(s"curation stage probe failed: ${e.getMessage}")
-          None
-        }
-      spark.catalog.clearCache()
-      if (gcBetween) System.gc()
-      run
-    }
-    val curStages: Seq[(String, Double)] =
-      if (curRuns.isEmpty) Seq.empty
-      else curRuns.head.map(_._1).map { k =>
-        val vs = curRuns.flatMap(_.collect { case (`k`, v) => v }).sorted
-        k -> vs(vs.length / 2)
+    // (corpus_curation_v2), same 3-run median discipline + tally
+    val curRuns: Seq[Seq[(String, Double, graft.tools.TaskSnap)]] =
+      (1 to stageReps).flatMap { _ =>
+        val run =
+          try Some(registry.ExtQueries.curationV2StageMetrics(spark, sfDir,
+            Some(stageTally)))
+          catch { case NonFatal(e) =>
+            System.err.println(s"curation stage probe failed: ${e.getMessage}")
+            None
+          }
+        spark.catalog.clearCache()
+        if (gcBetween) System.gc()
+        run
       }
+    val curStages: Seq[(String, Double)] = medBy(curRuns, _._2)
+    val curStagesCpu: Seq[(String, Double)] = medBy(curRuns, _._3.cpuSec)
 
     // true (untrimmed) per-query min — the regression-compare statistic
     val qmin = names.flatMap { name =>
@@ -505,30 +551,38 @@ object Bench {
     val stageJson = jobj(stages.map { case (k, v) => "\"" + k + "\":" + v })
     val curJson = jobj(curStages.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) })
-    // Stage-probe trust: the r9 check compared the medianed stage sum
-    // against the FUSED e2e min, but those are structurally different
-    // executions — the probe MATERIALIZES between stages, so its sum
-    // carries real checkpoint/launch overhead the fused plan never
-    // pays. r10's provably-clean run (foreign cpu ~0.2 cores, zero
-    // re-runs) measured sum 7.4 vs fused min 4.0: the old flag would
-    // cry contamination at what is actually FUSION WINNING — exactly
-    // the conflation a flag must not make. The probe now vouches for
-    // itself: its 3 runs execute the same staged plan back-to-back,
-    // so their per-run sums must agree — a spread beyond 40% means an
-    // ambient burst hit some probe runs (the r8 failure mode) and the
-    // stage attribution should not be trusted. The fused-vs-staged
-    // ratio is reported as `fusion_gain` (staged sum / fused min):
-    // a stable >1 number quantifying what whole-pipeline fusion buys
-    // over materialize-every-stage execution — at 100 TB that is the
-    // case for NOT checkpointing between pipeline stages.
+    // Stage-probe trust, r11: the flag runs on CPU-TIME probe sums.
+    // Wall-sum agreement (r10's check) still conflated ambient load
+    // with real variance — a foreign process stretches every wall
+    // clock, but it cannot add to OUR tasks' executorCpuTime, so
+    // three back-to-back runs of the same staged plan must agree on
+    // cpu or something is genuinely wrong with the measurement (plan
+    // change, spill regime flip). The wall sums stay in the artifact
+    // as context; the trust decision no longer reads them.
+    //
+    // fusion_gain, r11: CPU over CPU. The old staged-wall-sum over
+    // fused-wall-min compared two different clocks taken under
+    // different load; `fusion_gain_cpu` = (median staged cpu sum) /
+    // (fused run's cpu) counts the same work the same way — a stable
+    // >1 number quantifying what whole-pipeline fusion buys over
+    // materialize-every-stage execution (at 100 TB: the case for NOT
+    // checkpointing between pipeline stages). The wall-based
+    // fusion_gain is kept for artifact continuity.
     val salesMin = times.get("pipeline_sales_e2e")
       .filter(_.nonEmpty).map(_.min).getOrElse(-1.0)
     val stageSum = stages.map(_._2).sum
     val probeSums = stageRuns.map(_.map(_._2).sum)
-    val stagesSuspect = probeSums.isEmpty ||
-      (probeSums.max - probeSums.min) > 0.4 * probeSums.min
+    val probeCpuSums = stageRuns.map(_.map(_._3.cpuSec).sum)
+    val stagesSuspect = probeCpuSums.isEmpty ||
+      (probeCpuSums.max - probeCpuSums.min) > 0.4 * probeCpuSums.min
     val fusionGain =
       if (salesMin > 0 && stageSum > 0) r3(stageSum / salesMin) else -1.0
+    val stageCpuSum = stagesCpu.map(_._2).sum
+    val fusionGainCpu = fusedSnap match {
+      case Some(f) if f.cpuSec > 0 && stageCpuSum > 0 =>
+        r3(stageCpuSum / f.cpuSec)
+      case _ => -1.0
+    }
     val total = r3(results.map(_._3).filter(_ >= 0).sum)
 
     loadSamples("end") = loadavg()
@@ -543,12 +597,30 @@ object Bench {
     // suspect if the pre-session gate failed OR any KEPT rep block ran
     // with foreign cpu above the gate (post-rerun)
     val suspect = envSuspect || blockSuspect
+    val stageCpuJson = jobj(stagesCpu.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
+    val stageTaskJson = jobj(stagesTask.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
+    val stageShufJson = jobj(stagesShufMb.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
+    val curCpuJson = jobj(curStagesCpu.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
+    val fusedJson = fusedSnap.map(f =>
+      s"""{"cpu_sec":${r3(f.cpuSec)},"task_sec":${r3(f.taskSec)},""" +
+        s""""shuffle_write_mb":${r3(f.shuffleWrite / 1048576.0)}}""")
+      .getOrElse("null")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,"pipe_trim":1,""" +
         s""""stage_reps":$stageReps,"stages":$stageJson,""" +
+        s""""stages_cpu":$stageCpuJson,"stages_task":$stageTaskJson,""" +
+        s""""stages_shuffle_write_mb":$stageShufJson,""" +
+        s""""fused_sales":$fusedJson,""" +
+        s""""curation_stages_cpu":$curCpuJson,""" +
         s""""stages_suspect":$stagesSuspect,"fusion_gain":$fusionGain,""" +
+        s""""fusion_gain_cpu":$fusionGainCpu,""" +
         s""""stage_probe_sums":[${probeSums.map(r3).mkString(",")}],""" +
+        s""""stage_probe_cpu_sums":[${probeCpuSums.map(r3).mkString(",")}],""" +
         s""""loadavg":$loadJson,"ambient":$ambientJson,""" +
         s""""env_suspect":$suspect,""" +
         s""""max_load":$maxLoad,"load_waits":$loadWaits,""" +
@@ -594,6 +666,7 @@ object Bench {
           s""""stages":$stageHead,""" else "") +
         s""""stages_suspect":$stagesSuspect,""" +
         s""""fusion_gain":$fusionGain,""" +
+        s""""fusion_gain_cpu":$fusionGainCpu,""" +
         s""""load_start":$loadStart,"env_suspect":$suspect,""" +
         s""""reruns":$rerunsUsed,"regress_n":${regress.size},""" +
         s""""regress_top":$regressHead,""" +

@@ -32,6 +32,10 @@ object ExtQueries {
   def curationV2StageSeconds(s: SparkSession, dir: String)
       : Seq[(String, Double)] =
     QueryShared.curationV2StageSeconds(s, dir)
+  def curationV2StageMetrics(s: SparkSession, dir: String,
+                             tally: Option[graft.tools.TaskTally])
+      : Seq[(String, Double, graft.tools.TaskSnap)] =
+    QueryShared.curationV2StageMetrics(s, dir, tally)
 
   val queries: Map[String, Q] =
     ExtQueriesText.queries ++

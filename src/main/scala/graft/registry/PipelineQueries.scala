@@ -79,7 +79,16 @@ object PipelineQueries {
     * EXTRACT / TRANSFORM_P1 / TRANSFORM_P2 / LOAD_DATE_DIM / LOAD
     * rather than a single end-to-end blob. */
   def salesStageSeconds(s: SparkSession, dir: String)
-      : Seq[(String, Double)] = {
+      : Seq[(String, Double)] =
+    salesStageWindows(s, dir).map { case (n, a, b) => n -> ((b - a) / 1e3) }
+
+  /** One sales pipeline run's per-stage [start, end] windows (epoch
+    * ms, from the run's own stage log; stages execute sequentially so
+    * the windows are disjoint). The bench's task-metric attribution
+    * maps listener task-end timestamps into these windows — both
+    * clocks are this JVM's currentTimeMillis. */
+  def salesStageWindows(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] = {
     val (_, logs) = runInto(s, dir, "sales")
     val file = java.nio.file.Paths.get(logs, "etl_stage_log.jsonl")
     val name = """"stage_name":"([^"]+)"""".r
@@ -90,10 +99,9 @@ object PipelineQueries {
       (name.findFirstMatchIn(line), status.findFirstMatchIn(line),
         times.findFirstMatchIn(line)) match {
         case (Some(n), Some(st), Some(t)) if st.group(1) == "SUCCESS" =>
-          val secs = java.time.Duration.between(
-            java.time.Instant.parse(t.group(1)),
-            java.time.Instant.parse(t.group(2))).toMillis / 1e3
-          Some(n.group(1) -> secs)
+          Some((n.group(1),
+            java.time.Instant.parse(t.group(1)).toEpochMilli,
+            java.time.Instant.parse(t.group(2)).toEpochMilli))
         case _ => None
       }
     }

@@ -44,39 +44,9 @@ object ScaleProbe {
     "dedup_bloom_incremental", "sim_ivf_topk", "graph_pagerank",
     "dedup_containment")
 
-  /** Per-task byte tally. Updates arrive on the async listener bus;
-    * [[quiesce]] waits for the event stream to drain before a
-    * snapshot is read. */
-  private final class ByteTally
-      extends org.apache.spark.scheduler.SparkListener {
-    val input = new java.util.concurrent.atomic.AtomicLong
-    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
-    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
-    val events = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      events.incrementAndGet()
-      val m = t.taskMetrics
-      if (m != null) {
-        input.addAndGet(m.inputMetrics.bytesRead)
-        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def snap(): (Long, Long, Long) =
-      (input.get(), shuffleRead.get(), shuffleWrite.get())
-    /** Wait (bounded) until no new task-end events for two polls. */
-    def quiesce(): Unit = {
-      var last = -1L
-      var stable = 0
-      val deadline = System.nanoTime() + 5_000_000_000L
-      while (stable < 2 && System.nanoTime() < deadline) {
-        Thread.sleep(150)
-        val e = events.get()
-        if (e == last) stable += 1 else { stable = 0; last = e }
-      }
-    }
-  }
+  // Per-task byte tally: the shared [[TaskTally]] instrument (r11
+  // extraction — the bench's stage attribution reuses the same
+  // listener), read here through its cumulative-snapshot path.
 
   /** Derive a `copies`x corpus. Documents scale to any factor (every
     * copy's tokens carry a distinct suffix — no cross-copy shingle
@@ -85,7 +55,17 @@ object ScaleProbe {
     * vector, and rotations alias past the dimension (copy i and
     * i+64 would be identical vectors — a fake 100%-duplicate regime),
     * so the ANN probe stays a 10x probe while the text side scales
-    * further. */
+    * further.
+    *
+    * r11 (VERDICT #1): the derivation covers EVERY table, so the FULL
+    * registry (Verify + Bench) runs at the derived sf1. The TPC-H-ish
+    * facts take `copies` key-shifted replicas with FK integrity
+    * preserved copy-locally (custkey/orderkey/partkey/suppkey/user_id
+    * all shift by the same per-copy stride, so orders→customer,
+    * lineitem→{orders,part,supplier} and events→customer edges stay
+    * closed; per-key cardinalities are copy-invariant, which is what a
+    * real 10x of the same workload looks like). region/nation are
+    * fixed-cardinality dims by DDL and copy through unchanged. */
   def deriveSf1(spark: SparkSession, baseDir: String, outDir: String,
                 copies: Int = 10): Unit = {
     require(copies >= 2, s"need >= 2 copies, got $copies")
@@ -113,6 +93,26 @@ object ScaleProbe {
     }
     embCopies.reduce(_.unionAll(_)).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // relational side: key-shifted replicas (values untouched — a 10x
+    // workload has 10x the orders, not 10x the prices)
+    def shifted(table: String, keyCols: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until copies).map { i =>
+        keyCols.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * idStep)))
+      }.reduce(_.unionAll(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    shifted("customer", Seq("c_custkey"))
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("supplier", Seq("s_suppkey"))
+    shifted("part", Seq("p_partkey"))
+    shifted("events", Seq("event_id", "user_id"))
+    for (fixed <- Seq("region", "nation"))
+      spark.read.parquet(s"$baseDir/$fixed.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$fixed.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,7 +141,7 @@ object ScaleProbe {
     val n1 = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scaleprobe] documents $n0 -> $n1, reps=$reps")
 
-    val tally = new ByteTally
+    val tally = new TaskTally
     spark.sparkContext.addSparkListener(tally)
 
     /** (wall median, input, shuffle-read, shuffle-write bytes) — bytes
@@ -157,14 +157,14 @@ object ScaleProbe {
       var bytes = (0L, 0L, 0L)
       val ts = (1 to reps).map { r =>
         val pre = if (r == reps) { tally.quiesce(); tally.snap() }
-          else (0L, 0L, 0L)
+          else TaskSnap(0, 0, 0, 0, 0)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val s = (System.nanoTime() - t0) / 1e9
         if (r == reps) {
           tally.quiesce()
-          val post = tally.snap()
-          bytes = (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3)
+          val d = tally.snap().minus(pre)
+          bytes = (d.input, d.shuffleRead, d.shuffleWrite)
         }
         spark.catalog.clearCache(); System.gc()
         s

@@ -30,6 +30,8 @@ def normalize(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -37,10 +39,18 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    import time
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
+        t0 = time.time()
+
+        def record(status, detail=""):
+            results[name] = {"status": status, "detail": detail,
+                             "oracle_sec": round(time.time() - t0, 2)}
+
         if not res_dir.exists():
             print(f"FAIL {name}: no spark output")
+            record("fail", "no spark output")
             n_fail += 1
             continue
         try:
@@ -48,15 +58,18 @@ def main():
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            record("fail", str(e)[:200])
             n_fail += 1
             continue
         g, w = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            record("fail", f"columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            record("fail", f"rows {len(g)} != {len(w)}")
             n_fail += 1
             continue
         # The driver hashes TYPED values: an int64 Spark column vs a
@@ -67,6 +80,7 @@ def main():
                   if str(g[c].dtype) != str(w[c].dtype)]
         if dt_bad:
             print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            record("fail", f"dtype mismatch {dt_bad}")
             n_fail += 1
             continue
         bad = None
@@ -90,11 +104,17 @@ def main():
         if bad:
             c, i, a, b = bad
             print(f"FAIL {name}: col={c} row={i} spark={a!r} oracle={b!r}")
+            record("fail", f"col={c} row={i} spark={a!r} oracle={b!r}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows, {len(g.columns)} cols)")
+            record("pass", f"{len(g)} rows, {len(g.columns)} cols")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        Path(json_out).write_text(json.dumps(
+            {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+             "queries": results}, indent=1))
     sys.exit(1 if n_fail else 0)
 
 

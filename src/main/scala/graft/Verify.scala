@@ -24,7 +24,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both emit one file for the
+      // driver's reader, but coalesce collapses a narrow (shuffle-free)
+      // query's ENTIRE computation into the single writer task — at the
+      // sf1 gate that serialized whole-corpus map queries onto one core
+      // for minutes. The round-robin exchange keeps the computation at
+      // full parallelism and ships only the RESULT rows to the writer.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

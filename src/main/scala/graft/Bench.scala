@@ -183,6 +183,14 @@ object Bench {
         .map(p => k -> c / p)
     }.filter(_._2 > threshold).sortBy(-_._2)
 
+  /** The artifact format version this bench writes (and the newest its
+    * reader understands). 2 = {median,min} headline objects, per-block
+    * foreign-core ambient, env_suspect covering mid-flight
+    * contamination. Artifacts without the field are pre-versioning
+    * (≤r11) and still parse; a LARGER version is a future format this
+    * reader must not guess at. */
+  val ArtifactSchema = 2
+
   /** Per-query mins from a previous bench artifact: the "qmin" field,
     * falling back to "spread" minima ([lo,med,hi]) for artifacts
     * written before qmin existed. Empty if the file is absent or
@@ -192,6 +200,13 @@ object Bench {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val schema = Option(root.get("schema")).map(_.asInt(0))
+      if (schema.exists(_ > ArtifactSchema)) {
+        System.err.println(s"BENCH: prior artifact $path declares " +
+          s"schema ${schema.get} > $ArtifactSchema - skipping the " +
+          "regression compare rather than misreading it")
+        return Map.empty
+      }
       def fields(n: com.fasterxml.jackson.databind.JsonNode):
           Iterator[java.util.Map.Entry[String, com.fasterxml.jackson.databind.JsonNode]] =
         if (n == null || !n.isObject) Iterator.empty
@@ -274,8 +289,19 @@ object Bench {
       n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
 
     // mid-flight contamination machinery: per-block foreign-cpu
-    // samples, and a bounded budget of whole-block re-runs
-    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "3")
+    // samples, and a bounded budget of whole-block re-runs.
+    //
+    // The foreign-core gate is SEPARATE from (and far tighter than)
+    // the pre-session loadavg gate: r11's artifact passed blocks at
+    // 0.25-0.52 foreign cores under the shared maxLoad=2.0 threshold
+    // and produced a 32-row regression table that was mostly ambient
+    // noise — un-citable either way. 0.3 cores sits above measured
+    // clean-machine jitter (r10: every block <=0.09) and well below
+    // the contamination that poisoned r11, so a dirty block re-runs
+    // instead of passing.
+    val maxAmbient = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXAMBIENT", "0.3")
+      .toDouble
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4")
       .toInt.max(0)
     var rerunsUsed = 0
     var blockSuspect = false
@@ -320,15 +346,15 @@ object Bench {
         for (name <- order if !errors.contains(name)) runOne(name)
         val amb = ambientCores(snap0, cpuSnap())
         ambient(if (attempt == 1) label else s"${label}_rerun") = r3(amb)
-        if (amb > maxLoad && attempt == 1 && rerunsUsed < maxReruns) {
+        if (amb > maxAmbient && attempt == 1 && rerunsUsed < maxReruns) {
           System.err.println(
-            f"BENCH: $label saw $amb%.2f foreign cores (> $maxLoad%.1f) " +
+            f"BENCH: $label saw $amb%.2f foreign cores (> $maxAmbient%.2f) " +
               "- discarding and re-running the block")
           times.foreach { case (k, b) => b.takeInPlace(mark(k)) }
           rerunsUsed += 1
           betweenAttempts()
         } else {
-          if (amb > maxLoad) blockSuspect = true
+          if (amb > maxAmbient) blockSuspect = true
           done = true
         }
       }
@@ -421,7 +447,14 @@ object Bench {
     // trust flag and fusion gain run on CPU time — a foreign process
     // stealing cores stretches wall but cannot add to our tasks' cpu,
     // so same-plan probe runs must agree on it.
-    val stageReps = 3
+    // 5 probes (r12, was 3): the cpu-sum trust flag needs enough
+    // samples to tell one disturbed probe (GC/spill regime flip —
+    // now visible via per-probe gc + spill sums) from genuine
+    // probe-to-probe disagreement; with >=5 the flag runs on the
+    // middle three (one trim each end), the same discipline the
+    // pipeline spread already uses.
+    val stageReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGE_REPS", "5")
+      .toInt.max(1)
     val stageTally = new graft.tools.TaskTally
     spark.sparkContext.addSparkListener(stageTally)
     // One UNTIMED warm-up probe + an explicit GC between probe runs:
@@ -467,6 +500,7 @@ object Bench {
     val stagesTask: Seq[(String, Double)] = medBy(stageRuns, _._3.taskSec)
     val stagesShufMb: Seq[(String, Double)] =
       medBy(stageRuns, _._3.shuffleWrite / 1048576.0)
+    val stagesGc: Seq[(String, Double)] = medBy(stageRuns, _._3.gcSec)
 
     // the FUSED pipeline's task metrics (one untimed tally-bracketed
     // run): the like-for-like denominator for the cpu fusion gain —
@@ -573,8 +607,20 @@ object Bench {
     val stageSum = stages.map(_._2).sum
     val probeSums = stageRuns.map(_.map(_._2).sum)
     val probeCpuSums = stageRuns.map(_.map(_._3.cpuSec).sum)
-    val stagesSuspect = probeCpuSums.isEmpty ||
-      (probeCpuSums.max - probeCpuSums.min) > 0.4 * probeCpuSums.min
+    val probeGcSums = stageRuns.map(_.map(_._3.gcSec).sum)
+    val probeSpillMb = stageRuns.map(_.map(_._3.spill).sum / 1048576.0)
+    // Trust flag on the MIDDLE probes' cpu sums (one trim each end
+    // when >=5 probes — same discipline as the pipeline spread): one
+    // probe caught in a GC/spill regime flip (visible in the gc/spill
+    // sums above) is sample noise for the per-stage MEDIANS actually
+    // reported, not probe disagreement. With <5 probes the untrimmed
+    // r11 rule applies.
+    val cpuTrim = {
+      val s = probeCpuSums.sorted
+      if (s.length >= 5) s.drop(1).dropRight(1) else s
+    }
+    val stagesSuspect = cpuTrim.isEmpty ||
+      (cpuTrim.max - cpuTrim.min) > 0.4 * cpuTrim.min
     val fusionGain =
       if (salesMin > 0 && stageSum > 0) r3(stageSum / salesMin) else -1.0
     val stageCpuSum = stagesCpu.map(_._2).sum
@@ -609,18 +655,30 @@ object Bench {
       s"""{"cpu_sec":${r3(f.cpuSec)},"task_sec":${r3(f.taskSec)},""" +
         s""""shuffle_write_mb":${r3(f.shuffleWrite / 1048576.0)}}""")
       .getOrElse("null")
+    val stageGcJson = jobj(stagesGc.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) })
+    // "schema":2 — the artifact format version (driver ADVICE r11 #7):
+    // 2 = per-query headline values are {median,min} objects, ambient
+    // is foreign-cores per block, env_suspect covers mid-flight
+    // contamination. Readers (BenchArtifactSpec) assert on it so a
+    // silent format drift fails loudly instead of misparsing.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s"""{"schema":2,""" +
+        s""""metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,"pipe_trim":1,""" +
         s""""stage_reps":$stageReps,"stages":$stageJson,""" +
         s""""stages_cpu":$stageCpuJson,"stages_task":$stageTaskJson,""" +
         s""""stages_shuffle_write_mb":$stageShufJson,""" +
+        s""""stages_gc":$stageGcJson,""" +
         s""""fused_sales":$fusedJson,""" +
         s""""curation_stages_cpu":$curCpuJson,""" +
         s""""stages_suspect":$stagesSuspect,"fusion_gain":$fusionGain,""" +
         s""""fusion_gain_cpu":$fusionGainCpu,""" +
         s""""stage_probe_sums":[${probeSums.map(r3).mkString(",")}],""" +
         s""""stage_probe_cpu_sums":[${probeCpuSums.map(r3).mkString(",")}],""" +
+        s""""stage_probe_gc_sums":[${probeGcSums.map(r3).mkString(",")}],""" +
+        s""""stage_probe_spill_mb":[${probeSpillMb.map(r3).mkString(",")}],""" +
+        s""""max_ambient":$maxAmbient,""" +
         s""""loadavg":$loadJson,"ambient":$ambientJson,""" +
         s""""env_suspect":$suspect,""" +
         s""""max_load":$maxLoad,"load_waits":$loadWaits,""" +
@@ -659,7 +717,8 @@ object Bench {
     // progressively less optional detail (all of it lives in the full
     // artifact) until it fits, rather than trusting it always will.
     def compactLine(withCuration: Boolean, withStages: Boolean): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
+      s"""{"schema":2,""" +
+        s""""metric":"total","value":$total,"unit":"sec","queries":$qsHead,""" +
         s""""sf":"$sfDir","reps":$reps,"pipe_reps":$pipeReps,""" +
         s""""nqueries":${names.size},"nerrors":${errors.size},""" +
         (if (withStages)

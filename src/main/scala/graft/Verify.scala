@@ -30,6 +30,13 @@ object Verify {
       // sf1 gate that serialized whole-corpus map queries onto one core
       // for minutes. The round-robin exchange keeps the computation at
       // full parallelism and ships only the RESULT rows to the writer.
+      // NOTE: the round-robin exchange makes dumped ROW ORDER
+      // unspecified (and discards any query-level ORDER BY) — that is
+      // intentional and fine for the one consumer these dumps have,
+      // the driver's compare, which sorts rows by all columns before
+      // hashing. Any future consumer must stay order-insensitive or
+      // this repartition(1) must become a sorted single-partition
+      // write.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -486,7 +486,20 @@ object Similarity {
                   k: Int, nProbe: Int = 1): DataFrame = {
     val normed = withNormalized(df, vecCol, "v")
       .select(col(idCol).as("vec_id"), col("v"))
-    val corpusCells = assignTo(normed, centroids)
+    searchAssignedCells(centroids, assignTo(normed, centroids), queries,
+      idCol, vecCol, k, nProbe)
+  }
+
+  /** The probe-and-rank half of IVF search over an ALREADY-ASSIGNED
+    * corpus (`corpusCells`: vec_id, centroid_id, v) — split out so the
+    * filtered search can assign its predicate sliver once, count it
+    * for probe compensation, and hand the SAME assignment here instead
+    * of paying it twice. */
+  private def searchAssignedCells(centroids: DataFrame,
+                                  corpusCells: DataFrame,
+                                  queries: DataFrame, idCol: String,
+                                  vecCol: String, k: Int,
+                                  nProbe: Int): DataFrame = {
     val queryNormed = withNormalized(queries, vecCol, "qv")
       .select(col(idCol).as("query_id"), col("qv"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -558,6 +571,19 @@ object Similarity {
         col("stale_ppm"), col("refit_due"))
   }
 
+  /** Per-cell membership counts (centroid_id, n_cell) of a corpus
+    * under an IVF index — the inverted-list SIZES a deployed index
+    * carries as metadata next to its centroids. Every input row lands
+    * in exactly one cell (the per-id argmax always yields one winner,
+    * NaN cosines included), so sum(n_cell) == count(df) by
+    * construction — which is what lets the filtered search read the
+    * corpus size from nCentroids staged rows instead of re-scanning
+    * 100 TB (see [[ivfFilteredTopKWith]]). */
+  def ivfCellStats(centroids: DataFrame, df: DataFrame, idCol: String,
+                   vecCol: String): DataFrame =
+    ivfAssignWith(centroids, df, idCol, vecCol)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
+
   /** Filtered ANN search — predicate + top-k ("nearest among docs
     * where lang = 'en'"), the shape real retrieval almost always
     * takes. The predicate is pushed BELOW the cell assignment (filter
@@ -568,21 +594,32 @@ object Similarity {
     * ~selectivity x fewer eligible vectors, so probing the same cell
     * count would scan ~selectivity x fewer candidates and recall would
     * collapse as the filter tightens. probeN =
-    * min(nCentroids, max(nProbe, ceil(nProbe * n / kept))) — integer
-    * ceil division on driver-collected counts (two count jobs, both
-    * bounded), replayed exactly by the SQL twin from the same
-    * count(*)s. */
-  def ivfFilteredTopKWith(centroids: DataFrame, df: DataFrame,
-                          queries: DataFrame, idCol: String,
-                          vecCol: String, pred: Column, k: Int,
-                          nProbe: Int, nCentroids: Int): DataFrame = {
-    val n = df.count()
-    val kept = df.filter(pred).count()
+    * min(nCentroids, max(nProbe, ceil(nProbe * n / kept))).
+    *
+    * NEITHER count scans the full corpus (VERDICT r11 #3 — the old
+    * shape ran two whole-corpus count jobs per retrieval batch just to
+    * size probeN): `n` is summed from the staged index's cell-
+    * membership stats (`cellStats` — nCentroids rows, exact because
+    * assignment is total), and `kept` is counted off the filtered
+    * sliver's OWN cell assignment, which the probe join consumes as-is
+    * (persisted, so assign-then-count work is paid once). The SQL twin
+    * replays the identical integers from its count(*)s. */
+  def ivfFilteredTopKWith(centroids: DataFrame, cellStats: DataFrame,
+                          df: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, pred: Column,
+                          k: Int, nProbe: Int, nCentroids: Int)
+      : DataFrame = {
+    val n = cellStats.agg(coalesce(sum(col("n_cell")), lit(0L)))
+      .head.getLong(0)
+    val filteredNormed = withNormalized(df.filter(pred), vecCol, "v")
+      .select(col(idCol).as("vec_id"), col("v"))
+    val filteredCells = assignTo(filteredNormed, centroids).persist()
+    val kept = filteredCells.count()
     require(kept > 0, "filtered ANN: predicate matches no rows")
     val probeN = math.min(nCentroids.toLong,
       math.max(nProbe.toLong, (nProbe.toLong * n + kept - 1) / kept)).toInt
-    ivfTopKWith(centroids, df.filter(pred), queries, idCol, vecCol, k,
-      probeN)
+    searchAssignedCells(centroids, filteredCells, queries, idCol, vecCol,
+      k, probeN)
   }
 
   /** Int8-quantized ANN with exact rerank — the memory-bandwidth scale

@@ -260,12 +260,15 @@ object ExtQueriesSimilarity {
     // takes: the predicate is pushed below the cell assignment (the
     // probed cells scan only eligible vectors) and nProbe is
     // compensated for selectivity by the integer formula both engines
-    // derive from the same two count(*)s
+    // derive from the same two counts — corpus size off the staged
+    // index's cell stats (nCentroids rows, never a corpus scan),
+    // kept off the filtered sliver's own assignment
     "sim_ivf_filtered_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val nc = Similarity.autoCentroids(emb.count())
       val cents = graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2)
-      Similarity.ivfFilteredTopKWith(cents, emb,
+      val stats = graft.ext.PairStage.ivfCellStats(s, dir, nc, iters = 2)
+      Similarity.ivfFilteredTopKWith(cents, stats, emb,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         col("label") % 4 === 1, k = 5, nProbe = 2, nCentroids = nc)
     }),

@@ -229,13 +229,22 @@ object StreamQueries {
     // Emits exactly the corpus x batch component of the batch
     // incremental dedup (parity spec-pinned; the oracle is the full
     // LSH pair set restricted to exactly-one-side-batch pairs).
+    // The registered query runs the HORIZON-BOUNDED state variant (the
+    // only shape a forever-stream can run): arrival time is a
+    // deterministic synthetic (epoch + doc_id seconds — a real ingest
+    // stream carries its own), and since the bounded replay delivers
+    // every arrival in one micro-batch, within-watermark dedup emits
+    // exactly the distinct pair set — hash-identical to exact
+    // emit-once, which is what keeps the oracle row checkable.
     "stream_neardup_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
       val sigs = graft.ext.PairStage.minhashCorpusSigs(s, dir,
         excludeMod = 3)
       StreamOps.runToMemory(
-        StreamOps.nearDupGate(docStreamSource(s, dir, modEq = 3), sigs,
-          "doc_id", "text", shingleN = 3, k = 32, bands = 8,
-          threshold = 0.5),
+        StreamOps.nearDupGate(
+          docStreamSource(s, dir, modEq = 3).withColumn("arrival_ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+          sigs, "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+          threshold = 0.5, eventTimeCol = Some("arrival_ts")),
         "graft_mem_neardup_gate", OutputMode.Append())
     }),
     // stream-stream INTERVAL join: each click matched to the same

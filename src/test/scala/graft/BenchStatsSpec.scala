@@ -54,6 +54,16 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.priorMins(write("c.json", "not json {")) === Map.empty)
     assert(Bench.priorMins(dir.resolve("missing.json").toString)
       === Map.empty)
+    // schema versioning (r12): a same- or older-schema artifact parses;
+    // a FUTURE schema is refused outright — the reader must never guess
+    // at a format it doesn't know (driver ADVICE r11: version the
+    // artifact so field-meaning drift fails loudly, not silently)
+    val v2 = write("d.json",
+      s"""{"schema":${Bench.ArtifactSchema},"qmin":{"q1":1.5}}""")
+    assert(Bench.priorMins(v2) === Map("q1" -> 1.5))
+    val future = write("e.json",
+      s"""{"schema":${Bench.ArtifactSchema + 1},"qmin":{"q1":1.5}}""")
+    assert(Bench.priorMins(future) === Map.empty)
   }
 
   test("foreign-cpu ambient signal is blind to this JVM's own burn") {

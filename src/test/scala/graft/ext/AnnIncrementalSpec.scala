@@ -113,8 +113,9 @@ class AnnIncrementalSpec extends SparkSpec {
         emb.filter(pred), "vec_id", "vec_id", "embedding", K))
       val got =
         if (compensate)
-          topkSet(Similarity.ivfFilteredTopKWith(freshCents, emb, queries,
-            "vec_id", "embedding", pred, k = K, nProbe = 2,
+          topkSet(Similarity.ivfFilteredTopKWith(freshCents,
+            Similarity.ivfCellStats(freshCents, emb, "vec_id", "embedding"),
+            emb, queries, "vec_id", "embedding", pred, k = K, nProbe = 2,
             nCentroids = nc))
         else // uncompensated control: same filter, fixed nProbe=2
           topkSet(Similarity.ivfTopKWith(freshCents, emb.filter(pred),
@@ -138,5 +139,30 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(r10c >= 0.80, f"10%% selectivity recall collapsed: $r10c%.2f")
     assert(r1c >= 0.99, f"1%% selectivity recall collapsed: $r1c%.2f " +
       "(probeN should clamp to a full scan here)")
+  }
+
+  test("filtered search sizes probeN from the staged cell stats, not a corpus re-scan") {
+    // The r12 contract (VERDICT r11 #3): n comes from the index's
+    // cell-membership stats, never a full-corpus count job. Pinned
+    // behaviorally — POISONED stats must change the probe count. If
+    // the operator secretly re-counted the corpus, inflating n_cell
+    // 1000x would be invisible; instead it must clamp probeN to
+    // nCentroids and reproduce the full-probe search exactly.
+    val honest = Similarity.ivfCellStats(freshCents, emb, "vec_id",
+      "embedding")
+    // stats partition the corpus: sum(n_cell) == |corpus| exactly
+    assert(honest.agg(sum("n_cell")).as[Long].head() === emb.count())
+    val pred = col("vec_id") % 2 === 1
+    val poisoned = honest.withColumn("n_cell", col("n_cell") * 1000L)
+    val got = topkSet(Similarity.ivfFilteredTopKWith(freshCents, poisoned,
+      emb, queries, "vec_id", "embedding", pred, k = K, nProbe = 2,
+      nCentroids = nc))
+    val fullProbe = topkSet(Similarity.ivfTopKWith(freshCents,
+      emb.filter(pred), queries, "vec_id", "embedding", k = K,
+      nProbe = nc))
+    assert(got === fullProbe,
+      "1000x-inflated stats must clamp probeN to nCentroids — if they " +
+        "don't, the operator is re-counting the corpus instead of " +
+        "reading the staged stats")
   }
 }

@@ -385,17 +385,20 @@ object Dedup {
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
           .as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.key"))
-    val cands = chunks.as("x").join(chunks.as("y"),
+    // Hamming-filter BEFORE the pair distinct (r12): the xor/bit_count
+    // verify is a codegen'd scalar on the join's output stream, while
+    // distinct is a shuffle over every band-collision candidate —
+    // filtering first shrinks that shuffle from the (up to 4x-banded)
+    // candidate multiset to just the true near-dup pairs. Filter and
+    // distinct commute, so the pair set is unchanged.
+    chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.sh").as("sh_a"),
-        col("y.doc_id").as("doc_b"), col("y.sh").as("sh_b"))
-      .distinct()
-    cands
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Connected components over near-dup pairs: every node is labeled

@@ -25,12 +25,18 @@ import org.apache.spark.sql.SparkSession
   *    FOREIGN cpu — /proc/stat busy jiffies minus this JVM's own
   *    /proc/self/stat jiffies over the block's wall time = average
   *    cores consumed by everything that is not the bench. A block
-  *    whose foreign-cpu average exceeds the same maxLoad gate is
+  *    whose foreign-cpu average exceeds
+  *    max(SPARK_GRAFT_BENCH_MAXAMBIENT, skewFrac * ownCores) is
   *    DISCARDED and re-run once (global budget
-  *    SPARK_GRAFT_BENCH_RERUNS, default 3 blocks); if the re-run is
-  *    still contaminated (or the budget is spent) its numbers are kept
-  *    and the artifact is stamped env_suspect. Per-block foreign-cpu
-  *    averages land in "ambient", re-run count in "reruns";
+  *    SPARK_GRAFT_BENCH_RERUNS); the skew term exists because
+  *    tick-sampled machine jiffies and scheduler-accounted process
+  *    jiffies diverge a few percent under load, which reads as
+  *    phantom foreign cpu proportional to the bench's own intensity
+  *    (~1.0 core at sf1's ~11 self-cores on an otherwise idle box).
+  *    If the re-run is still contaminated (or the budget is spent)
+  *    its numbers are kept and the artifact is stamped env_suspect.
+  *    Per-block foreign-cpu averages land in "ambient", the bench's
+  *    own per-block cores in "self_cores", re-run count in "reruns";
   *  - the per-query MIN is reported alongside the median and is THE
   *    regression-compare statistic: on a shared box ambient load only
   *    ever ADDS time, so the min over interleaved reps is the
@@ -167,6 +173,21 @@ object Bench {
       JiffiesPerSec / wall
   }
 
+  /** Average cores THIS JVM consumed over the window — the foreign
+    * signal's denominator. The machine's tick-sampled aggregate and
+    * the scheduler's per-process accounting drift a few percent apart
+    * under load, so "foreign" carries a phantom component roughly
+    * proportional to the bench's OWN consumption (measured at sf1:
+    * up to ~1.0 phantom core at ~11 self-cores on a machine running
+    * nothing else, vs <=0.08 at sf0.1's ~6 self-cores). The gate
+    * threshold must therefore scale with self, not sit at an
+    * absolute. */
+  private[graft] def selfCoresOf(a: CpuSnap, b: CpuSnap): Double = {
+    val wall = (b.nanos - a.nanos) / 1e9
+    if (a.self < 0 || b.self < 0 || wall <= 0) -1.0
+    else (b.self - a.self).toDouble / JiffiesPerSec / wall
+  }
+
   /** Queries whose current min regressed past `threshold` x the
     * previous min (both must be positive), worst first. A small
     * absolute floor (`minDelta`, seconds) keeps sub-second queries
@@ -301,11 +322,21 @@ object Bench {
     // instead of passing.
     val maxAmbient = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXAMBIENT", "0.3")
       .toDouble
+    // Attribution-skew allowance: tick-sampled machine jiffies vs the
+    // scheduler's per-process jiffies diverge a few percent under
+    // load, all of which lands in "foreign". The effective gate is
+    // max(maxAmbient, skewFrac * selfCores) so a 32-thread block at
+    // sf1 intensity (~11 self-cores) is not failed by its own
+    // accounting skew while the sf0.1 gate stays at ~0.3-0.4 — r11's
+    // 0.52-core contamination still trips it.
+    val skewFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKEWFRAC", "0.06")
+      .toDouble
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4")
       .toInt.max(0)
     var rerunsUsed = 0
     var blockSuspect = false
     val ambient = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val selfLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     def runOne(name: String): Unit = {
       val fn = SparkEntry.queries(name)
@@ -344,17 +375,22 @@ object Bench {
         val mark = times.map { case (k, b) => k -> b.length }
         val snap0 = cpuSnap()
         for (name <- order if !errors.contains(name)) runOne(name)
-        val amb = ambientCores(snap0, cpuSnap())
-        ambient(if (attempt == 1) label else s"${label}_rerun") = r3(amb)
-        if (amb > maxAmbient && attempt == 1 && rerunsUsed < maxReruns) {
+        val snap1 = cpuSnap()
+        val amb = ambientCores(snap0, snap1)
+        val self = selfCoresOf(snap0, snap1)
+        val key = if (attempt == 1) label else s"${label}_rerun"
+        ambient(key) = r3(amb)
+        selfLoad(key) = r3(self)
+        val gate = math.max(maxAmbient, skewFrac * math.max(0.0, self))
+        if (amb > gate && attempt == 1 && rerunsUsed < maxReruns) {
           System.err.println(
-            f"BENCH: $label saw $amb%.2f foreign cores (> $maxAmbient%.2f) " +
-              "- discarding and re-running the block")
+            f"BENCH: $label saw $amb%.2f foreign cores (> $gate%.2f gate " +
+              f"at $self%.1f self-cores) - discarding and re-running the block")
           times.foreach { case (k, b) => b.takeInPlace(mark(k)) }
           rerunsUsed += 1
           betweenAttempts()
         } else {
-          if (amb > maxAmbient) blockSuspect = true
+          if (amb > gate) blockSuspect = true
           done = true
         }
       }
@@ -636,6 +672,8 @@ object Bench {
       "\"" + k + "\":" + v })
     val ambientJson = jobj(ambient.toSeq.map { case (k, v) =>
       "\"" + k + "\":" + v })
+    val selfLoadJson = jobj(selfLoad.toSeq.map { case (k, v) =>
+      "\"" + k + "\":" + v })
     val qminJson = jobj(names.filter(qmin.contains).map(k =>
       "\"" + k + "\":" + qmin(k)))
     val regressJson = jobj(regress.map { case (k, r) =>
@@ -678,8 +716,9 @@ object Bench {
         s""""stage_probe_cpu_sums":[${probeCpuSums.map(r3).mkString(",")}],""" +
         s""""stage_probe_gc_sums":[${probeGcSums.map(r3).mkString(",")}],""" +
         s""""stage_probe_spill_mb":[${probeSpillMb.map(r3).mkString(",")}],""" +
-        s""""max_ambient":$maxAmbient,""" +
+        s""""max_ambient":$maxAmbient,"skew_frac":$skewFrac,""" +
         s""""loadavg":$loadJson,"ambient":$ambientJson,""" +
+        s""""self_cores":$selfLoadJson,""" +
         s""""env_suspect":$suspect,""" +
         s""""max_load":$maxLoad,"load_waits":$loadWaits,""" +
         s""""reruns":$rerunsUsed,"qmin":$qminJson,""" +

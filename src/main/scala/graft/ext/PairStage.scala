@@ -198,6 +198,35 @@ object PairStage {
     (spark.read.parquet(s"$path/books"), spark.read.parquet(s"$path/codes"))
   }
 
+  /** The staged IVF-PQ inverted lists — every corpus vector's PQ code
+    * rows tagged with its IVF cell id (vec_id, centroid_id, j,
+    * code_id): the artifact a production IVF-PQ deployment persists so
+    * search-time cell restriction is a join on `centroid_id`, never a
+    * corpus re-assignment. Built FROM the staged IVF centroids and the
+    * staged PQ index (same keys its consumers search with), so the
+    * composed index can never disagree with either component's fit.
+    * Exact parquet round-trip (int64 columns only). */
+  def ivfPqIndex(spark: SparkSession, dir: String, nCentroids: Int,
+                 dim: Int, m: Int, ksub: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val key = Seq("ivfpq", spark.sparkContext.applicationId, dir,
+      nCentroids, dim, m, ksub, iters).mkString("|")
+    val cents = ivfCentroids(spark, dir, nCentroids, iters)
+    val (books, codes) = pqIndex(spark, dir, dim, m, ksub, iters)
+    val path = stagedPath(spark, "ivfpq", key) { p =>
+      val assigned = Similarity.ivfAssignWith(cents,
+          graft.Tables.load(spark, dir, "embeddings"), "vec_id",
+          "embedding")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("centroid_id"))
+      codes.join(assigned, Seq("vec_id"))
+        .select(col("vec_id"), col("centroid_id"), col("j"),
+          col("code_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    (cents, books, spark.read.parquet(path))
+  }
+
   /** The staged int8 index: the normalized + symmetric-int8-coded
     * corpus frame (id, unit vector, codes) a deployed int8 scan
     * persists — quantizing per query batch would defeat the 4x

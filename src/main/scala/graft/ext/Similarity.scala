@@ -468,6 +468,74 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** IVF-PQ composed search — the billion-scale retrieval architecture
+    * (coarse quantizer restricts WHICH rows are scored; product codes
+    * decide HOW CHEAPLY): each query probes its `nProbe` nearest IVF
+    * cells and ADC-scores ONLY the probed cells' PQ codes, then
+    * exact-reranks the integer-shortlist. Against flat PQ the ADC scan
+    * shrinks from n rows to ~n * nProbe / nCells; against flat IVF the
+    * probed rows are scored on m int codes instead of dim floats. The
+    * staged artifact is the inverted-list form a production deployment
+    * persists: codes WITH their cell id ([[PairStage.ivfPqIndex]]), so
+    * the cell restriction is a broadcast semi-join on `centroid_id` at
+    * search time — the corpus-side assignment join was paid once at
+    * build.
+    *
+    * Scale shape: queryCells (|Q| x nProbe) and the LUT
+    * (|Q| x m x ksub) both broadcast; the only exchange is the
+    * (query, vector) integer partial-sum over probed code rows with
+    * map-side combine; both rankings are bounded-heap aggregates; the
+    * exact re-rank fetches float vectors for `shortlist` ids per query
+    * by hash join. Every shortlist decision is integer arithmetic
+    * (same micro-quantized LUT contract as [[pqTopKWith]]), so the
+    * composed operator stays hash-verifiable end to end. */
+  def ivfPqTopKWith(centroids: DataFrame, books: DataFrame,
+                    cells: DataFrame, df: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, dim: Int, m: Int,
+                    k: Int, nProbe: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val queryNormed = withNormalized(queries, vecCol, "qv")
+      .select(col(idCol).cast("long").as("query_id"), col("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    val queryCells = queryNormed.join(broadcast(centroids))
+      .withColumn("cos_c", dot(col("qv"), col("cv")))
+      .withColumn("probe_rn", row_number().over(probeW))
+      .filter(col("probe_rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val qSliced = pqSliced(queries, idCol, vecCol, dim, m)
+      .select(col("vec_id").as("query_id"), col("j"), col("xj").as("qj"))
+    val lut = qSliced.join(broadcast(books), Seq("j"))
+      .select(col("query_id"), col("j"), col("code_id"),
+        floor(dot(col("qj"), col("scv")) * 1000000).cast("long").as("pd"))
+    val short = cells
+      .join(broadcast(queryCells), Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id", "j", "code_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("score_micro"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(
+        col("score_micro").cast("double"), col("vec_id"), shortlist)
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+    val corpusV = withNormalized(df, vecCol, "v")
+      .select(col(idCol).cast("long").as("vec_id"), col("v"))
+    short.join(corpusV, Seq("vec_id"))
+      .join(broadcast(queryNormed), Seq("query_id"))
+      .select(col("query_id"), dot(col("qv"), col("v")).as("cosine"),
+        col("vec_id"))
+      .filter(!isnan(col("cosine")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(col("cosine"), col("vec_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF top-k search: assign corpus vectors to their nearest cell,
     * probe each query's `nProbe` nearest cells, rank within the probed
     * cells. Recall grows with nProbe at proportional probe cost; the

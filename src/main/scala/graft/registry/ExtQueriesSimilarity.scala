@@ -125,6 +125,20 @@ object ExtQueriesSimilarity {
         emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", dim = 64, m = 4, k = 5)
     }),
+    // IVF-PQ composed search — the billion-scale retrieval
+    // architecture: the coarse quantizer restricts WHICH rows are
+    // scored (nProbe cells), product codes decide HOW CHEAPLY (m int
+    // lookups per row); exact rerank on the integer shortlist. The
+    // staged artifact is the inverted-list form (codes WITH cell ids).
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nc = Similarity.autoCentroids(emb.count())
+      val (cents, books, cells) = graft.ext.PairStage.ivfPqIndex(
+        s, dir, nc, dim = 64, m = 4, ksub = 16, iters = 2)
+      Similarity.ivfPqTopKWith(cents, books, cells, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, m = 4, k = 5, nProbe = 2)
+    }),
     // int8 symmetric quantization + exact rerank: the corpus-wide scan
     // reads 8-bit codes (4x fewer bytes than float32, integer ALU
     // scoring), full-precision vectors fetched only for the k*4
@@ -438,6 +452,8 @@ object ExtQueriesSimilarity {
             < mm.mn * ${Sampling.Buckets}""",
     "sim_pq_topk" -> pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
       shortlist = 50, iters = 2),
+    "sim_ivfpq_topk" -> ivfPqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
+      nProbe = 2, shortlist = 50, iters = 2),
     "sim_lsh_ann" -> lshPairsSql(tables = 1, threshold = 0.2),
 
     "sim_bruteforce_topk" -> s"""

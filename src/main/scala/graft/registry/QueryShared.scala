@@ -574,11 +574,18 @@ object QueryShared {
             ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
     WHERE rank <= $k"""
 
-  private[registry] def pqTopKSql(dim: Int, m: Int, ksub: Int, k: Int,
-                        shortlist: Int, iters: Int): String = {
+  /** Per-subspace dot product over `dsub`-long list slices. */
+  private def pqDotSub(dsub: Int, a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${dsub + 1}), i -> $a[i]*$b[i]))"
+
+  /** The PQ fit + encode CTE chain (sub, b0..b{iters}, codes) against
+    * an existing `nv` (vec_id, v) CTE — shared by the flat-PQ oracle
+    * and the composed IVF-PQ oracle so both replay the identical
+    * per-subspace k-means. */
+  private[registry] def pqCodesCtes(dim: Int, m: Int, ksub: Int,
+                                    iters: Int): String = {
     val dsub = dim / m
-    def dotSub(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> $a[i]*$b[i]))"
+    def dotSub(a: String, b: String) = pqDotSub(dsub, a, b)
     val iterCtes = (1 to iters).map { it =>
       val prev = s"b${it - 1}"
       s"""pa$it AS (SELECT vec_id, j, code_id, xj FROM (
@@ -599,9 +606,7 @@ object QueryShared {
          |       FROM $prev p LEFT JOIN pg$it USING (j, code_id))"""
         .stripMargin
     }.mkString(",\n      ")
-    s"""
-      WITH nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
-      sub AS (SELECT vec_id, j, v[j*$dsub+1 : j*$dsub+$dsub] AS xj
+    s"""sub AS (SELECT vec_id, j, v[j*$dsub+1 : j*$dsub+$dsub] AS xj
               FROM nv CROSS JOIN range(0, $m) r(j)),
       b0 AS (SELECT j, vec_id AS code_id, xj AS scv FROM sub
              WHERE vec_id IN (SELECT vec_id FROM nv
@@ -613,7 +618,16 @@ object QueryShared {
                    ORDER BY ${dotSub("s.xj", s"b$iters.scv")}
                             - 0.5 * ${dotSub(s"b$iters.scv", s"b$iters.scv")}
                             DESC, b$iters.code_id) AS rn
-          FROM sub s JOIN b$iters ON s.j = b$iters.j) WHERE rn = 1),
+          FROM sub s JOIN b$iters ON s.j = b$iters.j) WHERE rn = 1)"""
+  }
+
+  private[registry] def pqTopKSql(dim: Int, m: Int, ksub: Int, k: Int,
+                        shortlist: Int, iters: Int): String = {
+    val dsub = dim / m
+    def dotSub(a: String, b: String): String = pqDotSub(dsub, a, b)
+    s"""
+      WITH nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
+      ${pqCodesCtes(dim, m, ksub, iters)},
       q AS (SELECT vec_id AS query_id, j, xj AS qj FROM sub
             WHERE vec_id < 10),
       lut AS (SELECT q.query_id, b.j, b.code_id,
@@ -624,6 +638,59 @@ object QueryShared {
                    CAST(SUM(l.pd) AS BIGINT) AS score_micro
                  FROM codes c
                  JOIN lut l ON l.j = c.j AND l.code_id = c.code_id
+                 WHERE l.query_id <> c.vec_id
+                 GROUP BY 1, 2),
+      short AS (SELECT query_id, neighbor_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, neighbor_id) AS srn FROM adc)
+        WHERE srn <= $shortlist),
+      rer AS (SELECT s.query_id, s.neighbor_id,
+                ${dotSql("qn.v", "cn.v")} AS cosine
+              FROM short s
+              JOIN nv qn ON qn.vec_id = s.query_id
+              JOIN nv cn ON cn.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rer
+            WHERE NOT isnan(cosine))
+      WHERE rank <= $k"""
+  }
+
+  /** DuckDB twin of Similarity.ivfPqTopKWith: the IVF fit/assignment
+    * CTEs (`ivfAssignCtes` — identical to the flat-IVF oracle) and the
+    * PQ fit/encode CTEs (`pqCodesCtes` — identical to the flat-PQ
+    * oracle) composed: each query's nProbe nearest cells restrict
+    * WHICH code rows the integer ADC sum scores, then the shortlist is
+    * exact-reranked. Every shortlist decision replays the same
+    * micro-quantized integers as the Spark side. */
+  private[registry] def ivfPqTopKSql(dim: Int, m: Int, ksub: Int,
+                                     k: Int, nProbe: Int,
+                                     shortlist: Int, iters: Int): String = {
+    val dsub = dim / m
+    def dotSub(a: String, b: String): String = pqDotSub(dsub, a, b)
+    s"""
+      WITH ${ivfAssignCtes(iters)},
+      ${pqCodesCtes(dim, m, ksub, iters)},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+      qp AS (SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c$iters.centroid_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSql("q.qv", s"c$iters.cv")} DESC,
+                            c$iters.centroid_id) AS rn
+          FROM q CROSS JOIN c$iters) WHERE rn <= $nProbe),
+      qs AS (SELECT vec_id AS query_id, j, xj AS qj FROM sub
+             WHERE vec_id < 10),
+      lut AS (SELECT qs.query_id, b.j, b.code_id,
+               CAST(FLOOR(${dotSub("qs.qj", "b.scv")} * 1000000) AS BIGINT)
+                 AS pd
+              FROM qs JOIN b$iters b ON qs.j = b.j),
+      adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(l.pd) AS BIGINT) AS score_micro
+                 FROM codes c
+                 JOIN ca ON ca.vec_id = c.vec_id
+                 JOIN qp ON qp.centroid_id = ca.centroid_id
+                 JOIN lut l ON l.query_id = qp.query_id
+                           AND l.j = c.j AND l.code_id = c.code_id
                  WHERE l.query_id <> c.vec_id
                  GROUP BY 1, 2),
       short AS (SELECT query_id, neighbor_id FROM

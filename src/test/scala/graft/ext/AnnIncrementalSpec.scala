@@ -165,4 +165,57 @@ class AnnIncrementalSpec extends SparkSpec {
         "don't, the operator is re-counting the corpus instead of " +
         "reading the staged stats")
   }
+
+  // ---- IVF-PQ composition ----
+
+  private def ivfPqCells(cents: DataFrame): (DataFrame, DataFrame) = {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16, iters = 2)
+    val codes = Similarity.pqEncodeWith(books, emb, "vec_id",
+      "embedding", dim = 64, m = 4)
+    val assigned = Similarity.ivfAssignWith(cents, emb, "vec_id",
+        "embedding")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("centroid_id"))
+    (books, codes.join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id"), col("j"),
+        col("code_id")))
+  }
+
+  test("IVF-PQ with a saturated shortlist IS flat IVF — the composition is exact") {
+    // With shortlist >= every probed candidate set, the PQ stage
+    // passes everything through and the exact rerank ranks the same
+    // probed rows the flat-IVF search ranks: the two operators must
+    // agree row-for-row. This pins the composition's plumbing (cell
+    // restriction, LUT join keys, self-match exclusion, NaN handling)
+    // against an independently-oracled operator, leaving the default
+    // config to differ ONLY by intended shortlist truncation.
+    val (books, cells) = ivfPqCells(freshCents)
+    val sat = topkSet(Similarity.ivfPqTopKWith(freshCents, books, cells,
+      emb, queries, "vec_id", "embedding", dim = 64, m = 4, k = K,
+      nProbe = 2, shortlist = emb.count().toInt))
+    val ivf = topkSet(Similarity.ivfTopKWith(freshCents, emb, queries,
+      "vec_id", "embedding", k = K, nProbe = 2))
+    assert(sat === ivf)
+  }
+
+  test("IVF-PQ at the default shortlist: recall floor vs exact truth, no self-matches") {
+    val (books, cells) = ivfPqCells(freshCents)
+    val got = Similarity.ivfPqTopKWith(freshCents, books, cells, emb,
+      queries, "vec_id", "embedding", dim = 64, m = 4, k = K,
+      nProbe = 2, shortlist = 50)
+    assert(got.filter(col("query_id") === col("neighbor_id")).count() === 0L)
+    val pairs = topkSet(got)
+    val ivf = topkSet(Similarity.ivfTopKWith(freshCents, emb, queries,
+      "vec_id", "embedding", k = K, nProbe = 2))
+    // the composed search can only lose candidates the ADC shortlist
+    // truncates; cell restriction is identical, so its hits against
+    // brute-force truth are bounded above by flat IVF's
+    val rPq = pairs.intersect(truth).size / truth.size.toDouble
+    val rIvf = ivf.intersect(truth).size / truth.size.toDouble
+    assert(rPq <= rIvf + 1e-9,
+      s"ivfpq recall $rPq cannot exceed flat-ivf recall $rIvf")
+    assert(rPq >= 0.2,
+      s"ivfpq recall $rPq collapsed below the fixture floor (ivf $rIvf)")
+  }
 }

@@ -29,8 +29,8 @@ class RegistryPlanLintSpec extends SparkSpec {
     "int8_recall_report", "pq_recall_report", "sample_cluster_balanced",
     "sim_bruteforce_topk", "sim_bruteforce_topk_agg",
     "sim_int8_rerank_topk", "sim_ivf_filtered_topk",
-    "sim_ivf_incremental", "sim_ivf_topk", "sketch_quantile_error",
-    "window_gapfill")
+    "sim_ivf_incremental", "sim_ivf_topk", "sim_ivfpq_topk",
+    "sketch_quantile_error", "window_gapfill")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -392,17 +392,19 @@ object Corpus {
     * Pure per-row Column algebra: narrow, codegen'd, no shuffle. */
   def c4QualityFlags(df: DataFrame, id: Column, text: Column,
                      minWords: Int = 10,
-                     minDistinctPpm: Long = 300000L): DataFrame = {
+                     minDistinctPpm: Long = 300000L,
+                     carry: Seq[(String, Column)] = Nil): DataFrame = {
     val toks = TextOps.tokens(text)
     val padded = concat(lit(" "), lower(text), lit(" "))
-    df.select(
+    df.select(Seq(
       id.as("doc_id"),
       size(toks).cast("long").as("n_words"),
       size(array_distinct(toks)).cast("long").as("_n_distinct"),
       (padded.contains(" the ") || padded.contains(" a "))
         .as("has_stopword"),
       (!lower(text).contains("{")).as("no_brace"),
-      (!lower(text).contains("lorem ipsum")).as("no_lorem"))
+      (!lower(text).contains("lorem ipsum")).as("no_lorem")) ++
+      carry.map { case (n, c) => c.as(n) }: _*)
       // exact integer floor-div (`div`), matching SQL `//` — a double
       // divide could round across the ppm threshold
       .withColumn("distinct_ppm", expr("_n_distinct * 1000000 div n_words"))
@@ -411,9 +413,10 @@ object Corpus {
       .withColumn("keep",
         col("min_words") && col("has_stopword") && col("diverse")
           && col("no_brace") && col("no_lorem"))
-      .select(col("doc_id"), col("n_words"), col("distinct_ppm"),
+      .select(Seq(col("doc_id"), col("n_words"), col("distinct_ppm"),
         col("min_words"), col("has_stopword"), col("diverse"),
-        col("no_brace"), col("no_lorem"), col("keep"))
+        col("no_brace"), col("no_lorem"), col("keep")) ++
+        carry.map { case (n, _) => col(n) }: _*)
   }
 
   /** Gopher-style quality rules — the second public rule family
@@ -438,11 +441,13 @@ object Corpus {
     * size, the same cost class as the c4 flags. */
   def gopherQualityFlags(df: DataFrame, id: Column, text: Column,
                          minWords: Int = 10,
-                         maxWords: Int = 100000): DataFrame = {
+                         maxWords: Int = 100000,
+                         carry: Seq[(String, Column)] = Nil): DataFrame = {
     val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    df.select(id.as("doc_id"), text.as("_text"),
+    df.select(Seq(id.as("doc_id"), text.as("_text"),
       TextOps.tokens(text).as("_toks"),
-      split(text, "\n").as("_lines"))
+      split(text, "\n").as("_lines")) ++
+      carry.map { case (n, c) => c.as(n) }: _*)
       .withColumn("n_words", size(col("_toks")).cast("long"))
       .withColumn("_n_lines", greatest(size(col("_lines")).cast("long"), lit(1L)))
       .withColumn("mean_word_len_ppm", expr(
@@ -480,6 +485,39 @@ object Corpus {
         col("mostly_alpha") && col("low_symbol") && col("few_bullets") &&
         col("few_ellipsis") && col("enough_stopwords"))
       .drop("_text", "_toks", "_lines", "_n_lines")
+  }
+
+  /** Filter-agreement ensemble — the curation diagnostic that answers
+    * "how much does each quality filter remove, and how much do they
+    * overlap": every document is scored by all three public filter
+    * families (C4 content rules, Gopher shape rules, stopword-argmax
+    * language ID) in ONE fused narrow pass — the two flag frames are
+    * CHAINED via their carry parameter, never joined, so the plan is a
+    * single whole-stage map over the corpus — then reduced to the
+    * 8-cell (c4_keep x gopher_keep x lang_en) agreement matrix with
+    * exact ppm shares. At 100 TB: one corpus scan, one 8-row
+    * aggregation; the share denominator comes from the matrix itself
+    * (metadata-sized literal-key join), never a second corpus pass.
+    * High-disagreement cells are where filter-threshold reviews look
+    * first — rules that kill documents the other two families keep. */
+  def filterEnsemble(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val c4 = c4QualityFlags(df, id, text,
+        carry = Seq("_doc_text" -> text))
+      .select(col("doc_id"), col("_doc_text"), col("keep").as("c4_keep"))
+    val flags = gopherQualityFlags(c4, col("doc_id"), col("_doc_text"),
+        carry = Seq("c4_keep" -> col("c4_keep"),
+          "_lang" -> TextOps.langId(col("_doc_text"))))
+      .select(col("c4_keep"), col("keep").as("gopher_keep"),
+        (col("_lang") === "en").as("lang_en"))
+    val cells = flags
+      .groupBy(col("c4_keep"), col("gopher_keep"), col("lang_en"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(sum(col("n_docs")).as("_total"))
+      .withColumn("_one", lit(1))
+    cells.withColumn("_one", lit(1))
+      .join(broadcast(total), Seq("_one"))
+      .select(col("c4_keep"), col("gopher_keep"), col("lang_en"),
+        col("n_docs"), expr("n_docs * 1000000 div _total").as("share_ppm"))
   }
 
   /** Context-window chunking: split every document into non-overlapping

@@ -34,6 +34,12 @@ object ExtQueriesCorpus {
     "text_gopher_filter" -> ((s, dir) =>
       Corpus.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
         col("text"))),
+    // filter-agreement matrix: all three filter families scored in
+    // one fused pass (chained carry, no joins), reduced to the 8-cell
+    // (c4 x gopher x lang) agreement report with exact ppm shares
+    "text_filter_ensemble" -> ((s, dir) =>
+      Corpus.filterEnsemble(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
     // corpus-wide top-50 word bigrams (vocabulary induction seed)
     "vocab_top_bigrams" -> ((s, dir) =>
       Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
@@ -560,6 +566,73 @@ object ExtQueriesCorpus {
         CAST(count(*) AS BIGINT) AS n_terms,
         CAST(sum(occ) AS BIGINT) AS n_occurrences
       FROM c GROUP BY 1""",
+    // the ensemble replays BOTH filter families' keep conjunctions
+    // plus the stopword-argmax language decision over one shared doc
+    // CTE, then the 8-cell matrix; share_ppm's denominator is the
+    // matrix's own sum — integer floor-div both sides
+    "text_filter_ensemble" -> s"""
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS toks,
+          string_split(text, chr(10)) AS lines,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id,
+          (CAST(len(toks) AS BIGINT) >= 10
+           AND (contains(p, ' the ') OR contains(p, ' a '))
+           AND CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+               // CAST(len(toks) AS BIGINT) >= 300000
+           AND NOT contains(lower(text), '{')
+           AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+        FROM t),
+      gm AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS mean_word_len_ppm,
+          CAST(len(list_filter(toks,
+              tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
+            // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS symbol_ppm,
+          CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+              OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+            AS BIGINT) AS n_ell,
+          CAST(list_contains(toks, 'the') AS BIGINT)
+            + CAST(list_contains(toks, 'be') AS BIGINT)
+            + CAST(list_contains(toks, 'to') AS BIGINT)
+            + CAST(list_contains(toks, 'of') AS BIGINT)
+            + CAST(list_contains(toks, 'and') AS BIGINT)
+            + CAST(list_contains(toks, 'that') AS BIGINT)
+            + CAST(list_contains(toks, 'have') AS BIGINT)
+            + CAST(list_contains(toks, 'with') AS BIGINT) AS stop_hits
+        FROM t),
+      g AS (SELECT doc_id,
+          (n_words >= 10 AND n_words <= 100000
+           AND mean_word_len_ppm >= 3000000
+           AND mean_word_len_ppm <= 10000000
+           AND alpha_ppm >= 800000 AND symbol_ppm <= 100000
+           AND n_bullet * 1000000 // n_lines <= 900000
+           AND n_ell * 1000000 // n_lines <= 300000
+           AND stop_hits >= 2) AS gopher_keep
+        FROM gm),
+      lang AS (SELECT doc_id,
+          (${scoreSql("en")} >= ${scoreSql("es")}
+           AND ${scoreSql("en")} >= ${scoreSql("de")}
+           AND ${scoreSql("en")} >= ${scoreSql("fr")}) AS lang_en
+        FROM t),
+      cells AS (SELECT c4_keep, gopher_keep, lang_en,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM c4 JOIN g USING (doc_id) JOIN lang USING (doc_id)
+          GROUP BY 1, 2, 3)
+      SELECT c4_keep, gopher_keep, lang_en, n_docs,
+             CAST(n_docs * 1000000
+               // (SELECT CAST(sum(n_docs) AS BIGINT) FROM cells)
+               AS BIGINT) AS share_ppm
+      FROM cells""",
     // n_words >= 1 always (trim of a non-empty doc splits to >= 1
     // token), so the integer floor-div cannot hit zero
     "text_c4_filter" -> """

@@ -751,4 +751,39 @@ class CorpusSpec extends SparkSpec {
       assert(diverged === 0L, "split featurization diverged")
     } finally bow.unpersist()
   }
+
+  // ---- filterEnsemble ----
+
+  test("filter ensemble equals the unfused three-filter composition and stays join-free") {
+    val got = Corpus.filterEnsemble(docs, col("doc_id"), col("text"))
+      .cache()
+    try {
+      // total partition: every doc lands in exactly one cell
+      assert(got.agg(sum("n_docs")).head.getLong(0) === docs.count())
+      // shares replay the same integer floor-div
+      val badShare = got.filter(
+        col("share_ppm") =!= expr(s"n_docs * 1000000 div ${docs.count()}"))
+      assert(badShare.count() === 0L)
+      // equivalence vs the UNFUSED composition (flag frames joined) —
+      // the fusion must never change a single cell
+      val unfused = Corpus.c4QualityFlags(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("keep").as("c4_keep"))
+        .join(Corpus.gopherQualityFlags(docs, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("keep").as("gopher_keep")), Seq("doc_id"))
+        .join(docs.select(col("doc_id"),
+          (TextOps.langId(col("text")) === "en").as("lang_en")), Seq("doc_id"))
+        .groupBy(col("c4_keep"), col("gopher_keep"), col("lang_en"))
+        .agg(count(lit(1)).as("n_docs"))
+      assert(got.select("c4_keep", "gopher_keep", "lang_en", "n_docs")
+        .except(unfused).count() === 0L)
+      assert(unfused.except(
+        got.select("c4_keep", "gopher_keep", "lang_en", "n_docs"))
+        .count() === 0L)
+      // plan shape: the fused pass joins NOTHING corpus-sized — the
+      // only join is the 8-row x 1-row broadcast for the denominator
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        "ensemble must chain the flag frames, not join them")
+    } finally got.unpersist()
+  }
 }

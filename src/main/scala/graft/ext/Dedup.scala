@@ -290,6 +290,58 @@ object Dedup {
     estimatePairs(cands, sigs, k, threshold)
   }
 
+  /** LSH band-tuning report — the parameter choice of the core dedup
+    * primitive, MEASURED instead of argued: for each candidate band
+    * count the banded bucket join runs against the SAME signature
+    * frame and its candidate set is scored against exact shingle-
+    * Jaccard truth (>= `threshold`) over the SAME shingle space. One
+    * row per configuration: candidate volume (the probe cost a config
+    * buys), truth hits, recall_ppm, and overhead_ppm (candidates per
+    * 1e6 truth pairs — the cost-of-recall curve). More bands = fewer
+    * rows per band = looser buckets = higher recall AND higher
+    * candidate volume; this report prices that trade on the actual
+    * corpus, hash-verifiably, so a banding change can never silently
+    * trade dedup recall for speed.
+    *
+    * Scale shape: signatures and the truth pair table are
+    * materialized ONCE and shared by every configuration; each config
+    * adds one banded self-join (bucket-keyed, the minhashLshPairs
+    * shuffle shape) and two scalar aggregates. The exact-truth side is
+    * the df-capped inverted index ([[shingleOverlapPairs]]), the same
+    * deliberate audit cost the recall reports pay. */
+  def lshTuneReport(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, k: Int = 32,
+                    bandChoices: Seq[Int] = Seq(4, 8, 16),
+                    threshold: Double = 0.5): DataFrame = {
+    val truth = Materialize.eager(
+      shingleJaccardPairs(df, idCol, textCol, shingleN, threshold)
+        .select(col("doc_a"), col("doc_b")))
+    val sigs = Materialize.eager(
+      minhashSignatures(df, col(idCol), col(textCol), shingleN, k))
+    bandChoices.map { b =>
+      require(k % b == 0, s"bands $b must divide k $k")
+      val long = bandBuckets(sigs, k, b)
+      val cand = Materialize.eager(long.as("x").join(long.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
+      val scored = truth
+        .join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
+          "left")
+        .agg(count(col("hit")).as("matched"),
+          count(lit(1)).as("n_truth"))
+      val candAgg = cand.agg(count(lit(1)).as("n_candidates"))
+        .withColumn("_one", lit(1))
+      scored.withColumn("_one", lit(1))
+        .join(broadcast(candAgg), Seq("_one"))
+        .select(lit(b.toLong).as("bands"), col("n_candidates"),
+          col("n_truth"), col("matched"),
+          expr("matched * 1000000L div n_truth").as("recall_ppm"),
+          expr("n_candidates * 1000000L div n_truth").as("overhead_ppm"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Exploded (doc_id, band, key) bucket rows from a signature frame. */
   private def bandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands

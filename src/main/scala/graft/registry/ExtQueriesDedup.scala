@@ -20,6 +20,13 @@ object ExtQueriesDedup {
 
   val queries: Map[String, Q] = Map(
 
+    // the banding parameter sweep: each candidate band count scored
+    // against exact shingle-jaccard truth — recall AND candidate
+    // volume per configuration, so the band choice is measured on the
+    // actual corpus instead of argued from the S-curve
+    "dedup_lsh_tune_report" -> ((s, dir) =>
+      Dedup.lshTuneReport(t(s, dir, "documents"), "doc_id", "text")),
+
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val copies = docs.filter(col("doc_id") % 10 === 0)
@@ -210,6 +217,53 @@ object ExtQueriesDedup {
                min(doc_id) AS doc_id_kept, count(*) AS n_copies
         FROM all_docs GROUP BY 1""",
     "dedup_minhash_lsh" -> minhashPairsSql(),
+    // each band config's candidate set vs the same exact-jaccard
+    // truth; every count, recall and overhead value an exact integer
+    "dedup_lsh_tune_report" -> {
+      val bandCtes = Seq(4, 8, 16).map { b =>
+        s"""bands$b AS (SELECT doc_id, unnest([
+           ${minhashBandStructsFor(b)}]) AS bk FROM sig),
+      cand$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands$b x JOIN bands$b y
+                   ON x.bk = y.bk AND x.doc_id < y.doc_id),
+      row$b AS (SELECT CAST($b AS BIGINT) AS bands,
+          (SELECT CAST(count(*) AS BIGINT) FROM cand$b) AS n_candidates,
+          CAST(count(*) AS BIGINT) AS n_truth,
+          CAST(count(c.doc_b) AS BIGINT) AS matched,
+          CAST(count(c.doc_b) * 1000000 // NULLIF(count(*), 0)
+            AS BIGINT) AS recall_ppm,
+          CAST((SELECT count(*) FROM cand$b) * 1000000
+            // NULLIF(count(*), 0) AS BIGINT) AS overhead_ppm
+        FROM truth tr LEFT JOIN cand$b c
+          ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $ShinglesCte,
+      hsh AS (SELECT DISTINCT doc_id, ${hex60Sql("shingle")} AS h
+              FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+      hot AS (SELECT h FROM hsh GROUP BY h HAVING count(*) > 500),
+      kept AS (SELECT doc_id, h FROM hsh
+               WHERE h NOT IN (SELECT h FROM hot)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM kept a JOIN kept b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      truth AS (SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5),
+      bs AS (SELECT doc_id, ${hex60Sql("shingle")} % ${Dedup.MinhashP}
+               AS b FROM sh),
+      sig AS (SELECT doc_id,
+       $MinhashSigCols
+       FROM bs GROUP BY doc_id),
+      $bandCtes
+      SELECT * FROM row4
+      UNION ALL SELECT * FROM row8
+      UNION ALL SELECT * FROM row16"""
+    },
     // full-LSH pairs restricted to batch-touching ones: the
     // incremental plan must emit exactly this set
     "dedup_incremental" -> minhashPairsSql(

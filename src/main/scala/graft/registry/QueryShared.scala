@@ -317,10 +317,18 @@ object QueryShared {
   private[registry] val MinhashSigCols = (0 until 32).map(i =>
     s"min((${Dedup.minhashA(i)} * b + ${Dedup.minhashB(i)}) % " +
       s"${Dedup.MinhashP}) AS mh_$i").mkString(",\n       ")
-  /** 8 bands x 4 rows: band structs for the bucket join. */
-  private[registry] val MinhashBandStructs = (0 until 8).map(b =>
-    s"{b: $b, k: [${(4 * b until 4 * b + 4).map(i => s"mh_$i").mkString(", ")}]}")
-    .mkString(",\n         ")
+  /** `bands` bands x (k/bands) rows: band structs for the bucket
+    * join — parameterized for the tune report's configuration sweep. */
+  private[registry] def minhashBandStructsFor(bands: Int,
+                                              k: Int = 32): String = {
+    val rpb = k / bands
+    (0 until bands).map(b =>
+      s"{b: $b, k: [${(rpb * b until rpb * b + rpb)
+        .map(i => s"mh_$i").mkString(", ")}]}")
+      .mkString(",\n         ")
+  }
+  /** 8 bands x 4 rows: the default banding's structs. */
+  private[registry] val MinhashBandStructs = minhashBandStructsFor(8)
   private[registry] val MinhashMatchTerms = (0 until 32).map(i =>
     s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
 

@@ -346,6 +346,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing high-jaccard pairs: ${highJac.diff(cont)}")
   }
 
+  test("lsh tune report: recall and candidate volume are monotone in band count") {
+    // A pair colliding at b bands collides on a (k/b)-row band hash;
+    // equal signature rows there imply equal rows on every sub-band of
+    // a finer banding — candidates(4) ⊆ candidates(8) ⊆ candidates(16),
+    // so both recall_ppm and n_candidates must be non-decreasing.
+    val rep = Dedup.lshTuneReport(docs, "doc_id", "text")
+      .orderBy($"bands")
+      .select($"bands", $"n_candidates", $"n_truth", $"matched",
+        $"recall_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).toSeq === Seq(4L, 8L, 16L))
+    val nTruth = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5).count()
+    rep.foreach { case (_, nCand, t, matched, recallPpm) =>
+      assert(t === nTruth, "every row scores against the same truth")
+      assert(matched <= t && recallPpm <= 1000000L)
+      assert(nCand >= matched, "hits cannot exceed candidates")
+    }
+    assert(rep.map(_._2).sliding(2).forall(w => w(0) <= w(1)),
+      s"candidate volume not monotone: ${rep.map(_._2).toSeq}")
+    assert(rep.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      s"recall not monotone: ${rep.map(_._5).toSeq}")
+  }
+
   test("connected components with a checkpoint dir: reliable rounds, cleaned up") {
     val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)

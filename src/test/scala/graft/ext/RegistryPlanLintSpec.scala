@@ -30,7 +30,11 @@ class RegistryPlanLintSpec extends SparkSpec {
     "sim_bruteforce_topk", "sim_bruteforce_topk_agg",
     "sim_int8_rerank_topk", "sim_ivf_filtered_topk",
     "sim_ivf_incremental", "sim_ivf_topk", "sim_ivfpq_topk",
-    "sketch_quantile_error", "window_gapfill")
+    "sketch_quantile_error", "window_gapfill",
+    // 1-row denominator broadcasts (Catalyst folds the literal-key
+    // equi-join to condition-free): the ensemble's share total and the
+    // tune report's per-config candidate counts
+    "text_filter_ensemble", "dedup_lsh_tune_report")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

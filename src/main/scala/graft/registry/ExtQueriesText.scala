@@ -51,14 +51,24 @@ object ExtQueriesText {
     // bit-identical across engines, integer division is. Top-3 terms
     // per doc with a (score desc, token) total order. The window
     // partitions by doc_id (high-cardinality key: hash-spread, no
-    // global sort); the df side joins on token
+    // global sort); the df side joins on token.
+    //
+    // The tf frame feeds BOTH the score side and the df aggregate:
+    // materialized once (r13 — the worst sf1 scaler at 7x turned out
+    // to be the lazy plan scanning + exploding + tf-aggregating the
+    // whole corpus TWICE, once per consumer; a df-cap would have cut
+    // nothing: the corpus vocabulary is 310 tokens, none above n/10).
+    // At 100 TB that is one corpus-sized explode+agg instead of two,
+    // and the df side becomes a vocabulary-sized re-aggregation of the
+    // materialized pair frame.
     "text_tfidf_top_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count()
-      val tf = docs.select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
+      val tf = graft.ext.Materialize.eager(
+        docs.select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf")))
       val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       // tf * idf_ppm runs in decimal128 (HUGEINT in the oracle): at
       // n ~ 1e9 docs idf_ppm reaches ~1e15, so a rare high-tf term

@@ -415,7 +415,8 @@ object Bench {
     for (name <- Seq("sim_ivf_topk", "sim_pq_topk", "sim_int8_rerank_topk",
            "graph_pagerank", "dedup_clusters", "vocab_bpe_merges",
            "vocab_bpe_merges64", "sim_ivf_incremental",
-           "stream_neardup_gate")
+           "stream_neardup_gate", "sim_ivf_filtered_topk",
+           "sim_ivfpq_topk")
          if SparkEntry.queries.contains(name)) {
       try { SparkEntry.queries(name)(spark, sfDir).count(); () }
       catch { case NonFatal(_) => () } // a real failure re-surfaces timed

@@ -130,6 +130,38 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged PREDICATE-SLIVER assignment for filtered ANN over a
+    * standing filter attribute (vec_id, centroid_id, v): the per-value
+    * inverted-list membership a deployed index persists next to its
+    * centroids when retrieval routinely filters on a declared column
+    * (language, license, source). Built from the SAME staged centroids
+    * its consumers probe, so sliver and index can never disagree on
+    * the fit; the round-trip is exact (int64 ids + IEEE-double unit
+    * vectors). `predTag` is the caller's stable name for `pred` and is
+    * the only part of the predicate in the staging key — callers own
+    * tag<->predicate consistency (a tag reused for a different
+    * predicate would serve the first predicate's sliver).
+    *
+    * This is what turns [[Similarity.ivfFilteredTopKStaged]]'s
+    * per-batch cost into stats-read + probe-join: the r12 ad-hoc path
+    * re-assigned (and persisted — a per-call cache leak, ADVICE r12)
+    * the sliver on every retrieval batch, which the r12 bench priced
+    * at +0.49s per call at sf0.1 on top of the staged-stats read. */
+  def ivfFilteredCells(spark: SparkSession, dir: String, nCentroids: Int,
+                       iters: Int, predTag: String,
+                       pred: org.apache.spark.sql.Column): DataFrame = {
+    val key = Seq("ivffilt", spark.sparkContext.applicationId, dir,
+      nCentroids, iters, predTag).mkString("|")
+    val path = stagedPath(spark, "ivffilt", key) { p =>
+      Similarity.ivfAssignWith(
+          ivfCentroids(spark, dir, nCentroids, iters),
+          graft.Tables.load(spark, dir, "embeddings").filter(pred),
+          "vec_id", "embedding")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** The staged minhash SIGNATURE INDEX of the standing corpus
     * (`doc_id % 10 != excludeMod` — the modular daily-increment split
     * the incremental dedup family uses): (doc_id, mh_0..mh_{k-1}),

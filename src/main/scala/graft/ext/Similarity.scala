@@ -669,20 +669,47 @@ object Similarity {
     * size probeN): `n` is summed from the staged index's cell-
     * membership stats (`cellStats` — nCentroids rows, exact because
     * assignment is total), and `kept` is counted off the filtered
-    * sliver's OWN cell assignment, which the probe join consumes as-is
-    * (persisted, so assign-then-count work is paid once). The SQL twin
-    * replays the identical integers from its count(*)s. */
+    * sliver's OWN cell assignment, which the probe join consumes as-is.
+    * The SQL twin replays the identical integers from its count(*)s.
+    *
+    * This overload is the AD-HOC-predicate path: it assigns the sliver
+    * per call (materialized once via [[Materialize.eager]] — the r12
+    * `.persist()` here leaked a cache entry per invocation, ADVICE
+    * r12). When the predicate column is a standing filter attribute
+    * (language, license, source), stage the assignment once with
+    * [[PairStage.ivfFilteredCells]] and call [[ivfFilteredTopKStaged]]
+    * instead — per-batch cost drops to a stats read + the probe join. */
   def ivfFilteredTopKWith(centroids: DataFrame, cellStats: DataFrame,
                           df: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, pred: Column,
                           k: Int, nProbe: Int, nCentroids: Int)
       : DataFrame = {
-    val n = cellStats.agg(coalesce(sum(col("n_cell")), lit(0L)))
-      .head.getLong(0)
-    val filteredNormed = withNormalized(df.filter(pred), vecCol, "v")
-      .select(col(idCol).as("vec_id"), col("v"))
-    val filteredCells = assignTo(filteredNormed, centroids).persist()
-    val kept = filteredCells.count()
+    val filteredCells = Materialize.eager(
+      ivfAssignWith(centroids, df.filter(pred), idCol, vecCol))
+    ivfFilteredTopKStaged(centroids, cellStats, filteredCells, queries,
+      idCol, vecCol, k, nProbe, nCentroids)
+  }
+
+  /** [[ivfFilteredTopKWith]] against a PRE-ASSIGNED predicate sliver
+    * (`filteredCells`: vec_id, centroid_id, v — the artifact
+    * [[PairStage.ivfFilteredCells]] stages): the build-once/search-many
+    * path for standing filter attributes. Per retrieval batch this
+    * runs one nCentroids-row stats sum, one metadata-cheap count of
+    * the staged sliver, and the probe join — never a corpus scan or a
+    * per-call sliver assignment. Values identical to the ad-hoc path
+    * by construction (exact parquet round-trip of int64 ids + IEEE
+    * unit vectors). */
+  def ivfFilteredTopKStaged(centroids: DataFrame, cellStats: DataFrame,
+                            filteredCells: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            k: Int, nProbe: Int, nCentroids: Int)
+      : DataFrame = {
+    // both probeN inputs in ONE driver job (a 1-row x 1-row join of
+    // two scalar aggregates): per-batch overhead is one job over
+    // nCentroids + |sliver| staged rows, not two scheduling floors
+    val nk = cellStats.agg(coalesce(sum(col("n_cell")), lit(0L)).as("n"))
+      .crossJoin(filteredCells.agg(count(lit(1)).as("kept"))).head
+    val (n, kept) = (nk.getLong(0), nk.getLong(1))
     require(kept > 0, "filtered ANN: predicate matches no rows")
     val probeN = math.min(nCentroids.toLong,
       math.max(nProbe.toLong, (nProbe.toLong * n + kept - 1) / kept)).toInt

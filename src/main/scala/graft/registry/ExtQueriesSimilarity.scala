@@ -276,15 +276,22 @@ object ExtQueriesSimilarity {
     // compensated for selectivity by the integer formula both engines
     // derive from the same two counts — corpus size off the staged
     // index's cell stats (nCentroids rows, never a corpus scan),
-    // kept off the filtered sliver's own assignment
+    // kept off the filtered sliver's own STAGED assignment: `label`
+    // is a standing filter attribute, so the sliver is built once per
+    // session (PairStage.ivfFilteredCells) and every retrieval batch
+    // pays only stats-read + probe-join (r13; the ad-hoc path
+    // re-assigned and re-materialized the sliver per call — the r12
+    // bench priced that at +0.49s per call at sf0.1)
     "sim_ivf_filtered_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val nc = Similarity.autoCentroids(emb.count())
       val cents = graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2)
       val stats = graft.ext.PairStage.ivfCellStats(s, dir, nc, iters = 2)
-      Similarity.ivfFilteredTopKWith(cents, stats, emb,
+      val sliver = graft.ext.PairStage.ivfFilteredCells(s, dir, nc,
+        iters = 2, predTag = "label%4=1", pred = col("label") % 4 === 1)
+      Similarity.ivfFilteredTopKStaged(cents, stats, sliver,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        col("label") % 4 === 1, k = 5, nProbe = 2, nCentroids = nc)
+        k = 5, nProbe = 2, nCentroids = nc)
     }),
     // recall of the MinHash-LSH candidate generator against exact
     // shingle jaccard over the SAME 3-shingle space — the dedup twin

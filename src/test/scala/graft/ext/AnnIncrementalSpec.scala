@@ -166,6 +166,27 @@ class AnnIncrementalSpec extends SparkSpec {
         "reading the staged stats")
   }
 
+  test("staged filtered sliver reproduces the ad-hoc filtered search exactly") {
+    // the r13 registry path: the predicate sliver's assignment is a
+    // session-staged artifact (PairStage.ivfFilteredCells — parquet
+    // round-trip of int64 ids + IEEE unit vectors), so staged and
+    // ad-hoc searches must agree row-for-row, probe compensation
+    // included
+    val stats = Similarity.ivfCellStats(freshCents, emb, "vec_id",
+      "embedding")
+    val pred = col("label") % 4 === 1
+    val adhoc = topkSet(Similarity.ivfFilteredTopKWith(freshCents, stats,
+      emb, queries, "vec_id", "embedding", pred, k = K, nProbe = 2,
+      nCentroids = nc))
+    val sliver = PairStage.ivfFilteredCells(spark, sf0001, nc, iters = 2,
+      predTag = "label%4=1", pred = pred)
+    val staged = topkSet(Similarity.ivfFilteredTopKStaged(freshCents,
+      stats, sliver, queries, "vec_id", "embedding", k = K, nProbe = 2,
+      nCentroids = nc))
+    assert(staged === adhoc,
+      "staged-sliver filtered search diverged from the ad-hoc path")
+  }
+
   // ---- IVF-PQ composition ----
 
   private def ivfPqCells(cents: DataFrame): (DataFrame, DataFrame) = {

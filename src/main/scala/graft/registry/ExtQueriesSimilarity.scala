@@ -293,6 +293,37 @@ object ExtQueriesSimilarity {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nProbe = 2, nCentroids = nc)
     }),
+    // recall of the COMPOSED IVF-PQ search — the one operator whose
+    // recall depends on two interacting approximations (nProbe cell
+    // restriction x integer-ADC shortlist): reported at the shipped
+    // shortlist AND at a saturated shortlist (65536 >= any corpus the
+    // gate runs, where the composition provably reduces to flat IVF —
+    // spec-pinned), so the report separates what the SHORTLIST costs
+    // from what the CELL RESTRICTION costs. Same hash-verified
+    // composition as the other recall reports: both operand oracles
+    // are replayed, so the recall numbers themselves are exact.
+    "ivfpq_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val nc = Similarity.autoCentroids(emb.count())
+      val (cents, books, cells) = graft.ext.PairStage.ivfPqIndex(
+        s, dir, nc, dim = 64, m = 4, ksub = 16, iters = 2)
+      val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallRow(shortlist: Int, method: String) = {
+        val pq = Similarity.ivfPqTopKWith(cents, books, cells, emb, q,
+            "vec_id", "embedding", dim = 64, m = 4, k = 5, nProbe = 2,
+            shortlist = shortlist)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+          .select(lit(method).as("method"), col("matched"), col("total"),
+            expr("matched * 1000000L div total").as("recall_ppm"))
+      }
+      recallRow(50, "ivfpq_np2_sl50")
+        .unionByName(recallRow(65536, "ivfpq_np2_slsat"))
+    }),
     // recall of the MinHash-LSH candidate generator against exact
     // shingle jaccard over the SAME 3-shingle space — the dedup twin
     // of the ANN/PQ recall reports: a band/row or threshold change
@@ -624,6 +655,36 @@ object ExtQueriesSimilarity {
           JOIN sig sb ON sb.doc_id = cand.doc_b)
         WHERE est_jaccard >= 0.5) l
         ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b""",
+
+    // the composed-ANN recall twin: the ivfPqTopKSql chain replayed at
+    // both shortlists, each RIGHT JOINed against the shared brute
+    // truth — two hash-verified rows separating shortlist cost from
+    // cell-restriction cost
+    "ivfpq_recall_report" -> {
+      def recallSql(method: String, shortlist: Int) = s"""
+      SELECT '$method' AS method,
+             CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(count(i.neighbor_id) * 1000000 // NULLIF(count(*), 0)
+               AS BIGINT) AS recall_ppm
+      FROM (${ivfPqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
+        nProbe = 2, shortlist = shortlist, iters = 2)}) i
+      RIGHT JOIN (
+        WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 ${dotSql("qv", "e.nv")} AS cosine
+          FROM q, n e WHERE query_id <> e.vec_id)
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored WHERE NOT isnan(cosine))
+        WHERE rank <= 5) b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+      recallSql("ivfpq_np2_sl50", 50) + "\n      UNION ALL\n" +
+        recallSql("ivfpq_np2_slsat", 65536)
+    },
 
     // same composition for the PQ configuration: both operand oracles
     // reused, so the PQ recall number is hash-verified too

@@ -26,6 +26,7 @@ class RegistryPlanLintSpec extends SparkSpec {
     * upsert report's 1-row staleness-totals frame). */
   private val BnljAllowed = Set(
     "ann_incremental_recall", "ann_recall_report", "emb_kmeans_assign",
+    "ivfpq_recall_report",
     "int8_recall_report", "pq_recall_report", "sample_cluster_balanced",
     "sim_bruteforce_topk", "sim_bruteforce_topk_agg",
     "sim_int8_rerank_topk", "sim_ivf_filtered_topk",

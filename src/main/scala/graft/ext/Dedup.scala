@@ -308,7 +308,15 @@ object Dedup {
     * adds one banded self-join (bucket-keyed, the minhashLshPairs
     * shuffle shape) and two scalar aggregates. The exact-truth side is
     * the df-capped inverted index ([[shingleOverlapPairs]]), the same
-    * deliberate audit cost the recall reports pay. */
+    * deliberate audit cost the recall reports pay.
+    *
+    * Known engine asymmetry (ADVICE r12, accepted): the Spark side
+    * buckets on xxhash64 band KEYS while the DuckDB twin compares raw
+    * mh-value band structs, so a 64-bit band-hash collision between
+    * two UNEQUAL bands would inflate n_candidates here and not there,
+    * failing the hash gate loudly (never silently) at ~2^-64 per
+    * band pair — accepted odds, same class as the minhash LSH pair
+    * queries, but noted because this report compares exact COUNTS. */
   def lshTuneReport(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, k: Int = 32,
                     bandChoices: Seq[Int] = Seq(4, 8, 16),

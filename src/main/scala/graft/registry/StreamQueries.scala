@@ -231,18 +231,25 @@ object StreamQueries {
     // LSH pair set restricted to exactly-one-side-batch pairs).
     // The registered query runs the HORIZON-BOUNDED state variant (the
     // only shape a forever-stream can run): arrival time is a
-    // deterministic synthetic (epoch + doc_id seconds — a real ingest
-    // stream carries its own), and since the bounded replay delivers
-    // every arrival in one micro-batch, within-watermark dedup emits
-    // exactly the distinct pair set — hash-identical to exact
-    // emit-once, which is what keeps the oracle row checkable.
+    // deterministic synthetic (epoch + doc_id MOD 3600 seconds — a
+    // real ingest stream carries its own). The mod pins the whole
+    // replay inside ONE horizon window (span <= 1h << 24h), so the
+    // watermark can never advance past any arrival no matter how the
+    // source batches the replay — r12's epoch+doc_id spanned multiple
+    // horizons and relied on the file source delivering everything in
+    // a single micro-batch (a maxFilesPerTrigger option or source
+    // change would have silently dropped late pairs, ADVICE r12).
+    // Within-watermark dedup therefore emits exactly the distinct pair
+    // set — hash-identical to exact emit-once, which is what keeps the
+    // oracle row checkable.
     "stream_neardup_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
       val sigs = graft.ext.PairStage.minhashCorpusSigs(s, dir,
         excludeMod = 3)
       StreamOps.runToMemory(
         StreamOps.nearDupGate(
           docStreamSource(s, dir, modEq = 3).withColumn("arrival_ts",
-            timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+            timestamp_seconds(lit(1700000000L) +
+              pmod(col("doc_id"), lit(3600)))),
           sigs, "doc_id", "text", shingleN = 3, k = 32, bands = 8,
           threshold = 0.5, eventTimeCol = Some("arrival_ts")),
         "graft_mem_neardup_gate", OutputMode.Append())

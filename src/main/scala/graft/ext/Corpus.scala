@@ -220,6 +220,44 @@ object Corpus {
       (size(toks) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Cross-document boilerplate measurement — the n-gram analog of
+    * C4/RefinedWeb's repeated-span rules: a `shingleN`-word shingle is
+    * "boilerplate" when it appears in at least `dfMin` documents, and
+    * each document reports how much of its distinct-shingle mass is
+    * boilerplate (exact integer ppm, hash-verifiable). The curation
+    * report that decides whether a source needs span-level cleaning
+    * before it is worth dedup'ing at the document level.
+    *
+    * Scale shape: ONE corpus explode pass (the native codegen'd
+    * [[graft.functions.VectorFunctions.shingleHex60]] — 8-byte hashes,
+    * never shingle strings) materialized once and shared by all three
+    * consumers (per-doc totals, the df aggregate, the boilerplate
+    * count); the boilerplate side joins per-doc rows against the hot
+    * set with a SEMI join after the df >= dfMin prune, so only hot
+    * occurrences reach the second per-doc aggregate — and since
+    * |hot| <= total_occurrences / dfMin by construction, AQE
+    * broadcasts the hot side at any realistic threshold. Hash
+    * collisions between distinct shingles fold identically on both
+    * engines (both count 60-bit hash rows, not strings). */
+  def boilerplateNgrams(df: DataFrame, id: Column, text: Column,
+                        shingleN: Int = 3, dfMin: Long = 5): DataFrame = {
+    require(dfMin >= 1, "dfMin must be at least 1")
+    val sh = Materialize.eager(df.select(id.as("doc_id"),
+      explode(graft.functions.VectorFunctions.shingleHex60(text, shingleN))
+        .as("h")))
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin).select(col("h"))
+    val boiler = sh.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm",
+        expr("n_boiler * 1000000L div n_shingles"))
+  }
+
   /** Class-cardinality cap shared by the mixing/balancing samplers:
     * their per-class constants fold back as broadcast frames or
     * literal maps, which is the right shape ONLY when the class

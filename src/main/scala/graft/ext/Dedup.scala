@@ -350,6 +350,38 @@ object Dedup {
     }.reduce(_.unionAll(_))
   }
 
+  /** Which sources near-duplicate WHICH — the curation matrix that
+    * decides source-level dedup order, exclusion, and licensing
+    * attribution: every near-dup pair labeled with its endpoints'
+    * source domains (unordered — source_a <= source_b lexicographic),
+    * counted per source pair, with each cell's exact-ppm share of the
+    * total pair mass. Built ON TOP of the pair table, never by
+    * re-pairing: `pairs` is the staged LSH artifact
+    * ([[PairStage.lshPairs]] — built once per corpus snapshot, read
+    * by every graph consumer), so this report adds only two
+    * id-keyed joins of the PAIR-sized frame against the (id, source)
+    * projection, one source-pair hash-agg (at most |sources|^2/2
+    * groups — map-side combine collapses to that before the
+    * shuffle), and a 1-row total broadcast. At 100 TB the pair table
+    * is orders of magnitude smaller than the corpus; the joins key on
+    * doc id and prune `docs` to two columns at the scan. */
+  def sourceOverlapReport(pairs: DataFrame, docs: DataFrame,
+                          idCol: String, srcCol: String): DataFrame = {
+    val lab = docs.select(col(idCol), col(srcCol))
+    val a = lab.select(col(idCol).as("doc_a"), col(srcCol).as("_sa"))
+    val b = lab.select(col(idCol).as("doc_b"), col(srcCol).as("_sb"))
+    val m = pairs.select(col("doc_a"), col("doc_b"))
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = m.agg(sum(col("n_pairs")).as("t"))
+    m.join(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("n_pairs * 1000000L div t").as("share_ppm"))
+  }
+
   /** Exploded (doc_id, band, key) bucket rows from a signature frame. */
   private def bandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands

@@ -265,6 +265,13 @@ object ExtQueriesCorpus {
     "corpus_stopword_strip" -> ((s, dir) =>
       Corpus.stripHotTokens(t(s, dir, "documents"), col("doc_id"),
         col("text"), dfNum = 1, dfDen = 2)),
+    // cross-doc boilerplate mass per document: the share of each doc's
+    // distinct 3-shingles that appear in >= 5 documents corpus-wide
+    // (exact ppm) — the n-gram analog of C4's repeated-span rules; one
+    // materialized shingle-hash pass shared by all three aggregates
+    "corpus_boilerplate_ngrams" -> ((s, dir) =>
+      Corpus.boilerplateNgrams(t(s, dir, "documents"), col("doc_id"),
+        col("text"), shingleN = 3, dfMin = 5)),
     // integer-exact PMI collocations: pointwise mutual information as
     // the monotone ratio proxy (N * n12 * 1e6) div (n1 * n2) — log is
     // monotone, so thresholding/ranking the ratio equals PMI without
@@ -783,6 +790,23 @@ object ExtQueriesCorpus {
       SELECT doc_id, CAST(${hex60Sql("token")} % 64 AS BIGINT) AS dim,
              CAST(count(*) AS BIGINT) AS tf
       FROM tok GROUP BY 1, 2""",
+    // boilerplate replay: the shared distinct-shingle CTE hashed to
+    // 60-bit ids (collisions fold identically on both engines — both
+    // count hash rows, not strings), df >= 5 hot set, per-doc counts
+    "corpus_boilerplate_ngrams" -> s"""
+      WITH $ShinglesCte,
+      hsh AS (SELECT doc_id, ${hex60Sql("shingle")} AS h FROM sh),
+      dfr AS (SELECT h, count(*) AS df FROM hsh GROUP BY 1),
+      hot AS (SELECT h FROM dfr WHERE df >= 5),
+      n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM hsh GROUP BY 1),
+      b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+            FROM hsh WHERE h IN (SELECT h FROM hot) GROUP BY 1)
+      SELECT n.doc_id, n.n_shingles,
+             CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+             CAST(COALESCE(b.n_boiler, 0) * 1000000 // n.n_shingles
+               AS BIGINT) AS boiler_ppm
+      FROM n LEFT JOIN b ON b.doc_id = n.doc_id""",
     // stopword strip replay: df over distinct (doc, token), hot =
     // df*2 >= n, positional reassembly via string_agg ORDER BY
     "corpus_stopword_strip" -> """

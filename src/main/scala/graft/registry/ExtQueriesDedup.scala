@@ -43,6 +43,14 @@ object ExtQueriesDedup {
       Dedup.minhashLshPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleN = 3, k = 32, bands = 8,
         threshold = 0.5)),
+    // which sources near-duplicate WHICH: the near-dup pair mass as a
+    // source x source matrix with exact-ppm shares — reads the STAGED
+    // pair table (never re-pairs) and adds two id-keyed joins + one
+    // sources^2-bounded agg + a 1-row total broadcast
+    "dedup_source_overlap_report" -> ((s, dir) =>
+      Dedup.sourceOverlapReport(
+        graft.ext.PairStage.lshPairs(s, dir),
+        t(s, dir, "documents"), "doc_id", "source")),
     // the PRODUCTION dedup shape: a new ingest batch (doc_id % 10 = 3
     // plays the daily increment) deduped against the standing corpus
     // at |corpus| x |batch| bucket cost — never corpus x corpus. The
@@ -217,6 +225,21 @@ object ExtQueriesDedup {
                min(doc_id) AS doc_id_kept, count(*) AS n_copies
         FROM all_docs GROUP BY 1""",
     "dedup_minhash_lsh" -> minhashPairsSql(),
+    // the pair oracle joined twice to the source labels, folded to the
+    // unordered source matrix; share as exact integer ppm of the total
+    "dedup_source_overlap_report" -> s"""
+      WITH lp AS (SELECT doc_a, doc_b FROM (${minhashPairsSql()}) x),
+      lab AS (SELECT LEAST(da.source, db.source) AS source_a,
+                     GREATEST(da.source, db.source) AS source_b
+              FROM lp
+              JOIN documents da ON da.doc_id = lp.doc_a
+              JOIN documents db ON db.doc_id = lp.doc_b),
+      m AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2),
+      tot AS (SELECT sum(n_pairs) AS t FROM m)
+      SELECT source_a, source_b, n_pairs,
+             CAST(n_pairs * 1000000 // t AS BIGINT) AS share_ppm
+      FROM m, tot""",
     // each band config's candidate set vs the same exact-jaccard
     // truth; every count, recall and overhead value an exact integer
     "dedup_lsh_tune_report" -> {

@@ -105,6 +105,39 @@ class CorpusSpec extends SparkSpec {
 
   // ---- bigramFamiliarity ----
 
+  test("boilerplateNgrams: counts bounded, thresholds degenerate correctly, monotone in dfMin") {
+    // crafted corpus: "a b c" is shared by all three docs (df=3), the
+    // tails are unique (df=1)
+    val df = Seq(
+      (1L, "a b c p q r"),
+      (2L, "a b c s t u"),
+      (3L, "a b c v w x")).toDF("doc_id", "text")
+    def rep(dfMin: Long) =
+      Corpus.boilerplateNgrams(df, col("doc_id"), col("text"),
+          shingleN = 3, dfMin = dfMin)
+        .select("doc_id", "n_shingles", "n_boiler", "boiler_ppm")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // dfMin=3: only the shared "a b c" shingle is boilerplate; each
+    // doc has 4 shingles ("a b c","b c <t1>","c <t1> <t2>","<t1..3>")
+    val r3 = rep(3)
+    assert(r3.values.forall(r => r._2 === 4 && r._3 === 1
+      && r._4 === 250000L), s"expected 1/4 boilerplate per doc: $r3")
+    // dfMin=1: EVERY shingle is boilerplate -> ppm exactly 1e6
+    assert(rep(1).values.forall(r => r._3 === r._2 && r._4 === 1000000L))
+    // dfMin above max df: zero boilerplate everywhere
+    assert(rep(99).values.forall(r => r._3 === 0L && r._4 === 0L))
+    // corpus-level: raising dfMin never raises any doc's count
+    val lo = Corpus.boilerplateNgrams(docs, col("doc_id"), col("text"),
+      dfMin = 3).select("doc_id", "n_boiler").as[(Long, Long)]
+      .collect().toMap
+    val hi = Corpus.boilerplateNgrams(docs, col("doc_id"), col("text"),
+      dfMin = 6).select("doc_id", "n_boiler").as[(Long, Long)]
+      .collect().toMap
+    assert(lo.keySet === hi.keySet)
+    assert(lo.forall { case (d, n) => hi(d) <= n },
+      "boilerplate count must be monotone non-increasing in dfMin")
+  }
+
   test("bigram familiarity scores shared phrasing high, gibberish low") {
     // "the cat sat" appears in 3 docs -> its bigrams reach minCount=3;
     // doc 4 is unique gibberish; doc 5 has one token (no bigrams)

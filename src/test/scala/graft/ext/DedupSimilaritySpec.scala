@@ -370,6 +370,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall not monotone: ${rep.map(_._5).toSeq}")
   }
 
+  test("source overlap report: cells partition the pair mass, shares sum to ~1e6") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+    val rep = Dedup.sourceOverlapReport(pairs, docs, "doc_id", "source")
+      .select("source_a", "source_b", "n_pairs", "share_ppm")
+      .as[(String, String, Long, Long)].collect()
+    val totalPairs = pairs.count()
+    assert(totalPairs > 0, "fixture must produce near-dup pairs")
+    // cells partition the pair set: every pair lands in exactly one
+    // unordered source cell
+    assert(rep.map(_._3).sum === totalPairs,
+      "per-cell counts must sum to the total pair count")
+    // unordered matrix: source_a <= source_b, no mirrored cells
+    assert(rep.forall(r => r._1 <= r._2), "cells must be unordered")
+    assert(rep.map(r => (r._1, r._2)).distinct.length === rep.length)
+    // exact floor-div shares: sum in (1e6 - #cells, 1e6]
+    val shareSum = rep.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rep.length,
+      s"ppm shares must floor-sum to ~1e6, got $shareSum")
+  }
+
   test("connected components with a checkpoint dir: reliable rounds, cleaned up") {
     val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)

@@ -33,9 +33,11 @@ class RegistryPlanLintSpec extends SparkSpec {
     "sim_ivf_incremental", "sim_ivf_topk", "sim_ivfpq_topk",
     "sketch_quantile_error", "window_gapfill",
     // 1-row denominator broadcasts (Catalyst folds the literal-key
-    // equi-join to condition-free): the ensemble's share total and the
-    // tune report's per-config candidate counts
-    "text_filter_ensemble", "dedup_lsh_tune_report")
+    // equi-join to condition-free): the ensemble's share total, the
+    // tune report's per-config candidate counts, and the source
+    // overlap matrix's pair-mass total
+    "text_filter_ensemble", "dedup_lsh_tune_report",
+    "dedup_source_overlap_report")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

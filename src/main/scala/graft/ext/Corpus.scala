@@ -558,6 +558,81 @@ object Corpus {
         col("n_docs"), expr("n_docs * 1000000 div _total").as("share_ppm"))
   }
 
+  /** Heuristic-score calibration against the rule filters — answers
+    * "does the continuous quality score actually separate the
+    * documents the C4/Gopher rules keep from the ones they kill".
+    * Every document is scored ([[TextOps.withQualityScore]]) AND
+    * rule-flagged in the same fused narrow pass (flag frames chained
+    * via carry, the [[filterEnsemble]] idiom — no joins), then reduced
+    * to a (score-quintile x c4_keep x gopher_keep) matrix with exact
+    * ppm shares. A well-calibrated score concentrates rule-kept mass
+    * in the top buckets; mass in (bucket 4, keep=false) cells is where
+    * a learned-scorer threshold review starts. Bucket =
+    * least(4, floor(score*5)): the score is a [0,1] double computed
+    * identically in any IEEE engine (no transcendentals), so the
+    * bucket boundary is bit-portable. At 100 TB: one corpus scan, one
+    * <=20-row aggregation, matrix-internal denominator. */
+  def qualityCalibrationReport(df: DataFrame, id: Column,
+                               text: Column): DataFrame = {
+    val c4 = c4QualityFlags(df, id, text,
+        carry = Seq("_doc_text" -> text))
+      .select(col("doc_id"), col("_doc_text"), col("keep").as("c4_keep"))
+    val flags = gopherQualityFlags(c4, col("doc_id"), col("_doc_text"),
+        carry = Seq("c4_keep" -> col("c4_keep"),
+          "_doc_text" -> col("_doc_text")))
+      .select(col("c4_keep"), col("keep").as("gopher_keep"),
+        col("_doc_text"))
+    val cells = TextOps.withQualityScore(flags, col("_doc_text"))
+      .groupBy(
+        least(lit(4L), floor(col("quality_score") * 5.0).cast("long"))
+          .as("score_bucket"),
+        col("c4_keep"), col("gopher_keep"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(sum(col("n_docs")).as("_total"))
+      .withColumn("_one", lit(1))
+    cells.withColumn("_one", lit(1))
+      .join(broadcast(total), Seq("_one"))
+      .select(col("score_bucket"), col("c4_keep"), col("gopher_keep"),
+        col("n_docs"), expr("n_docs * 1000000 div _total").as("share_ppm"))
+  }
+
+  /** Unigram-LM surprisal per document — the language-model-flavored
+    * quality signal the heuristic score can't give: documents made of
+    * corpus-rare tokens carry high mean surprisal, boilerplate made of
+    * the corpus's most common tokens carries low. Token surprisal is
+    * the engine-portable integer floor-log2 proxy (the
+    * [[freqHistogram]] / tfidf discipline — libm's ln is not
+    * bit-identical across engines, `length(bin(x))` is):
+    * bits(term) = floor(log2(N div cnt)) + 1 for corpus token total N
+    * and term count cnt, so bits runs 1 (the most common case,
+    * cnt > N/2) up to floor(log2(N))+1 (hapaxes). Output per doc:
+    * n_tokens, sum_bits, mean_bits_ppm (exact integer floor-div).
+    *
+    * Scale shape: the (doc_id, term) occurrence frame is materialized
+    * ONCE ([[Materialize.eager]] — it feeds both the vocabulary count
+    * and the per-doc aggregate; the lazy version would scan+explode
+    * the corpus twice, the exact r13 tfidf regression), the vocabulary
+    * side is two hash-aggs of that frame plus a 1-row broadcast for N,
+    * and the per-doc score is one vocab-sized equi-join (AQE
+    * broadcasts it at any realistic vocabulary) feeding a doc-keyed
+    * hash-agg. No windows, no corpus self-joins. */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val pairs = Materialize.eager(
+      df.select(id.as("doc_id"),
+        explode(TextOps.tokens(text)).as("term")))
+    val vocab = pairs.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("_n_total"))
+      .withColumn("_one", lit(1))
+    val bits = vocab.withColumn("_one", lit(1))
+      .join(broadcast(total), Seq("_one"))
+      .select(col("term"),
+        length(bin(expr("_n_total div cnt"))).cast("long").as("bits"))
+    pairs.join(bits, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits_ppm", expr("sum_bits * 1000000 div n_tokens"))
+  }
+
   /** Context-window chunking: split every document into non-overlapping
     * `chunkTokens`-word pieces — the training-prep step that turns
     * arbitrary-length documents into model-window-sized rows while

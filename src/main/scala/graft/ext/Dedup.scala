@@ -604,6 +604,35 @@ object Dedup {
     }
   }
 
+  /** Near-dup cluster-size histogram — the mega-cluster pathology
+    * check every LSH dedup needs before trusting keep-representative:
+    * transitive closure chains boilerplate families into giant
+    * components (a 1M-doc cluster keeps ONE representative — usually
+    * the wrong call vs span-level cleaning), and the size distribution
+    * is what decides whether to cap clusters. Input: the
+    * [[connectedComponents]] labeling. Output per power-of-two size
+    * bucket (bucket = floor(log2(size))+1 via the engine-portable
+    * `length(bin(x))` — bucket 1 is singletons/uniques): cluster
+    * count, doc count, exact-ppm doc share. A healthy near-dup graph
+    * concentrates mass in buckets 1-3; mass in high buckets is the
+    * boilerplate-chain signature. Scale shape: component-keyed
+    * hash-agg (the labeling's own key), then a <=64-row rollup with a
+    * matrix-internal 1-row broadcast denominator — no second corpus
+    * pass. */
+  def clusterSizeReport(components: DataFrame): DataFrame = {
+    val sizes = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+    val binned = sizes
+      .groupBy(length(bin(col("sz"))).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val total = binned.agg(sum(col("n_docs")).as("_total"))
+      .withColumn("_one", lit(1))
+    binned.withColumn("_one", lit(1))
+      .join(broadcast(total), Seq("_one"))
+      .select(col("size_bucket"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000000 div _total").as("docs_share_ppm"))
+  }
+
   /** Cross-corpus contamination detection: training documents that
     * share at least one word n-gram with a held-out/benchmark set —
     * the decontamination pass every training pipeline needs before a

@@ -652,6 +652,49 @@ object Similarity {
     ivfAssignWith(centroids, df, idCol, vecCol)
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
 
+  /** IVF index health report — the build-time diagnostic an ANN
+    * deployment reads before trusting nProbe math: cell-population
+    * balance decides both recall (empty/starved cells answer nothing)
+    * and tail latency (the biggest cell bounds a probe's scan). One
+    * row over the staged per-cell stats ([[ivfCellStats]], nCentroids
+    * rows — metadata-sized, never a corpus pass):
+    *
+    *  - `n_cells` / `n_nonempty` / `n_empty`: trained vs populated
+    *    cells (Lloyd on skewed data strands centroids)
+    *  - `max_cell` / `min_cell`: population extremes
+    *  - `imbalance_ppm`: max_cell * 1e6 div floor-mean cell size —
+    *    1e6 = perfectly balanced; the factor by which the worst probe
+    *    overruns the budget the nProbe heuristic assumes. Integer
+    *    floor-div both engines; no overflow while max_cell < ~9e12
+    *  - `top2_mass_ppm`: corpus share of the two largest cells
+    *    (centroid_id tiebreak) — worst-case scanned fraction when
+    *    nProbe=2 lands on them; ~2e6/n_cells when balanced
+    *
+    * All-integer arithmetic, hash-verifiable. The two input aggregates
+    * join on a literal key (1-row broadcast), so the whole report is
+    * one nCentroids-row job. */
+  def ivfBuildReport(cellStats: DataFrame, nCentroids: Int,
+                     topN: Int = 2): DataFrame = {
+    val agg = cellStats.agg(
+        sum(col("n_cell")).as("n_vectors"),
+        count(lit(1)).as("n_nonempty"),
+        max(col("n_cell")).as("max_cell"),
+        min(col("n_cell")).as("min_cell"))
+      .withColumn("_one", lit(1))
+    val top = cellStats.orderBy(col("n_cell").desc, col("centroid_id"))
+      .limit(topN)
+      .agg(sum(col("n_cell")).as("_top_mass"))
+      .withColumn("_one", lit(1))
+    agg.join(broadcast(top), Seq("_one"))
+      .select(lit(nCentroids.toLong).as("n_cells"),
+        col("n_nonempty"),
+        (lit(nCentroids.toLong) - col("n_nonempty")).as("n_empty"),
+        col("n_vectors"), col("max_cell"), col("min_cell"),
+        expr(s"max_cell * 1000000 div greatest(n_vectors div ${nCentroids}L, 1L)")
+          .as("imbalance_ppm"),
+        expr("_top_mass * 1000000 div n_vectors").as("top2_mass_ppm"))
+  }
+
   /** Filtered ANN search — predicate + top-k ("nearest among docs
     * where lang = 'en'"), the shape real retrieval almost always
     * takes. The predicate is pushed BELOW the cell assignment (filter

@@ -40,6 +40,13 @@ object ExtQueriesCorpus {
     "text_filter_ensemble" -> ((s, dir) =>
       Corpus.filterEnsemble(t(s, dir, "documents"), col("doc_id"),
         col("text"))),
+    // heuristic-score calibration: quality-score quintile x c4 x
+    // gopher keep matrix, scored and flagged in the same fused pass
+    // (carry-chained, no joins) — does the continuous score separate
+    // what the rule filters keep from what they kill
+    "quality_calibration_report" -> ((s, dir) =>
+      Corpus.qualityCalibrationReport(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     // corpus-wide top-50 word bigrams (vocabulary induction seed)
     "vocab_top_bigrams" -> ((s, dir) =>
       Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
@@ -636,6 +643,81 @@ object ExtQueriesCorpus {
           FROM c4 JOIN g USING (doc_id) JOIN lang USING (doc_id)
           GROUP BY 1, 2, 3)
       SELECT c4_keep, gopher_keep, lang_en, n_docs,
+             CAST(n_docs * 1000000
+               // (SELECT CAST(sum(n_docs) AS BIGINT) FROM cells)
+               AS BIGINT) AS share_ppm
+      FROM cells""",
+    // score-vs-rules calibration: the quality-score formula (the
+    // text_quality_score oracle's arithmetic — pure IEEE, exact both
+    // engines) bucketed to quintiles against the two keep
+    // conjunctions, over one shared doc CTE; denominator from the
+    // matrix itself
+    "quality_calibration_report" -> s"""
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\\s+') AS toks,
+          string_split(text, chr(10)) AS lines,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      c4 AS (SELECT doc_id,
+          (CAST(len(toks) AS BIGINT) >= 10
+           AND (contains(p, ' the ') OR contains(p, ' a '))
+           AND CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+               // CAST(len(toks) AS BIGINT) >= 300000
+           AND NOT contains(lower(text), '{')
+           AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+        FROM t),
+      gm AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS mean_word_len_ppm,
+          CAST(len(list_filter(toks,
+              tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
+            // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS symbol_ppm,
+          CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+              OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+            AS BIGINT) AS n_ell,
+          CAST(list_contains(toks, 'the') AS BIGINT)
+            + CAST(list_contains(toks, 'be') AS BIGINT)
+            + CAST(list_contains(toks, 'to') AS BIGINT)
+            + CAST(list_contains(toks, 'of') AS BIGINT)
+            + CAST(list_contains(toks, 'and') AS BIGINT)
+            + CAST(list_contains(toks, 'that') AS BIGINT)
+            + CAST(list_contains(toks, 'have') AS BIGINT)
+            + CAST(list_contains(toks, 'with') AS BIGINT) AS stop_hits
+        FROM t),
+      g AS (SELECT doc_id,
+          (n_words >= 10 AND n_words <= 100000
+           AND mean_word_len_ppm >= 3000000
+           AND mean_word_len_ppm <= 10000000
+           AND alpha_ppm >= 800000 AND symbol_ppm <= 100000
+           AND n_bullet * 1000000 // n_lines <= 900000
+           AND n_ell * 1000000 // n_lines <= 300000
+           AND stop_hits >= 2) AS gopher_keep
+        FROM gm),
+      sc AS (SELECT doc_id,
+          least(1.0, CAST(len(toks) AS BIGINT) / 50.0) * 0.4
+            + least(1.0, (${scoreSql("en")} * 1.0
+                / CAST(len(toks) AS BIGINT)) * 5.0) * 0.3
+            + (1.0 - least(1.0,
+                ((length(text) - length(regexp_replace(text,
+                    '[^A-Za-z0-9 ]', '', 'g')))
+                  * 1.0 / CAST(length(text) AS BIGINT)) * 10.0)) * 0.3
+            AS qs
+        FROM t),
+      cells AS (SELECT
+            least(CAST(4 AS BIGINT), CAST(floor(qs * 5.0) AS BIGINT))
+              AS score_bucket,
+            c4_keep, gopher_keep, CAST(count(*) AS BIGINT) AS n_docs
+          FROM sc JOIN c4 USING (doc_id) JOIN g USING (doc_id)
+          GROUP BY 1, 2, 3)
+      SELECT score_bucket, c4_keep, gopher_keep, n_docs,
              CAST(n_docs * 1000000
                // (SELECT CAST(sum(n_docs) AS BIGINT) FROM cells)
                AS BIGINT) AS share_ppm

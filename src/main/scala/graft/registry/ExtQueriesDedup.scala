@@ -111,6 +111,15 @@ object ExtQueriesDedup {
       val pairs = graft.ext.PairStage.jaccardPairs(s, dir)
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
     }),
+    // the mega-cluster pathology check over the same staged pair
+    // table: power-of-two cluster-size histogram with exact-ppm doc
+    // shares — what decides cluster-capping before keep-representative
+    "dedup_cluster_size_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ext.PairStage.jaccardPairs(s, dir)
+      Dedup.clusterSizeReport(
+        Dedup.connectedComponents(docs.select(col("doc_id")), pairs))
+    }),
     // the dedup OUTPUT, not just the clustering: one representative
     // (the min-doc_id component label) per near-dup cluster with its
     // cluster size — what a curation pipeline actually keeps. Unique
@@ -362,6 +371,21 @@ object ExtQueriesDedup {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE 100 * n_inter >= 90 * least(sa.n, sb.n)""",
     "dedup_clusters" -> DedupClustersSql,
+    // size histogram over the clusters subquery: bucket =
+    // length(bin(size)) (engine-portable floor(log2)+1), share
+    // denominator from the histogram's own sum — integer floor-div
+    "dedup_cluster_size_report" -> s"""
+      WITH sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                     FROM ($DedupClustersSql) GROUP BY component),
+      b AS (SELECT CAST(length(bin(sz)) AS BIGINT) AS size_bucket,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY 1)
+      SELECT size_bucket, n_clusters, n_docs,
+             n_docs * 1000000
+               // (SELECT CAST(sum(n_docs) AS BIGINT) FROM b)
+               AS docs_share_ppm
+      FROM b""",
     // representative per component == rows whose label is the min of
     // their cluster; composes the clusters oracle as a subquery
     "dedup_keep_representative" -> s"""

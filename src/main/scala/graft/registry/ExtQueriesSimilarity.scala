@@ -74,6 +74,16 @@ object ExtQueriesSimilarity {
       Similarity.ivfTopKWith(cents, emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
+    // IVF index health: one report row over the staged per-cell
+    // stats (nCentroids rows — the same artifact the filtered search
+    // sizes probeN from), never a corpus pass. The oracle replays the
+    // Lloyd fit + assignment in SQL and aggregates identically.
+    "ann_ivf_build_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nC = Similarity.autoCentroids(emb.count())
+      Similarity.ivfBuildReport(
+        graft.ext.PairStage.ivfCellStats(s, dir, nC, iters = 2), nC)
+    }),
     // k-means cluster assignment as a first-class OUTPUT (corpus
     // partitioning for diversity balancing / per-cluster sampling),
     // not just the internal step of IVF search: the Lloyd-refined
@@ -468,6 +478,26 @@ object ExtQueriesSimilarity {
       SELECT vec_id, unnest(range(16)) AS rp_dim, unnest(rp) AS rp_val
       FROM r""",
     "sim_ivf_topk" -> ivfTopKSql(k = 5, nProbe = 2, iters = 2),
+    // cell-population aggregates over the replayed assignment; nc_t
+    // (the SQL twin of autoCentroids) supplies the trained cell count
+    "ann_ivf_build_report" -> s"""
+      WITH ${ivfAssignCtes(2)},
+      cells AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_cell
+                FROM ca GROUP BY 1),
+      agg AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_vectors,
+                     CAST(count(*) AS BIGINT) AS n_nonempty,
+                     CAST(max(n_cell) AS BIGINT) AS max_cell,
+                     CAST(min(n_cell) AS BIGINT) AS min_cell FROM cells),
+      ncl AS (SELECT CAST(nc AS BIGINT) AS n_cells FROM nc_t),
+      top AS (SELECT CAST(sum(n_cell) AS BIGINT) AS top_mass FROM
+              (SELECT n_cell, centroid_id FROM cells
+               ORDER BY n_cell DESC, centroid_id LIMIT 2))
+      SELECT n_cells, n_nonempty, n_cells - n_nonempty AS n_empty,
+             n_vectors, max_cell, min_cell,
+             max_cell * 1000000 // greatest(n_vectors // n_cells, 1)
+               AS imbalance_ppm,
+             top_mass * 1000000 // n_vectors AS top2_mass_ppm
+      FROM ncl CROSS JOIN agg CROSS JOIN top""",
     // the shared Lloyd-fit CTEs, surfaced as a standalone assignment
     "emb_kmeans_assign" -> s"""
       WITH ${ivfAssignCtes(2)}

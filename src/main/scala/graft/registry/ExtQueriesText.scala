@@ -30,6 +30,12 @@ object ExtQueriesText {
       TextOps.withQualityScore(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         col("text")).drop("text")),
+    // unigram-LM surprisal: the language-model-flavored quality
+    // signal — mean floor-log2 token surprisal under the corpus's own
+    // unigram distribution (integer-exact, the tfidf/bin discipline)
+    "text_unigram_surprisal" -> ((s, dir) =>
+      Corpus.unigramSurprisal(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.contentFingerprint(col("text")).as("content_md5"),
@@ -262,6 +268,24 @@ object ExtQueriesText {
             ELSE NULL END AS roll_min
           FROM documents"""
     },
+    // bits(term) = length(bin(N // cnt)) — the engine-portable
+    // floor(log2)+1 (vocab_freq_histogram's idiom); per-doc mean as
+    // exact integer floor-div ppm
+    "text_unigram_surprisal" -> """
+      WITH tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS term FROM documents),
+      v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1),
+      tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+      b AS (SELECT term, CAST(length(bin(n_total // cnt)) AS BIGINT)
+              AS bits
+            FROM v CROSS JOIN tt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(bits) AS BIGINT) AS sum_bits,
+             CAST(sum(bits) AS BIGINT) * 1000000
+               // CAST(count(*) AS BIGINT) AS mean_bits_ppm
+      FROM tok JOIN b USING (term) GROUP BY doc_id""",
     // integer idf replay: same (n*1e6) div df proxy, same tie order
     "text_tfidf_top_terms" -> """
       WITH tk AS (SELECT doc_id,

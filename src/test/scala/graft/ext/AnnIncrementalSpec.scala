@@ -239,4 +239,29 @@ class AnnIncrementalSpec extends SparkSpec {
     assert(rPq >= 0.2,
       s"ivfpq recall $rPq collapsed below the fixture floor (ivf $rIvf)")
   }
+
+  test("ivfBuildReport aggregates cell stats exactly and holds its invariants") {
+    // constructed stats: cells 5/3/2 of a 4-centroid index ->
+    // floor-mean = 10 div 4 = 2, imbalance = 5e6 div 2 = 2.5e6,
+    // top2 = (5+3)e6 div 10 = 8e5, one trained cell empty
+    val stats = Seq((0L, 5L), (1L, 3L), (2L, 2L))
+      .toDF("centroid_id", "n_cell")
+    val row = Similarity.ivfBuildReport(stats, nCentroids = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(row === ((4L, 3L, 1L, 10L, 5L, 2L, 2500000L, 800000L)))
+    // real corpus: vectors partition into cells, nonempty <= trained,
+    // and max >= floor-mean makes imbalance >= 1e6 by construction
+    val n = emb.count()
+    val nC = Similarity.autoCentroids(n)
+    val rep = Similarity.ivfBuildReport(
+        Similarity.ivfCellStats(
+          Similarity.ivfCentroids(emb, "vec_id", "embedding", nC,
+            iters = 2),
+          emb, "vec_id", "embedding"), nC)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(rep._1 === nC.toLong && rep._2 <= rep._1)
+    assert(rep._4 === n, "cell populations must partition the corpus")
+    assert(rep._7 >= 1000000L, "max cell cannot sit below the mean")
+    assert(rep._8 <= 1000000L && rep._8 > 0L)
+  }
 }

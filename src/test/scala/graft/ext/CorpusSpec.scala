@@ -819,4 +819,76 @@ class CorpusSpec extends SparkSpec {
         "ensemble must chain the flag frames, not join them")
     } finally got.unpersist()
   }
+
+  // ---- qualityCalibrationReport ----
+
+  test("qualityCalibrationReport matches the unfused score+flags composition") {
+    val docs2 = docs.select(col("doc_id"), col("text"))
+    val got = Corpus.qualityCalibrationReport(docs2, col("doc_id"),
+      col("text")).cache()
+    try {
+      val unfused = TextOps.withQualityScore(docs2, col("text"))
+        .select(col("doc_id"),
+          least(lit(4L), floor(col("quality_score") * 5.0).cast("long"))
+            .as("score_bucket"))
+        .join(Corpus.c4QualityFlags(docs2, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("keep").as("c4_keep")), Seq("doc_id"))
+        .join(Corpus.gopherQualityFlags(docs2, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("keep").as("gopher_keep")), Seq("doc_id"))
+        .groupBy(col("score_bucket"), col("c4_keep"), col("gopher_keep"))
+        .agg(count(lit(1)).as("n_docs"))
+      val gotCells = got.select("score_bucket", "c4_keep", "gopher_keep",
+        "n_docs")
+      assert(gotCells.except(unfused).count() === 0L)
+      assert(unfused.except(gotCells).count() === 0L)
+      // the matrix partitions the corpus; floor-div shares lose < 1
+      // ppm per cell (<= 20 cells: 5 buckets x 2 x 2)
+      val (n, ppm) = got.agg(sum(col("n_docs")), sum(col("share_ppm")))
+        .as[(Long, Long)].head()
+      assert(n === docs2.count())
+      assert(ppm <= 1000000L && ppm > 1000000L - 21L)
+      // fused: the only join is the denominator broadcast, never a
+      // corpus-sized shuffle join
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        "calibration must chain the flag frames, not join them")
+    } finally got.unpersist()
+  }
+
+  // ---- unigramSurprisal ----
+
+  test("unigramSurprisal computes exact integer floor-log2 bits") {
+    // N = 8 total tokens; cnt(a)=5 -> bits(a)=len(bin(8 div 5))=1;
+    // cnt(b)=cnt(c)=cnt(d)=1 -> bits=len(bin(8))=4
+    val df = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Corpus.unigramSurprisal(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L, 4L, 1000000L), (2L, 4L, 13L, 3250000L)))
+  }
+
+  test("unigramSurprisal covers every doc and ranks rare above common") {
+    val got = Corpus.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .cache()
+    try {
+      assert(got.count() === docs.count(), "one row per document")
+      // every token carries >= 1 bit, so every mean is >= 1e6 ppm
+      assert(got.filter(col("mean_bits_ppm") < 1000000L).count() === 0L)
+      // sanity of the proxy: a synthetic all-hapax doc must outscore a
+      // doc made of the corpus's single most common token
+      val common = docs.select(explode(split(trim(col("text")), "\\s+"))
+          .as("t"))
+        .groupBy("t").count().orderBy(col("count").desc, col("t"))
+        .as[(String, Long)].head()._1
+      val probe = docs.select(col("doc_id"), col("text"))
+        .union(Seq((-1L, Seq.fill(8)(common).mkString(" ")),
+          (-2L, "zqx1 zqx2 zqx3 zqx4 zqx5 zqx6 zqx7 zqx8"))
+          .toDF("doc_id", "text"))
+      val m = Corpus.unigramSurprisal(probe, col("doc_id"), col("text"))
+        .filter(col("doc_id") < 0L)
+        .select("doc_id", "mean_bits_ppm")
+        .as[(Long, Long)].collect().toMap
+      assert(m(-2L) > m(-1L),
+        s"hapax doc ${m(-2L)} must outscore common-token doc ${m(-1L)}")
+    } finally got.unpersist()
+  }
 }

@@ -414,4 +414,22 @@ class DedupSimilaritySpec extends SparkSpec {
         s"leaked round snapshots: ${rounds.map(_.getName).toSeq}")
     }
   }
+
+  test("clusterSizeReport bins component sizes with exact ppm shares") {
+    // components: {1,2,3} (size 3 -> bucket 2), {4} (1 -> bucket 1),
+    // {5,6} (2 -> bucket 2)
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterSizeReport(
+        Dedup.connectedComponents(nodes, pairs))
+      .orderBy("size_bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L, 166666L), (2L, 2L, 5L, 833333L)))
+    // no pairs: every node is a singleton in bucket 1 with full share
+    val alone = Dedup.clusterSizeReport(
+        Dedup.connectedComponents(nodes,
+          Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(alone === Seq((1L, 6L, 6L, 1000000L)))
+  }
 }

@@ -37,7 +37,13 @@ class RegistryPlanLintSpec extends SparkSpec {
     // tune report's per-config candidate counts, and the source
     // overlap matrix's pair-mass total
     "text_filter_ensemble", "dedup_lsh_tune_report",
-    "dedup_source_overlap_report")
+    "dedup_source_overlap_report",
+    // the r13 report quartet: each joins a 1-row aggregate (corpus
+    // token total N, matrix/histogram share denominator, cell-stat
+    // extremes) onto a metadata-sized frame — Catalyst folds the
+    // literal-key equi-join to condition-free
+    "text_unigram_surprisal", "quality_calibration_report",
+    "dedup_cluster_size_report", "ann_ivf_build_report")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -633,6 +633,47 @@ object Corpus {
       .withColumn("mean_bits_ppm", expr("sum_bits * 1000000 div n_tokens"))
   }
 
+  /** Dedup-adjusted source mixture — the mixing decision no naive
+    * per-source token count gets right: a source whose mass is mostly
+    * near-duplicates contributes far fewer EFFECTIVE training tokens
+    * than its raw size suggests, so sampling weights must be computed
+    * AFTER discounting redundant mass. Input: the corpus and its
+    * near-dup component labeling ([[Dedup.connectedComponents]] over
+    * the staged pair table). A doc is redundant when it is not its
+    * cluster's representative (component label != its own id — the
+    * keep-representative rule). Output per source: doc/redundant
+    * counts, raw and effective token mass, and the naive vs
+    * dedup-adjusted mixture weights (exact integer ppm over the
+    * respective totals) — the delta between the two weight columns is
+    * the mixing error dedup-unaware sampling would bake in.
+    *
+    * Scale shape: one id-keyed join of the corpus projection (id,
+    * source, token count — narrow, rides the scan) with the
+    * id-keyed labeling, a |sources|-row hash-agg (map-side combine),
+    * and a 1-row totals broadcast. Never a second corpus pass. */
+  def dedupAdjustedMixture(docs: DataFrame, components: DataFrame,
+                           id: Column, src: Column,
+                           text: Column): DataFrame = {
+    val d = docs.select(id.as("doc_id"), src.as("source"),
+      TextOps.tokenCount(text).as("n_tok"))
+    val per = d.join(components, Seq("doc_id"))
+      .withColumn("red", col("component") =!= col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("red").cast("long")).as("n_redundant"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("red"), lit(0L)).otherwise(col("n_tok")))
+          .as("eff_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("_tt"),
+        sum(col("eff_tokens")).as("_te"))
+      .withColumn("_one", lit(1))
+    per.withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+      .select(col("source"), col("n_docs"), col("n_redundant"),
+        col("n_tokens"), col("eff_tokens"),
+        expr("n_tokens * 1000000 div _tt").as("naive_weight_ppm"),
+        expr("eff_tokens * 1000000 div _te").as("adjusted_weight_ppm"))
+  }
+
   /** Context-window chunking: split every document into non-overlapping
     * `chunkTokens`-word pieces — the training-prep step that turns
     * arbitrary-length documents into model-window-sized rows while

@@ -695,6 +695,74 @@ object Similarity {
         expr("_top_mass * 1000000 div n_vectors").as("top2_mass_ppm"))
   }
 
+  /** The probe-selection half of IVF search surfaced on its own: one
+    * row per (query, probed cell) for `nProbe` cells ranked by
+    * query-centroid cosine (centroid_id tiebreak — the exact ranking
+    * [[ivfTopKWith]] uses). Metadata-sized: |queries| x nProbe rows
+    * from a broadcast of the nCentroids-row centroid table. */
+  def ivfProbeCells(centroids: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String,
+                    nProbe: Int): DataFrame = {
+    val queryNormed = withNormalized(queries, vecCol, "qv")
+      .select(col(idCol).as("query_id"), col("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    queryNormed.join(broadcast(centroids))
+      .withColumn("cos_c", dot(col("qv"), col("cv")))
+      .withColumn("probe_rn", row_number().over(probeW))
+      .filter(col("probe_rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+  }
+
+  /** nProbe tuning curve — the IVF twin of the dedup family's LSH
+    * band-tune report: for each candidate probe count, MEASURED
+    * recall@k against exact brute-force truth AND the measured scan
+    * cost (total probed-cell population, the rows a probe actually
+    * ranks), both exact-integer and hash-verifiable. This is the
+    * report that prices the recall/latency knob before a deployment
+    * commits to an nProbe — recall climbs with probes, scanned mass
+    * climbs linearly; the curve's knee is the config decision.
+    *
+    * Scale shape: the Lloyd fit and the per-cell stats are STAGED
+    * (built once per corpus snapshot, shared with every ANN consumer);
+    * the exact-truth table is ONE brute-force pass over the bounded
+    * query set, pinned driver-side ([[Materialize.relit]],
+    * |queries| x k rows) and shared by all configs; each config then
+    * adds one IVF search (broadcast probe join, bounded-heap rank)
+    * plus a (|queries| x nProbe)-row join against the nCentroids-row
+    * stats — the audit cost is deliberate and bounded, exactly the
+    * lsh_tune_report contract. scanned_ppm = scanned * 1e6 div
+    * (nQueries * corpusN), exact while scanned * 1e6 < 2^63 (the
+    * tfidf/pmi integer discipline). */
+  def ivfProbeTuneReport(centroids: DataFrame, cellStats: DataFrame,
+                         corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbes: Seq[Int], corpusN: Long,
+                         nQueries: Long): DataFrame = {
+    val brute = Materialize.relit(
+      bruteForceTopK(queries, corpus, idCol, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id")))
+    nProbes.map { np =>
+      val ivf = ivfTopKWith(centroids, corpus, queries, idCol, vecCol,
+          k, nProbe = np)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val rec = brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
+        .withColumn("_one", lit(1))
+      val scan = ivfProbeCells(centroids, queries, idCol, vecCol, np)
+        .join(cellStats, Seq("centroid_id"))
+        .agg(coalesce(sum(col("n_cell")), lit(0L)).as("scanned_rows"))
+        .withColumn("_one", lit(1))
+      rec.join(broadcast(scan), Seq("_one"))
+        .select(lit(s"ivf_np$np").as("method"), col("matched"),
+          col("total"),
+          expr("matched * 1000000L div total").as("recall_ppm"),
+          col("scanned_rows"),
+          expr(s"scanned_rows * 1000000L div (${nQueries}L * ${corpusN}L)")
+            .as("scanned_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Filtered ANN search — predicate + top-k ("nearest among docs
     * where lang = 'en'"), the shape real retrieval almost always
     * takes. The predicate is pushed BELOW the cell assignment (filter

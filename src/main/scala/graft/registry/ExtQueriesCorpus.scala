@@ -40,6 +40,17 @@ object ExtQueriesCorpus {
     "text_filter_ensemble" -> ((s, dir) =>
       Corpus.filterEnsemble(t(s, dir, "documents"), col("doc_id"),
         col("text"))),
+    // dedup-adjusted source mixing: per-source sampling weights
+    // recomputed over EFFECTIVE (non-redundant) token mass, using the
+    // same staged near-dup clustering as dedup_clusters — the delta
+    // vs the naive weights is the error dedup-unaware mixing bakes in
+    "curate_dedup_adjusted_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dedupAdjustedMixture(docs,
+        Dedup.connectedComponents(docs.select(col("doc_id")),
+          graft.ext.PairStage.jaccardPairs(s, dir)),
+        col("doc_id"), col("source"), col("text"))
+    }),
     // heuristic-score calibration: quality-score quintile x c4 x
     // gopher keep matrix, scored and flagged in the same fused pass
     // (carry-chained, no joins) — does the continuous score separate
@@ -647,6 +658,34 @@ object ExtQueriesCorpus {
                // (SELECT CAST(sum(n_docs) AS BIGINT) FROM cells)
                AS BIGINT) AS share_ppm
       FROM cells""",
+    // the clusters replay (recursive label walk) feeding a per-source
+    // redundancy rollup; a doc is redundant when its component label
+    // is not its own id (the keep-representative rule); weights are
+    // exact integer floor-div ppm over the report's own totals
+    "curate_dedup_adjusted_mixture" -> s"""
+      WITH RECURSIVE
+      ${clustersCtes("SELECT doc_id, text FROM documents")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      d AS (SELECT doc_id, source,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS n_tok
+            FROM documents),
+      j AS (SELECT d.source, d.n_tok,
+              (c.component <> d.doc_id) AS red
+            FROM d JOIN comp c USING (doc_id)),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(red AS BIGINT)) AS BIGINT) AS n_redundant,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN red THEN 0 ELSE n_tok END) AS BIGINT)
+                  AS eff_tokens
+              FROM j GROUP BY 1),
+      t2 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+               CAST(sum(eff_tokens) AS BIGINT) AS te FROM per)
+      SELECT source, n_docs, n_redundant, n_tokens, eff_tokens,
+             n_tokens * 1000000 // tt AS naive_weight_ppm,
+             eff_tokens * 1000000 // te AS adjusted_weight_ppm
+      FROM per CROSS JOIN t2""",
     // score-vs-rules calibration: the quality-score formula (the
     // text_quality_score oracle's arithmetic — pure IEEE, exact both
     // engines) bucketed to quintiles against the two keep

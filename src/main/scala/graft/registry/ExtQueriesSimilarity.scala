@@ -74,6 +74,21 @@ object ExtQueriesSimilarity {
       Similarity.ivfTopKWith(cents, emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
+    // nProbe tuning curve: measured recall@5 vs exact truth AND
+    // measured probed-cell scan mass per candidate probe count, off
+    // the STAGED fit/stats and ONE shared brute-force truth table —
+    // the IVF twin of dedup_lsh_tune_report
+    "ann_nprobe_tune_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val nc = Similarity.autoCentroids(n)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.ivfProbeTuneReport(
+        graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+        graft.ext.PairStage.ivfCellStats(s, dir, nc, iters = 2),
+        emb, q, "vec_id", "embedding", k = 5, nProbes = Seq(1, 2, 4),
+        corpusN = n, nQueries = q.count())
+    }),
     // IVF index health: one report row over the staged per-cell
     // stats (nCentroids rows — the same artifact the filtered search
     // sizes probeN from), never a corpus pass. The oracle replays the
@@ -478,6 +493,61 @@ object ExtQueriesSimilarity {
       SELECT vec_id, unnest(range(16)) AS rp_dim, unnest(rp) AS rp_val
       FROM r""",
     "sim_ivf_topk" -> ivfTopKSql(k = 5, nProbe = 2, iters = 2),
+    // ONE shared Lloyd replay + ONE brute truth CTE feed all three
+    // probe configs: per config, the IVF rank restricted to the
+    // top-n probed cells (qr.rn <= n) and the probed-cell mass sum
+    "ann_nprobe_tune_report" -> {
+      def cfg(n: Int) = s"""
+      ivf$n AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM (SELECT qr.query_id, ca.vec_id AS neighbor_id,
+                   ${dotSql("qr.qv", "ca.v")} AS cosine
+                FROM qr JOIN ca USING (centroid_id)
+                WHERE qr.rn <= $n AND qr.query_id <> ca.vec_id)
+          WHERE NOT isnan(cosine)) WHERE rank <= 5),
+      r$n AS (SELECT CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+                  CAST(count(*) AS BIGINT) AS total
+              FROM ivf$n i RIGHT JOIN brute b
+                ON b.query_id = i.query_id
+                AND b.neighbor_id = i.neighbor_id),
+      s$n AS (SELECT COALESCE(CAST(sum(n_cell) AS BIGINT), 0)
+                  AS scanned_rows
+              FROM qr JOIN cells USING (centroid_id)
+              WHERE qr.rn <= $n)"""
+      def row(n: Int) = s"""
+      SELECT 'ivf_np$n' AS method, matched, total,
+             matched * 1000000 // total AS recall_ppm,
+             scanned_rows,
+             scanned_rows * 1000000 // denom AS scanned_ppm
+      FROM r$n CROSS JOIN s$n CROSS JOIN consts"""
+      s"""
+      WITH ${ivfAssignCtes(2)},
+      cells AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_cell
+                FROM ca GROUP BY 1),
+      qx AS (SELECT vec_id AS query_id, v AS qv FROM nv
+             WHERE vec_id < 10),
+      qr AS (SELECT query_id, centroid_id, qv, rn FROM (
+          SELECT qx.query_id, c2.centroid_id, qx.qv,
+                 row_number() OVER (PARTITION BY qx.query_id
+                   ORDER BY ${dotSql("qx.qv", "c2.cv")} DESC,
+                            c2.centroid_id) AS rn
+          FROM qx CROSS JOIN c2)),
+      brute AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM (SELECT qx.query_id, e.vec_id AS neighbor_id,
+                   ${dotSql("qx.qv", "e.v")} AS cosine
+                FROM qx CROSS JOIN nv e WHERE qx.query_id <> e.vec_id)
+          WHERE NOT isnan(cosine)) WHERE rank <= 5),
+      consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM qx)
+                   * (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                   AS denom),
+      ${cfg(1)},${cfg(2)},${cfg(4)}
+      ${row(1)}
+      UNION ALL${row(2)}
+      UNION ALL${row(4)}"""
+    },
     // cell-population aggregates over the replayed assignment; nc_t
     // (the SQL twin of autoCentroids) supplies the trained cell count
     "ann_ivf_build_report" -> s"""

@@ -240,6 +240,31 @@ class AnnIncrementalSpec extends SparkSpec {
       s"ivfpq recall $rPq collapsed below the fixture floor (ivf $rIvf)")
   }
 
+  test("ivfProbeTuneReport: recall and scan mass are monotone; saturated probing is exact") {
+    val n = emb.count()
+    val nC = Similarity.autoCentroids(n)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nC,
+      iters = 2)
+    val stats = Similarity.ivfCellStats(cents, emb, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val rep = Similarity.ivfProbeTuneReport(cents, stats, emb, q,
+        "vec_id", "embedding", k = 5, nProbes = Seq(1, 2, nC),
+        corpusN = n, nQueries = q.count())
+      .orderBy("scanned_rows")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(_._1) === Seq("ivf_np1", "ivf_np2", s"ivf_np$nC"))
+    // more probes can only add candidates: recall and scan mass are
+    // both non-decreasing in nProbe
+    assert(rep.map(_._4) === rep.map(_._4).sorted, s"recall not monotone: $rep")
+    assert(rep.map(_._5) === rep.map(_._5).sorted,
+      s"scan mass not monotone: $rep")
+    // probing every cell IS brute force: exact recall, full corpus
+    // scanned per query
+    val sat = rep.last
+    assert(sat._4 === 1000000L, s"saturated probe must be exact: $sat")
+    assert(sat._5 === q.count() * n, s"saturated probe scans everything: $sat")
+  }
+
   test("ivfBuildReport aggregates cell stats exactly and holds its invariants") {
     // constructed stats: cells 5/3/2 of a 4-centroid index ->
     // floor-mean = 10 div 4 = 2, imbalance = 5e6 div 2 = 2.5e6,

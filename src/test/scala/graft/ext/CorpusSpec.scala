@@ -855,6 +855,30 @@ class CorpusSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  // ---- dedupAdjustedMixture ----
+
+  test("dedupAdjustedMixture discounts redundant mass exactly") {
+    // source A: docs 1,2 near-dups (component 1) + unique doc 3;
+    // source B: two unique docs. Token masses 2/2/1 and 3/1.
+    val docs = Seq(
+      (1L, "A", "w w"), (2L, "A", "w w"), (3L, "A", "x"),
+      (4L, "B", "y y y"), (5L, "B", "z")).toDF("doc_id", "source", "text")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "component")
+    val got = Corpus.dedupAdjustedMixture(docs, comp, col("doc_id"),
+        col("source"), col("text"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // A: 3 docs, 1 redundant (doc 2), 5 raw tokens, 3 effective;
+    // B: 2 docs, 0 redundant, 4 raw, 4 effective. Totals tt=9, te=7.
+    assert(got === Seq(
+      ("A", 3L, 1L, 5L, 3L, 555555L, 428571L),
+      ("B", 2L, 0L, 4L, 4L, 444444L, 571428L)))
+    // the point of the op: dedup flips the dominant source here
+    assert(got(0)._6 > got(1)._6 && got(0)._7 < got(1)._7,
+      "naive weights rank A first; adjusted weights must rank B first")
+  }
+
   // ---- unigramSurprisal ----
 
   test("unigramSurprisal computes exact integer floor-log2 bits") {

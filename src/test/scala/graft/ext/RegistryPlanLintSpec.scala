@@ -43,7 +43,10 @@ class RegistryPlanLintSpec extends SparkSpec {
     // extremes) onto a metadata-sized frame — Catalyst folds the
     // literal-key equi-join to condition-free
     "text_unigram_surprisal", "quality_calibration_report",
-    "dedup_cluster_size_report", "ann_ivf_build_report")
+    "dedup_cluster_size_report", "ann_ivf_build_report",
+    // same shape: the probe-tune rows join two 1-row aggregates
+    // (recall, scan mass); the mixture joins the 1-row totals frame
+    "ann_nprobe_tune_report", "curate_dedup_adjusted_mixture")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -493,18 +493,22 @@ object ExtQueriesSimilarity {
       SELECT vec_id, unnest(range(16)) AS rp_dim, unnest(rp) AS rp_val
       FROM r""",
     "sim_ivf_topk" -> ivfTopKSql(k = 5, nProbe = 2, iters = 2),
-    // ONE shared Lloyd replay + ONE brute truth CTE feed all three
-    // probe configs: per config, the IVF rank restricted to the
-    // top-n probed cells (qr.rn <= n) and the probed-cell mass sum
+    // ONE shared Lloyd replay feeds all three probe configs. The
+    // shared frames are pinned AS MATERIALIZED (the BPE-oracle
+    // idiom): without the hint DuckDB INLINES each multi-referenced
+    // CTE into every consumer, so the fit chain replayed 4x and the
+    // sf1 gate hit the engine's memory ceiling; materialized, the
+    // replay runs once (cam), the probe ranking once (qrm), the brute
+    // truth once, and each config branch is a metadata-sized epilogue.
     "ann_nprobe_tune_report" -> {
       def cfg(n: Int) = s"""
       ivf$n AS (SELECT query_id, neighbor_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS rank
-          FROM (SELECT qr.query_id, ca.vec_id AS neighbor_id,
-                   ${dotSql("qr.qv", "ca.v")} AS cosine
-                FROM qr JOIN ca USING (centroid_id)
-                WHERE qr.rn <= $n AND qr.query_id <> ca.vec_id)
+          FROM (SELECT qrm.query_id, cam.vec_id AS neighbor_id,
+                   ${dotSql("qrm.qv", "cam.v")} AS cosine
+                FROM qrm JOIN cam USING (centroid_id)
+                WHERE qrm.rn <= $n AND qrm.query_id <> cam.vec_id)
           WHERE NOT isnan(cosine)) WHERE rank <= 5),
       r$n AS (SELECT CAST(count(i.neighbor_id) AS BIGINT) AS matched,
                   CAST(count(*) AS BIGINT) AS total
@@ -513,8 +517,8 @@ object ExtQueriesSimilarity {
                 AND b.neighbor_id = i.neighbor_id),
       s$n AS (SELECT COALESCE(CAST(sum(n_cell) AS BIGINT), 0)
                   AS scanned_rows
-              FROM qr JOIN cells USING (centroid_id)
-              WHERE qr.rn <= $n)"""
+              FROM qrm JOIN cells USING (centroid_id)
+              WHERE qrm.rn <= $n)"""
       def row(n: Int) = s"""
       SELECT 'ivf_np$n' AS method, matched, total,
              matched * 1000000 // total AS recall_ppm,
@@ -523,24 +527,27 @@ object ExtQueriesSimilarity {
       FROM r$n CROSS JOIN s$n CROSS JOIN consts"""
       s"""
       WITH ${ivfAssignCtes(2)},
-      cells AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_cell
-                FROM ca GROUP BY 1),
-      qx AS (SELECT vec_id AS query_id, v AS qv FROM nv
+      cam AS MATERIALIZED (SELECT vec_id, centroid_id, v FROM ca),
+      cells AS MATERIALIZED (SELECT centroid_id,
+                CAST(count(*) AS BIGINT) AS n_cell
+              FROM cam GROUP BY 1),
+      qx AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM nv
              WHERE vec_id < 10),
-      qr AS (SELECT query_id, centroid_id, qv, rn FROM (
+      qrm AS MATERIALIZED (SELECT query_id, centroid_id, qv, rn FROM (
           SELECT qx.query_id, c2.centroid_id, qx.qv,
                  row_number() OVER (PARTITION BY qx.query_id
                    ORDER BY ${dotSql("qx.qv", "c2.cv")} DESC,
                             c2.centroid_id) AS rn
           FROM qx CROSS JOIN c2)),
-      brute AS (SELECT query_id, neighbor_id FROM (
+      brute AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS rank
           FROM (SELECT qx.query_id, e.vec_id AS neighbor_id,
                    ${dotSql("qx.qv", "e.v")} AS cosine
                 FROM qx CROSS JOIN nv e WHERE qx.query_id <> e.vec_id)
           WHERE NOT isnan(cosine)) WHERE rank <= 5),
-      consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM qx)
+      consts AS MATERIALIZED (SELECT
+                   (SELECT CAST(count(*) AS BIGINT) FROM qx)
                    * (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
                    AS denom),
       ${cfg(1)},${cfg(2)},${cfg(4)}

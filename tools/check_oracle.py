@@ -33,6 +33,11 @@ def main():
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     results = {}
     con = duckdb.connect()
+    # an in-memory DuckDB has no temp directory, so a big oracle
+    # (e.g. the ANN replays at the sf1 gate) ABORTS at the memory
+    # limit instead of spilling; give it a spill dir so heavy
+    # replays degrade to disk instead of killing the whole gate
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written table (e.g. the derived sf1 corpus)

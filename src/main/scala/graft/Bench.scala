@@ -243,6 +243,26 @@ object Bench {
       }.toMap
     } catch { case NonFatal(_) => Map.empty }
 
+  /** Per-query MEDIANS from a previous artifact (the "queries" field)
+    * — the regression statistic at reps < 3, where a "min" is just
+    * the better of two samples (r13's sf1 run flagged 42 rows on
+    * identical code whose medians summed to 0.992x the prior
+    * artifact). Same schema guard and failure tolerance as
+    * [[priorMins]]. */
+  def priorMedians(path: String): Map[String, Double] =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val schema = Option(root.get("schema")).map(_.asInt(0))
+      if (schema.exists(_ > ArtifactSchema)) return Map.empty
+      if (root.get("queries") == null || !root.get("queries").isObject)
+        Map.empty
+      else scala.jdk.CollectionConverters
+        .IteratorHasAsScala(root.get("queries").fields()).asScala
+        .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+    } catch { case NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -588,9 +608,21 @@ object Bench {
     // below); threshold configurable, compare skipped if no prior file
     val regressThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_REGRESS",
       "1.3").toDouble
-    val regress = regressions(priorMins(outFile), qmin, regressThreshold)
+    // statistic choice: at reps >= 3 the min is a meaningful floor; at
+    // reps < 3 it is the better of two samples and flags noise (the
+    // r13 sf1 lesson, SCALE.md) — compare medians there instead
+    val useMin = reps >= 3
+    val regressStat = if (useMin) "min" else "median"
+    val curMed = names.flatMap { name =>
+      val ts = times(name)
+      if (errors.contains(name) || ts.isEmpty) None
+      else Some(name -> { val s = ts.sorted; s(s.size / 2) })
+    }.toMap
+    val regress =
+      if (useMin) regressions(priorMins(outFile), qmin, regressThreshold)
+      else regressions(priorMedians(outFile), curMed, regressThreshold)
     if (regress.nonEmpty) {
-      System.err.println(s"BENCH: ${regress.size} min-statistic " +
+      System.err.println(s"BENCH: ${regress.size} $regressStat-statistic " +
         s"regression(s) > ${regressThreshold}x vs previous artifact:")
       regress.foreach { case (k, r) =>
         System.err.println(f"  $k: ${r}%.2fx") }
@@ -724,6 +756,7 @@ object Bench {
         s""""max_load":$maxLoad,"load_waits":$loadWaits,""" +
         s""""reruns":$rerunsUsed,"qmin":$qminJson,""" +
         s""""regress_threshold":$regressThreshold,""" +
+        s""""regress_stat":"$regressStat",""" +
         s""""regressions":$regressJson,""" +
         s""""curation_stages":$curJson,"spread":$spread,"errors":$errFull}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

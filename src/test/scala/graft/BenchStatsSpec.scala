@@ -66,6 +66,25 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.priorMins(future) === Map.empty)
   }
 
+  test("priorMedians reads the queries field under the same schema guard") {
+    val dir = Files.createTempDirectory("graft_bench_spec_med")
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+      p.toString
+    }
+    // medians come from "queries", never from qmin
+    val both = write("a.json",
+      """{"queries":{"q1":2.0,"q2":0.9},"qmin":{"q1":1.5}}""")
+    assert(Bench.priorMedians(both) === Map("q1" -> 2.0, "q2" -> 0.9))
+    assert(Bench.priorMedians(write("b.json", "not json {")) === Map.empty)
+    assert(Bench.priorMedians(dir.resolve("missing.json").toString)
+      === Map.empty)
+    val future = write("c.json",
+      s"""{"schema":${Bench.ArtifactSchema + 1},"queries":{"q1":2.0}}""")
+    assert(Bench.priorMedians(future) === Map.empty)
+  }
+
   test("foreign-cpu ambient signal is blind to this JVM's own burn") {
     val a = Bench.cpuSnap()
     assume(a.busy >= 0 && a.self >= 0, "/proc not readable on this platform")

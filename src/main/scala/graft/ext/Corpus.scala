@@ -54,6 +54,20 @@ object Corpus {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The Column-algebra twin of the native strided chopper
+    * ([[graft.functions.WordChunksStrided]]) — kept for the spec-side
+    * equivalence proof, like [[chunkedHof]]. */
+  private[ext] def chunkedOverlapHof(text: Column, n: Int,
+                                     stride: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val nChunks = when(size(toks) <= n, lit(1))
+      .otherwise(lit(1) +
+        floor((size(toks) - lit(n) + lit(stride - 1)) / lit(stride))
+          .cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + lit(1), lit(n))))
+  }
+
   /** Repeated-segment dedup ("paragraph" dedup for corpora whose unit
     * of repetition is a span, not a document): chop each document into
     * non-overlapping `segWords`-word chunks, drop every chunk whose
@@ -700,6 +714,135 @@ object Corpus {
       .groupBy(col("term")).agg(count(lit(1)).as("occ"))
       .groupBy(length(bin(col("occ"))).cast("long").as("df_bucket"))
       .agg(count(lit(1)).as("n_terms"), sum(col("occ")).as("n_occurrences"))
+
+  /** Vocabulary coverage / OOV curve — the vocab-size decision input:
+    * for each candidate vocabulary size k, the share of total corpus
+    * token MASS the top-k most frequent types cover, and its
+    * complement (the out-of-vocabulary rate a k-type tokenizer pays).
+    * Exact even when k cuts inside a frequency tie: the walk runs on
+    * the FREQUENCY-LEVEL histogram (occ -> how many types, how much
+    * mass), and a partially-taken level contributes
+    * `(k - types_above) * occ` — every type at one level carries
+    * identical mass, so no per-type tie-break is needed at all.
+    *
+    * Scale shape: one corpus explode -> vocabulary hash-agg (map-side
+    * combine — the 1000x reduction), a second agg to the frequency-
+    * level histogram (|distinct occ values| rows, far below |V|), one
+    * cumulative window over that tiny frame, and a |sizes|-row
+    * output. Nothing after the first agg ever touches the token
+    * stream, and no per-type global sort exists anywhere. */
+  def vocabCoverageReport(df: DataFrame, text: Column,
+                          sizes: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
+    val counts = df.select(explode(TextOps.tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("occ"))
+    // frequency-level histogram: how many types occur exactly `occ`
+    // times, and the token mass that level carries
+    val levels = counts.groupBy(col("occ"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("occ") * col("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("occ").desc)
+    // cum window over the level histogram only (tiny — see Scaladoc)
+    val cum = levels
+      .withColumn("cum_types", sum(col("n_types")).over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+    val sizesDf = {
+      val s = df.sparkSession
+      import s.implicits._
+      sizes.map(_.toLong).toDF("vocab_size")
+    }
+    // a level contributes min(n_types, max(0, k - types_above)) of its
+    // types (types_above = cum_types - n_types); the sizes frame rides
+    // the _one constant-key broadcast equi-join (a BroadcastHashJoin —
+    // an inequality condition here would plan BNLJ) and levels below
+    // the cut zero out via greatest(0, ...)
+    val cover = cum.withColumn("_one", lit(1))
+      .join(broadcast(sizesDf.withColumn("_one", lit(1))), Seq("_one"))
+      .withColumn("take", least(col("n_types"), greatest(lit(0L),
+        col("vocab_size") - (col("cum_types") - col("n_types")))))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("take")).as("n_types_used"),
+        sum(col("occ") * col("take")).as("covered_occ"))
+    val total = counts.agg(sum(col("occ")).as("_total"))
+      .withColumn("_one", lit(1))
+    cover.withColumn("_one", lit(1)).join(broadcast(total), Seq("_one"))
+      .select(col("vocab_size"), col("n_types_used"), col("covered_occ"),
+        col("_total").as("total_occ"),
+        expr("covered_occ * 1000000 div _total").as("coverage_ppm"),
+        expr("1000000 - covered_occ * 1000000 div _total").as("oov_ppm"))
+  }
+
+  /** Overlapping context-window chunking — the RAG sibling of
+    * [[chunkDocuments]]: windows of `chunkTokens` tokens advancing by
+    * `stride` (< chunkTokens), so a fact straddling a non-overlap
+    * boundary still lands whole in at least one chunk. Provenance is
+    * (doc_id, chunk_idx) with the token offset each chunk starts at.
+    * Pure narrow explode through the native codegen'd
+    * [[graft.functions.WordChunksStrided]] chopper (the HOF
+    * transform/slice chain is CodegenFallback — the same reason
+    * [[chunked]] uses the native [[graft.functions.WordChunks]]);
+    * bounded fan-out ~n_tokens/stride per doc, no shuffle. */
+  def chunkDocumentsOverlap(df: DataFrame, id: Column, text: Column,
+                            chunkTokens: Int = 64,
+                            stride: Int = 48): DataFrame = {
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride $stride must be in [1, $chunkTokens]")
+    df.select(id.cast("long").as("doc_id"), posexplode(
+        graft.functions.VectorFunctions.wordChunksStrided(
+          text, chunkTokens, stride)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos").cast("long") * stride).as("start_token"),
+        size(TextOps.tokens(col("col"))).cast("long").as("n_tokens"),
+        md5(col("col")).as("chunk_md5"))
+  }
+
+  /** CCNet-style surprisal terciles — bucket every document into
+    * head / middle / tail of its SOURCE's unigram-surprisal
+    * distribution (Wenzek et al. 2020: the head is the most
+    * LM-familiar third, the usual keep; the tail is the least). The
+    * per-doc signal is [[unigramSurprisal]]'s integer mean_bits_ppm;
+    * tercile bounds are nearest-rank values (rank ceil(n/3) and
+    * ceil(2n/3)) walked over a per-source (mean_bits_ppm, count)
+    * HISTOGRAM — the [[quality_winsorize_per_source]] discipline, so
+    * the doc stream never sorts and a hot source cannot skew the
+    * walk. Output per (source, bucket): docs, token mass, and the
+    * within-source doc share in exact integer ppm.
+    *
+    * Scale shape: one corpus explode (shared — the surprisal frame is
+    * materialized once inside [[unigramSurprisal]]), a vocabulary-
+    * sized join, one doc-keyed agg, then everything downstream is
+    * histogram-sized: per-source cum windows, a broadcast bounds
+    * join back onto the doc frame, and a |sources|x3 output. */
+  def surprisalBuckets(docs: DataFrame, id: Column, src: Column,
+                       text: Column): DataFrame = {
+    val sur = unigramSurprisal(docs, id, text)
+      .join(docs.select(id.as("doc_id"), src.as("source")), Seq("doc_id"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val hist = sur.groupBy(col("source"), col("mean_bits_ppm"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        bySrc.orderBy(col("mean_bits_ppm"))))
+      .withColumn("n", sum(col("c")).over(bySrc))
+    val bounds = cum
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") >= expr("(n + 2) div 3"),
+          col("mean_bits_ppm"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("mean_bits_ppm"))).as("t2"))
+    val bucketed = sur.join(broadcast(bounds), Seq("source"))
+      .withColumn("bucket",
+        when(col("mean_bits_ppm") <= col("t1"), lit("head"))
+          .when(col("mean_bits_ppm") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+    val per = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    per.withColumn("src_total",
+        sum(col("n_docs")).over(bySrc))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000 div src_total").as("docs_share_ppm"))
+  }
 
   /** Corpus-wide top word-bigram counts — the vocabulary-induction /
     * BPE-seeding primitive. Ties broken by bigram text so the global

@@ -633,6 +633,36 @@ object Dedup {
         expr("n_docs * 1000000 div _total").as("docs_share_ppm"))
   }
 
+  /** Source-priority representative per near-dup cluster: where
+    * [[connectedComponents]]' min-label representative ignores where
+    * a doc came from, this keeps each cluster's doc from the
+    * most-trusted source (lowest `priority` rank; `doc_id` breaks
+    * ties within a source) — the production knob that prefers a
+    * curated source over a crawl when both carry the same content.
+    *
+    * Scale shape: one id-keyed join of the labeling with the (id,
+    * source) projection, a broadcast of the |sources|-row priority
+    * dim, then a component-keyed hash-agg whose argmin is `min` over
+    * a (priority, doc_id, source) struct — lexicographic struct
+    * ordering, so no per-cluster window sort exists and partial
+    * aggregation combines map-side.
+    *
+    * @param components (doc_id, component) labeling
+    * @param docSources (doc_id, source)
+    * @param priorities (source, priority) — tiny, broadcast
+    */
+  def keepByPriority(components: DataFrame, docSources: DataFrame,
+                     priorities: DataFrame): DataFrame =
+    components.join(docSources, Seq("doc_id"))
+      .join(broadcast(priorities), Seq("source"))
+      .groupBy(col("component"))
+      .agg(min(struct(col("priority"), col("doc_id"), col("source")))
+          .as("k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component"), col("k.doc_id").as("keeper_id"),
+        col("k.source").as("keeper_source"),
+        col("k.priority").as("keeper_priority"), col("cluster_size"))
+
   /** Cross-corpus contamination detection: training documents that
     * share at least one word n-gram with a held-out/benchmark set —
     * the decontamination pass every training pipeline needs before a

@@ -165,4 +165,41 @@ object Graph {
       } finally oriented.unpersist()
     } finally und.unpersist()
   }
+
+  /** Degree distribution of the similarity graph — the hub-pathology
+    * check that precedes any pair-graph analytics: a power-of-two
+    * degree histogram (bucket = floor(log2(deg))+1 via the
+    * engine-portable `length(bin(deg))`, bucket 0 = isolated nodes)
+    * with each bucket's doc count, total edge-endpoint mass, and the
+    * exact-ppm doc share. A web-scale near-dup graph reliably grows
+    * boilerplate hubs; their bucket tells whether the df-cap is doing
+    * its job BEFORE pagerank/components pay the skew (the cluster-size
+    * histogram sees the damage only after transitive closure).
+    *
+    * Scale shape: one endpoint union + node-keyed hash-agg (map-side
+    * combine) over the pair table, a left join back to the node frame
+    * to keep isolated nodes, a <=64-row bucket rollup, 1-row total
+    * broadcast. Never an adjacency materialization.
+    *
+    * @param nodes one `doc_id` column, distinct
+    * @param pairs `doc_a` < `doc_b`, one row per undirected edge
+    */
+  def degreeReport(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val all = nodes.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+    val buckets = all
+      .groupBy(when(col("deg") === 0L, lit(0L))
+        .otherwise(length(bin(col("deg"))).cast("long"))
+        .as("degree_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("deg")).as("total_degree"))
+    val total = buckets.agg(sum(col("n_docs")).as("_total"))
+      .withColumn("_one", lit(1))
+    buckets.withColumn("_one", lit(1)).join(broadcast(total), Seq("_one"))
+      .select(col("degree_bucket"), col("n_docs"), col("total_degree"),
+        expr("n_docs * 1000000 div _total").as("docs_share_ppm"))
+  }
 }

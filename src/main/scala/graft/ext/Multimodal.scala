@@ -84,6 +84,26 @@ object Multimodal {
       out
     }
 
+    /** [[encode]] with a `#` comment line injected into the header —
+      * a DIFFERENT byte stream carrying the IDENTICAL raster (the
+      * re-encoded-copy shape: same image, new uploader metadata).
+      * The comment must not contain a newline (it would terminate
+      * early and leave garbage tokens in the header). */
+    def encodeWithComment(seed: Long, w: Int, h: Int,
+                          comment: String): Array[Byte] = {
+      require(!comment.contains('\n'), "header comment cannot span lines")
+      val header = s"P6\n# $comment\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val canonical = encode(seed, w, h)
+      val canonicalHeader = s"P6\n$w $h\n255\n".length
+      val out = new Array[Byte](header.length +
+        canonical.length - canonicalHeader)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(canonical, canonicalHeader, out, header.length,
+        canonical.length - canonicalHeader)
+      out
+    }
+
     /** A decoded image: dimensions from the parsed header, raster as
       * raw interleaved RGB bytes (exactly `width*height*3`). */
     case class Image(width: Int, height: Int, maxVal: Int,
@@ -220,29 +240,88 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        val img = Ppm.decode(r.payload)
-        val w = img.width; val h = img.height
-        def luma(gx: Int, gy: Int): Long = {
-          val sx = gx * w / 8; val sy = gy * h / 8
-          val base = (sy * w + sx) * 3
-          299L * (img.raster(base) & 0xff) +
-            587L * (img.raster(base + 1) & 0xff) +
-            114L * (img.raster(base + 2) & 0xff)
-        }
-        var hash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 7) {
-            if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 7 + x)
-            x += 1
-          }
-          y += 1
-        }
-        MediaHash(r.media_id, hash)
+      it.map(r => MediaHash(r.media_id, dhashOf(Ppm.decode(r.payload))))
+    }
+  }
+
+  /** The 56-bit dHash of one decoded image — shared by [[dhash]] and
+    * [[phashDedupReport]] so the fingerprint cannot drift between the
+    * per-image and the dedup surface. */
+  private def dhashOf(img: Ppm.Image): Long = {
+    val w = img.width; val h = img.height
+    def luma(gx: Int, gy: Int): Long = {
+      val sx = gx * w / 8; val sy = gy * h / 8
+      val base = (sy * w + sx) * 3
+      299L * (img.raster(base) & 0xff) +
+        587L * (img.raster(base + 1) & 0xff) +
+        114L * (img.raster(base + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Duplicate-upload fixture: the same image re-hosted under many
+    * doc_ids — seed = doc_id mod `copies`, so every seed's raster
+    * recurs ~n/copies times — with every ODD doc_id re-encoded
+    * through a distinct header comment ([[Ppm.encodeWithComment]]).
+    * The result is the corpus byte-level dedup MISSES: md5(payload)
+    * differs on every odd copy while the decoded content is
+    * identical. Generation is per-partition like
+    * [[mediaFromDocuments]]. */
+  def mediaDupFromDocuments(docs: DataFrame,
+                            copies: Int = 97): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = java.lang.Math.floorMod(id, copies.toLong)
+        val (w, h) = fixtureDims(seed)
+        val payload =
+          if (java.lang.Math.floorMod(id, 2L) == 1L)
+            Ppm.encodeWithComment(seed, w, h, s"upload $id")
+          else Ppm.encode(seed, w, h)
+        MediaRecord(id, "image", payload, w, h, "image/ppm")
       }
     }
+  }
+
+  /** Content-level image dedup: group by the perceptual hash of the
+    * DECODED raster, not the payload bytes — the operator that
+    * catches re-encoded copies (same pixels, different header/
+    * container bytes) byte-level md5 dedup structurally misses.
+    * `n_distinct_payloads > 1` inside a group is exactly that catch,
+    * made visible: each group reports its copy count, how many
+    * distinct byte streams carried the content, and the min-id
+    * keeper. One decode pass emitting (id, dhash, payload-md5) —
+    * 8 bytes + a digest per image cross the shuffle, never payloads —
+    * then a hash-keyed agg with map-side combine. At 100 TB the agg
+    * keys are ~distinct-images, the same scale story as text exact
+    * dedup ([[graft.ext.Dedup]]). */
+  def phashDedupReport(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val keys = media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val h = dhashOf(Ppm.decode(r.payload))
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        (r.media_id, h, hex)
+      }
+    }.toDF("media_id", "phash", "payload_md5")
+    keys.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("payload_md5")).as("n_distinct_payloads"),
+        min(col("media_id")).as("keeper_id"))
   }
 
   /** Gate: every payload's parsed header must agree with the record's

@@ -327,6 +327,41 @@ object TextHashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** OVERLAPPING word chunks: windows of `n` tokens advancing by
+    * `stride` (< n leaves an n-stride token overlap between
+    * neighbors — the RAG-chunking shape where a fact straddling a
+    * boundary must land whole in at least one chunk). Chunk k covers
+    * tokens [k*stride, k*stride+n); the last window starts at the
+    * first offset whose window reaches the end, so every token is
+    * covered and no window starts past the text. `stride == n`
+    * degrades to [[wordChunks]]. Same tokenization contract. */
+  def wordChunksStrided(s: org.apache.spark.unsafe.types.UTF8String,
+                        n: Int, stride: Int): ArrayData = {
+    val str = s.toString
+    var st = 0; var en = str.length
+    while (st < en && str.charAt(st) == ' ') st += 1
+    while (en > st && str.charAt(en - 1) == ' ') en -= 1
+    val toks = str.substring(st, en).split("\\s+", -1)
+    val nChunks =
+      if (toks.length <= n) 1 else 1 + (toks.length - n + stride - 1) / stride
+    val out = new Array[AnyRef](nChunks)
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    while (k < nChunks) {
+      sb.setLength(0)
+      var j = k * stride
+      val lim = math.min(j + n, toks.length)
+      while (j < lim) {
+        if (j > k * stride) sb.append(' ')
+        sb.append(toks(j)); j += 1
+      }
+      out(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(sb.toString)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def shingleHex60(s: org.apache.spark.unsafe.types.UTF8String,
                    n: Int): ArrayData = {
     val str = s.toString
@@ -416,6 +451,26 @@ case class WordChunks(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Overlapping (strided) word chunks as a native codegen'd
+  * expression — see [[TextHashUtil.wordChunksStrided]]. */
+case class WordChunksStrided(child: Expression, n: Int, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.wordChunksStrided(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.wordChunksStrided($str, $n, $stride);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ShingleHex60(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -466,4 +521,8 @@ object VectorFunctions {
   def wordChunks(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordChunks(
       GraftColumnBridge.expression(text), n))
+  /** Column wrapper for [[WordChunksStrided]]. */
+  def wordChunksStrided(text: Column, n: Int, stride: Int): Column =
+    GraftColumnBridge.column(WordChunksStrided(
+      GraftColumnBridge.expression(text), n, stride))
 }

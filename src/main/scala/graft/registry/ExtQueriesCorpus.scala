@@ -113,6 +113,21 @@ object ExtQueriesCorpus {
     // Zipf audit: term-count histogram in power-of-two bins
     "vocab_freq_histogram" -> ((s, dir) =>
       Corpus.freqHistogram(t(s, dir, "documents"), col("text"))),
+    // vocab-size decision curve: token-mass coverage / OOV rate of the
+    // top-k type vocabulary at k in {16, 64, 256} — exact across
+    // frequency ties via the level-histogram walk (no per-type sort)
+    "vocab_coverage_report" -> ((s, dir) =>
+      Corpus.vocabCoverageReport(t(s, dir, "documents"), col("text"))),
+    // RAG chunking: 64-token windows advancing by 48 (16-token
+    // overlap), provenance + start offset per chunk
+    "chunk_documents_overlap" -> ((s, dir) =>
+      Corpus.chunkDocumentsOverlap(t(s, dir, "documents"), col("doc_id"),
+        col("text"), chunkTokens = 64, stride = 48)),
+    // CCNet-style curation: head/middle/tail surprisal terciles per
+    // source (nearest-rank bounds over per-source histograms)
+    "corpus_surprisal_buckets" -> ((s, dir) =>
+      Corpus.surprisalBuckets(t(s, dir, "documents"), col("doc_id"),
+        col("source"), col("text"))),
     // no-model perplexity proxy: fraction of a doc's bigrams seen
     // >= 5 times corpus-wide (integer ppm, hash-joined on hex60)
     "text_bigram_familiarity" -> ((s, dir) =>
@@ -581,6 +596,101 @@ object ExtQueriesCorpus {
           AS n_tokens,
         md5(seg) AS chunk_md5
       FROM seg""",
+    // same frequency-level histogram walk: a level contributes
+    // min(n_types, max(0, k - types_above)) of its types — exact
+    // across ties, integer floor-div ppm
+    "vocab_coverage_report" -> """
+      WITH tf AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+          AS term FROM documents),
+      c AS (SELECT term, CAST(count(*) AS BIGINT) AS occ
+            FROM tf GROUP BY 1),
+      lvl AS (SELECT occ, CAST(count(*) AS BIGINT) AS n_types
+              FROM c GROUP BY 1),
+      cum AS (SELECT occ, n_types,
+          CAST(sum(n_types) OVER (ORDER BY occ DESC) AS BIGINT)
+            AS cum_types
+        FROM lvl),
+      sz AS (SELECT unnest([16, 64, 256]) AS vocab_size),
+      cover AS (SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+          CAST(sum(least(n_types, greatest(0,
+            vocab_size - (cum_types - n_types)))) AS BIGINT)
+            AS n_types_used,
+          CAST(sum(occ * least(n_types, greatest(0,
+            vocab_size - (cum_types - n_types)))) AS BIGINT)
+            AS covered_occ
+        FROM sz CROSS JOIN cum GROUP BY 1),
+      tot AS (SELECT CAST(sum(occ) AS BIGINT) AS total_occ FROM c)
+      SELECT vocab_size, n_types_used, covered_occ, total_occ,
+             covered_occ * 1000000 // total_occ AS coverage_ppm,
+             1000000 - covered_occ * 1000000 // total_occ AS oov_ppm
+      FROM cover, tot""",
+    // strided variant of the chunk_documents replay: window k covers
+    // toks[k*48+1 : k*48+64]; chunk count 1 + ceil(max(0, n-64)/48)
+    "chunk_documents_overlap" -> """
+      WITH tok AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks,
+          1 + (greatest(0, len(toks) - 64) + 47) // 48 AS n_chunks
+        FROM tok),
+      seg AS (SELECT doc_id,
+          unnest(range(n_chunks)) AS chunk_idx,
+          unnest(list_transform(range(n_chunks),
+            i -> array_to_string(toks[i*48+1 : i*48+64], ' '))) AS seg
+        FROM n)
+      SELECT doc_id, chunk_idx, CAST(chunk_idx * 48 AS BIGINT)
+          AS start_token,
+        CAST(len(regexp_split_to_array(trim(seg), '\s+')) AS BIGINT)
+          AS n_tokens,
+        md5(seg) AS chunk_md5
+      FROM seg""",
+    // the surprisal oracle's per-doc frame joined to source, then the
+    // winsorize-style nearest-rank tercile walk over per-source
+    // (mean_bits_ppm, count) histograms; shares integer floor-div
+    "corpus_surprisal_buckets" -> """
+      WITH tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS term FROM documents),
+      v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1),
+      tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+      bb AS (SELECT term, CAST(length(bin(n_total // cnt)) AS BIGINT)
+               AS bits
+             FROM v CROSS JOIN tt),
+      sur AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(bits) AS BIGINT) * 1000000
+                  // CAST(count(*) AS BIGINT) AS mean_bits_ppm
+              FROM tok JOIN bb USING (term) GROUP BY doc_id),
+      s AS (SELECT sur.doc_id, d.source, sur.n_tokens, sur.mean_bits_ppm
+            FROM sur JOIN documents d USING (doc_id)),
+      hist AS (SELECT source, mean_bits_ppm,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM s GROUP BY 1, 2),
+      cum AS (SELECT source, mean_bits_ppm,
+          CAST(sum(c) OVER (PARTITION BY source ORDER BY mean_bits_ppm)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM hist),
+      bd AS (SELECT source,
+          min(CASE WHEN cum >= (n + 2) // 3
+              THEN mean_bits_ppm END) AS t1,
+          min(CASE WHEN cum >= (2 * n + 2) // 3
+              THEN mean_bits_ppm END) AS t2
+        FROM cum GROUP BY 1),
+      bk AS (SELECT s.source,
+               CASE WHEN s.mean_bits_ppm <= bd.t1 THEN 'head'
+                    WHEN s.mean_bits_ppm <= bd.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               s.n_tokens
+             FROM s JOIN bd USING (source)),
+      per AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              FROM bk GROUP BY 1, 2)
+      SELECT source, bucket, n_docs, n_tokens,
+             n_docs * 1000000 //
+               CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+               AS docs_share_ppm
+      FROM per""",
     // bin = number of binary digits of the term count (floor(log2)+1):
     // Spark length(bin(x)) == DuckDB length(bin(x)) for x >= 1
     "vocab_freq_histogram" -> """

@@ -221,6 +221,35 @@ object ExtQueriesDedup {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       Graph.triangleStats(pairs)
     }),
+    // degree histogram of the near-dup graph over ALL docs (bucket 0 =
+    // isolated): the hub-pathology check that tells whether the df-cap
+    // is working BEFORE components/pagerank pay the skew
+    "graph_degree_report" -> ((s, dir) =>
+      Graph.degreeReport(
+        t(s, dir, "documents").select(col("doc_id")),
+        graft.ext.PairStage.lshPairs(s, dir))),
+    // source-priority representative selection: within each near-dup
+    // cluster keep the doc from the most-trusted source (priority from
+    // a broadcast rank dim over the distinct sources — standing in for
+    // the curated source-priority table every production dedup has;
+    // doc_id breaks ties inside a source). The min-label
+    // representative (dedup_keep_representative) ignores WHERE a doc
+    // came from; this is the knob that prefers wiki over CC when both
+    // carry the same content.
+    "dedup_keep_priority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ext.PairStage.jaccardPairs(s, dir)
+      val comp = Dedup.connectedComponents(
+        docs.select(col("doc_id")), pairs)
+      // priority dim: |sources| rows, ranked lexicographically — the
+      // window sorts the distinct-source frame only, never docs
+      val prio = docs.select(col("source")).distinct()
+        .withColumn("priority", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+          .cast("long"))
+      Dedup.keepByPriority(comp,
+        docs.select(col("doc_id"), col("source")), prio)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -486,6 +515,50 @@ object ExtQueriesDedup {
               GROUP BY e.dst)
       SELECT id AS doc_id, rank_fp AS rank_ppb FROM it3""",
 
+    // same LSH pair graph; endpoint-union degree, left join keeps
+    // isolated docs at degree 0 (bucket 0), length(bin(deg)) buckets,
+    // histogram-internal ppm denominator — integer floor-div both sides
+    "graph_degree_report" -> s"""
+      WITH lp AS (SELECT doc_a, doc_b FROM (${minhashPairsSql()}) x),
+      deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT doc_a AS doc_id FROM lp
+                    UNION ALL SELECT doc_b FROM lp)
+              GROUP BY 1),
+      alln AS (SELECT d.doc_id, coalesce(g.deg, 0) AS deg
+               FROM documents d LEFT JOIN deg g USING (doc_id)),
+      b AS (SELECT CASE WHEN deg = 0 THEN 0
+                        ELSE CAST(length(bin(deg)) AS BIGINT)
+                   END AS degree_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(deg) AS BIGINT) AS total_degree
+            FROM alln GROUP BY 1)
+      SELECT degree_bucket, n_docs, total_degree,
+             n_docs * 1000000
+               // (SELECT CAST(sum(n_docs) AS BIGINT) FROM b)
+               AS docs_share_ppm
+      FROM b""",
+    // clusters CTE + source labels + the lexicographic-rank priority
+    // dim; per-component argmin replayed as a (priority, doc_id)
+    // window rank over the labeled cluster rows
+    "dedup_keep_priority" -> s"""
+      WITH comp AS ($DedupClustersSql),
+      prio AS (SELECT source,
+                 CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+                   AS priority
+               FROM (SELECT DISTINCT source FROM documents)),
+      lab AS (SELECT c.component, c.doc_id, d.source, p.priority
+              FROM comp c
+              JOIN documents d USING (doc_id)
+              JOIN prio p ON p.source = d.source),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY component
+                ORDER BY priority, doc_id) AS rn,
+              CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                AS cluster_size
+            FROM lab)
+      SELECT component, doc_id AS keeper_id, source AS keeper_source,
+             priority AS keeper_priority, cluster_size
+      FROM r WHERE rn = 1""",
     // degree-ordered triangle census: orient every edge from its
     // (degree, id)-smaller endpoint, wedge on shared src, probe the
     // closing edge (oriented b->c by construction) — integer counts

@@ -386,6 +386,15 @@ object ExtQueriesSimilarity {
     "mm_image_phash" -> ((s, dir) =>
       Multimodal.dhash(
         Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+    // content-level image dedup over a duplicate-upload fixture
+    // (seed = doc_id % 97; odd ids re-encoded with a header comment):
+    // groups by the dHash of the DECODED raster, so re-encoded copies
+    // — distinct payload bytes, identical pixels — collapse where
+    // md5(payload) dedup misses them; n_distinct_payloads is that
+    // catch made visible per group
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashDedupReport(
+        Multimodal.mediaDupFromDocuments(t(s, dir, "documents")))),
     // resize-then-decode: proves the nearest-neighbor downscale emits
     // valid P6 whose pixels are exactly the stride-sampled source
     // pixels (the oracle replays the generator formula at 2x stride)
@@ -867,6 +876,34 @@ object ExtQueriesSimilarity {
                       ELSE 0 END)))) AS BIGINT) AS phash
       FROM dims""",
 
+    // dedup replay: the dHash depends only on the raster, so it is
+    // computed once per distinct SEED from the generator closed form
+    // (the mm_image_phash expression with media_id := seed); payload
+    // identity replays as a surrogate key — every odd doc_id's header
+    // comment makes its byte stream unique, every even copy of a seed
+    // shares the canonical encoding
+    "mm_phash_dedup" -> s"""
+      WITH m AS (SELECT doc_id, doc_id % 97 AS seed FROM documents),
+      seeds AS (SELECT DISTINCT seed AS media_id,
+              CAST(4 + seed % 13 AS BIGINT) AS width,
+              CAST(3 + seed % 7 AS BIGINT) AS height
+            FROM m),
+      ph AS (SELECT media_id AS seed,
+             CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+               list_transform(range(0, 7), x ->
+                 CASE WHEN ${phashLumaSql("x+1", "y")}
+                         > ${phashLumaSql("x", "y")}
+                      THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                      ELSE 0 END)))) AS BIGINT) AS phash
+            FROM seeds),
+      pk AS (SELECT m.doc_id, m.seed,
+               CASE WHEN m.doc_id % 2 = 1 THEN 'u' || m.doc_id
+                    ELSE 'e' || m.seed END AS pay
+             FROM m)
+      SELECT ph.phash, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT pay) AS BIGINT) AS n_distinct_payloads,
+             min(doc_id) AS keeper_id
+      FROM pk JOIN ph USING (seed) GROUP BY 1""",
     // decode after a factor-2 nearest-neighbor resize: kept pixel
     // (X, Y) is source pixel (2X, 2Y), new dims are ceil-halved, and
     // n_bytes replays the re-encoded header for the NEW dims

@@ -155,9 +155,12 @@ object StreamQueries {
 
   private def docStreamSource(s: SparkSession, dir: String,
                               modEq: Int): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") % 10 === modEq)
+    // modEq < 0 streams the FULL corpus (the ingest-gate queries);
+    // modEq >= 0 is the modular daily-increment slice
+    val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
+    val docs =
+      if (modEq >= 0) base.filter(col("doc_id") % 10 === modEq) else base
     val stage = stagedDocs.getOrElseUpdate(
       (s.sparkContext.applicationId, dir, modEq), {
         val d = java.nio.file.Files
@@ -242,6 +245,26 @@ object StreamQueries {
     // Within-watermark dedup therefore emits exactly the distinct pair
     // set — hash-identical to exact emit-once, which is what keeps the
     // oracle row checkable.
+    // ingest-time quality monitor: every incoming doc is C4-rule
+    // flagged STATELESSLY (narrow per-row flags — the filter family
+    // composes with streaming for free), then tumbling-window
+    // keep/kill counts — the dashboard a production ingest gate
+    // watches for quality drift. One streaming aggregation (no
+    // stacking), same Complete-mode contract as stream_tumbling.
+    "stream_quality_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
+      val src = docStreamSource(s, dir, modEq = -1)
+        .withColumn("arrival_ts", timestamp_seconds(lit(1700000000L) +
+          pmod(col("doc_id"), lit(3600))))
+      val flags = graft.ext.Corpus.c4QualityFlags(src, col("doc_id"),
+        col("text"), carry = Seq("arrival_ts" -> col("arrival_ts")))
+      val agg = flags
+        .groupBy(window(col("arrival_ts"), "10 minutes"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("window.start").cast("long").as("window_epoch"),
+          col("keep"), col("n_docs"))
+      StreamOps.runToMemory(agg, "graft_mem_quality_gate",
+        OutputMode.Complete())
+    }),
     "stream_neardup_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
       val sigs = graft.ext.PairStage.minhashCorpusSigs(s, dir,
         excludeMod = 3)
@@ -445,6 +468,25 @@ object StreamQueries {
     // single micro-batch => no mid-stream eviction => same key set
     "stream_dedup_bounded" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the C4 keep conjunction (text_c4_filter oracle) replayed per
+    // doc, bucketed into the synthetic 10-minute arrival windows:
+    // floor((1700000000 + doc_id % 3600) / 600) * 600
+    "stream_quality_gate" -> """
+      WITH t AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          ' ' || lower(text) || ' ' AS p
+        FROM documents),
+      k AS (SELECT doc_id,
+          (CAST(len(toks) AS BIGINT) >= 10
+           AND (contains(p, ' the ') OR contains(p, ' a '))
+           AND CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+               // CAST(len(toks) AS BIGINT) >= 300000
+           AND NOT contains(lower(text), '{')
+           AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+        FROM t)
+      SELECT (1700000000 + doc_id % 3600) // 600 * 600 AS window_epoch,
+             keep, CAST(count(*) AS BIGINT) AS n_docs
+      FROM k GROUP BY 1, 2""",
     // the full-LSH pair set restricted to exactly-one-side-batch pairs
     // (corpus x batch): what the ingest gate must flag. Batch-internal
     // pairs are excluded — the gate checks arrivals against the

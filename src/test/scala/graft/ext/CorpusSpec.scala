@@ -477,6 +477,101 @@ class CorpusSpec extends SparkSpec {
     assert(hist._2 == nTotal, "bin occurrences must sum to corpus tokens")
   }
 
+  test("vocabCoverageReport is exact when the cut lands inside a frequency tie") {
+    // counts: a,b,c all 2 (one tie level), d -> 1; total mass 7.
+    // k=2 cuts INSIDE the occ=2 level: covered = 2 types x 2 = 4
+    val df = Seq("a a b b", "c c d").toDF("text")
+    val out = Corpus.vocabCoverageReport(df, col("text"), sizes = Seq(1, 2, 16))
+      .orderBy("vocab_size")
+      .select("vocab_size", "n_types_used", "covered_occ", "total_occ",
+        "coverage_ppm", "oov_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 7L, 285714L, 714286L),
+      (2L, 2L, 4L, 7L, 571428L, 428572L),
+      (16L, 4L, 7L, 7L, 1000000L, 0L)), s"got $out")
+  }
+
+  test("vocabCoverageReport coverage is monotone in vocab size on the corpus") {
+    val out = Corpus.vocabCoverageReport(docs, col("text"),
+        sizes = Seq(4, 16, 64, 4096))
+      .orderBy("vocab_size")
+      .select("vocab_size", "coverage_ppm", "oov_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == out.map(_._2).sorted,
+      s"coverage must grow with k: $out")
+    assert(out.forall(r => r._2 + r._3 == 1000000L),
+      s"coverage + oov must partition ppm space: $out")
+    assert(out.last._2 == 1000000L,
+      "a vocab larger than |V| covers everything")
+  }
+
+  test("chunkDocumentsOverlap windows advance by stride and keep the short tail") {
+    // 10 tokens, window 4, stride 3 -> chunks at offsets 0, 3, 6
+    // (the last window reaches the end); every token covered
+    val df = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocumentsOverlap(df, col("doc_id"), col("text"),
+        chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_token", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)), s"got $out")
+    // neighbor chunks share window-stride tokens: chunk 1 is t4..t7
+    val texts = Corpus.chunkDocumentsOverlap(df, col("doc_id"), col("text"),
+        chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx").select("chunk_md5").as[String].collect()
+    val expect = Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10")
+      .map(t => spark.sql(s"SELECT md5('$t')").as[String].head())
+    assert(texts.toSeq == expect, "chunk text must be the strided windows")
+  }
+
+  test("chunkDocumentsOverlap degenerates to chunkDocuments at stride == window") {
+    val a = Corpus.chunkDocumentsOverlap(docs, col("doc_id"), col("text"),
+        chunkTokens = 64, stride = 64)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+    val b = Corpus.chunkDocuments(docs, col("doc_id"), col("text"),
+      chunkTokens = 64)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "stride == window must reproduce the non-overlapping chunker")
+    // short doc: one window, not zero
+    val short = Corpus.chunkDocumentsOverlap(
+      Seq((1L, "x y")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      chunkTokens = 4, stride = 3)
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(short == Seq((0L, 2L)), s"got $short")
+  }
+
+  test("surprisalBuckets terciles split each source head/middle/tail") {
+    // one source, three surprisal levels: doc 1 all-common tokens,
+    // doc 2 mixed, doc 3 all-unique — bucket order must follow
+    val df = Seq(
+      (1L, "s", "x x x x"),
+      (2L, "s", "x x q1 q2"),
+      (3L, "s", "q3 q4 q5 q6")).toDF("doc_id", "source", "text")
+    val out = Corpus.surprisalBuckets(df, col("doc_id"), col("source"),
+        col("text"))
+      .select("source", "bucket", "n_docs", "docs_share_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(out == Map("head" -> (1L, 333333L), "middle" -> (1L, 333333L),
+      "tail" -> (1L, 333333L)), s"got $out")
+    // and head really is the LOW-surprisal third: doc 1's mean bits
+    // must be the minimum of the three docs
+    val sur = Corpus.unigramSurprisal(df, col("doc_id"), col("text"))
+      .select("doc_id", "mean_bits_ppm").as[(Long, Long)].collect().toMap
+    assert(sur(1L) == sur.values.min && sur(3L) == sur.values.max)
+  }
+
+  test("surprisalBuckets docs_share_ppm partitions each source") {
+    val out = Corpus.surprisalBuckets(docs, col("doc_id"), col("source"),
+        col("text"))
+      .groupBy("source").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val perSrc = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(out == perSrc, "every doc lands in exactly one bucket")
+  }
+
   test("freqHistogram bins term counts by power of two") {
     // counts: a->5 (bin 3), b->2 (bin 2), c->1, d->1 (bin 1)
     val df = Seq("a a a b", "a a b c", "d").toDF("text")
@@ -548,6 +643,27 @@ class CorpusSpec extends SparkSpec {
       graft.functions.VectorFunctions.wordChunks(col("text"), 2).as("c"))
       .collect().map(_.getSeq[String](0))
     val he = edge.select(Corpus.chunkedHof(col("text"), 2).as("c"))
+      .collect().map(_.getSeq[String](0))
+    assert(ne.zip(he).forall { case (a, b) => a == b },
+      s"edge mismatch: ${ne.toSeq} vs ${he.toSeq}")
+  }
+
+  test("native WordChunksStrided equals the Column-algebra strided chunker") {
+    val native = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordChunksStrided(col("text"), 8, 5)
+        .as("c"))
+    val hof = docs.select(col("doc_id"),
+      Corpus.chunkedOverlapHof(col("text"), 8, 5).as("c"))
+    assert(native.orderBy("doc_id").collect()
+      .sameElements(hof.orderBy("doc_id").collect()))
+    // same riskiest corners as the non-overlapping chunker, plus the
+    // exactly-one-window and one-past-the-window lengths
+    val edge = Seq("one", "  padded  text tail x  ", "a b c d",
+      "a b c d e", "", "   ", "a\tb\nc", "\tlead").toDF("text")
+    val ne = edge.select(
+      graft.functions.VectorFunctions.wordChunksStrided(col("text"), 4, 3)
+        .as("c")).collect().map(_.getSeq[String](0))
+    val he = edge.select(Corpus.chunkedOverlapHof(col("text"), 4, 3).as("c"))
       .collect().map(_.getSeq[String](0))
     assert(ne.zip(he).forall { case (a, b) => a == b },
       s"edge mismatch: ${ne.toSeq} vs ${he.toSeq}")

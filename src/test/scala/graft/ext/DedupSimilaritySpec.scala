@@ -432,4 +432,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(alone === Seq((1L, 6L, 6L, 1000000L)))
   }
+
+  test("keepByPriority prefers the trusted source over the lower doc_id") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "component")
+    val src = Seq((1L, "crawl"), (2L, "wiki"), (3L, "crawl"),
+      (4L, "crawl")).toDF("doc_id", "source")
+    val prio = Seq(("wiki", 1L), ("crawl", 2L)).toDF("source", "priority")
+    val out = Dedup.keepByPriority(comp, src, prio)
+      .select("component", "keeper_id", "keeper_source", "cluster_size")
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 has the min id in cluster 1, but doc 2's source outranks
+    assert(out(1L) == ((1L, 2L, "wiki", 3L)), s"got ${out(1L)}")
+    assert(out(4L) == ((4L, 4L, "crawl", 1L)), "singleton keeps itself")
+  }
+
+  test("keepByPriority breaks within-source ties by doc_id, is partition-proof") {
+    val comp = Seq((6L, 5L), (5L, 5L)).toDF("doc_id", "component")
+      .repartition(7)
+    val src = Seq((5L, "crawl"), (6L, "crawl")).toDF("doc_id", "source")
+    val prio = Seq(("crawl", 1L)).toDF("source", "priority")
+    val out = Dedup.keepByPriority(comp, src, prio)
+      .select("keeper_id").as[Long].collect().toSeq
+    assert(out == Seq(5L), s"same source: lower doc_id wins, got $out")
+  }
 }

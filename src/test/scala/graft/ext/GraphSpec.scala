@@ -100,6 +100,29 @@ class GraphSpec extends SparkSpec {
     assert(re === ((0L, 0L)), s"empty graph must report (0,0): $re")
   }
 
+  test("degreeReport buckets degrees by power of two and keeps isolated nodes") {
+    // triangle 1-2-3 (degree 2 each -> bucket 2), edge 4-5 (degree 1
+    // -> bucket 1), node 6 isolated (bucket 0)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.degreeReport(nodes, pairs)
+      .orderBy("degree_bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 0L, 166666L), (1L, 2L, 2L, 333333L),
+      (2L, 3L, 6L, 500000L)), s"got $out")
+  }
+
+  test("degreeReport mass reconciles: endpoints = 2x pairs, docs partition") {
+    val nodes = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.degreeReport(nodes, pairs)
+      .agg(sum("n_docs"), sum("total_degree")).as[(Long, Long)].head()
+    assert(out == ((4L, 6L)),
+      s"docs must partition and degree mass must be 2x edge count: $out")
+  }
+
   test("the power-iteration plan shuffles on graph keys, no cartesian or window") {
     val edges = edgeList.toDF("src", "dst")
     val nodes = edges.select(col("src").as("id")).distinct()

@@ -163,4 +163,36 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(hs(1L), hs(3L)) >= 10,
       s"unrelated images implausibly close: ${hamming(hs(1L), hs(3L))}")
   }
+
+  test("encodeWithComment: different bytes, identical decoded image") {
+    val seed = 42L; val (w, h) = Multimodal.fixtureDims(seed)
+    val plain = Multimodal.Ppm.encode(seed, w, h)
+    val commented = Multimodal.Ppm.encodeWithComment(seed, w, h,
+      "upload 12345")
+    assert(!java.util.Arrays.equals(plain, commented),
+      "the re-encoded payload must differ byte-wise")
+    val a = Multimodal.Ppm.decode(plain)
+    val b = Multimodal.Ppm.decode(commented)
+    assert(a.width == b.width && a.height == b.height)
+    assert(java.util.Arrays.equals(a.raster, b.raster),
+      "decoded rasters must be identical")
+    intercept[IllegalArgumentException] {
+      Multimodal.Ppm.encodeWithComment(seed, w, h, "two\nlines")
+    }
+  }
+
+  test("phashDedupReport collapses re-encoded copies md5 dedup misses") {
+    // ids 0..9 at copies=3: seed 0 <- {0,3,6,9}, 1 <- {1,4,7},
+    // 2 <- {2,5,8}. Evens share canonical bytes; odds are unique.
+    val docs = (0L until 10L).toSeq.toDF("doc_id")
+    val out = Multimodal.phashDedupReport(
+        Multimodal.mediaDupFromDocuments(docs, copies = 3))
+      .select("n_copies", "n_distinct_payloads", "keeper_id")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(out == Seq((4L, 3L, 0L), (3L, 3L, 1L), (3L, 2L, 2L)),
+      s"got $out")
+    // the byte-level count really is bigger than the content count:
+    // every group carries >= 2 distinct payloads for ONE image
+    assert(out.forall(_._2 >= 2), "re-encoded copies must be visible")
+  }
 }

@@ -46,7 +46,14 @@ class RegistryPlanLintSpec extends SparkSpec {
     "dedup_cluster_size_report", "ann_ivf_build_report",
     // same shape: the probe-tune rows join two 1-row aggregates
     // (recall, scan mass); the mixture joins the 1-row totals frame
-    "ann_nprobe_tune_report", "curate_dedup_adjusted_mixture")
+    "ann_nprobe_tune_report", "curate_dedup_adjusted_mixture",
+    // r13 late additions, same 1-row-denominator shape: the coverage
+    // curve joins the 3-row sizes frame + 1-row token total onto the
+    // frequency-level histogram; the degree report joins its 1-row
+    // doc total; the surprisal buckets inherit unigram_surprisal's
+    // 1-row corpus-total join
+    "vocab_coverage_report", "graph_degree_report",
+    "corpus_surprisal_buckets")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

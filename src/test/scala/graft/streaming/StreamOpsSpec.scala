@@ -36,6 +36,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("streaming C4 quality gate: windowed keep/kill counts equal batch") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("arrival_ts", timestamp_seconds(lit(1700000000L) +
+        pmod(col("doc_id"), lit(3600))))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Corpus.c4QualityFlags(df, col("doc_id"), col("text"),
+          carry = Seq("arrival_ts" -> col("arrival_ts")))
+        .groupBy(window(col("arrival_ts"), "10 minutes"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("window.start").cast("long").as("window_epoch"),
+          col("keep"), col("n_docs"))
+    val batch = gate(docs).orderBy("window_epoch", "keep")
+      .as[(Long, Boolean, Long)].collect().toSeq
+    val streamed = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sqgate").toString
+      docs.write.mode("overwrite").parquet(dir)
+      val src = spark.readStream.schema(docs.schema).parquet(dir)
+      StreamOps.runToMemory(gate(src), "quality_gate_test",
+        OutputMode.Complete())
+    }
+    val s = streamed.orderBy("window_epoch", "keep")
+      .as[(Long, Boolean, Long)].collect().toSeq
+    assert(s == batch, s"stream/batch divergence: $s vs $batch")
+    assert(batch.map(_._3).sum == docs.count(),
+      "every doc lands in exactly one (window, keep) cell")
+  }
+
   test("streaming dedup emits exactly the batch-distinct key set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
     events.write.mode("overwrite").parquet(dir)

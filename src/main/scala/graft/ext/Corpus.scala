@@ -688,6 +688,56 @@ object Corpus {
         expr("eff_tokens * 1000000 div _te").as("adjusted_weight_ppm"))
   }
 
+  /** Uniform-mixture epoch plan over EFFECTIVE token pools — the step
+    * after [[dedupAdjustedMixture]]: given a token budget
+    * (`epochsOfCorpus` x the corpus's total effective mass) split
+    * UNIFORMLY across sources (the balance-sources target), how many
+    * times must each source's effective pool repeat ("epochs", in
+    * exact integer ppm: 1e6 = one pass), capped at `maxEpochsPpm`
+    * (default 4 — the diminishing-returns repetition bound from
+    * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"), and how many target tokens the cap leaves unfilled
+    * (`shortfall_tokens` — the mass the mixer must reassign or accept
+    * losing). A fully-redundant source (zero effective tokens) plans
+    * zero epochs and surfaces its whole target as shortfall.
+    *
+    * epochs_ppm is computed as a decimal128 product then floor-div
+    * (the pmi discipline): target x 1e6 overflows int64 once corpus
+    * mass passes ~9e12 tokens — exactly the 100 TB regime.
+    *
+    * Scale shape: everything after [[dedupAdjustedMixture]]'s rollup
+    * is |sources|-sized arithmetic plus one 1-row totals broadcast —
+    * the plan costs nothing beyond the mixture it composes. */
+  def epochPlan(docs: DataFrame, components: DataFrame, id: Column,
+                src: Column, text: Column, epochsOfCorpus: Int = 2,
+                maxEpochsPpm: Long = 4000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mix = dedupAdjustedMixture(docs, components, id, src, text)
+      .select(col("source"), col("eff_tokens"))
+    val tot = mix.agg(sum(col("eff_tokens")).as("_te"),
+        count(lit(1)).as("_ns"))
+      .withColumn("_one", lit(1))
+    mix.withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+      .withColumn("target_tokens",
+        expr(s"(_te * ${epochsOfCorpus}L) div _ns"))
+      .withColumn("_num",
+        col("target_tokens").cast(dec) * lit(1000000L).cast(dec))
+      .withColumn("epochs_ppm_raw",
+        when(col("eff_tokens") === 0L, lit(0L))
+          .otherwise(expr("_num div eff_tokens").cast("long")))
+      .withColumn("epochs_ppm",
+        least(col("epochs_ppm_raw"), lit(maxEpochsPpm)))
+      .withColumn("planned_tokens",
+        expr("(CAST(eff_tokens AS DECIMAL(38,0)) * epochs_ppm) div 1000000")
+          .cast("long"))
+      .select(col("source"), col("eff_tokens"), col("target_tokens"),
+        col("epochs_ppm"),
+        (col("epochs_ppm_raw") > lit(maxEpochsPpm)).as("capped"),
+        col("planned_tokens"),
+        greatest(lit(0L), col("target_tokens") - col("planned_tokens"))
+          .as("shortfall_tokens"))
+  }
+
   /** Context-window chunking: split every document into non-overlapping
     * `chunkTokens`-word pieces — the training-prep step that turns
     * arbitrary-length documents into model-window-sized rows while

@@ -750,6 +750,43 @@ object ExtQueriesAnalytics {
           count(lit(1)).as("n_events"),
           sum(col("micro").cast(dec)).cast("long").as("vol_micro"))
     }),
+    // hourly volume anomaly gate: flag (type, hour) cells whose event
+    // count sits more than 3 median-absolute-deviations from the
+    // type's median hourly volume — the robust ops-monitoring twin of
+    // quality_outlier_mad, applied to the event stream (a traffic
+    // spike cannot drag the center the way it drags a mean). Both
+    // median walks run on per-type (count, frequency) HISTOGRAMS, so
+    // nothing sorts the hourly frame and the arithmetic is int64
+    // end-to-end; hours with zero events are absent by construction
+    // (window_gapfill is the zero-filling op). At 100 TB the hourly
+    // frame is types x hours — metadata-sized next to the events scan
+    // that builds it with one map-side-combined hash-agg.
+    "events_anomaly_mad" -> ((s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 3600").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      def medianOf(df: DataFrame, v: String, out: String): DataFrame =
+        df.groupBy(col("event_type"), col(v))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(byType.orderBy(col(v))))
+          .withColumn("n", sum(col("c")).over(byType))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(v)))
+            .as(out))
+      val med = medianOf(hourly, "n_events", "med")
+      val dev = hourly.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("n_events") - col("med")))
+      val mad = medianOf(dev.select(col("event_type"), col("dev")),
+        "dev", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("hour"), col("n_events"),
+          col("med"), col("mad"),
+          (col("dev") > lit(3L) * col("mad")).as("is_anomaly"))
+    }),
     // first-order Markov transition matrix over per-user event
     // sequences: directed (event_type -> next_type) counts with
     // integer-ppm row-normalized probabilities — the sequence prior
@@ -1385,6 +1422,40 @@ object ExtQueriesAnalytics {
              CAST(count(*) AS BIGINT) AS n_events,
              CAST(sum(micro) AS BIGINT) AS vol_micro
       FROM ev GROUP BY 1""",
+    // same two nearest-rank median walks as quality_outlier_mad, over
+    // per-type histograms of the hourly counts
+    "events_anomaly_mad" -> """
+      WITH ev AS (SELECT event_type,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour FROM events),
+      h AS (SELECT event_type, hour, CAST(count(*) AS BIGINT)
+              AS n_events
+            FROM ev GROUP BY 1, 2),
+      h1 AS (SELECT event_type, n_events, CAST(count(*) AS BIGINT) AS c
+             FROM h GROUP BY 1, 2),
+      c1 AS (SELECT event_type, n_events,
+          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY n_events)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h1),
+      med AS (SELECT event_type,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN n_events END) AS med
+        FROM c1 GROUP BY 1),
+      dv AS (SELECT h.event_type, h.hour, h.n_events, m.med,
+          abs(h.n_events - m.med) AS dev
+        FROM h JOIN med m USING (event_type)),
+      h2 AS (SELECT event_type, dev, CAST(count(*) AS BIGINT) AS c
+             FROM dv GROUP BY 1, 2),
+      c2 AS (SELECT event_type, dev,
+          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dev)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h2),
+      mad AS (SELECT event_type,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+        FROM c2 GROUP BY 1)
+      SELECT v.event_type, v.hour, v.n_events, v.med, a.mad,
+             v.dev > 3 * a.mad AS is_anomaly
+      FROM dv v JOIN mad a USING (event_type)""",
     // same lead() chain gated on the never-NULL next_ts; NULL types
     // group and window-partition identically in both engines
     "events_markov_transitions" -> """

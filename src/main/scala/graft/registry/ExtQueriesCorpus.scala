@@ -51,6 +51,18 @@ object ExtQueriesCorpus {
           graft.ext.PairStage.jaccardPairs(s, dir)),
         col("doc_id"), col("source"), col("text"))
     }),
+    // uniform-mixture epoch plan over the effective pools: how many
+    // repeats of each source fill a balanced 2x-effective-mass
+    // budget, under the 4-epoch repetition cap, with the unfillable
+    // shortfall surfaced per source — the decision artifact after the
+    // dedup-adjusted mixture
+    "curate_epoch_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.epochPlan(docs,
+        Dedup.connectedComponents(docs.select(col("doc_id")),
+          graft.ext.PairStage.jaccardPairs(s, dir)),
+        col("doc_id"), col("source"), col("text"))
+    }),
     // heuristic-score calibration: quality-score quintile x c4 x
     // gopher keep matrix, scored and flagged in the same fused pass
     // (carry-chained, no joins) — does the continuous score separate
@@ -274,6 +286,32 @@ object ExtQueriesCorpus {
           expr("total_tokens * 1000000L div (n_bins * 512L)")
             .as("fill_ppm"))
     }),
+    // three packing heuristics priced in the same fill-ppm currency:
+    // plain next-fit (the id-order baseline), next-fit-DECREASING
+    // (measured honestly: sorting alone does NOT help a single-open-
+    // bin packer — closing a bin still forfeits its headroom), and
+    // first-fit-decreasing (every bin stays open; the real upgrade).
+    // Padding waste is wasted training FLOPs; this report is the
+    // number that justifies — or refuses — the fancier packer
+    "pack_ffd_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ng = Packing.autoGroups(docs.count())
+      def agg(method: String, packed: DataFrame) = packed
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_group"), col("bin_id")).as("n_bins"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(lit(method).as("method"), col("n_docs"), col("n_bins"),
+          col("total_tokens"),
+          expr("total_tokens * 1000000L div (n_bins * 512L)")
+            .as("fill_ppm"))
+      agg("nextfit_512", Packing.packSequences(docs, col("doc_id"),
+          col("text"), budgetTokens = 512, nGroups = ng))
+        .unionByName(agg("nfd_512", Packing.packSequences(docs,
+          col("doc_id"), col("text"), budgetTokens = 512, nGroups = ng,
+          largestFirst = true)))
+        .unionByName(agg("ffd_512", Packing.packFirstFitDecreasing(docs,
+          col("doc_id"), col("text"), budgetTokens = 512, nGroups = ng)))
+    }),
     // packing WITH the per-document bin offset — the (bin, offset)
     // position map a training loader consumes to derive attention
     // boundaries without re-tokenizing; same fold, one more running
@@ -406,6 +444,31 @@ object ExtQueriesCorpus {
       FROM (${packWalkSql("doc_id, n_tokens, pack_group, bin_id")}) w""",
     "pack_with_positions" -> packWalkSql(
       "doc_id, n_tokens, pack_group, bin_id, fill - n_tokens AS seq_start"),
+    // three walks over the same groups: two scalar next-fit walks
+    // (id order vs n_tokens desc) and the FFD walk whose recursion
+    // carries the open-bin fill LIST as state — every fill number
+    // replays exactly
+    "pack_ffd_report" -> {
+      def agg(method: String, walk: String) = s"""
+        SELECT '$method' AS method,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT pack_group || ':' || bin_id) AS BIGINT)
+            AS n_bins,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(sum(n_tokens) * 1000000
+               // (count(DISTINCT pack_group || ':' || bin_id) * 512)
+               AS BIGINT) AS fill_ppm
+        FROM ($walk) w"""
+      s"""${agg("nextfit_512",
+          packWalkSql("doc_id, n_tokens, pack_group, bin_id"))}
+        UNION ALL
+        ${agg("nfd_512", packWalkSql(
+          "doc_id, n_tokens, pack_group, bin_id",
+          "n_tokens DESC, doc_id"))}
+        UNION ALL
+        ${agg("ffd_512", packFfdWalkSql(
+          "doc_id, n_tokens, pack_group, bin_id"))}"""
+    },
     "contamination_check" -> s"""
       WITH shA AS ${shingleSetSql(13, "doc_id % 20 <> 0", "train_id")},
       hA AS (SELECT train_id, ${hex60Sql("shingle")} AS h FROM shA),
@@ -768,6 +831,47 @@ object ExtQueriesCorpus {
                // (SELECT CAST(sum(n_docs) AS BIGINT) FROM cells)
                AS BIGINT) AS share_ppm
       FROM cells""",
+    // the mixture oracle's CTE chain extended with the plan
+    // arithmetic: uniform target (2 x total effective mass over
+    // |sources|), HUGEINT epoch product (the pmi discipline), 4e6 ppm
+    // cap, floor-div planned mass, clamped shortfall
+    "curate_epoch_plan" -> s"""
+      WITH RECURSIVE
+      ${clustersCtes("SELECT doc_id, text FROM documents")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      d AS (SELECT doc_id, source,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS n_tok
+            FROM documents),
+      j AS (SELECT d.source, d.n_tok,
+              (c.component <> d.doc_id) AS red
+            FROM d JOIN comp c USING (doc_id)),
+      per AS (SELECT source,
+                CAST(sum(CASE WHEN red THEN 0 ELSE n_tok END) AS BIGINT)
+                  AS eff_tokens
+              FROM j GROUP BY 1),
+      t2 AS (SELECT CAST(sum(eff_tokens) AS BIGINT) AS te,
+               CAST(count(*) AS BIGINT) AS ns FROM per),
+      pl AS (SELECT source, eff_tokens,
+               (te * 2) // ns AS target_tokens,
+               CASE WHEN eff_tokens = 0 THEN 0
+                    ELSE CAST(CAST((te * 2) // ns AS HUGEINT) * 1000000
+                              // eff_tokens AS BIGINT)
+               END AS epochs_ppm_raw
+             FROM per CROSS JOIN t2),
+      ep AS (SELECT source, eff_tokens, target_tokens,
+               least(epochs_ppm_raw, 4000000) AS epochs_ppm,
+               epochs_ppm_raw > 4000000 AS capped,
+               CAST(CAST(eff_tokens AS HUGEINT)
+                    * least(epochs_ppm_raw, 4000000) // 1000000
+                 AS BIGINT) AS planned_tokens
+             FROM pl)
+      SELECT source, eff_tokens, target_tokens, epochs_ppm, capped,
+             planned_tokens,
+             greatest(0, target_tokens - planned_tokens)
+               AS shortfall_tokens
+      FROM ep""",
     // the clusters replay (recursive label walk) feeding a per-source
     // redundancy rollup; a doc is redundant when its component label
     // is not its own id (the keep-representative rule); weights are

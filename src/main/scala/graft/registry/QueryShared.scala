@@ -805,7 +805,8 @@ object QueryShared {
     * oracles; `select` picks the exposed columns (walk's `fill` is
     * the running total AFTER the current doc, so its bin offset is
     * `fill - n_tokens`). */
-  private[registry] def packWalkSql(select: String): String = s"""
+  private[registry] def packWalkSql(select: String,
+                                    order: String = "doc_id"): String = s"""
       WITH RECURSIVE ng_t AS (SELECT GREATEST(8, LEAST(1048576,
             CASE WHEN m <= 1 THEN 1
                  ELSE (CAST(1 AS BIGINT)
@@ -816,7 +817,7 @@ object QueryShared {
             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
           ${bucketSql("doc_id")} % ng AS pack_group,
           row_number() OVER (PARTITION BY ${bucketSql("doc_id")} % ng
-            ORDER BY doc_id) AS rn
+            ORDER BY $order) AS rn
         FROM documents CROSS JOIN ng_t),
       walk(pack_group, rn, doc_id, n_tokens, bin_id, fill) AS (
         SELECT pack_group, rn, doc_id, n_tokens,
@@ -831,6 +832,49 @@ object QueryShared {
         FROM walk w JOIN g
           ON g.pack_group = w.pack_group AND g.rn = w.rn + 1)
       SELECT $select FROM walk"""
+
+  /** First-fit-decreasing twin of [[packWalkSql]]: the recursive walk
+    * carries the OPEN-BIN fill list as list-typed state; each step
+    * places its document in the first bin with room (the index
+    * comprehension) or appends a new bin. Visit order is
+    * (n_tokens desc, doc_id) — Packing.packFirstFitDecreasing's. */
+  private[registry] def packFfdWalkSql(select: String): String = {
+    // 1-based index of the first open bin with room, or len+1 (new bin)
+    val idx = s"""coalesce([CAST(i AS BIGINT)
+         FOR i IN range(1, len(w.fills)+1)
+         IF w.fills[CAST(i AS INTEGER)] + g.n_tokens <= 512][1],
+       CAST(len(w.fills)+1 AS BIGINT))"""
+    s"""
+      WITH RECURSIVE ng_t AS (SELECT GREATEST(8, LEAST(1048576,
+            CASE WHEN m <= 1 THEN 1
+                 ELSE (CAST(1 AS BIGINT)
+                       << CAST(length(bin(m - 1)) AS INTEGER)) END)) AS ng
+          FROM (SELECT (count(*) + 63) // 64 AS m FROM documents)),
+      g AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+          ${bucketSql("doc_id")} % ng AS pack_group,
+          row_number() OVER (PARTITION BY ${bucketSql("doc_id")} % ng
+            ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM documents CROSS JOIN ng_t),
+      walk(pack_group, rn, doc_id, n_tokens, bin_id, fills) AS (
+        SELECT pack_group, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT), [n_tokens]
+        FROM g WHERE rn = 1
+        UNION ALL
+        SELECT g.pack_group, g.rn, g.doc_id, g.n_tokens,
+               $idx - 1,
+               CASE WHEN $idx <= len(w.fills)
+                    THEN list_transform(range(1, len(w.fills)+1),
+                      i -> CASE WHEN i = $idx
+                                THEN w.fills[CAST(i AS INTEGER)]
+                                     + g.n_tokens
+                                ELSE w.fills[CAST(i AS INTEGER)] END)
+                    ELSE list_append(w.fills, g.n_tokens) END
+        FROM walk w JOIN g
+          ON g.pack_group = w.pack_group AND g.rn = w.rn + 1)
+      SELECT $select FROM walk"""
+  }
 
   /** The curation-v2 CTE chain (raw -> c4 -> exact-dedup -> near-dup
     * representatives -> decontaminated train slice -> budget cumsum),

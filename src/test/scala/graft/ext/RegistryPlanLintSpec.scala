@@ -53,7 +53,9 @@ class RegistryPlanLintSpec extends SparkSpec {
     // doc total; the surprisal buckets inherit unigram_surprisal's
     // 1-row corpus-total join
     "vocab_coverage_report", "graph_degree_report",
-    "corpus_surprisal_buckets")
+    "corpus_surprisal_buckets",
+    // the epoch plan joins the mixture's and its own 1-row totals
+    "curate_epoch_plan")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

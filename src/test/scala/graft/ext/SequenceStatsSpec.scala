@@ -57,6 +57,38 @@ class SequenceStatsSpec extends SparkSpec {
       s"${out.size} pairs vs brute-force ${expect.size}")
   }
 
+  test("hourly anomaly gate replays per-type medians over real hours") {
+    val out = graft.registry.ExtQueries.queries("events_anomaly_mad")(
+        spark, sf0001)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("med"), col("mad"), col("is_anomaly"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    def nearestRankMedian(vs: Seq[Long]): Long = {
+      val s = vs.sorted
+      s((s.length + 1) / 2 - 1)
+    }
+    // the hourly frame itself must reconcile with the raw events
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .as[(String, Long)].collect()
+    val expectCounts = ev.groupBy(identity).view.mapValues(_.length.toLong)
+    out.foreach { case (t, h, n, _, _, _) =>
+      assert(expectCounts((t, h)) == n, s"count mismatch at ($t,$h)")
+    }
+    assert(out.length == expectCounts.size, "one row per present (type, hour)")
+    out.groupBy(_._1).foreach { case (t, rows) =>
+      val med = nearestRankMedian(rows.map(_._3).toSeq)
+      val mad = nearestRankMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.foreach { case (_, h, n, m, a, flag) =>
+        assert(m == med && a == mad, s"type $t stats ($m,$a) want ($med,$mad)")
+        assert(flag == (math.abs(n - med) > 3 * mad),
+          s"type $t hour $h n=$n flag=$flag with med=$med mad=$mad")
+      }
+    }
+  }
+
   test("ohlc bars replay open/high/low/close for the busiest hour") {
     val out = graft.registry.ExtQueries.queries("window_ohlc_hourly")(
         spark, sf0001)

@@ -294,6 +294,71 @@ object Multimodal {
     }
   }
 
+  /** Edited-reupload fixture: [[mediaDupFromDocuments]]' copy
+    * structure (seed = doc_id mod `copies`), but every doc_id % 3 == 1
+    * copy carries a ONE-BYTE raster edit (first sample bumped by 64
+    * mod 256 — a hard retouch of one pixel) instead of a header
+    * comment: the slightly-retouched re-upload exact content hashing
+    * misses and perceptual hashing must still catch. The edit moves
+    * the dHash by at most ceil(8/height) <= 3 bits (only grid rows
+    * sampling pixel (0,0) can flip, one boundary comparison each), so
+    * edited copies sit within Hamming 3 of their originals at the
+    * fixture dims — measured over all 97 seeds: 1-3 bits for 75,
+    * 0 for 22, never more. */
+  def mediaEditedFromDocuments(docs: DataFrame,
+                               copies: Int = 97): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = java.lang.Math.floorMod(id, copies.toLong)
+        val (w, h) = fixtureDims(seed)
+        val payload = Ppm.encode(seed, w, h)
+        if (java.lang.Math.floorMod(id, 3L) == 1L) {
+          val headerLen = s"P6\n$w $h\n255\n".length
+          payload(headerLen) =
+            (((payload(headerLen) & 0xff) + 64) % 256).toByte
+        }
+        MediaRecord(id, "image", payload, w, h, "image/ppm")
+      }
+    }
+  }
+
+  /** Image near-dup PAIRS via Hamming-banded dHash — the promise in
+    * [[dhash]]'s contract made a real operator: the 56-bit hash splits
+    * into 4 x 14-bit bands, candidates meet on any equal band
+    * (bucket-keyed equi-join — inverted-index shaped, never all
+    * pairs), and a codegen'd xor/bit_count verify keeps exactly the
+    * pairs within `maxHamming`. Pigeonhole makes the banding LOSSLESS
+    * here: maxHamming <= 3 differing bits cannot touch all 4 bands,
+    * so recall vs brute force is exactly 1 and the oracle can replay
+    * the output as brute-force Hamming pairs. Verify runs BEFORE the
+    * pair distinct (the simhash r12 lesson): the distinct shuffle
+    * carries only true near-dups, not the banded candidate multiset.
+    * At 100 TB this is the text-SimHash scale story on the image
+    * column: 8 bytes/image cross the shuffle, never payloads. */
+  def phashHammingPairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banding is lossless only up to Hamming 3 (4 bands)")
+    val hashes = Materialize.eager(dhash(media).toDF())
+    val bands = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("band"),
+        shiftrightunsigned(col("phash"), c * 14)
+          .bitwiseAND(lit(0x3FFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.band"),
+        col("bk.key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("doc_a"),
+        col("y.media_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Content-level image dedup: group by the perceptual hash of the
     * DECODED raster, not the payload bytes — the operator that
     * catches re-encoded copies (same pixels, different header/

@@ -395,6 +395,14 @@ object ExtQueriesSimilarity {
     "mm_phash_dedup" -> ((s, dir) =>
       Multimodal.phashDedupReport(
         Multimodal.mediaDupFromDocuments(t(s, dir, "documents")))),
+    // image NEAR-dup pairs: Hamming-banded dHash over the
+    // edited-reupload fixture (one raster byte retouched on every
+    // third copy — the edit content hashing misses); 4x14-bit bands
+    // make the <=3-Hamming pair set lossless vs brute force, which is
+    // exactly what the oracle replays
+    "mm_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashHammingPairs(
+        Multimodal.mediaEditedFromDocuments(t(s, dir, "documents")))),
     // resize-then-decode: proves the nearest-neighbor downscale emits
     // valid P6 whose pixels are exactly the stride-sampled source
     // pixels (the oracle replays the generator formula at 2x stride)
@@ -904,6 +912,43 @@ object ExtQueriesSimilarity {
              CAST(count(DISTINCT pay) AS BIGINT) AS n_distinct_payloads,
              min(doc_id) AS keeper_id
       FROM pk JOIN ph USING (seed) GROUP BY 1""",
+    // pair replay: per-doc dHash from the generator closed form with
+    // the one-byte edit folded in (channel 0 of pixel (0,0) bumped by
+    // 64 mod 256 on edited docs — only grid samples reading that
+    // pixel shift), then brute-force Hamming pairs: banding at <=3
+    // bits over 4 bands is lossless by pigeonhole, so brute == banded
+    "mm_phash_pairs" -> {
+      def chan(c: Int, gx: String, gy: String): String = {
+        val sx = s"((($gx))*width//8)"
+        val sy = s"((($gy))*height//8)"
+        val base = s"(seed*31 + $sx*7 + $sy*13 + ${c * 29}) % 256"
+        if (c == 0)
+          s"(CASE WHEN edited AND $sx = 0 AND $sy = 0 " +
+            s"THEN ((seed*31) % 256 + 64) % 256 ELSE $base END)"
+        else s"($base)"
+      }
+      def luma(gx: String, gy: String): String =
+        s"(299*${chan(0, gx, gy)} + 587*${chan(1, gx, gy)}" +
+          s" + 114*${chan(2, gx, gy)})"
+      s"""
+      WITH m AS (SELECT doc_id, doc_id % 97 AS seed,
+              doc_id % 3 = 1 AS edited FROM documents),
+      dims AS (SELECT doc_id, seed, edited,
+              CAST(4 + seed % 13 AS BIGINT) AS width,
+              CAST(3 + seed % 7 AS BIGINT) AS height
+            FROM m),
+      ph AS (SELECT doc_id,
+             CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+               list_transform(range(0, 7), x ->
+                 CASE WHEN ${luma("x+1", "y")} > ${luma("x", "y")}
+                      THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                      ELSE 0 END)))) AS BIGINT) AS phash
+            FROM dims)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+    },
     // decode after a factor-2 nearest-neighbor resize: kept pixel
     // (X, Y) is source pixel (2X, 2Y), new dims are ceil-halved, and
     // n_bytes replays the re-encoded header for the NEW dims

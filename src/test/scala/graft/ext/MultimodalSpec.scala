@@ -195,4 +195,35 @@ class MultimodalSpec extends SparkSpec {
     // every group carries >= 2 distinct payloads for ONE image
     assert(out.forall(_._2 >= 2), "re-encoded copies must be visible")
   }
+
+  test("phashHammingPairs: banded pairs equal brute force, edits stay near") {
+    // ids 0..11 at copies=4 -> seeds {0,1,2,3}, three copies each;
+    // ids 1,4,7,10 carry the one-byte raster edit
+    val docs = (0L until 12L).toSeq.toDF("doc_id")
+    val media = Multimodal.mediaEditedFromDocuments(docs, copies = 4)
+    val pairs = Multimodal.phashHammingPairs(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // brute force over the same hashes
+    val hs = Multimodal.dhash(media).collect()
+      .map(m => m.media_id -> m.phash).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs == brute,
+      s"banding must be lossless at Hamming <= 3: $pairs vs $brute")
+    // every same-seed pair is found: unedited copies at distance 0,
+    // edited-vs-unedited within 3 bits
+    val bySeed = (0L until 12L).groupBy(_ % 4)
+    bySeed.values.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        assert(pairs.exists(p => p._1 == a && p._2 == b),
+          s"same-seed pair ($a,$b) missing")
+    }
+    val zero = pairs.filter(p => p._1 % 3 != 1 && p._2 % 3 != 1 &&
+      p._1 % 4 == p._2 % 4)
+    assert(zero.forall(_._3 == 0L), "unedited same-seed copies differ?")
+    assert(pairs.exists(_._3 > 0L),
+      "at least one edited pair should sit at nonzero Hamming")
+  }
 }

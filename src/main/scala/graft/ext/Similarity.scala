@@ -390,6 +390,39 @@ object Similarity {
     pqAssign(pqSliced(df, idCol, vecCol, dim, m), books)
       .select(col("vec_id"), col("j"), col("code_id"))
 
+  /** PQ index-health report — the quantization twin of the IVF build
+    * report: per subspace, the average and worst reconstruction error
+    * (squared L2 between each sub-vector and its assigned codeword)
+    * and the codebook utilization (dead codewords waste code bits;
+    * error decides whether ksub/m buy enough fidelity for the ADC
+    * shortlist to contain the true neighbors). Residual energy is
+    * floor-quantized at 1e9 per (vector, subspace) BEFORE aggregation
+    * (the k-center distance discipline: the per-row fold is the
+    * bit-portable native left-fold dot, the cross-row sums are pure
+    * int64), so every reported number hash-verifies.
+    *
+    * Scale shape: reads the STAGED codes and codebooks — one id-keyed
+    * join of codes to the sliced corpus, a broadcast codebook join, a
+    * per-(vec, subspace) narrow fold, then an m-row rollup. No
+    * windows, no corpus self-join, nothing driver-side. */
+  def pqDistortionReport(books: DataFrame, codes: DataFrame,
+                         df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int): DataFrame = {
+    val sliced = pqSliced(df, idCol, vecCol, dim, m)
+    val diff = zip_with(col("xj"), col("scv"), (x, c) => x - c)
+    codes.join(sliced, Seq("vec_id", "j"))
+      .join(broadcast(books), Seq("j", "code_id"))
+      .withColumn("sq_e9",
+        floor(graft.functions.VectorFunctions.dotNative(diff, diff)
+          * lit(1000000000L)).cast("long"))
+      .groupBy(col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code_id")).as("n_codes_used"),
+        sum(col("sq_e9")).as("_sum"), max(col("sq_e9")).as("max_sq_e9"))
+      .select(col("j"), col("n_vecs"), col("n_codes_used"),
+        expr("_sum div n_vecs").as("avg_sq_e9"), col("max_sq_e9"))
+  }
+
   /** PQ top-k search: asymmetric distance computation over the code
     * space to build a per-query SHORTLIST, then exact re-ranking of
     * the shortlist only — the production PQ shape (the ADC scan

@@ -371,6 +371,17 @@ object ExtQueriesSimilarity {
           expr("matched * 1000000L div total").as("recall_ppm"))
     }),
 
+    // PQ quantization-health: per-subspace reconstruction error +
+    // codebook utilization off the STAGED books/codes — the index
+    // audit that decides whether m/ksub buy enough fidelity before
+    // anyone trusts the ADC shortlist
+    "pq_distortion_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (books, codes) = graft.ext.PairStage.pqIndex(s, dir,
+        dim = 64, m = 4, ksub = 16, iters = 2)
+      Similarity.pqDistortionReport(books, codes, emb, "vec_id",
+        "embedding", dim = 64, m = 4)
+    }),
     "mm_payload_stats" -> ((s, dir) =>
       Multimodal.payloadStats(t(s, dir, "documents"))),
     "mm_decode_features" -> ((s, dir) =>
@@ -614,6 +625,27 @@ object ExtQueriesSimilarity {
             < mm.mn * ${Sampling.Buckets}""",
     "sim_pq_topk" -> pqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
       shortlist = 50, iters = 2),
+    // the shared PQ fit/encode chain, then the same left-fold residual
+    // energy floor-quantized at 1e9 per (vector, subspace) — integer
+    // rollup per subspace
+    "pq_distortion_report" -> {
+      val dsub = 16
+      val d = s"(s.xj[CAST(i AS INTEGER)] - b.scv[CAST(i AS INTEGER)])"
+      s"""
+      WITH nv AS (SELECT vec_id, $NormSql AS v FROM embeddings),
+      ${pqCodesCtes(64, 4, 16, 2)},
+      r AS (SELECT c.j, c.code_id,
+              CAST(FLOOR(list_sum(list_transform(range(1, ${dsub + 1}),
+                i -> $d * $d)) * 1000000000) AS BIGINT) AS sq_e9
+            FROM codes c
+            JOIN sub s ON s.vec_id = c.vec_id AND s.j = c.j
+            JOIN b2 b ON b.j = c.j AND b.code_id = c.code_id)
+      SELECT j, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(DISTINCT code_id) AS BIGINT) AS n_codes_used,
+             CAST(sum(sq_e9) // count(*) AS BIGINT) AS avg_sq_e9,
+             CAST(max(sq_e9) AS BIGINT) AS max_sq_e9
+      FROM r GROUP BY j"""
+    },
     "sim_ivfpq_topk" -> ivfPqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
       nProbe = 2, shortlist = 50, iters = 2),
     "sim_lsh_ann" -> lshPairsSql(tables = 1, threshold = 0.2),

@@ -68,6 +68,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(150) >= 0.75, s"pq shortlist=150 recall@5 collapsed: ${r(150)}")
   }
 
+  test("PQ distortion report: Lloyd-fitted books beat the init, numbers reconcile") {
+    def report(iters: Int): Map[Long, (Long, Long, Long, Long)] = {
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 16, iters = iters)
+      val codes = Similarity.pqEncodeWith(books, emb, "vec_id",
+        "embedding", dim = 64, m = 4)
+      Similarity.pqDistortionReport(books, codes, emb, "vec_id",
+          "embedding", dim = 64, m = 4)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    val fitted = report(iters = 2)
+    val n = emb.count()
+    assert(fitted.keySet == Set(0L, 1L, 2L, 3L), "one row per subspace")
+    fitted.values.foreach { case (nv, used, avg, worst) =>
+      assert(nv == n, "every vector encodes in every subspace")
+      assert(used >= 1 && used <= 16, "codebook utilization in range")
+      assert(avg >= 0 && avg <= worst, "avg residual bounded by worst")
+    }
+    // Lloyd refinement must not increase total residual energy vs the
+    // raw init codebook (iters=0 returns the deterministic init)
+    val init = report(iters = 0)
+    val sumAvg = (m: Map[Long, (Long, Long, Long, Long)]) =>
+      m.values.map(_._3).sum
+    assert(sumAvg(fitted) <= sumAvg(init),
+      s"fit worsened distortion: ${sumAvg(fitted)} > ${sumAvg(init)}")
+  }
+
   test("int8 quantize+rerank recall@5 grows with candMult and clears the floor") {
     def i8Recall(mult: Int): Double = {
       val approx = topkSet(Similarity.int8RerankTopK(emb, queries,

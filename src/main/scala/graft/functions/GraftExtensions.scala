@@ -13,11 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session (used by specs and notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // naive BETWEEN joins (BNLJ in stock Spark) -> bucketed equi-join
+    e.injectOptimizerRule(_ => graft.plans.AutoRangeJoin)
+  }
 }
 
 object GraftFunctions {

@@ -574,6 +574,27 @@ object ExtQueriesAnalytics {
           Windows.stableSum(col("o_totalprice")).as("total_price"))
     }),
 
+    // the range join written NAIVELY (plain BETWEEN condition, the
+    // SQL a user actually types) on a child session carrying the
+    // AutoRangeJoin optimizer rule: the rewrite to the bucketed
+    // equi-join happens in Catalyst, not in user code. Same oracle as
+    // join_range_bucketed — the rewrite is transparent by contract.
+    "join_range_auto" -> ((s, dir) => {
+      val s2 = s.newSession()
+      graft.plans.AutoRangeJoin.install(s2)
+      val pts = t(s2, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"))
+      val iv = t(s2, dir, "nation").select(
+        col("n_nationkey").cast("long").as("interval_id"),
+        (col("n_nationkey").cast("long") * 600 + 1).as("lo"),
+        (col("n_nationkey").cast("long") * 600 + 1000).as("hi"))
+      pts.join(iv, col("p_partkey") >= col("lo")
+          && col("p_partkey") <= col("hi"))
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("p_partkey")).as("key_lo"),
+          max(col("p_partkey")).as("key_hi"))
+    }),
     // bucketed point-in-interval join: the equi-join rewrite of a
     // BETWEEN join Spark would otherwise plan broadcast-nested-loop
     // (see ext/RangeJoin). Overlapping synthetic key bands over the
@@ -1235,6 +1256,18 @@ object ExtQueriesAnalytics {
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1""",
 
+    // identical semantics to the manual bucket rewrite: the optimizer
+    // rule is transparent, so the naive SQL IS the oracle
+    "join_range_auto" -> """
+      WITH iv AS (SELECT CAST(n_nationkey AS BIGINT) AS interval_id,
+                         CAST(n_nationkey AS BIGINT) * 600 + 1 AS lo,
+                         CAST(n_nationkey AS BIGINT) * 600 + 1000 AS hi
+                  FROM nation)
+      SELECT interval_id, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(min(p_partkey) AS BIGINT) AS key_lo,
+             CAST(max(p_partkey) AS BIGINT) AS key_hi
+      FROM iv JOIN part ON p_partkey BETWEEN lo AND hi
+      GROUP BY 1""",
     // the bucket rewrite is semantically transparent: the oracle is
     // the naive BETWEEN join
     "join_range_bucketed" -> """

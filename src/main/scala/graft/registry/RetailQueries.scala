@@ -459,8 +459,13 @@ object RetailQueries {
 
     // ---- §2.8 sorts / limits ----
     "sort_metadata_load_order" -> ((s, _) => ControlPlane.resolveAll(s)),
+    // (sale_id, l_quantity) is a TOTAL order over the dup groups:
+    // sale_id alone ties when a derived corpus (the sf1 gate) carries
+    // two distinct rows under one synthetic id, and an ordered LIMIT
+    // under a tie is engine-ambiguous at the cut
     "limit_dup_sample" -> ((s, dir) =>
-      Gates.fullRowDups(dupBase(s, dir)).orderBy(col("sale_id")).limit(5)),
+      Gates.fullRowDups(dupBase(s, dir))
+        .orderBy(col("sale_id"), col("l_quantity")).limit(5)),
 
     // table profiling (extension of the A1 stats gate)
     "profile_table" -> ((s, dir) =>
@@ -709,7 +714,7 @@ object RetailQueries {
         ('sales_pipeline', 'sales_fact', '2'))
         AS t(pipeline_name, table_name, load_order)""",
     "limit_dup_sample" -> s"""$DupBaseSql
-      SELECT * FROM dups ORDER BY sale_id LIMIT 5""",
+      SELECT * FROM dups ORDER BY sale_id, l_quantity LIMIT 5""",
 
     "profile_table" -> {
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",

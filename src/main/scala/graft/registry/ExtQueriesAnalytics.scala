@@ -397,6 +397,53 @@ object ExtQueriesAnalytics {
         .select(col("customer_id"), col("priority"), col("valid_from"),
           col("valid_to"), col("is_current"), col("version"))
     }),
+    // point-in-time (AS OF) dimension lookup against the SCD2
+    // history — the join that makes slowly-changing dimensions worth
+    // keeping: each lineitem shipment is attached to the customer's
+    // priority version in effect at END of ship day. The fact ord
+    // rides the same (epoch_day * 1e10 + tiebreak) BIGINT domain as
+    // the history's validity bounds, with 9999999999 as the
+    // end-of-day sentinel (orderkeys never reach it), so half-open
+    // [valid_from, valid_to) intervals give AT MOST one version per
+    // fact; a shipment dated before the customer's first change (the
+    // synthetic corpus does not force ship >= order) keeps its row
+    // with a NULL version — the honest "no version in effect yet"
+    // answer, via LEFT join. Plan shape: the history is per-key
+    // windowed (key-partitioned only), then one equi-join on
+    // customer_id with the validity range as the join's post-filter
+    // — SortMergeJoin territory, no BNLJ, history rows per key are
+    // version-counts (tiny); a hot customer is ordinary join skew.
+    "join_scd2_pointintime" -> ((s, dir) => {
+      val ord = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long") * 10000000000L +
+        col("o_orderkey").cast("long")
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("customer_id"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate"), col("o_orderkey"))
+      val hist = graft.ops.Merge.scd2(changes, Seq("customer_id"),
+          Seq("priority"), ord)
+        .select(col("customer_id"), col("priority"), col("valid_from"),
+          col("valid_to"), col("version"))
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate"))
+        .join(t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("l_orderkey"),
+          col("o_custkey").cast("long").as("customer_id")),
+          Seq("l_orderkey"))
+        .withColumn("ford", datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long") * 10000000000L +
+          lit(9999999999L))
+      facts.join(hist, facts("customer_id") === hist("customer_id")
+          && col("valid_from") <= col("ford")
+          && (col("valid_to").isNull || col("ford") < col("valid_to")),
+          "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          facts("customer_id"),
+          col("priority").as("priority_at_ship"), col("version"))
+    }),
     // first-touch attribution: each purchase credited to the user's
     // EARLIEST click in the preceding 30 minutes, with the candidate
     // count. Equi-key (user) hash join + bounded range filter + min
@@ -1190,6 +1237,39 @@ object ExtQueriesAnalytics {
                AS BIGINT) AS version
       FROM sel""",
 
+    // the scd2 oracle's history CTEs + the same end-of-day fact ord;
+    // half-open interval membership picks the one effective version
+    "join_scd2_pointintime" -> """
+      WITH ch AS (
+        SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+               o_orderpriority AS priority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 * 10000000000 + o_orderkey AS ord
+        FROM orders),
+      sel AS (
+        SELECT customer_id, priority, ord FROM ch
+        QUALIFY priority IS DISTINCT FROM
+          lag(priority) OVER (PARTITION BY customer_id ORDER BY ord)),
+      hist AS (
+        SELECT customer_id, priority, ord AS valid_from,
+               lead(ord) OVER (PARTITION BY customer_id ORDER BY ord)
+                 AS valid_to,
+               CAST(row_number() OVER (PARTITION BY customer_id
+                 ORDER BY ord) AS BIGINT) AS version
+        FROM sel),
+      f AS (
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(o_custkey AS BIGINT) AS customer_id,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 * 10000000000 + 9999999999 AS ford
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT f.l_orderkey, f.l_linenumber, f.customer_id,
+             h.priority AS priority_at_ship, h.version
+      FROM f LEFT JOIN hist h
+        ON h.customer_id = f.customer_id
+       AND h.valid_from <= f.ford
+       AND (h.valid_to IS NULL OR f.ford < h.valid_to)""",
     // snapshot diff: same v2 mutation pattern, FULL OUTER JOIN on the
     // PK, IS DISTINCT FROM for null-safe attribute comparison
     "diff_snapshots" -> """

@@ -12,6 +12,43 @@ class MaintenanceOpsSpec extends SparkSpec {
   private def q(name: String) =
     graft.registry.ExtQueries.queries(name)(spark, sf0001)
 
+  test("point-in-time SCD2 join: exactly one version per fact, the right one") {
+    import spark.implicits._
+    // crafted history: one customer, priority A from ord 10, B from 30
+    val changes = Seq((7L, "A", 10L), (7L, "A", 20L), (7L, "B", 30L))
+      .toDF("customer_id", "priority", "ord")
+    val hist = graft.ops.Merge.scd2(changes, Seq("customer_id"),
+      Seq("priority"), col("ord"))
+    val facts = Seq((1L, 15L), (2L, 29L), (3L, 30L), (4L, 99L))
+      .toDF("fact_id", "ford")
+    val out = facts.join(hist,
+        facts("ford") >= hist("valid_from") &&
+          (hist("valid_to").isNull || facts("ford") < hist("valid_to")))
+      .select(col("fact_id"), col("priority"))
+      .as[(Long, String)].collect().toMap
+    // 15 and 29 sit inside [10, 30) -> A; 30 and 99 in [30, inf) -> B;
+    // the no-op change at ord 20 collapsed and cannot split the match
+    assert(out == Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"),
+      s"got $out")
+    // corpus invariants: every shipment keeps exactly one row (left
+    // join; half-open intervals admit at most one version), and the
+    // pre-history shipments (this corpus does not force ship >= order)
+    // surface as NULL versions rather than vanishing
+    val pit = q("join_scd2_pointintime").cache()
+    val n = pit.count()
+    val lineitems = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    // a left join can only inflate the row count, so equality alone
+    // proves every shipment ROW matched at most one version (the
+    // synthetic lineitem's (orderkey, linenumber) is deliberately
+    // NON-unique — the dedup family's fixture — so a distinct-key
+    // check would be the wrong invariant here)
+    assert(n == lineitems, s"$n rows for $lineitems shipments")
+    val preHistory = pit.filter(col("version").isNull).count()
+    assert(preHistory > 0 && preHistory < n,
+      s"expected a mixed matched/pre-history split, got $preHistory of $n")
+    pit.unpersist()
+  }
+
   test("diff_snapshots classifies every mutated PK and only those") {
     val out = q("diff_snapshots").cache()
     try {

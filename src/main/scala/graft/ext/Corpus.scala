@@ -610,6 +610,65 @@ object Corpus {
         col("n_docs"), expr("n_docs * 1000000 div _total").as("share_ppm"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov drift over per-source
+    * quality-score distributions — the snapshot-health check a corpus
+    * pipeline runs when a crawl refresh or a new provider lands: a
+    * source whose score distribution has drifted from its peers (or
+    * from its own previous snapshot, fed as another `source` value)
+    * shows a large KS distance long before mean-based monitors move.
+    *
+    * The KS statistic is computed EXACTLY in integer ppm over a shared
+    * `buckets`-cell histogram: bucket = least(buckets-1,
+    * floor(score * buckets)) (the calibration report's bit-portable
+    * boundary arithmetic), per-source CDF as a cumulative sum over a
+    * DENSE source x bucket spine (so a source missing trailing buckets
+    * still carries its CDF forward), cdf_ppm = cum * 1e6 div n_source,
+    * and ks_ppm = max |cdf_a - cdf_b| over buckets for each unordered
+    * source pair. NaN-scored docs (empty text) are excluded on both
+    * engines.
+    *
+    * Scale shape: ONE corpus scan reduced immediately to the
+    * (source x bucket) histogram — everything downstream is
+    * metadata-sized (sources x buckets rows; the pair join is
+    * sources^2 x buckets, ~1e6 rows even at a thousand sources), with
+    * windows partitioned per source over `buckets` rows. No corpus
+    * joins, no unpartitioned windows. */
+  def ksDriftReport(df: DataFrame, id: Column, source: Column,
+                    text: Column, buckets: Int = 32): DataFrame = {
+    val scored = TextOps.withQualityScore(
+        df.select(id.as("doc_id"), source.as("source"), text.as("_t")),
+        col("_t"))
+      .filter(!isnan(col("quality_score")))
+    val hist = scored.groupBy(col("source"),
+        least(lit(buckets - 1L),
+          floor(col("quality_score") * buckets)).as("bucket"))
+      .agg(count(lit(1)).as("n_bucket"))
+    val spine = hist.select(col("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val cdf = spine.join(hist, Seq("source", "bucket"), "left")
+      .withColumn("nb", coalesce(col("n_bucket"), lit(0L)))
+      .withColumn("cum", sum(col("nb")).over(wCum))
+      .withColumn("n_src", sum(col("nb")).over(wAll))
+      .select(col("source"), col("bucket"),
+        expr("cum * 1000000 div n_src").as("cdf_ppm"), col("n_src"))
+    val a = cdf.select(col("source").as("source_a"), col("bucket"),
+      col("cdf_ppm").as("cdf_a"), col("n_src").as("n_a"))
+    val b = cdf.select(col("source").as("source_b"), col("bucket"),
+      col("cdf_ppm").as("cdf_b"), col("n_src").as("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cdf_a") - col("cdf_b"))).as("ks_ppm"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("ks_ppm"))
+  }
+
   /** Unigram-LM surprisal per document — the language-model-flavored
     * quality signal the heuristic score can't give: documents made of
     * corpus-rare tokens carry high mean surprisal, boilerplate made of
@@ -903,6 +962,82 @@ object Corpus {
     * [[graft.functions.WordShingleStrings]] expression (one codegen'd
     * JVM loop); the equivalent transform/sequence HOF chain is
     * CodegenFallback and benched ~10x slower on the full corpus. */
+  /** Kneser–Ney continuation statistics — the smoothing building
+    * block of every interpolated n-gram LM over the corpus: a token's
+    * KN lower-order probability is NOT its raw frequency but how many
+    * DISTINCT left contexts it continues (the "Francisco problem":
+    * frequent but context-locked tokens must back off small).
+    * Per token: n_unigram (raw count), n_left_contexts (distinct w1
+    * preceding it), n_right_continuations (distinct w2 following it —
+    * the fertility term KN discount estimation reads), and
+    * cont_ppm = n_left_contexts * 1e6 div |distinct bigram types| —
+    * the exact-integer KN continuation probability.
+    *
+    * Scale shape: the corpus collapses FIRST to its distinct bigram
+    * TYPES (one hash-distinct — the same 1000x vocabulary reduction
+    * the BPE trainer rides), materialized once for its three
+    * consumers (left counts, right counts, the 1-row type total);
+    * everything downstream is vocabulary-sized aggs + joins. Doc
+    * boundaries bound the windows: bigrams never span documents. */
+  def knContinuation(df: DataFrame, text: Column): DataFrame = {
+    val uni = df.select(explode(TextOps.tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_unigram"))
+    val bgt = Materialize.eager(
+      df.select(explode(graft.functions.VectorFunctions
+          .wordShingleStrings(text, 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .distinct())
+    val lc = bgt.groupBy(col("w2")).agg(count(lit(1)).as("n_left_contexts"))
+      .withColumnRenamed("w2", "token")
+    val rc = bgt.groupBy(col("w1"))
+      .agg(count(lit(1)).as("n_right_continuations"))
+      .withColumnRenamed("w1", "token")
+    val tot = bgt.agg(count(lit(1)).as("_t"))
+    uni.join(lc, Seq("token"), "left").join(rc, Seq("token"), "left")
+      .join(broadcast(tot))
+      .select(col("token"), col("n_unigram"),
+        coalesce(col("n_left_contexts"), lit(0L)).as("n_left_contexts"),
+        coalesce(col("n_right_continuations"), lit(0L))
+          .as("n_right_continuations"),
+        expr("coalesce(n_left_contexts, 0L) * 1000000 div _t")
+          .as("cont_ppm"))
+  }
+
+  /** Per-source out-of-vocabulary rate under the corpus-global top-k
+    * type vocabulary — the domain-mix readiness check behind
+    * [[vocabCoverageReport]]'s global curve: a GLOBAL coverage number
+    * can hide one source (a code or non-English domain) paying a
+    * multiple of the average OOV rate, which surfaces downstream as
+    * that domain's tokens fragmenting into byte fallbacks. Vocabulary
+    * membership is pinned by the (occ desc, term) total order, so the
+    * kept set is engine-replayable even when k cuts inside a
+    * frequency tie (deliberately a SET here, unlike the coverage
+    * report's tie-free mass walk — per-source attribution needs
+    * actual membership).
+    *
+    * Scale shape: the (source, term) token stream is materialized
+    * once (it feeds the vocabulary count and the per-source rollup —
+    * the tfidf double-scan lesson); the top-k runs as
+    * TakeOrderedAndProject over the vocabulary-sized count frame
+    * (bounded per-partition heaps, never a full sort shuffle), and
+    * membership rides a k-row broadcast left join into one
+    * source-keyed hash-agg. */
+  def oovBySource(df: DataFrame, source: Column, text: Column,
+                  k: Int = 64): DataFrame = {
+    val toks = Materialize.eager(
+      df.select(source.as("source"),
+        explode(TextOps.tokens(text)).as("term")))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("occ"))
+      .orderBy(col("occ").desc, col("term")).limit(k)
+      .select(col("term"), lit(1L).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
+
   def topBigrams(df: DataFrame, text: Column, k: Int): DataFrame =
     df.select(explode(
         graft.functions.VectorFunctions.wordShingleStrings(text, 2))

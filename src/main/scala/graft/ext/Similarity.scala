@@ -935,4 +935,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Per-dimension embedding health — the table an embedding pipeline
+    * reads before trusting its vectors downstream: a DEAD dimension
+    * (near-zero variance — an encoder head that collapsed, a
+    * truncation bug zeroing a suffix, a normalization pass applied
+    * twice) silently wastes index capacity and distorts every cosine,
+    * and per-dim extremes catch un-normalized or clipped exports.
+    *
+    * Exactness discipline: each coordinate is quantized ONCE to
+    * q = floor(x * 1e4) (double multiply + floor — correctly-rounded
+    * IEEE ops, bit-identical in any engine), and everything after is
+    * integer: min/max/sum of q per dim, and the exact integer variance
+    * in q^2 units via var_q8 = (n*Σq² - (Σq)²) div n² — products in
+    * DecimalType(38,0) (DuckDB: HUGEINT), the quality_outlier_zscore
+    * discipline, exact past int64 at any corpus size; the only int64
+    * term is n², safe below ~3e9 vectors per report. A dim is flagged
+    * dead when var_q8 < deadVarQ8 (default 100 = variance 1e-6 in
+    * coordinate units).
+    *
+    * Scale shape: one narrow posexplode feeding a single dim-keyed
+    * hash-agg (map-side combined, `dim` rows out) — no joins, no
+    * windows, no driver loops. */
+  def dimensionHealthReport(df: DataFrame, vecCol: String,
+                            deadVarQ8: Long = 100L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = df.select(posexplode(col(vecCol)))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 10000d).as("q"))
+    q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q").cast(dec) * col("q").cast(dec)).as("_ssq"))
+      .withColumn("_varnum", col("n_vecs").cast(dec) * col("_ssq")
+        - col("sum_q").cast(dec) * col("sum_q").cast(dec))
+      .withColumn("var_q8",
+        expr("CAST(_varnum div (n_vecs * n_vecs) AS BIGINT)"))
+      .select(col("dim"), col("n_vecs"), col("min_q"), col("max_q"),
+        col("sum_q"), col("var_q8"),
+        (col("var_q8") < deadVarQ8).as("is_dead"))
+  }
 }

@@ -18,6 +18,24 @@ import QueryShared._
   */
 object ExtQueriesAnalytics {
 
+  /** Morton interleave of two 8-bit ints (x even bit positions, y odd)
+    * — the zone-map report's 16-shard z-curve; term-for-term identical
+    * to [[zInterleave8Sql]]. (RetailQueries keeps a private 16-bit
+    * variant for the full z-order layout audit.) */
+  private def zInterleave8(x: org.apache.spark.sql.Column,
+                           y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[zInterleave8]]. */
+  private def zInterleave8Sql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val queries: Map[String, Q] = Map(
 
     // both fact tables staged ONCE bucketed+sorted by their join key,
@@ -71,6 +89,41 @@ object ExtQueriesAnalytics {
         .join(counts, Seq("event_type", "window_epoch"), "left")
         .select(col("event_type"), col("window_epoch"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+    // exact-integer EWMA over the gap-filled hourly series: halflife
+    // = 1 hour as a BOUNDED 8-term dyadic kernel (weight 2^(7-k) on
+    // lag k), so the smoothed trend is pure integer arithmetic —
+    // num/den emitted plus ewma_milli = num*1000 div den. The kernel
+    // needs the DENSE spine (a gap hour must decay the average, which
+    // is exactly what a lag over sparse rows gets wrong). Scale
+    // shape: the event scan collapses to hourly counts FIRST; the
+    // window runs per event_type over the hours x types frame —
+    // metadata-sized at any corpus scale, partitioned, never global.
+    "window_ewma_hourly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (floor(col("ts").cast("long") / 3600) * 3600).cast("long")
+          .as("window_epoch"))
+      val counts = ev.groupBy(col("event_type"), col("window_epoch"))
+        .agg(count(lit(1)).as("n_events"))
+      val hours = ev.agg(min(col("window_epoch")).as("lo"),
+          max(col("window_epoch")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+          .as("window_epoch"))
+      val types = ev.select(col("event_type")).distinct()
+      val dense = hours.join(broadcast(types))
+        .join(counts, Seq("event_type", "window_epoch"), "left")
+        .select(col("event_type"), col("window_epoch"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("window_epoch"))
+      val num = (0 until 8).map(k =>
+        coalesce(lag(col("n_events"), k).over(w), lit(0L)) *
+          lit(1L << (7 - k))).reduce(_ + _)
+      val den = (0 until 8).map(k =>
+        when(lag(col("n_events"), k).over(w).isNotNull,
+          lit(1L << (7 - k))).otherwise(lit(0L))).reduce(_ + _)
+      dense.withColumn("ewma_num", num).withColumn("ewma_den", den)
+        .withColumn("ewma_milli", expr("ewma_num * 1000 div ewma_den"))
     }),
     // built-in session_window in BATCH mode — same semantics as the
     // lag+cumsum sessionization and the streaming twin
@@ -567,6 +620,86 @@ object ExtQueriesAnalytics {
         .select(col("shard"), col("size_bytes"),
           (col("cum_before") / target).cast("long").as("compact_group"))
     }),
+    // zone-map pruning ROI: the SAME rows priced under three layouts —
+    // hash-scattered (models unclustered ingest), 1-D range-clustered
+    // on custkey, 2-D z-order on (custkey, day) — each cut into 16
+    // shards by CLOSED-FORM integer arithmetic (no sampling, no file
+    // writes: the shard id IS the layout), zone maps measured as the
+    // per-shard min/max of BOTH predicate columns, and TWO fixed
+    // predicates costed per layout: a 2-D central box (middle 2/16 of
+    // each dimension) and a day-only band (the off-cluster predicate).
+    // The 3x2 matrix is the number that justifies
+    // sink_range_clustered / sink_zorder_layout at 100 TB: scatter
+    // scans ~everything under both predicates, 1-D clustering prunes
+    // hard on its own dimension but scans ~everything on the day
+    // band, z-order prunes on EITHER — the property a 1-D sort cannot
+    // give. Scale shape: one corpus scan (materialized once — three
+    // shard assignments and the match counts all read it), one
+    // 3x-row explode feeding a single 48-group hash-agg, then
+    // metadata-sized pricing joins against the tiny bounds/predicate
+    // frames (allowlisted broadcasts). rows_matched per predicate is
+    // constant across layouts by construction (same rows, same box).
+    "sink_zonemap_prune_report" -> ((s, dir) => {
+      val base = graft.ext.Materialize.eager(
+        t(s, dir, "orders").select(
+          col("o_custkey").cast("long").as("ck"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("dy")))
+      val bounds = base.agg(
+        min(col("ck")).as("clo"), max(col("ck")).as("chi"),
+        min(col("dy")).as("dlo"), max(col("dy")).as("dhi"))
+      // two predicate rows: the 2-D box, and the day band (ck open)
+      val preds = bounds.select(col("clo"), col("chi"),
+          expr("clo + 7 * greatest((chi - clo + 1) div 16, 1)").as("bck_lo"),
+          expr("clo + 9 * greatest((chi - clo + 1) div 16, 1) - 1").as("bck_hi"),
+          expr("dlo + 7 * greatest((dhi - dlo + 1) div 16, 1)").as("bdy_lo"),
+          expr("dlo + 9 * greatest((dhi - dlo + 1) div 16, 1) - 1").as("bdy_hi"))
+        .select(explode(array(
+          struct(lit("box_2d").as("predicate"),
+            col("bck_lo").as("qck_lo"), col("bck_hi").as("qck_hi"),
+            col("bdy_lo").as("qdy_lo"), col("bdy_hi").as("qdy_hi")),
+          struct(lit("band_day").as("predicate"),
+            col("clo").as("qck_lo"), col("chi").as("qck_hi"),
+            col("bdy_lo").as("qdy_lo"), col("bdy_hi").as("qdy_hi")))).as("p"))
+        .select(col("p.predicate"), col("p.qck_lo"), col("p.qck_hi"),
+          col("p.qdy_lo"), col("p.qdy_hi"))
+      val sharded = base.join(broadcast(bounds))
+        .withColumn("x", expr("(ck - clo) * 256 div (chi - clo + 1)"))
+        .withColumn("y", expr("(dy - dlo) * 256 div (dhi - dlo + 1)"))
+        .withColumn("zv", zInterleave8(col("x"), col("y")))
+        .select(col("ck"), col("dy"), explode(array(
+          struct(lit("scatter_hash").as("layout"),
+            expr("ck % 16").as("shard")),
+          struct(lit("range_ck").as("layout"),
+            expr("(ck - clo) * 16 div (chi - clo + 1)").as("shard")),
+          struct(lit("zorder_ck_day").as("layout"),
+            expr("zv div 4096").as("shard")))).as("ls"))
+        .select(col("ck"), col("dy"), col("ls.layout"), col("ls.shard"))
+      val zones = sharded.groupBy(col("layout"), col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+          min(col("dy")).as("dy_lo"), max(col("dy")).as("dy_hi"))
+      val priced = zones.join(broadcast(preds))
+        .withColumn("scanned",
+          when(col("ck_hi") < col("qck_lo") || col("ck_lo") > col("qck_hi") ||
+            col("dy_hi") < col("qdy_lo") || col("dy_lo") > col("qdy_hi"), 0L)
+            .otherwise(1L))
+      val matched = base.join(broadcast(preds))
+        .filter(col("ck").between(col("qck_lo"), col("qck_hi")) &&
+          col("dy").between(col("qdy_lo"), col("qdy_hi")))
+        .groupBy(col("predicate"))
+        .agg(count(lit(1)).as("rows_matched"))
+      priced.groupBy(col("layout"), col("predicate"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("scanned")).as("shards_scanned"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(col("scanned") * col("n_rows")).as("rows_scanned"))
+        .join(broadcast(matched), Seq("predicate"))
+        .select(col("layout"), col("predicate"), col("n_shards"),
+          col("shards_scanned"), col("rows_total"), col("rows_scanned"),
+          expr("rows_scanned * 1000000 div rows_total").as("scan_ppm"),
+          col("rows_matched"))
+    }),
     // exact-integer outlier detection: flag docs whose token count sits
     // more than 1.5 sd from the per-source mean, with the z-test
     // rewritten as 4(nx-S)^2 > 9(n*SS - S^2) — no float mean/variance
@@ -917,6 +1050,41 @@ object ExtQueriesAnalytics {
       FROM h CROSS JOIN ty
       LEFT JOIN c ON c.event_type = ty.event_type
         AND c.window_epoch = h.window_epoch""",
+    // same dense spine, same 8-term dyadic kernel via 8 lags
+    "window_ewma_hourly" -> s"""
+      WITH b AS (SELECT event_type,
+          CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_epoch
+        FROM events),
+      c AS (SELECT event_type, window_epoch,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1, 2),
+      r AS (SELECT min(window_epoch) AS lo, max(window_epoch) AS hi FROM b),
+      h AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS window_epoch
+            FROM r),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      dense AS (SELECT ty.event_type, h.window_epoch,
+          COALESCE(c.n_events, 0) AS n_events
+        FROM h CROSS JOIN ty
+        LEFT JOIN c ON c.event_type = ty.event_type
+          AND c.window_epoch = h.window_epoch),
+      e AS (SELECT event_type, window_epoch, n_events,
+          ${(0 until 8).map(k =>
+            s"CAST(coalesce(lag(n_events, $k) OVER " +
+              s"(PARTITION BY event_type ORDER BY window_epoch), 0) * " +
+              s"${1L << (7 - k)} AS BIGINT)").mkString(" + ")}
+            AS ewma_num,
+          ${(0 until 8).map(k =>
+            s"CASE WHEN lag(n_events, $k) OVER " +
+              s"(PARTITION BY event_type ORDER BY window_epoch) " +
+              s"IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END")
+            .mkString(" + ")}
+            AS ewma_den
+        FROM dense)
+      SELECT event_type, window_epoch, n_events,
+             CAST(ewma_num AS BIGINT) AS ewma_num,
+             CAST(ewma_den AS BIGINT) AS ewma_den,
+             CAST(ewma_num * 1000 // ewma_den AS BIGINT) AS ewma_milli
+      FROM e""",
     "window_sliding" -> s"""
       WITH w AS (
         SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - k) * 1800 AS window_epoch,
@@ -1310,6 +1478,67 @@ object ExtQueriesAnalytics {
         FROM shards)
       SELECT shard, size_bytes, cum_before // 8192 AS compact_group
       FROM c""",
+    // identical closed-form shard arithmetic per layout, zone maps as
+    // per-shard min/max, same two predicates — BIGINT casts on
+    // every sum (DuckDB SUM -> HUGEINT, the r7 dtype lesson)
+    "sink_zonemap_prune_report" -> s"""
+      WITH base AS MATERIALIZED (
+        SELECT o_custkey AS ck,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                 AS BIGINT) AS dy
+        FROM orders),
+      r AS (SELECT min(ck) AS clo, max(ck) AS chi,
+                   min(dy) AS dlo, max(dy) AS dhi FROM base),
+      p AS (
+        SELECT 'box_2d' AS predicate,
+               clo + 7 * greatest((chi - clo + 1) // 16, 1) AS qck_lo,
+               clo + 9 * greatest((chi - clo + 1) // 16, 1) - 1 AS qck_hi,
+               dlo + 7 * greatest((dhi - dlo + 1) // 16, 1) AS qdy_lo,
+               dlo + 9 * greatest((dhi - dlo + 1) // 16, 1) - 1 AS qdy_hi
+        FROM r
+        UNION ALL
+        SELECT 'band_day', clo, chi,
+               dlo + 7 * greatest((dhi - dlo + 1) // 16, 1),
+               dlo + 9 * greatest((dhi - dlo + 1) // 16, 1) - 1
+        FROM r),
+      sh AS (
+        SELECT ck, dy, 'scatter_hash' AS layout, ck % 16 AS shard
+        FROM base
+        UNION ALL
+        SELECT ck, dy, 'range_ck',
+               (ck - clo) * 16 // (chi - clo + 1)
+        FROM base CROSS JOIN r
+        UNION ALL
+        SELECT ck, dy, 'zorder_ck_day',
+               (${zInterleave8Sql("x", "y")}) // 4096
+        FROM (SELECT ck, dy,
+                     (ck - clo) * 256 // (chi - clo + 1) AS x,
+                     (dy - dlo) * 256 // (dhi - dlo + 1) AS y
+              FROM base CROSS JOIN r)),
+      z AS (SELECT layout, shard, count(*) AS n_rows,
+                   min(ck) AS ck_lo, max(ck) AS ck_hi,
+                   min(dy) AS dy_lo, max(dy) AS dy_hi
+            FROM sh GROUP BY 1, 2),
+      m AS (SELECT predicate, count(*) AS rows_matched
+            FROM base CROSS JOIN p
+            WHERE ck BETWEEN qck_lo AND qck_hi
+              AND dy BETWEEN qdy_lo AND qdy_hi
+            GROUP BY 1),
+      pr AS (SELECT layout, predicate, n_rows,
+                    CASE WHEN ck_hi < qck_lo OR ck_lo > qck_hi
+                           OR dy_hi < qdy_lo OR dy_lo > qdy_hi
+                         THEN 0 ELSE 1 END AS scanned
+             FROM z CROSS JOIN p)
+      SELECT layout, predicate,
+             CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(scanned) AS BIGINT) AS shards_scanned,
+             CAST(sum(n_rows) AS BIGINT) AS rows_total,
+             CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+             CAST(sum(scanned * n_rows) * 1000000 // sum(n_rows)
+               AS BIGINT) AS scan_ppm,
+             CAST(m.rows_matched AS BIGINT) AS rows_matched
+      FROM pr JOIN m USING (predicate)
+      GROUP BY layout, predicate, m.rows_matched""",
     // exact-integer z-test: 4(nx-S)^2 > 9(n*SS - S^2) over BIGINTs
     "quality_outlier_zscore" -> """
       WITH d AS (SELECT doc_id, source,

@@ -70,9 +70,26 @@ object ExtQueriesCorpus {
     "quality_calibration_report" -> ((s, dir) =>
       Corpus.qualityCalibrationReport(t(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    // pairwise source-level KS drift over quality-score distributions:
+    // exact integer-ppm KS distance per unordered source pair off a
+    // shared 32-bucket histogram — the snapshot-health monitor that
+    // catches a drifted provider before mean-based checks move
+    "quality_ks_drift_report" -> ((s, dir) =>
+      Corpus.ksDriftReport(t(s, dir, "documents"), col("doc_id"),
+        col("source"), col("text"))),
     // corpus-wide top-50 word bigrams (vocabulary induction seed)
     "vocab_top_bigrams" -> ((s, dir) =>
       Corpus.topBigrams(t(s, dir, "documents"), col("text"), k = 50)),
+    // Kneser–Ney continuation stats: distinct-left-context counts and
+    // exact-ppm continuation probabilities per token (plus the right
+    // fertility term) off one materialized bigram-type frame
+    "vocab_kn_continuation" -> ((s, dir) =>
+      Corpus.knContinuation(t(s, dir, "documents"), col("text"))),
+    // per-source OOV rate under the global top-64 vocabulary — the
+    // domain-mix readiness check a global coverage curve can hide
+    "vocab_oov_by_source" -> ((s, dir) =>
+      Corpus.oovBySource(t(s, dir, "documents"), col("source"),
+        col("text"))),
     // one BPE merge-selection round: adjacent char-pair counts
     // weighted by word frequency, computed over the VOCABULARY (the
     // corpus collapses to distinct words first — the 1000x reduction
@@ -975,6 +992,50 @@ object ExtQueriesCorpus {
                // (SELECT CAST(sum(n_docs) AS BIGINT) FROM cells)
                AS BIGINT) AS share_ppm
       FROM cells""",
+    // same score arithmetic, 32-bucket histogram on a dense
+    // source x bucket spine, integer-ppm CDFs, max |cdf_a - cdf_b|
+    // per unordered pair — BIGINT casts on every windowed SUM
+    "quality_ks_drift_report" -> s"""
+      WITH t AS (SELECT doc_id, source, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id, source,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      h AS (SELECT source,
+          least(31, CAST(floor(quality_score * 32) AS BIGINT)) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_bucket
+        FROM q WHERE NOT isnan(quality_score) GROUP BY 1, 2),
+      spine AS (SELECT source, b AS bucket
+        FROM (SELECT DISTINCT source FROM h)
+        CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      cd AS (SELECT spine.source, spine.bucket,
+          CAST(sum(coalesce(h.n_bucket, 0)) OVER (
+            PARTITION BY spine.source ORDER BY spine.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          CAST(sum(coalesce(h.n_bucket, 0)) OVER (
+            PARTITION BY spine.source) AS BIGINT) AS n_src
+        FROM spine LEFT JOIN h USING (source, bucket)),
+      cdf AS (SELECT source, bucket, cum * 1000000 // n_src AS cdf_ppm,
+                     n_src
+              FROM cd)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(a.n_src AS BIGINT) AS n_a,
+             CAST(b.n_src AS BIGINT) AS n_b,
+             CAST(max(abs(a.cdf_ppm - b.cdf_ppm)) AS BIGINT) AS ks_ppm
+      FROM cdf a JOIN cdf b
+        ON a.bucket = b.bucket AND a.source < b.source
+      GROUP BY 1, 2, 3, 4""",
     // n_words >= 1 always (trim of a non-empty doc splits to >= 1
     // token), so the integer floor-div cannot hit zero
     "text_c4_filter" -> """
@@ -1078,6 +1139,47 @@ object ExtQueriesCorpus {
         FROM tok WHERE len(toks) >= 2)
       SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    // distinct bigram types once, left/right distinct-context counts,
+    // 1-row type total for the exact-ppm continuation probability
+    "vocab_kn_continuation" -> """
+      WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      un AS (SELECT unnest(toks) AS token FROM tok),
+      uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n_unigram
+              FROM un GROUP BY 1),
+      bgt AS (SELECT DISTINCT
+          unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS w1,
+          unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS w2
+        FROM tok WHERE len(toks) >= 2),
+      lc AS (SELECT w2 AS token, CAST(count(*) AS BIGINT)
+               AS n_left_contexts FROM bgt GROUP BY 1),
+      rc AS (SELECT w1 AS token, CAST(count(*) AS BIGINT)
+               AS n_right_continuations FROM bgt GROUP BY 1),
+      tt AS (SELECT count(*) AS t FROM bgt)
+      SELECT uni.token, uni.n_unigram,
+             coalesce(lc.n_left_contexts, 0) AS n_left_contexts,
+             coalesce(rc.n_right_continuations, 0)
+               AS n_right_continuations,
+             CAST(coalesce(lc.n_left_contexts, 0) * 1000000 // tt.t
+               AS BIGINT) AS cont_ppm
+      FROM uni LEFT JOIN lc USING (token) LEFT JOIN rc USING (token)
+      CROSS JOIN tt""",
+    // same (occ desc, term) total order pins the vocab set; per-source
+    // rollup via a left join against it
+    "vocab_oov_by_source" -> """
+      WITH tok AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents),
+      v AS (SELECT term, 1 AS in_vocab
+        FROM (SELECT term, count(*) AS occ FROM tok GROUP BY 1)
+        ORDER BY occ DESC, term LIMIT 64)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS oov_ppm
+      FROM tok LEFT JOIN v USING (term)
+      GROUP BY 1""",
     // vocabulary-first BPE pair counts: pairs explode over DISTINCT
     // words only, weighted by the word's corpus count
     "vocab_bpe_pairs" -> """

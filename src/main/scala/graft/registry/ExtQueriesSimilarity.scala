@@ -34,6 +34,12 @@ object ExtQueriesSimilarity {
         .select(col("vec_id"), col("pos").cast("long").as("dim"),
           col("l2_norm"), col("col").as("unit_val"))
     }),
+    // per-dimension embedding health: quantize-once integer stats +
+    // exact integer variance per dim — dead-dimension / clipped-export
+    // detection before the vectors feed an index
+    "emb_dimension_health" -> ((s, dir) =>
+      Similarity.dimensionHealthReport(t(s, dir, "embeddings"),
+        "embedding")),
     // JL random projection 64 -> 16 dims with md5-derived plane
     // weights, exploded to scalar rows like emb_normalize
     "emb_random_projection" -> ((s, dir) =>
@@ -509,6 +515,27 @@ object ExtQueriesSimilarity {
       SELECT vec_id, unnest(range(len(unit))) AS dim, l2_norm,
         unnest(unit) AS unit_val
       FROM n WHERE l2_norm > 0""",
+    // same quantize-once arithmetic: q = floor(x * 1e4), HUGEINT
+    // products for the exact variance numerator (Spark side:
+    // decimal128), integer floor-div by n^2
+    "emb_dimension_health" -> """
+      WITH e AS (SELECT unnest(range(len(embedding))) AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+            AS BIGINT) AS q
+        FROM embeddings),
+      g AS (SELECT dim, count(*) AS n_vecs,
+          min(q) AS min_q, max(q) AS max_q,
+          CAST(sum(q) AS BIGINT) AS sum_q,
+          sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ssq
+        FROM e GROUP BY 1),
+      v AS (SELECT dim, n_vecs, min_q, max_q, sum_q,
+          CAST((CAST(n_vecs AS HUGEINT) * ssq
+                - CAST(sum_q AS HUGEINT) * CAST(sum_q AS HUGEINT))
+            // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT) AS var_q8
+        FROM g)
+      SELECT CAST(dim AS BIGINT) AS dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+             min_q, max_q, sum_q, var_q8, (var_q8 < 100) AS is_dead
+      FROM v""",
     // plane weight (9000+j, d=i-1) replayed inline: hex60 of the
     // "p,d" key, reduced to [-1, 1] in exact millionths
     "emb_random_projection" -> s"""

@@ -936,6 +936,66 @@ class CorpusSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  // ---- knContinuation ----
+
+  test("knContinuation solves the Francisco problem by hand") {
+    // 'francisco' outcounts 'cat' (3 vs 2) but is context-locked
+    // (only ever follows 'san'); KN continuation must rank cat above
+    val docs = Seq("san francisco", "san francisco", "san francisco",
+      "the cat", "a cat").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = Corpus.knContinuation(docs, col("text"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // bigram TYPES: (san,francisco), (the,cat), (a,cat) -> T=3
+    assert(got("francisco") == ((3L, 1L, 0L, 333333L)), s"got $got")
+    assert(got("cat") == ((2L, 2L, 0L, 666666L)))
+    assert(got("san") == ((3L, 0L, 1L, 0L)))
+    assert(got("the") == ((1L, 0L, 1L, 0L)))
+    assert(got("a") == ((1L, 0L, 1L, 0L)))
+    assert(got("cat")._4 > got("francisco")._4,
+      "continuation probability must invert the raw-frequency order")
+  }
+
+  // ---- oovBySource ----
+
+  test("oovBySource: tie at the vocab cut resolves by (occ desc, term)") {
+    // counts: x=3, y=2, z=2 — k=2 cuts inside the y/z tie; the total
+    // order keeps {x, y}, so z is OOV everywhere
+    val docs = Seq((1L, "A", "x y z"), (2L, "B", "z x"),
+      (3L, "A", "x y")).toDF("doc_id", "source", "text")
+    val got = Corpus.oovBySource(docs, col("source"), col("text"), k = 2)
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 5L, 1L, 200000L), ("B", 2L, 1L, 500000L)),
+      s"got $got")
+  }
+
+  // ---- ksDriftReport ----
+
+  test("ksDriftReport: identical sources at 0, disjoint score profiles at 1e6") {
+    // A and B carry the SAME score multiset (KS must be exactly 0);
+    // C is punct-heavy short junk whose scores land in the bottom
+    // buckets while A/B's stopword-rich docs land high — full
+    // separation, so the CDF gap must reach exactly 1e6
+    val good = "the be to of and that have with good text here now"
+    val docs = Seq(
+      (1L, "A", good), (2L, "A", good + " more words to vary length"),
+      (3L, "B", good), (4L, "B", good + " more words to vary length"),
+      (5L, "C", "@#$% !!!"), (6L, "C", "&&& ^^^")).toDF(
+      "doc_id", "source", "text")
+    val got = Corpus.ksDriftReport(docs, col("doc_id"), col("source"),
+        col("text"))
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq(("A", "B"), ("A", "C"), ("B", "C")), s"unordered pairs: $got")
+    got.foreach(r => assert(r._3 == 2L && r._4 == 2L))
+    val ks = got.map(r => (r._1, r._2) -> r._5).toMap
+    assert(ks(("A", "B")) == 0L, s"identical distributions: $ks")
+    assert(ks(("A", "C")) == 1000000L && ks(("B", "C")) == 1000000L,
+      s"fully separated distributions: $ks")
+  }
+
   // ---- qualityCalibrationReport ----
 
   test("qualityCalibrationReport matches the unfused score+flags composition") {

@@ -457,4 +457,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("keeper_id").as[Long].collect().toSeq
     assert(out == Seq(5L), s"same source: lower doc_id wins, got $out")
   }
+
+  test("dimensionHealthReport: exact variance, dead dims flagged, live dims not") {
+    // binary-exact coordinates so q = floor(x * 1e4) is unambiguous:
+    // dim 0 constant (collapsed head), dim 1 alternating +-0.25,
+    // dim 2 all-zero (truncation bug)
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.25f, 0f)), (2L, Array(0.5f, -0.25f, 0f)),
+      (3L, Array(0.5f, 0.25f, 0f)), (4L, Array(0.5f, -0.25f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimensionHealthReport(vecs, "embedding")
+      .orderBy("dim")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // dim1: q in {2500, -2500}, sum 0, ssq 4*6.25e6 ->
+    // var_q8 = (4 * 2.5e7 - 0) div 16 = 6250000
+    assert(got === Seq(
+      (0L, 4L, 5000L, 5000L, 20000L, 0L, true),
+      (1L, 4L, -2500L, 2500L, 0L, 6250000L, false),
+      (2L, 4L, 0L, 0L, 0L, 0L, true)), s"got $got")
+  }
 }

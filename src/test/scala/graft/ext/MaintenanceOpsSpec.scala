@@ -163,6 +163,33 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === total)
   }
 
+  test("zone-map pricing is sound and ranks layouts as designed") {
+    val rows = q("sink_zonemap_prune_report").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(rows.size == 6, s"3 layouts x 2 predicates, got ${rows.keySet}")
+    val total = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    rows.foreach { case ((layout, pred),
+        (nSh, shSc, rTot, rSc, ppm, matched)) =>
+      // every layout partitions the table; pricing never exceeds it
+      assert(rTot == total, s"$layout/$pred rows_total $rTot != $total")
+      assert(nSh == 16 && shSc <= nSh)
+      // SOUNDNESS: min/max pruning may over-read, never under-read —
+      // every predicate-matching row sits in a scanned shard
+      assert(rSc >= matched, s"$layout/$pred scans $rSc < matched $matched")
+      assert(ppm == rSc * 1000000L / rTot)
+    }
+    def scanned(l: String, p: String) = rows((l, p))._4
+    // the matrix's design claims: scatter prunes nothing it can avoid,
+    // 1-D clustering wins its own dimension but cannot prune the
+    // day-only band below z-order, z-order prunes under BOTH
+    assert(scanned("range_ck", "box_2d") <= scanned("zorder_ck_day", "box_2d"))
+    assert(scanned("zorder_ck_day", "box_2d") < scanned("scatter_hash", "box_2d"))
+    assert(scanned("zorder_ck_day", "band_day") < scanned("range_ck", "band_day"))
+    assert(scanned("zorder_ck_day", "band_day") < scanned("scatter_hash", "band_day"))
+  }
+
   test("linear attribution conserves each purchase's credit up to floor loss") {
     val rows = q("attribution_linear").collect()
     assert(rows.nonEmpty)

@@ -55,7 +55,17 @@ class RegistryPlanLintSpec extends SparkSpec {
     "vocab_coverage_report", "graph_degree_report",
     "corpus_surprisal_buckets",
     // the epoch plan joins the mixture's and its own 1-row totals
-    "curate_epoch_plan")
+    "curate_epoch_plan",
+    // zone-map pricing: the corpus scan and the 48-row zone frame each
+    // join the 1-row global-bounds/predicate-box frame, and the final
+    // 3-row report joins the 1-row matched count — all condition-free
+    // 1-row broadcasts
+    "sink_zonemap_prune_report",
+    // the KN table joins its 1-row bigram-type total
+    "vocab_kn_continuation",
+    // window_gapfill's hours x types grid reused for the dense EWMA
+    // spine
+    "window_ewma_hourly")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -70,4 +70,29 @@ class WindowsSpec extends SparkSpec {
       .as[(String, Long)].collect().head._2
     assert(got === expected, s"split-merge $got != global sweep $expected")
   }
+
+  test("window_ewma_hourly: dyadic kernel recomputed driver-side, dense spine") {
+    val rows = graft.registry.ExtQueries
+      .queries("window_ewma_hourly")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (ty, rs) => ty -> rs.sortBy(_._2) }
+    assert(rows.nonEmpty)
+    rows.foreach { case (ty, series) =>
+      // dense spine: consecutive hours, no gaps
+      series.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 - a._2 == 3600L, s"$ty spine gap at ${a._2}")
+      case _ => }
+      val counts = series.map(_._3)
+      series.zipWithIndex.foreach { case ((_, _, _, num, den, milli), i) =>
+        val terms = (0 until 8).filter(_ <= i)
+        val expNum = terms.map(k => counts(i - k) * (1L << (7 - k))).sum
+        val expDen = terms.map(k => 1L << (7 - k)).sum
+        assert(num == expNum && den == expDen,
+          s"$ty row $i: ($num,$den) != ($expNum,$expDen)")
+        assert(milli == expNum * 1000 / expDen)
+      }
+      // warmed rows carry the full 255 weight mass
+      assert(series.drop(7).forall(_._5 == 255L))
+    }
+  }
 }

@@ -1004,6 +1004,58 @@ object Corpus {
           .as("cont_ppm"))
   }
 
+  /** Per-source dataset card — the one-row-per-source "datasheet" a
+    * corpus release ships (Gebru et al.'s datasheets, the HF dataset
+    * card): volume (docs, tokens), rule-quality share (C4 keep),
+    * language share (en), exact-duplicate share, and total quality
+    * score mass — the table a mixture designer reads FIRST, before
+    * any per-doc drill-down. Composes already-verified primitives
+    * ([[c4QualityFlags]], [[TextOps.langId]],
+    * [[TextOps.withQualityScore]], [[TextOps.contentFingerprint]])
+    * in ONE fused narrow pass over the corpus (flag-frame carry
+    * chaining — no per-metric corpus joins).
+    *
+    * Exactness: shares are integer ppm; the score mass is
+    * sum(floor(score * 1e6)) with NaN-scored (empty) docs counting 0
+    * on both engines. Duplicate share counts docs whose normalized
+    * content fingerprint occurs more than once CORPUS-wide,
+    * attributed to each copy's own source.
+    *
+    * Scale shape: one corpus scan (materialized once — it feeds the
+    * fingerprint count and the rollup), one md5-keyed hash-agg +
+    * equi-join (the exact-dedup shuffle), one source-keyed hash-agg.
+    * Output is sources rows. */
+  def datasetCard(df: DataFrame, id: Column, source: Column,
+                  text: Column): DataFrame = {
+    val flags = c4QualityFlags(df, id, text,
+        carry = Seq("source" -> source, "_t" -> text))
+      .select(col("doc_id"), col("source"), col("_t"),
+        col("keep").as("c4_keep"))
+    val base = Materialize.eager(
+      TextOps.withQualityScore(flags, col("_t"))
+        .withColumn("lang_en", TextOps.langId(col("_t")) === "en")
+        .withColumn("score_micro",
+          when(isnan(col("quality_score")), lit(0L))
+            .otherwise(floor(col("quality_score") * 1000000d)))
+        .withColumn("fp", TextOps.contentFingerprint(col("_t")))
+        .select(col("doc_id"), col("source"), col("c4_keep"),
+          col("lang_en"), col("n_tokens"), col("score_micro"), col("fp")))
+    val copies = base.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    base.join(copies, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("c4_keep"), 1L).otherwise(0L)).as("_c4"),
+        sum(when(col("lang_en"), 1L).otherwise(0L)).as("_en"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("_dup"),
+        sum(col("score_micro")).as("sum_score_micro"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("_c4 * 1000000 div n_docs").as("c4_keep_ppm"),
+        expr("_en * 1000000 div n_docs").as("lang_en_ppm"),
+        expr("_dup * 1000000 div n_docs").as("exact_dup_ppm"),
+        col("sum_score_micro"))
+  }
+
   /** Per-source out-of-vocabulary rate under the corpus-global top-k
     * type vocabulary — the domain-mix readiness check behind
     * [[vocabCoverageReport]]'s global curve: a GLOBAL coverage number

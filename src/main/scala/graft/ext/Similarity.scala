@@ -936,6 +936,59 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-label class-separation health — the Fisher-style readout an
+    * embedding pipeline checks before trusting labels downstream
+    * (balanced sampling, centroid routing, probe classifiers): for
+    * each label, the squared distance between its centroid and the
+    * GLOBAL centroid (between-class scatter) against its mean
+    * within-class variance, and their ratio — a label whose
+    * separation_ppm sits near zero is not a cluster, it is noise
+    * sharing a name.
+    *
+    * Exact integer end to end: coordinates quantize once to
+    * micro = floor(x * 1e6) (the emb_label_centroids discipline);
+    * between = Σ_d (S_l·n_g − S_g·n_l)² div (n_l·n_g)² and
+    * within = Σ_d (n_l·ΣX² − S_l²) div n_l² with every product in
+    * DecimalType(38,0) (DuckDB: HUGEINT). Exact while
+    * n_l·n_g·|micro| < ~3e18 (≈1e7 vectors at unit-normed inputs) —
+    * past that, quantize coarser before calling.
+    *
+    * Scale shape: ONE corpus posexplode into a (label, dim)-keyed
+    * hash-agg (map-side combined); the global sums DERIVE from the
+    * label sums (no second corpus pass); everything after is
+    * labels x dims rows. */
+  def labelSeparationReport(df: DataFrame, labelCol: String,
+                            vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = df.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000000d).as("micro"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_l"),
+        sum(col("micro").cast(dec)).as("s_l"),
+        sum(col("micro").cast(dec) * col("micro").cast(dec)).as("ss_l"))
+    val glob = per.groupBy(col("dim"))
+      .agg(sum(col("s_l")).as("s_g"), sum(col("n_l")).as("n_g"))
+    per.join(broadcast(glob), Seq("dim"))
+      .withColumn("_bd", col("s_l") * col("n_g").cast(dec)
+        - col("s_g") * col("n_l").cast(dec))
+      .withColumn("_bn", col("_bd") * col("_bd"))
+      .withColumn("_vn",
+        col("n_l").cast(dec) * col("ss_l") - col("s_l") * col("s_l"))
+      .groupBy(col("label"))
+      .agg(max(col("n_l")).as("n_vecs"), max(col("n_g")).as("_ng"),
+        sum(col("_bn")).as("_bns"), sum(col("_vn")).as("_vns"))
+      .withColumn("between_micro2", expr(
+        "CAST(_bns div (CAST(n_vecs AS DECIMAL(38,0)) * _ng * n_vecs * _ng) AS BIGINT)"))
+      .withColumn("within_micro2",
+        expr("CAST(_vns div (n_vecs * n_vecs) AS BIGINT)"))
+      .select(col("label"), col("n_vecs"), col("between_micro2"),
+        col("within_micro2"),
+        expr("between_micro2 * 1000000 div greatest(within_micro2, 1)")
+          .as("separation_ppm"))
+  }
+
   /** Per-dimension embedding health — the table an embedding pipeline
     * reads before trusting its vectors downstream: a DEAD dimension
     * (near-zero variance — an encoder head that collapsed, a

@@ -63,18 +63,29 @@ object TextOps {
 
   /** Quality-score components: n_chars, n_tokens, avg token length,
     * punctuation ratio, stopword ratio, composite score in [0,1]-ish. */
+  /** 0/0 as NaN, matching SQL double division: Spark 4's ANSI mode
+    * makes even double `/` THROW on a zero divisor, so an empty
+    * document (n_chars = 0) would kill the whole job instead of
+    * yielding the NaN score the oracles and the downstream
+    * `filter(!isnan(...))` consumers are written for. The zero-divisor
+    * branch is only reachable with a zero numerator here (empty text
+    * zeroes every numerator; n_tokens >= 1 always), so NaN — not
+    * Infinity — is the one IEEE answer this guard must produce. */
+  private def nanDiv(num: Column, den: Column): Column =
+    when(den === 0, lit(Double.NaN)).otherwise(num / den)
+
   def withQualityScore(df: DataFrame, text: Column): DataFrame = {
     val nChars = length(text).cast("long")
     val nTokens = tokenCount(text)
     df.withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
-        length(regexp_replace(text, " ", "")) * 1.0 / col("n_tokens"))
+        nanDiv(length(regexp_replace(text, " ", "")) * 1.0, col("n_tokens")))
       .withColumn("punct_ratio",
-        (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
-          * 1.0 / col("n_chars"))
+        nanDiv((length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+          * 1.0, col("n_chars")))
       .withColumn("stopword_ratio",
-        langScore(text, "en") * 1.0 / col("n_tokens"))
+        nanDiv(langScore(text, "en") * 1.0, col("n_tokens")))
       .withColumn("quality_score",
         least(lit(1.0), col("n_tokens") / 50.0) * 0.4
           + least(lit(1.0), col("stopword_ratio") * 5.0) * 0.3

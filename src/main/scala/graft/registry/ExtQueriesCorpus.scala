@@ -90,6 +90,56 @@ object ExtQueriesCorpus {
     "vocab_oov_by_source" -> ((s, dir) =>
       Corpus.oovBySource(t(s, dir, "documents"), col("source"),
         col("text"))),
+    // per-source dataset card: volume, C4-keep share, en share,
+    // exact-dup share, score mass — one fused pass + the dedup join
+    "curate_dataset_card" -> ((s, dir) =>
+      Corpus.datasetCard(t(s, dir, "documents"), col("doc_id"),
+        col("source"), col("text"))),
+    // crawl-refresh diff: two derived corpus snapshots (v1 drops
+    // doc_id%5==0, v2 drops %7==0 and re-crawls %11==0 with edited
+    // text) full-outer joined on doc_id, changes detected by content
+    // fingerprint, rolled up per source WITH the token-mass deltas a
+    // mixture plan has to absorb — diff_snapshots' corpus sibling.
+    // One full-outer hash join on the id + one source-keyed agg; the
+    // fingerprints are per-row narrow md5s.
+    "diff_corpus_snapshots" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), col("text"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val v1 = base.filter(col("doc_id") % 5 =!= 0)
+      val v2 = base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      val a = v1.select(col("doc_id").as("k_old"),
+        col("source").as("src_old"), col("n_tokens").as("tok_old"),
+        TextOps.contentFingerprint(col("text")).as("fp_old"))
+      val b = v2.select(col("doc_id").as("k_new"),
+        col("source").as("src_new"), col("n_tokens").as("tok_new"),
+        TextOps.contentFingerprint(col("text")).as("fp_new"))
+      a.join(b, col("k_old") === col("k_new"), "full_outer")
+        .withColumn("change_type",
+          when(col("k_old").isNull, lit("added"))
+            .when(col("k_new").isNull, lit("removed"))
+            .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy(coalesce(col("src_old"), col("src_new")).as("source"))
+        .agg(
+          sum(when(col("change_type") === "added", 1L).otherwise(0L))
+            .as("n_added"),
+          sum(when(col("change_type") === "removed", 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("change_type") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("change_type") === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"),
+          sum(when(col("change_type") === "added", col("tok_new"))
+            .otherwise(0L)).as("tokens_added"),
+          sum(when(col("change_type") === "removed", col("tok_old"))
+            .otherwise(0L)).as("tokens_removed"),
+          (sum(coalesce(col("tok_new"), lit(0L)))
+            - sum(coalesce(col("tok_old"), lit(0L)))).as("token_delta"))
+    }),
     // one BPE merge-selection round: adjacent char-pair counts
     // weighted by word frequency, computed over the VOCABULARY (the
     // corpus collapses to distinct words first — the 1000x reduction
@@ -1180,6 +1230,110 @@ object ExtQueriesCorpus {
                * 1000000 // count(*) AS BIGINT) AS oov_ppm
       FROM tok LEFT JOIN v USING (term)
       GROUP BY 1""",
+    // the card's five signals replayed from their own proven twins:
+    // c4 CTE (text_c4_filter), 4-lang stopword argmax (text_lang_id),
+    // score arithmetic (text_quality_score), normalized-content md5
+    // (text_fingerprint) counted corpus-wide for the dup share
+    "curate_dataset_card" -> s"""
+      WITH t AS (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(text), '\\s+') AS toks,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      c4 AS (SELECT doc_id,
+          (CAST(len(toks) AS BIGINT) >= 10
+           AND (contains(p, ' the ') OR contains(p, ' a '))
+           AND CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+               // CAST(len(toks) AS BIGINT) >= 300000
+           AND NOT contains(lower(text), '{')
+           AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+        FROM t),
+      l AS (SELECT doc_id,
+              ${scoreSql("en")} AS c_en, ${scoreSql("es")} AS c_es,
+              ${scoreSql("de")} AS c_de, ${scoreSql("fr")} AS c_fr
+            FROM t),
+      le AS (SELECT doc_id,
+              (c_en >= c_es AND c_en >= c_de AND c_en >= c_fr) AS lang_en
+             FROM l),
+      m AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t),
+      q AS (SELECT doc_id, n_tokens,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS qs
+        FROM m),
+      s AS (SELECT doc_id, n_tokens,
+          CASE WHEN isnan(qs) THEN 0
+               ELSE CAST(floor(qs * 1000000) AS BIGINT) END AS score_micro
+        FROM q),
+      f AS (SELECT doc_id,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM t),
+      d AS (SELECT fp, count(*) AS n_copies FROM f GROUP BY 1)
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c4.c4_keep THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS c4_keep_ppm,
+             CAST(sum(CASE WHEN le.lang_en THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS lang_en_ppm,
+             CAST(sum(CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS exact_dup_ppm,
+             CAST(sum(s.score_micro) AS BIGINT) AS sum_score_micro
+      FROM t JOIN c4 USING (doc_id) JOIN le USING (doc_id)
+        JOIN s USING (doc_id) JOIN f USING (doc_id)
+        JOIN d ON f.fp = d.fp
+      GROUP BY 1""",
+    // identical snapshot derivations, FULL OUTER on doc_id, fingerprint
+    // change detection, per-source rollup with token deltas
+    "diff_corpus_snapshots" -> """
+      WITH base AS (SELECT doc_id, source, text,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      v1 AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+      v2 AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END
+            AS text
+        FROM base WHERE doc_id % 7 <> 0),
+      v2t AS (SELECT doc_id, source, text,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM v2),
+      a AS (SELECT doc_id AS k_old, source AS src_old,
+          n_tokens AS tok_old,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_old
+        FROM v1),
+      b AS (SELECT doc_id AS k_new, source AS src_new,
+          n_tokens AS tok_new,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_new
+        FROM v2t),
+      j AS (SELECT *,
+          CASE WHEN k_old IS NULL THEN 'added'
+               WHEN k_new IS NULL THEN 'removed'
+               WHEN fp_old <> fp_new THEN 'changed'
+               ELSE 'unchanged' END AS change_type
+        FROM a FULL OUTER JOIN b ON a.k_old = b.k_new)
+      SELECT coalesce(src_old, src_new) AS source,
+             CAST(sum(CASE WHEN change_type = 'added' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN change_type = 'removed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN change_type = 'changed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_changed,
+             CAST(sum(CASE WHEN change_type = 'unchanged' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unchanged,
+             CAST(sum(CASE WHEN change_type = 'added' THEN tok_new
+               ELSE 0 END) AS BIGINT) AS tokens_added,
+             CAST(sum(CASE WHEN change_type = 'removed' THEN tok_old
+               ELSE 0 END) AS BIGINT) AS tokens_removed,
+             CAST(sum(coalesce(tok_new, 0)) - sum(coalesce(tok_old, 0))
+               AS BIGINT) AS token_delta
+      FROM j GROUP BY 1""",
     // vocabulary-first BPE pair counts: pairs explode over DISTINCT
     // words only, weighted by the word's corpus count
     "vocab_bpe_pairs" -> """

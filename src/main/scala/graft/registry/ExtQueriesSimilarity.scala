@@ -40,6 +40,11 @@ object ExtQueriesSimilarity {
     "emb_dimension_health" -> ((s, dir) =>
       Similarity.dimensionHealthReport(t(s, dir, "embeddings"),
         "embedding")),
+    // Fisher-style label separation: between-centroid scatter vs
+    // within-class variance per label, exact integer micro^2 units
+    "emb_label_separation" -> ((s, dir) =>
+      Similarity.labelSeparationReport(t(s, dir, "embeddings"),
+        "label", "embedding")),
     // JL random projection 64 -> 16 dims with md5-derived plane
     // weights, exploded to scalar rows like emb_normalize
     "emb_random_projection" -> ((s, dir) =>
@@ -515,6 +520,37 @@ object ExtQueriesSimilarity {
       SELECT vec_id, unnest(range(len(unit))) AS dim, l2_norm,
         unnest(unit) AS unit_val
       FROM n WHERE l2_norm > 0""",
+    // same micro quantization; HUGEINT products; global sums derived
+    // from the per-label sums exactly as the Spark plan does
+    "emb_label_separation" -> """
+      WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+          unnest(range(len(embedding))) AS dim,
+          unnest(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+            AS micro
+        FROM embeddings),
+      per AS (SELECT label, dim, count(*) AS n_l,
+          sum(CAST(micro AS HUGEINT)) AS s_l,
+          sum(CAST(micro AS HUGEINT) * CAST(micro AS HUGEINT)) AS ss_l
+        FROM ex GROUP BY 1, 2),
+      g AS (SELECT dim, sum(s_l) AS s_g, sum(n_l) AS n_g
+            FROM per GROUP BY 1),
+      j AS (SELECT label, n_l, n_g,
+          (s_l * n_g - s_g * n_l) * (s_l * n_g - s_g * n_l) AS bn,
+          (n_l * ss_l - s_l * s_l) AS vn
+        FROM per JOIN g USING (dim)),
+      a AS (SELECT label, max(n_l) AS n_vecs, max(n_g) AS ng,
+          sum(bn) AS bns, sum(vn) AS vns FROM j GROUP BY 1),
+      f AS (SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+          CAST(bns // (CAST(n_vecs AS HUGEINT) * ng * n_vecs * ng)
+            AS BIGINT) AS between_micro2,
+          CAST(vns // (CAST(n_vecs AS HUGEINT) * n_vecs)
+            AS BIGINT) AS within_micro2
+        FROM a)
+      SELECT label, n_vecs, between_micro2, within_micro2,
+             CAST(between_micro2 * 1000000
+               // greatest(within_micro2, 1) AS BIGINT) AS separation_ppm
+      FROM f""",
     // same quantize-once arithmetic: q = floor(x * 1e4), HUGEINT
     // products for the exact variance numerator (Spark side:
     // decimal128), integer floor-div by n^2

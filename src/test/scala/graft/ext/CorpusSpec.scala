@@ -957,6 +957,59 @@ class CorpusSpec extends SparkSpec {
       "continuation probability must invert the raw-frequency order")
   }
 
+  // ---- diff_corpus_snapshots ----
+
+  test("diff_corpus_snapshots classifies every doc id exactly once") {
+    val got = graft.registry.ExtQueries
+      .queries("diff_corpus_snapshots")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    val expAdded = ids.count(i => i % 5 == 0 && i % 7 != 0)
+    val expRemoved = ids.count(i => i % 7 == 0 && i % 5 != 0)
+    val expChanged = ids.count(i => i % 11 == 0 && i % 5 != 0 && i % 7 != 0)
+    val expTotal = ids.count(i => i % 5 != 0 || i % 7 != 0)
+    assert(got.map(_._2).sum == expAdded)
+    assert(got.map(_._3).sum == expRemoved)
+    assert(got.map(_._4).sum == expChanged)
+    assert(got.map(r => r._2 + r._3 + r._4 + r._5).sum == expTotal)
+    // an edit appends tokens, an add contributes, a removal subtracts:
+    // the per-source token ledger must be internally consistent
+    got.foreach { r =>
+      assert(r._8 >= r._6 - r._7,
+        s"edits can only ADD tokens here, so delta >= added - removed: $r")
+    }
+  }
+
+  // ---- datasetCard ----
+
+  test("datasetCard: dup attribution, rule shares, NaN-score docs count 0") {
+    val good = "the a the a good text with many distinct words here now"
+    val docs = Seq(
+      (1L, "A", good), (2L, "A", good),          // exact dups within A
+      (3L, "B", good),                            // third copy, in B
+      (4L, "B", "{ json junk }"),                 // c4 brace kill
+      (5L, "B", "")                               // NaN score -> 0
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.datasetCard(docs, col("doc_id"), col("source"),
+        col("text"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = got(0); val b = got(1)
+    // A: both docs are copies of a fingerprint with 3 copies corpus-
+    // wide -> dup share 1e6; both keep under c4 (12 words, ' the ',
+    // 10/12 distinct); stopword argmax says en for everything here
+    assert(a == (("A", 2L, 24L, 1000000L, 1000000L, 1000000L, a._7)),
+      s"got $a")
+    // B: one dup copy of three docs, one brace kill, one short kill
+    assert(b == (("B", 3L, 17L, 333333L, 1000000L, 333333L, b._7)),
+      s"got $b")
+    // junk + empty drag B's mean score below A's identical-doc mean
+    assert(a._7 > 0 && b._7 > 0 && a._7 / 2 > b._7 / 3,
+      s"score mass: $a vs $b")
+  }
+
   // ---- oovBySource ----
 
   test("oovBySource: tie at the vocab cut resolves by (occ desc, term)") {

@@ -458,6 +458,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(5L), s"same source: lower doc_id wins, got $out")
   }
 
+  test("labelSeparationReport: zero within, exact between, by hand") {
+    // two perfectly tight classes at +-0.5 on dim 0: within-class
+    // variance is exactly 0, between-centroid distance is exactly
+    // (5e5)^2 micro^2, separation collapses to between * 1e6
+    val vecs = Seq(
+      (1L, 0, Array(0.5f, 0f)), (2L, 0, Array(0.5f, 0f)),
+      (3L, 1, Array(-0.5f, 0f)), (4L, 1, Array(-0.5f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelSeparationReport(vecs, "label", "embedding")
+      .orderBy("label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 250000000000L, 0L, 250000000000000000L),
+      (1L, 2L, 250000000000L, 0L, 250000000000000000L)), s"got $got")
+  }
+
   test("dimensionHealthReport: exact variance, dead dims flagged, live dims not") {
     // binary-exact coordinates so q = floor(x * 1e4) is unambiguous:
     // dim 0 constant (collapsed head), dim 1 alternating +-0.25,

@@ -495,35 +495,28 @@ object Corpus {
                          minWords: Int = 10,
                          maxWords: Int = 100000,
                          carry: Seq[(String, Column)] = Nil): DataFrame = {
-    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    df.select(Seq(id.as("doc_id"), text.as("_text"),
-      TextOps.tokens(text).as("_toks"),
-      split(text, "\n").as("_lines")) ++
+    // every raw count comes from ONE codegen'd linear pass
+    // ([[graft.functions.GopherTextStats]]) — the six interpreted
+    // HOF scans (aggregate/transform/filter, CodegenFallback) this
+    // replaced are kept as the reference implementation in
+    // GopherStatsSpec, which pins value equality on adversarial
+    // fixtures; the ppm arithmetic below is unchanged
+    df.select(Seq(id.as("doc_id"),
+      graft.functions.VectorFunctions.gopherStats(text).as("_gs")) ++
       carry.map { case (n, c) => c.as(n) }: _*)
-      .withColumn("n_words", size(col("_toks")).cast("long"))
-      .withColumn("_n_lines", greatest(size(col("_lines")).cast("long"), lit(1L)))
+      .withColumn("n_words", col("_gs.n_words"))
+      .withColumn("_n_lines", greatest(col("_gs.n_lines"), lit(1L)))
       .withColumn("mean_word_len_ppm", expr(
-        """aggregate(transform(_toks, t -> length(t)), 0L,
-          |(a, x) -> a + CAST(x AS BIGINT)) * 1000000
-          |div greatest(n_words, 1L)""".stripMargin))
+        "_gs.sum_word_len * 1000000 div greatest(n_words, 1L)"))
       .withColumn("alpha_ppm", expr(
-        """size(filter(_toks, t -> t rlike '[a-zA-Z]')) * 1000000L
-          |div greatest(n_words, 1L)""".stripMargin))
-      // '#' count is a length delta; '...' occurrences are a length
-      // delta over the 3-char pattern — both exact integer arithmetic
+        "_gs.n_alpha_words * 1000000L div greatest(n_words, 1L)"))
       .withColumn("symbol_ppm", expr(
-        """((length(_text) - length(replace(_text, '#', ''))) +
-          |(length(_text) - length(replace(_text, '...', ''))) div 3)
-          |* 1000000L div greatest(n_words, 1L)""".stripMargin))
+        "(_gs.n_hash + _gs.n_ellipsis) * 1000000L div greatest(n_words, 1L)"))
       .withColumn("bullet_line_ppm", expr(
-        """size(filter(_lines, l -> startswith(l, '- ')
-          |OR startswith(l, '* '))) * 1000000L div _n_lines""".stripMargin))
+        "_gs.n_bullet_lines * 1000000L div _n_lines"))
       .withColumn("ellipsis_line_ppm", expr(
-        """size(filter(_lines, l -> endswith(l, '...')))
-          |* 1000000L div _n_lines""".stripMargin))
-      .withColumn("stop_hits",
-        stopwords.map(w => array_contains(col("_toks"), w).cast("long"))
-          .reduce(_ + _))
+        "_gs.n_ellipsis_lines * 1000000L div _n_lines"))
+      .withColumn("stop_hits", col("_gs.stop_hits"))
       .withColumn("word_count_ok",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("word_len_ok", col("mean_word_len_ppm") >= 3000000L &&
@@ -536,7 +529,7 @@ object Corpus {
       .withColumn("keep", col("word_count_ok") && col("word_len_ok") &&
         col("mostly_alpha") && col("low_symbol") && col("few_bullets") &&
         col("few_ellipsis") && col("enough_stopwords"))
-      .drop("_text", "_toks", "_lines", "_n_lines")
+      .drop("_gs", "_n_lines")
   }
 
   /** Filter-agreement ensemble — the curation diagnostic that answers

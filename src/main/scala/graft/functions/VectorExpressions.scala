@@ -402,6 +402,97 @@ object TextHashUtil {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** The Gopher rule family's 8 English stopwords (exact-token
+    * membership — Rae et al. 2021 table A1's "common English words"
+    * proxy, fixed by [[graft.ext.Corpus.gopherQualityFlags]]). */
+  private val GopherStop8 = Array(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Every raw count the Gopher quality rules need, in ONE linear pass
+    * over the document — value-identical to the Column-algebra HOF
+    * formulation it replaces (equality is spec-pinned against the HOF
+    * reference on adversarial fixtures):
+    *
+    *  - tokens: ASCII-space-only trim + Java `split("\\s+", -1)` —
+    *    byte-identical to `split(trim(text), "\\s+")` incl. the
+    *    leading/trailing-empty-token edge cases
+    *  - `sum_word_len` counts Unicode CODE POINTS per token (SQL
+    *    `length()` semantics), not UTF-16 units
+    *  - `n_ellipsis` counts non-overlapping left-to-right '...'
+    *    occurrences — `(length(t) - length(replace(t, '...', ''))) / 3`
+    *    semantics
+    *  - lines: `split(text, "\n")` on the UNTRIMMED text, trailing
+    *    empty kept; bullet = startsWith "- " / "* ", ellipsis line =
+    *    endsWith "..."
+    *  - `stop_hits`: DISTINCT membership (0/1 per stopword), exact
+    *    token equality
+    *
+    * Struct of 9 longs: (n_words, sum_word_len, n_alpha_words,
+    * n_hash, n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines,
+    * stop_hits). */
+  def gopherStats(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var st = 0; var en = str.length
+    while (st < en && str.charAt(st) == ' ') st += 1
+    while (en > st && str.charAt(en - 1) == ' ') en -= 1
+    val toks = str.substring(st, en).split("\\s+", -1)
+    var sumLen = 0L; var nAlpha = 0L
+    val stopSeen = new Array[Boolean](GopherStop8.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.codePointCount(0, t.length)
+      var alpha = false
+      var j = 0
+      while (!alpha && j < t.length) {
+        val c = t.charAt(j)
+        alpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      var k2 = 0
+      while (k2 < GopherStop8.length) {
+        if (!stopSeen(k2) && t == GopherStop8(k2)) stopSeen(k2) = true
+        k2 += 1
+      }
+      i += 1
+    }
+    var stopHits = 0L
+    i = 0
+    while (i < stopSeen.length) { if (stopSeen(i)) stopHits += 1; i += 1 }
+    var nHash = 0L; var nEll = 0L
+    i = 0
+    while (i < str.length) {
+      if (str.charAt(i) == '#') nHash += 1
+      if (i + 2 < str.length && str.charAt(i) == '.' &&
+          str.charAt(i + 1) == '.' && str.charAt(i + 2) == '.') {
+        nEll += 1; i += 3
+      } else i += 1
+    }
+    var nLines = 1L; var nBullet = 0L; var nEllLine = 0L
+    var lineStart = 0
+    var p = 0
+    def lineFlags(a: Int, b: Int): Unit = {
+      if (b - a >= 2 && (str.charAt(a) == '-' || str.charAt(a) == '*') &&
+          str.charAt(a + 1) == ' ') nBullet += 1
+      if (b - a >= 3 && str.charAt(b - 1) == '.' && str.charAt(b - 2) == '.' &&
+          str.charAt(b - 3) == '.') nEllLine += 1
+    }
+    while (p < str.length) {
+      if (str.charAt(p) == '\n') {
+        lineFlags(lineStart, p)
+        nLines += 1
+        lineStart = p + 1
+      }
+      p += 1
+    }
+    lineFlags(lineStart, str.length)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, sumLen, nAlpha, nHash, nEll,
+        nLines, nBullet, nEllLine, stopHits))
+  }
 }
 
 /** Distinct word-n-shingle hex60 hashes in one codegen'd pass —
@@ -426,6 +517,36 @@ case class WordShingleStrings(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, str =>
       s"${ev.value} = graft.functions.TextHashUtil.wordShingleStrings($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** All Gopher-rule raw counts in one codegen'd linear pass — see
+  * [[TextHashUtil.gopherStats]]. The Column-algebra formulation it
+  * replaces ran SIX interpreted higher-order-function scans per
+  * document (aggregate/transform/filter with a regex per token —
+  * all CodegenFallback); this is one tight JVM loop inside
+  * whole-stage codegen, and the quality-filter family
+  * (gopher filter, ensemble, calibration) sits on the corpus hot
+  * path at 100 TB. */
+case class GopherTextStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      "n_words", "sum_word_len", "n_alpha_words", "n_hash", "n_ellipsis",
+      "n_lines", "n_bullet_lines", "n_ellipsis_lines", "stop_hits")
+      .map(f => org.apache.spark.sql.types.StructField(
+        f, org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.gopherStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.gopherStats($str);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -517,6 +638,10 @@ object VectorFunctions {
   def wordShingleStrings(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingleStrings(
       GraftColumnBridge.expression(text), n))
+  /** Column wrapper for [[GopherTextStats]]. */
+  def gopherStats(text: Column): Column =
+    GraftColumnBridge.column(GopherTextStats(
+      GraftColumnBridge.expression(text)))
   /** Column wrapper for [[WordChunks]]. */
   def wordChunks(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordChunks(

@@ -1357,4 +1357,197 @@ object Corpus {
       .select(col("w1"), col("w2"), col("n"), col("total"),
         expr("n * 1000000L div total").as("cond_ppm"), col("rank"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much more likely its hashed-unigram bag is under the
+    * TARGET distribution than under the RAW distribution —
+    * log p_target(doc) - log p_raw(doc) under bag-of-hashed-ngram
+    * models. Docs resembling the target (here: the caller's
+    * `isTarget` slice, e.g. the curated/English subset) score high;
+    * sampling proportional to the weight reshapes the raw corpus
+    * toward the target domain without a learned classifier.
+    *
+    * Engine-portable integer discipline: features are
+    * [[TextOps.hex60]] token hashes mod `buckets` (hash collisions
+    * are PART of the estimator — DSIR's hashing is deliberate
+    * dimension reduction, not an implementation shortcut); each
+    * bucket's add-one-smoothed likelihood is the floor-log2 bit cost
+    * bits(b) = length(bin((N + buckets) div (cnt_b + 1))) (the
+    * [[unigramSurprisal]] idiom — libm ln is not bit-identical across
+    * engines, bin-length is), and the doc weight is
+    * sum(bits_raw - bits_target) over token OCCURRENCES: positive =
+    * cheaper to encode under the target = target-like. Output per
+    * doc: n_tokens, dsir_bits, mean milli-bits (exact floor-div).
+    *
+    * Scale shape: the (doc, bucket) occurrence frame is materialized
+    * ONCE and feeds both count sides (the r13 tfidf lesson); the
+    * bucket tables are bounded at `buckets` rows — broadcast joins by
+    * construction — and the per-doc score is one doc-keyed hash-agg.
+    * The target side aggregates the SAME frame filtered, so the raw
+    * corpus is tokenized exactly once. No windows, no self-joins. */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val pairs = Materialize.eager(
+      df.select(id.as("doc_id"), isTarget.as("_tgt"),
+          explode(TextOps.tokens(text)).as("_term"))
+        .select(col("doc_id"), col("_tgt"),
+          pmod(TextOps.hex60(col("_term")), lit(buckets.toLong))
+            .as("bucket")))
+    def bitsOf(cnts: DataFrame, out: String): DataFrame = {
+      val tot = cnts.agg(sum(col("cnt")).as("_n")).withColumn("_one", lit(1))
+      cnts.withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+        .select(col("bucket"), length(bin(
+          expr(s"(_n + ${buckets}L) div (cnt + 1L)")))
+          .cast("long").as(out))
+    }
+    // raw = every occurrence; target = occurrences in target docs.
+    // Buckets unseen on the target side still need their smoothed
+    // cost, so target counts ride on the raw bucket axis (left join
+    // semantics via cnt = sum of target flags, never a dropped row).
+    val byBucket = pairs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("_tgt").cast("long")).as("tcnt"))
+    val rawBits = bitsOf(byBucket.select(col("bucket"), col("cnt")),
+      "bits_raw")
+    val tgtBits = bitsOf(byBucket.select(col("bucket"),
+      col("tcnt").as("cnt")), "bits_target")
+    val bits = broadcast(rawBits.join(tgtBits, Seq("bucket"))
+      .select(col("bucket"),
+        (col("bits_raw") - col("bits_target")).as("dbits")))
+    pairs.join(bits, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("dbits")).as("dsir_bits"))
+      // dsir_bits is SIGNED; Spark `div` truncates toward zero while
+      // DuckDB `//` floors, so the mean is sign-split onto the
+      // non-negative floor-div both engines agree on
+      .withColumn("mean_millibits", expr(
+        "CASE WHEN dsir_bits < 0 THEN -((-dsir_bits) * 1000 div n_tokens)" +
+          " ELSE dsir_bits * 1000 div n_tokens END"))
+  }
+
+  /** Corpus novelty curve — how much NEW content each ingest slice
+    * actually adds: docs are bucketed by arrival order (doc_id div
+    * `bucketSize` — a real pipeline buckets by crawl date), every
+    * (doc, distinct n-shingle) pair is attributed as novel iff this
+    * doc is the shingle's FIRST carrier (min doc_id over the whole
+    * corpus), and each bucket reports its novel share in exact ppm.
+    * The decaying curve is the diminishing-returns evidence behind
+    * "another crawl of the same sources buys little" — the
+    * per-slice twin of [[boilerplateNgrams]]'s per-doc view.
+    *
+    * Scale shape: one shingle explode -> distinct (doc, shingle) ->
+    * a shingle-keyed min-agg (map-side combined, 8-byte-hashable
+    * key) joined back to the SAME frame (materialized once), then a
+    * bucket-keyed rollup of |buckets| rows. Attribution via min is
+    * one shuffle on the shingle key — never a corpus self-join. */
+  def noveltyCurve(df: DataFrame, id: Column, text: Column,
+                   n: Int = 3, bucketSize: Long = 50L): DataFrame = {
+    val pairs = Materialize.eager(
+      df.select(id.as("doc_id"),
+          explode(TextOps.wordShingles(text, n)).as("shingle"))
+        .distinct())
+    val first = pairs.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    pairs.join(first, Seq("shingle"))
+      .groupBy(expr(s"doc_id div ${bucketSize}L").as("ingest_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("doc_id") === col("first_doc")).cast("long"))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+  }
+
+  /** Which quality strata does near-dedup actually remove? Cross the
+    * keep-representative decision (a doc is REMOVED when its
+    * connected-component label is not its own id — the
+    * [[dedupAdjustedMixture]] rule) with the quality-score bucket
+    * ([[qualityCalibrationReport]]'s fixed least(4, floor(score*5))
+    * boundaries), reporting per bucket: docs, removals, the removal
+    * rate, each bucket's share of ALL removals, and the bucket's doc
+    * share. Near-duplicate text is disproportionately boilerplate, so
+    * a healthy corpus shows removal_ppm falling as the bucket rises —
+    * if it does not, dedup is eating the good stratum and the
+    * curation order (dedup before/after filtering) needs a look.
+    * NaN-scored docs (empty text) are excluded like every score
+    * consumer.
+    *
+    * Scale shape: the components frame is the staged clustering
+    * (min-label propagation over LSH/jaccard pairs — never built
+    * here); scoring is one narrow pass; the join is doc-keyed; the
+    * report is 5 cells + a 1-row total broadcast. */
+  def dedupBiasReport(docs: DataFrame, components: DataFrame,
+                      id: Column, text: Column): DataFrame = {
+    val scored = TextOps.withQualityScore(
+        docs.select(id.as("doc_id"), text.as("_t")), col("_t"))
+      .filter(!isnan(col("quality_score")))
+      .select(col("doc_id"), least(lit(4L),
+        floor(col("quality_score") * 5.0).cast("long")).as("score_bucket"))
+    val cells = scored.join(components, Seq("doc_id"))
+      .withColumn("red", col("component") =!= col("doc_id"))
+      .groupBy(col("score_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("red").cast("long")).as("n_removed"))
+    val tot = cells.agg(sum(col("n_docs")).as("_td"),
+        sum(col("n_removed")).as("_tr"))
+      .withColumn("_one", lit(1))
+    cells.withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+      .select(col("score_bucket"), col("n_docs"), col("n_removed"),
+        expr("n_removed * 1000000 div n_docs").as("removed_ppm"),
+        expr("CASE WHEN _tr = 0 THEN 0" +
+          " ELSE n_removed * 1000000 div _tr END").as("removal_share_ppm"),
+        expr("n_docs * 1000000 div _td").as("bucket_share_ppm"))
+  }
+
+  /** Deterministic importance RESAMPLING on top of [[dsirWeights]] —
+    * the second half of DSIR: each doc's keep probability is a
+    * monotone clamp of its mean target-vs-raw milli-bit advantage
+    * (keep_ppm = clamp(base + slope * mean_millibits, 0, 1e6)), and
+    * the coin flip is the portable-hash threshold every sampler in
+    * [[Sampling]] uses (hex60("dsir:" || doc_id) mod 1e6 < keep_ppm)
+    * — reproducible across engines AND across reruns, which is what
+    * makes a resampled corpus a stable training artifact rather than
+    * a random draw. Reported per source: docs/tokens before and
+    * after, the kept share, and the mean advantage of the kept slice
+    * vs the whole slice (both sign-split floor-div milli-bits) — the
+    * reshaping evidence: target-like sources keep more than raw-only
+    * ones, and within every source the kept mean dominates.
+    *
+    * Scale shape: [[dsirWeights]]'s shape (one tokenize, broadcast
+    * bucket tables) + one doc-keyed join back to the (id, source)
+    * projection + a sources-sized rollup. The decision column is a
+    * narrow per-row map — no new shuffle beyond the join. */
+  def dsirResample(df: DataFrame, id: Column, text: Column,
+                   isTarget: Column, source: Column,
+                   buckets: Int = 1024, base: Long = 500000L,
+                   slope: Long = 200L): DataFrame = {
+    val w = dsirWeights(df, id, text, isTarget, buckets)
+      .withColumn("keep_ppm", least(lit(1000000L), greatest(lit(0L),
+        lit(base) + col("mean_millibits") * slope)))
+      .withColumn("keep",
+        pmod(TextOps.hex60(concat(lit("dsir:"),
+          col("doc_id").cast("string"))), lit(1000000L)) < col("keep_ppm"))
+    w.join(df.select(id.as("doc_id"), source.as("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_before"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L)))
+          .as("tokens_after"),
+        sum(col("dsir_bits")).as("_bits_all"),
+        sum(when(col("keep"), col("dsir_bits")).otherwise(lit(0L)))
+          .as("_bits_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_docs"))
+      // signed means sign-split onto the non-negative floor-div both
+      // engines agree on (the dsirWeights idiom)
+      .withColumn("mean_millibits_all", expr(
+        "CASE WHEN _bits_all < 0" +
+          " THEN -((-_bits_all) * 1000 div tokens_before)" +
+          " ELSE _bits_all * 1000 div tokens_before END"))
+      .withColumn("mean_millibits_kept", expr(
+        "CASE WHEN tokens_after = 0 THEN 0" +
+          " WHEN _bits_kept < 0" +
+          " THEN -((-_bits_kept) * 1000 div tokens_after)" +
+          " ELSE _bits_kept * 1000 div tokens_after END"))
+      .drop("_bits_all", "_bits_kept")
+  }
 }

@@ -1029,4 +1029,55 @@ object Similarity {
         col("sum_q"), col("var_q8"),
         (col("var_q8") < deadVarQ8).as("is_dead"))
   }
+
+  /** Maximum-inner-product top-k (MIPS) — the retrieval order a
+    * recommender / learned-retriever actually wants: raw dot product,
+    * NOT cosine. Cosine and MIPS orders genuinely differ whenever
+    * corpus norms vary (a long vector can out-score a better-aligned
+    * short one), so this is a distinct operator, not a flag on the
+    * cosine path. Brute shape mirrors [[bruteForceTopK]]: the query
+    * side broadcasts, the corpus is scanned ONCE with no shuffle, and
+    * the per-query top-k runs through the bounded-heap
+    * TypedImperativeAggregate (each task forwards at most k rows per
+    * query — the shape that survives a 100x corpus).
+    *
+    * The ANN path for MIPS is the norm-augmentation reduction
+    * (Bachrach et al. 2014, "Speeding up the Xbox recommender..."):
+    * append sqrt(M^2 - |x|^2) to each corpus vector (M = max corpus
+    * norm) and 0 to each query; augmented vectors have CONSTANT norm
+    * M, so augmented-cosine order == dot order and the whole
+    * cosine-ANN stack (LSH / IVF / PQ) applies unchanged.
+    * [[normAugment]] builds that transform; MipsSpec pins the
+    * order-equivalence on the corpus. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+               cId: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(vecCol).as("cv"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), dot(col("qv"), col("cv")).as("dot"),
+        col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkByScore(col("dot"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("dot"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Norm-augmentation transform for MIPS-as-cosine (see [[mipsTopK]]):
+    * corpus rows gain coordinate sqrt(maxNormSq - |x|^2), query rows a
+    * literal 0. maxNormSq must be >= every corpus |x|^2 (pass the
+    * staged max; a too-small bound would take sqrt of a negative).
+    * Output element type is double (the augmented coordinate is
+    * computed in double; mixing float+double in one array would cast
+    * anyway). */
+  def normAugment(df: DataFrame, vecCol: String, maxNormSq: Column,
+                  isQuery: Boolean, out: String): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val extra = if (isQuery) lit(0.0)
+                else sqrt(maxNormSq - dot(col(vecCol), col(vecCol)))
+    df.withColumn(out, concat(asDouble, array(extra)))
+  }
 }

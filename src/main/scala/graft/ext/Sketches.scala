@@ -221,4 +221,149 @@ object Sketches {
       .select(col("q").cast("long").as("q"), col("est"), col("exact"),
         abs(col("est") - col("exact")).as("abs_err"))
   }
+
+  /** KMV (k-minimum-values) pairwise distinct-overlap estimation
+    * (Beyer et al. 2007; the theta-sketch set-operation idiom): each
+    * class keeps only its k SMALLEST distinct portable item hashes;
+    * for a class pair, the k smallest of the sketch UNION are a
+    * uniform sample of the union's distinct items, so
+    * |sample ∩ both sketches| / k estimates Jaccard — cross-class
+    * audience/content overlap priced from k-row sketches instead of a
+    * full distinct-intersection shuffle (the thing that matters when
+    * each class holds billions of ids at 100 TB). Deterministic by
+    * construction ([[TextOps.hex60]] item hashes, no RNG), so the
+    * estimate itself is oracle-checkable. Output per unordered pair:
+    * the KMV Jaccard estimate AND the exact Jaccard (the deliberate
+    * audit cost every recall report in this library pays), both in
+    * exact integer ppm.
+    *
+    * Scale shape: sketches are built with ONE distinct + a
+    * class-partitioned bounded window (k rows kept per class); all
+    * pair math happens on |classes| x k rows — metadata-sized
+    * regardless of corpus row count. The exact side is one distinct
+    * two-class co-membership agg; at production scale the truth
+    * columns are what you drop, not the estimator. */
+  def kmvJaccard(df: DataFrame, cls: Column, item: Column,
+                 k: Int = 64): DataFrame = {
+    val hashed = df.select(cls.as("cls"),
+        TextOps.hex60(item.cast("string")).as("h")).distinct()
+    val w = Window.partitionBy(col("cls")).orderBy(col("h"))
+    val sk = hashed.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k).select(col("cls"), col("h"))
+    // unordered pair frame: each pair's merged sketch = distinct union
+    // of the two k-row sketches, re-cut to its k smallest
+    val classes = sk.select(col("cls")).distinct()
+    val pairCls = classes.as("x").join(broadcast(classes.as("y")),
+        col("x.cls") < col("y.cls"))
+      .select(col("x.cls").as("cls_a"), col("y.cls").as("cls_b"))
+    val merged = pairCls.join(sk.select(col("cls").as("cls_a"), col("h")),
+        Seq("cls_a"))
+      .select(col("cls_a"), col("cls_b"), col("h"))
+      .union(pairCls.join(sk.select(col("cls").as("cls_b"), col("h")),
+          Seq("cls_b"))
+        .select(col("cls_a"), col("cls_b"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy(col("cls_a"), col("cls_b"))
+      .orderBy(col("h"))
+    val topU = merged.withColumn("_r", row_number().over(wp))
+      .filter(col("_r") <= k)
+    val inA = sk.select(col("cls").as("cls_a"), col("h"),
+      lit(1L).as("in_a"))
+    val inB = sk.select(col("cls").as("cls_b"), col("h"),
+      lit(1L).as("in_b"))
+    val est = topU.join(inA, Seq("cls_a", "h"), "left")
+      .join(inB, Seq("cls_b", "h"), "left")
+      .groupBy(col("cls_a"), col("cls_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+          .as("n_both"))
+      .withColumn("kmv_jaccard_ppm", expr("n_both * 1000000 div k_used"))
+    // exact truth: distinct items per class, co-membership counts
+    val d = df.select(cls.as("cls"), item.cast("string").as("it")).distinct()
+    val ex = d.as("x").join(d.as("y"),
+        col("x.it") === col("y.it") && col("x.cls") < col("y.cls"))
+      .groupBy(col("x.cls").as("cls_a"), col("y.cls").as("cls_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = d.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+    est.join(ex, Seq("cls_a", "cls_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("cls").as("cls_a"), col("n").as("n_a")),
+        Seq("cls_a"))
+      .join(sizes.select(col("cls").as("cls_b"), col("n").as("n_b")),
+        Seq("cls_b"))
+      .withColumn("exact_jaccard_ppm",
+        expr("n_inter * 1000000 div (n_a + n_b - n_inter)"))
+      .select(col("cls_a"), col("cls_b"), col("k_used"), col("n_both"),
+        col("kmv_jaccard_ppm"), col("n_inter"), col("n_a"), col("n_b"),
+        col("exact_jaccard_ppm"),
+        abs(col("kmv_jaccard_ppm") - col("exact_jaccard_ppm"))
+          .as("abs_err_ppm"))
+  }
+
+  /** Bloom-filter false-positive audit: simulate the exact filter a
+    * runtime semi-join reduction would build (m bits, k independent
+    * [[TextOps.hex60]] positions per key — the same portable-hash
+    * family every sketch here uses, so the BIT PATTERN is
+    * engine-replayable, unlike the Java `BloomFilter` in
+    * [[graft.functions.Bloom]] whose murmur layout only the JVM can
+    * reproduce), then MEASURE its false-positive rate against a
+    * labeled query set and price it against the occupancy-derived
+    * expectation fill^k. The report is the sizing evidence behind
+    * every bloom-prefiltered join: a measured fpr_ppm far above
+    * occupancy^k means the hash family is misbehaving; occupancy near
+    * saturation means m is undersized for n.
+    *
+    * Exactness: fill^k in ppm is bitsSet^k * 1e6 div m^k — all int64
+    * for m <= 4096, k <= 3 (4096^3 * 1e6 < 2^63), floor-div both
+    * engines.
+    *
+    * Scale shape: the inserted-bit table is bounded at m rows —
+    * broadcast by construction however large the insert set — so the
+    * probe side is one narrow map (k hashes per key) + a broadcast
+    * join + one key-keyed agg; the report is a single-row rollup.
+    * Inserting is one distinct + explode(k) + distinct, shuffles
+    * bounded by min(n*k, m) rows. */
+  def bloomFprReport(insert: DataFrame, query: DataFrame,
+                     keyCol: String, memberCol: String,
+                     m: Int = 4096, k: Int = 3): DataFrame = {
+    require(m <= 4096 && k <= 3, "fill^k ppm must stay inside int64")
+    def positions(key: Column): Column =
+      transform(sequence(lit(1), lit(k)), i =>
+        pmod(TextOps.hex60(concat(i.cast("string"), lit(":"),
+          key.cast("string"))), lit(m.toLong)))
+    val bits = broadcast(insert.select(explode(
+        positions(col(keyCol))).as("pos")).distinct())
+    // a key's k positions can collide with each other: membership is
+    // "every DISTINCT position set", so count distinct probes vs hits
+    val probes = query.select(col(keyCol).as("_key"),
+        col(memberCol).cast("boolean").as("_member"),
+        explode(array_distinct(positions(col(keyCol)))).as("pos"))
+    val perKey = probes.join(bits.withColumn("_hit", lit(1L)),
+        Seq("pos"), "left")
+      .groupBy(col("_key"), col("_member"))
+      .agg(count(lit(1)).as("_np"),
+        sum(coalesce(col("_hit"), lit(0L))).as("_nh"))
+      .withColumn("_pos", (col("_np") === col("_nh")).cast("long"))
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+      .withColumn("_one", lit(1))
+    perKey.groupBy()
+      .agg(sum(col("_member").cast("long")).as("n_member_queries"),
+        sum((!col("_member")).cast("long")).as("n_neg_queries"),
+        sum(when(col("_member"), col("_pos")).otherwise(lit(0L)))
+          .as("n_member_pos"),
+        sum(when(!col("_member"), col("_pos")).otherwise(lit(0L)))
+          .as("n_false_pos"))
+      .withColumn("_one", lit(1)).join(broadcast(nBits), Seq("_one"))
+      .select(lit(m.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("bits_set"), col("n_member_queries"), col("n_neg_queries"),
+        col("n_member_pos"), col("n_false_pos"),
+        // a query set with NO labeled negatives reports 0, not a
+        // divide-by-zero (Spark 4 ANSI throws on integral / 0)
+        expr("CASE WHEN n_neg_queries = 0 THEN 0" +
+          " ELSE n_false_pos * 1000000 div n_neg_queries END")
+          .as("fpr_ppm"),
+        expr(Seq.fill(k)("bits_set").mkString(" * ") + " * 1000000 div (" +
+          Seq.fill(k)(s"${m.toLong}L").mkString(" * ") + ")")
+          .as("fpr_occupancy_ppm"))
+  }
 }

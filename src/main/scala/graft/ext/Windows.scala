@@ -122,4 +122,56 @@ object Windows {
       .agg(max(col("carry") + col("day_max")).as("peak_concurrency"))
       .select(col("k"), col("peak_concurrency"))
   }
+
+  /** One-sided CUSUM level-shift detection over a per-key hourly count
+    * series (Page 1954) — the change-point monitor that catches a
+    * SUSTAINED small drift the per-hour MAD anomaly gate
+    * (events_anomaly_mad) is blind to: MAD flags single outlier
+    * hours; CUSUM accumulates deviation until a persistent shift
+    * crosses the alarm bar.
+    *
+    * Exact-integer formulation: on the gap-filled hourly spine (H
+    * hours, per-key total T), the deviation of hour t is scaled by H
+    * — dev_t = n_t*H - T — so the reference mean T/H never becomes a
+    * float. The classic reset recursion S_t = max(0, S_{t-1} + dev_t)
+    * is computed CLOSED-FORM as S_t = RS_t - min(RS_0..t) (running
+    * sum minus running minimum — the standard prefix identity, both
+    * plain windows, no recursion). Hour t alarms when S_t >
+    * `lambda` x T x H-scaled hourly means, i.e. S_t > lambda*T in
+    * scaled units. Output per key: spine size, total, alarm-hour
+    * count, the max CUSUM (scaled), and the first alarm epoch (the
+    * change-point estimate), NULL when the series never alarms.
+    *
+    * Scale shape: the raw event scan collapses to (key, hour) counts
+    * FIRST (map-side combined); the spine join and both windows run
+    * over hours x keys — metadata-sized at any corpus scale — and
+    * every window is key-partitioned, never global. */
+  def cusumChangepoint(df: DataFrame, key: Column, ts: Column,
+                       lambda: Long = 5L): DataFrame = {
+    val ev = df.select(key.as("k"),
+      (floor(ts.cast("long") / 3600) * 3600).cast("long").as("epoch"))
+    val counts = ev.groupBy(col("k"), col("epoch"))
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min(col("epoch")).as("lo"), max(col("epoch")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+        .as("epoch"))
+    val keys = ev.select(col("k")).distinct()
+    val dense = hours.join(broadcast(keys))
+      .join(counts, Seq("k", "epoch"), "left")
+      .select(col("k"), col("epoch"), coalesce(col("n"), lit(0L)).as("n"))
+    val stats = dense.groupBy(col("k"))
+      .agg(count(lit(1)).as("h"), sum(col("n")).as("t"))
+    val w = Window.partitionBy(col("k")).orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(stats), Seq("k"))
+      .withColumn("dev", col("n") * col("h") - col("t"))
+      .withColumn("rs", sum(col("dev")).over(w))
+      .withColumn("cusum", col("rs") - least(min(col("rs")).over(w), lit(0L)))
+      .withColumn("alarm", col("cusum") > col("t") * lambda)
+      .groupBy(col("k"))
+      .agg(max(col("h")).as("n_hours"), max(col("t")).as("n_events"),
+        sum(col("alarm").cast("long")).as("n_alarm_hours"),
+        max(col("cusum")).as("max_cusum"),
+        min(when(col("alarm"), col("epoch"))).as("first_alarm_epoch"))
+  }
 }

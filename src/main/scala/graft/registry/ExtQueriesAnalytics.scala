@@ -55,6 +55,183 @@ object ExtQueriesAnalytics {
             * (lit(1) - col("l_discount"))).as("revenue"))
     }),
 
+    // KMV pairwise distinct-overlap: per event class, the k=64
+    // smallest portable user-id hashes ARE the sketch; pair overlap
+    // estimated from k-row sketch merges, priced against the exact
+    // distinct intersection (the audit column a production run drops)
+    "sketch_kmv_jaccard" -> ((s, dir) =>
+      Sketches.kmvJaccard(Tables.events(s, dir), col("event_type"),
+        col("user_id"))),
+    // one-sided CUSUM over the gap-filled hourly spine: sustained
+    // small level shifts accumulate past lambda x hourly-mean and
+    // alarm; single outlier hours (the MAD gate's job) do not
+    "events_cusum_changepoint" -> ((s, dir) =>
+      Windows.cusumChangepoint(Tables.events(s, dir), col("event_type"),
+        col("ts"))),
+    // market-basket co-purchase mining: within-order distinct part
+    // pairs (bounded explode — pair count is quadratic in BASKET size,
+    // never corpus size), min-support 2, lift/confidence in exact ppm
+    // (decimal128 product before the floor-div — n_pair x n_orders x
+    // 1e6 leaves int64 right around the 100 TB order count), top 100
+    // via TakeOrdered on a total order
+    "analytics_basket_pairs" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct()
+      val nOrd = items.agg(countDistinct(col("okey")).as("n_orders"))
+        .withColumn("_one", lit(1))
+      val itemCnt = items.groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+        .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      pairs
+        .join(itemCnt.select(col("pkey").as("part_a"),
+          col("n_item").as("n_a")), Seq("part_a"))
+        .join(itemCnt.select(col("pkey").as("part_b"),
+          col("n_item").as("n_b")), Seq("part_b"))
+        .withColumn("_one", lit(1)).join(broadcast(nOrd), Seq("_one"))
+        .withColumn("lift_ppm", expr(
+          "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000)" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+        .withColumn("conf_a_to_b_ppm", expr("n_pair * 1000000 div n_a"))
+        .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"),
+          col("n_b"), col("lift_ppm"), col("conf_a_to_b_ppm"))
+        .orderBy(col("lift_ppm").desc, col("n_pair").desc, col("part_a"),
+          col("part_b"))
+        .limit(100)
+    }),
+    // Pareto/ABC revenue classification with NO global window: the
+    // part rollup is integer cents (floor(x*100+0.5) — deterministic
+    // IEEE double, identical both engines); parts bucket by
+    // floor-log2(revenue), so bucket order IS revenue order and the
+    // global cumulative decomposes into a <=64-row bucket-prefix
+    // (triangular join over bucket totals) + a BUCKET-PARTITIONED
+    // within-bucket running sum — the winsorize histogram-walk
+    // discipline applied to cumulative shares. Class bar: A covers
+    // the first 80% of revenue, B to 95%, C the tail.
+    "analytics_pareto_abc" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pkey"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100" +
+            " + 0.5) AS BIGINT)").as("cents"))
+        .groupBy(col("pkey")).agg(sum(col("cents")).as("rev"))
+        .withColumn("b", length(bin(col("rev"))).cast("long"))
+      val btot = rev.groupBy(col("b")).agg(sum(col("rev")).as("bc"))
+      val carry = btot.as("cur").join(broadcast(btot.as("prev")),
+          col("prev.b") > col("cur.b"), "left")
+        .groupBy(col("cur.b").as("b"))
+        .agg(coalesce(sum(col("prev.bc")), lit(0L)).as("carry"))
+      val tot = rev.agg(sum(col("rev")).as("t")).withColumn("_one", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b")).orderBy(col("rev").desc, col("pkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      rev.withColumn("lcum", sum(col("rev")).over(w))
+        .join(broadcast(carry), Seq("b"))
+        .withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+        .withColumn("cum", col("carry") + col("lcum"))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("t") * 80, "A")
+            .when(col("cum") * 100 <= col("t") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_cents"),
+          max(col("t")).as("_t"))
+        // class_cents * 1e6 leaves int64 around sf1's ~2e13 total
+        // cents (ANSI would THROW, not wrap) — the ppm product runs
+        // in decimal128 like the basket lift
+        .withColumn("share_ppm", expr(
+          "CAST(CAST(class_cents AS DECIMAL(38,0)) * 1000000 div _t" +
+            " AS BIGINT)"))
+        .drop("_t")
+    }),
+    // market-concentration audit: per region, supplier-revenue HHI
+    // (sum of squared shares) and top-supplier share in exact ppm —
+    // the sum-of-squares and the squared total both run in decimal128
+    // (supplier revenue squared leaves int64 long before sf1), one
+    // floor-div at the end. Broadcast dim chain, two hash-aggs.
+    "analytics_hhi_concentration" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("s_suppkey"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100" +
+            " + 0.5) AS BIGINT)").as("cents"))
+        .groupBy(col("r_name"), col("s_suppkey"))
+        .agg(sum(col("cents")).as("rev"))
+      rev.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev")).as("total_cents"),
+          sum(col("rev").cast("decimal(38,0)") * col("rev")).as("_sq"),
+          max(col("rev")).as("_top"))
+        .withColumn("hhi_ppm", expr(
+          "CAST(_sq * 1000000 div (CAST(total_cents AS DECIMAL(38,0))" +
+            " * total_cents) AS BIGINT)"))
+        .withColumn("top_share_ppm", expr(
+          "CAST(CAST(_top AS DECIMAL(38,0)) * 1000000 div total_cents" +
+            " AS BIGINT)"))
+        .drop("_sq", "_top")
+    }),
+    // conversion-latency quartiles: per user first-view ->
+    // first-purchase delta, nearest-rank p25/50/75 via the cumulative
+    // walk over the HOUR-BUCKETED delta histogram (bounded by the
+    // event horizon however many users exist — the
+    // vocab_coverage_report level-histogram discipline; never a
+    // global per-user sort)
+    "analytics_time_to_convert" -> ((s, dir) => {
+      val firsts = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view",
+            col("ts").cast("long"))).as("fv"),
+          min(when(col("event_type") === "purchase",
+            col("ts").cast("long"))).as("fp"))
+        .filter(col("fv").isNotNull && col("fp").isNotNull
+          && col("fp") > col("fv"))
+        .select(expr("(fp - fv) div 3600").as("delta_h"))
+      val hist = firsts.groupBy(col("delta_h")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("delta_h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val tot = hist.agg(sum(col("n")).as("t")).withColumn("_one", lit(1))
+      hist.withColumn("cum", sum(col("n")).over(w))
+        .withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+        .groupBy()
+        .agg(max(col("t")).as("n_converted"),
+          min(when(col("cum") * 4 >= col("t"), col("delta_h")))
+            .as("p25_hours"),
+          min(when(col("cum") * 2 >= col("t"), col("delta_h")))
+            .as("p50_hours"),
+          min(when(col("cum") * 4 >= col("t") * 3, col("delta_h")))
+            .as("p75_hours"),
+          max(col("delta_h")).as("max_hours"))
+    }),
+    // Bloom false-positive audit: filter the runtime semi-join
+    // reduction would build, simulated with portable hex60 positions
+    // so the bit pattern itself replays in the oracle; measured FPR
+    // on labeled negatives vs the occupancy-derived fill^k
+    "sketch_bloom_fpr_report" -> ((s, dir) => {
+      // >= 48 (a ~6%-of-items slice) so a measurable share of parts
+      // is genuinely ABSENT from the filter at every sf — an insert
+      // predicate that swallows all of `part` leaves no negatives to
+      // measure FPR on
+      val ins = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_partkey").as("p_partkey")).distinct()
+      val query = t(s, dir, "part").select(col("p_partkey"))
+        .join(ins.withColumn("_m", lit(true)), Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("_m"), lit(false)).as("is_member"))
+      Sketches.bloomFprReport(ins, query, "p_partkey", "is_member")
+    }),
+
     "window_tumbling" -> ((s, dir) =>
       Windows.tumbling(Tables.events(s, dir), col("ts"), 3600,
         Seq(col("event_type")))
@@ -1020,6 +1197,204 @@ object ExtQueriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same sketches, same pair merge, same truth columns; DISTINCT
+    // runs after hashing on both sides
+    "sketch_kmv_jaccard" -> s"""
+      WITH d AS (SELECT DISTINCT event_type AS cls,
+             CAST(user_id AS VARCHAR) AS it FROM events),
+      hh AS (SELECT DISTINCT cls, ${hex60Sql("it")} AS h FROM d),
+      sk AS (SELECT cls, h FROM (SELECT cls, h, row_number() OVER
+               (PARTITION BY cls ORDER BY h) AS r FROM hh) WHERE r <= 64),
+      cl AS (SELECT DISTINCT cls FROM sk),
+      pc AS (SELECT x.cls AS cls_a, y.cls AS cls_b
+             FROM cl x JOIN cl y ON x.cls < y.cls),
+      mg AS (SELECT DISTINCT cls_a, cls_b, h FROM (
+               SELECT pc.cls_a, pc.cls_b, s.h FROM pc
+                 JOIN sk s ON s.cls = pc.cls_a
+               UNION ALL
+               SELECT pc.cls_a, pc.cls_b, s.h FROM pc
+                 JOIN sk s ON s.cls = pc.cls_b)),
+      tu AS (SELECT cls_a, cls_b, h FROM (SELECT *, row_number() OVER
+               (PARTITION BY cls_a, cls_b ORDER BY h) AS r FROM mg)
+             WHERE r <= 64),
+      est AS (SELECT cls_a, cls_b, CAST(count(*) AS BIGINT) AS k_used,
+               CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+             FROM tu
+               LEFT JOIN sk sa ON sa.cls = tu.cls_a AND sa.h = tu.h
+               LEFT JOIN sk sb ON sb.cls = tu.cls_b AND sb.h = tu.h
+             GROUP BY 1, 2),
+      ex AS (SELECT x.cls AS cls_a, y.cls AS cls_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+             FROM d x JOIN d y ON x.it = y.it AND x.cls < y.cls
+             GROUP BY 1, 2),
+      sz AS (SELECT cls, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+      SELECT est.cls_a, est.cls_b, k_used, n_both,
+             n_both * 1000000 // k_used AS kmv_jaccard_ppm,
+             COALESCE(ex.n_inter, 0) AS n_inter,
+             sa.n AS n_a, sb.n AS n_b,
+             COALESCE(ex.n_inter, 0) * 1000000
+               // (sa.n + sb.n - COALESCE(ex.n_inter, 0))
+               AS exact_jaccard_ppm,
+             abs(n_both * 1000000 // k_used
+               - COALESCE(ex.n_inter, 0) * 1000000
+                 // (sa.n + sb.n - COALESCE(ex.n_inter, 0)))
+               AS abs_err_ppm
+      FROM est
+        LEFT JOIN ex ON ex.cls_a = est.cls_a AND ex.cls_b = est.cls_b
+        JOIN sz sa ON sa.cls = est.cls_a
+        JOIN sz sb ON sb.cls = est.cls_b""",
+    // same dense spine; CUSUM closed form rs - min(0, running-min rs)
+    "events_cusum_changepoint" -> """
+      WITH b AS (SELECT event_type AS k,
+             CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS epoch
+           FROM events),
+      c AS (SELECT k, epoch, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2),
+      r AS (SELECT min(epoch) AS lo, max(epoch) AS hi FROM b),
+      hrs AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS epoch FROM r),
+      ks AS (SELECT DISTINCT k FROM b),
+      dense AS (SELECT ks.k, hrs.epoch, COALESCE(c.n, 0) AS n
+            FROM hrs CROSS JOIN ks
+            LEFT JOIN c ON c.k = ks.k AND c.epoch = hrs.epoch),
+      st AS (SELECT k, CAST(count(*) AS BIGINT) AS h,
+               CAST(sum(n) AS BIGINT) AS t FROM dense GROUP BY 1),
+      cs AS (SELECT dense.k, epoch, n, h, t,
+               CAST(sum(n*h - t) OVER (PARTITION BY dense.k ORDER BY epoch
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs
+             FROM dense JOIN st USING (k)),
+      cc AS (SELECT k, epoch, h, t,
+               rs - least(CAST(min(rs) OVER (PARTITION BY k ORDER BY epoch
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS cusum
+             FROM cs)
+      SELECT k, max(h) AS n_hours, max(t) AS n_events,
+             CAST(sum(CASE WHEN cusum > t*5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_hours,
+             CAST(max(cusum) AS BIGINT) AS max_cusum,
+             min(CASE WHEN cusum > t*5 THEN epoch END) AS first_alarm_epoch
+      FROM cc GROUP BY k""",
+    // same distinct basket frame, same HUGEINT lift product
+    "analytics_basket_pairs" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+            FROM lineitem),
+      no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+             FROM it),
+      ic AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_item
+             FROM it GROUP BY 1),
+      pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+             FROM it a JOIN it b ON a.okey = b.okey AND a.pkey < b.pkey
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+             CAST(CAST(n_pair AS HUGEINT) * n_orders * 1000000
+               // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT)
+               AS lift_ppm,
+             n_pair * 1000000 // ia.n_item AS conf_a_to_b_ppm
+      FROM pr JOIN ic ia ON ia.pkey = part_a
+        JOIN ic ib ON ib.pkey = part_b
+        CROSS JOIN no
+      ORDER BY lift_ppm DESC, n_pair DESC, part_a, part_b LIMIT 100""",
+    // one global window replays the bucket-decomposed cumulative
+    "analytics_pareto_abc" -> """
+      WITH rv AS (SELECT l_partkey AS pkey,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+               + 0.5) AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM rv),
+      c AS (SELECT pkey, rev,
+              CAST(sum(rev) OVER (ORDER BY rev DESC, pkey
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM rv),
+      cls AS (SELECT rev,
+              CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                   WHEN cum * 100 <= t * 95 THEN 'B'
+                   ELSE 'C' END AS abc_class, t
+            FROM c CROSS JOIN t)
+      SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS BIGINT) AS class_cents,
+             CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // max(t) AS BIGINT)
+               AS share_ppm
+      FROM cls GROUP BY 1""",
+    // same supplier rollup; squares and the squared total in HUGEINT
+    "analytics_hhi_concentration" -> """
+      WITH rv AS (SELECT r_name, s_suppkey,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+               + 0.5) AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+      SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(rev) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000
+               // (CAST(sum(rev) AS HUGEINT) * sum(rev)) AS BIGINT)
+               AS hhi_ppm,
+             CAST(CAST(max(rev) AS HUGEINT) * 1000000 // sum(rev)
+               AS BIGINT) AS top_share_ppm
+      FROM rv GROUP BY 1""",
+    // same hour-bucketed histogram, one window replays the walk
+    "analytics_time_to_convert" -> """
+      WITH f AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view'
+               THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS fv,
+             min(CASE WHEN event_type = 'purchase'
+               THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS fp
+           FROM events GROUP BY 1),
+      d AS (SELECT (fp - fv) // 3600 AS delta_h FROM f
+            WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv),
+      h AS (SELECT delta_h, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1),
+      c AS (SELECT delta_h, n, CAST(sum(n) OVER (ORDER BY delta_h
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM h)
+      SELECT max(t) AS n_converted,
+             min(CASE WHEN cum * 4 >= t THEN delta_h END) AS p25_hours,
+             min(CASE WHEN cum * 2 >= t THEN delta_h END) AS p50_hours,
+             min(CASE WHEN cum * 4 >= t * 3 THEN delta_h END) AS p75_hours,
+             max(delta_h) AS max_hours
+      FROM c CROSS JOIN t""",
+    // identical bit pattern: hex60 positions of 'i:key' mod m, probe
+    // positive iff every distinct position is set
+    "sketch_bloom_fpr_report" -> s"""
+      WITH ins AS (SELECT DISTINCT l_partkey AS key FROM lineitem
+             WHERE l_quantity >= 48),
+      ks AS (SELECT unnest([1, 2, 3]) AS i),
+      bits AS (SELECT DISTINCT
+               ${hex60Sql("CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)")}
+                 % 4096 AS pos
+             FROM ins CROSS JOIN ks),
+      q AS (SELECT p_partkey AS key,
+              p_partkey IN (SELECT key FROM ins) AS member FROM part),
+      probe AS (SELECT DISTINCT key, member,
+               ${hex60Sql("CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)")}
+                 % 4096 AS pos
+             FROM q CROSS JOIN ks),
+      pk AS (SELECT key, member, CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(CASE WHEN pos IN (SELECT pos FROM bits)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nh
+             FROM probe GROUP BY 1, 2),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+      SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+             bits_set,
+             CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_member_queries,
+             CAST(sum(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg_queries,
+             CAST(sum(CASE WHEN member AND np = nh THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_member_pos,
+             CAST(sum(CASE WHEN NOT member AND np = nh THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos,
+             CASE WHEN sum(CASE WHEN NOT member THEN 1 ELSE 0 END) = 0
+               THEN 0
+               ELSE CAST(sum(CASE WHEN NOT member AND np = nh
+                      THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                 // CAST(sum(CASE WHEN NOT member THEN 1 ELSE 0 END)
+                      AS BIGINT) END AS fpr_ppm,
+             bits_set * bits_set * bits_set * 1000000
+               // (4096 * 4096 * CAST(4096 AS BIGINT))
+               AS fpr_occupancy_ppm
+      FROM pk CROSS JOIN nb GROUP BY bits_set""",
     // bucketing changes the physical layout, never the values: the
     // oracle is the plain join over the same projections
     "sink_bucketed_join" -> s"""

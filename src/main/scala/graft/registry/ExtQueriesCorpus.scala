@@ -20,6 +20,25 @@ object ExtQueriesCorpus {
 
   val queries: Map[String, Q] = Map(
 
+    // DSIR importance weights: every doc scored by hashed-unigram
+    // target-vs-raw bit cost (target = the English slice); the
+    // classifier-free "resembles the target domain" signal importance
+    // resampling feeds on
+    "quality_dsir_weights" -> ((s, dir) =>
+      Corpus.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === lit("en"))),
+    // marginal-novelty curve per ingest slice: share of (doc, distinct
+    // 3-shingle) pairs whose doc is the shingle's first carrier
+    "corpus_novelty_curve" -> ((s, dir) =>
+      Corpus.noveltyCurve(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
+    // the resampling half of DSIR: keep probability is a monotone
+    // clamp of the per-doc milli-bit advantage, the coin is the
+    // portable hash threshold — per-source before/after report
+    "curate_dsir_resample" -> ((s, dir) =>
+      Corpus.dsirResample(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === lit("en"), col("source"))),
+
     // ExactSubstr-lite: drop exact 8-word chunks already seen earlier
     // in the corpus, reassemble the survivors per document
     "dedup_repeated_segments" -> ((s, dir) =>
@@ -50,6 +69,16 @@ object ExtQueriesCorpus {
         Dedup.connectedComponents(docs.select(col("doc_id")),
           graft.ext.PairStage.jaccardPairs(s, dir)),
         col("doc_id"), col("source"), col("text"))
+    }),
+    // dedup quality bias: removal rate / removal share / doc share
+    // per quality-score bucket off the SAME staged clustering — is
+    // near-dedup eating boilerplate or the good stratum
+    "quality_dedup_bias_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dedupBiasReport(docs,
+        Dedup.connectedComponents(docs.select(col("doc_id")),
+          graft.ext.PairStage.jaccardPairs(s, dir)),
+        col("doc_id"), col("text"))
     }),
     // uniform-mixture epoch plan over the effective pools: how many
     // repeats of each source fill a balanced 2x-effective-mass
@@ -489,6 +518,96 @@ object ExtQueriesCorpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same hashed-bucket frame both sides; bits via the bin-length
+    // floor-log2; the signed mean sign-split onto non-negative
+    // floor-div (Spark div truncates, DuckDB // floors)
+    "quality_dsir_weights" -> s"""
+      WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           FROM documents),
+      tb AS (SELECT doc_id, tgt,
+             ${hex60Sql("term")} % 1024 AS bucket FROM tok),
+      bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt
+           FROM tb GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nr,
+                     CAST(sum(tcnt) AS BIGINT) AS nt FROM bc),
+      bits AS (SELECT bucket,
+             CAST(length(bin((nr + 1024) // (cnt + 1))) AS BIGINT)
+           - CAST(length(bin((nt + 1024) // (tcnt + 1))) AS BIGINT)
+             AS dbits
+           FROM bc CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(dbits) AS BIGINT) AS dsir_bits
+           FROM tb JOIN bits USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, dsir_bits,
+             CASE WHEN dsir_bits < 0
+               THEN -((-dsir_bits) * 1000 // n_tokens)
+               ELSE dsir_bits * 1000 // n_tokens END AS mean_millibits
+      FROM agg""",
+    // the dsir chain extended by the clamp + portable coin + source
+    // rollup; signed means sign-split like the weights oracle
+    "curate_dsir_resample" -> s"""
+      WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           FROM documents),
+      tb AS (SELECT doc_id, tgt,
+             ${hex60Sql("term")} % 1024 AS bucket FROM tok),
+      bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt
+           FROM tb GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nr,
+                     CAST(sum(tcnt) AS BIGINT) AS nt FROM bc),
+      bits AS (SELECT bucket,
+             CAST(length(bin((nr + 1024) // (cnt + 1))) AS BIGINT)
+           - CAST(length(bin((nt + 1024) // (tcnt + 1))) AS BIGINT)
+             AS dbits
+           FROM bc CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(dbits) AS BIGINT) AS dsir_bits
+           FROM tb JOIN bits USING (bucket) GROUP BY doc_id),
+      w AS (SELECT doc_id, n_tokens, dsir_bits,
+             CASE WHEN dsir_bits < 0
+               THEN -((-dsir_bits) * 1000 // n_tokens)
+               ELSE dsir_bits * 1000 // n_tokens END AS mean_millibits
+           FROM agg),
+      k AS (SELECT doc_id, n_tokens, dsir_bits,
+             (${hex60Sql("'dsir:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+               < least(1000000, greatest(0, 500000 + mean_millibits * 200))
+               AS keep
+           FROM w),
+      r AS (SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(k.n_tokens) AS BIGINT) AS tokens_before,
+             CAST(sum(CASE WHEN keep THEN k.n_tokens ELSE 0 END)
+               AS BIGINT) AS tokens_after,
+             CAST(sum(k.dsir_bits) AS BIGINT) AS ba,
+             CAST(sum(CASE WHEN keep THEN k.dsir_bits ELSE 0 END)
+               AS BIGINT) AS bk
+           FROM k JOIN documents d USING (doc_id) GROUP BY 1)
+      SELECT source, n_docs, n_kept, tokens_before, tokens_after,
+             n_kept * 1000000 // n_docs AS kept_ppm,
+             CASE WHEN ba < 0 THEN -((-ba) * 1000 // tokens_before)
+               ELSE ba * 1000 // tokens_before END AS mean_millibits_all,
+             CASE WHEN tokens_after = 0 THEN 0
+               WHEN bk < 0 THEN -((-bk) * 1000 // tokens_after)
+               ELSE bk * 1000 // tokens_after END AS mean_millibits_kept
+      FROM r""",
+    // first-carrier attribution via min(doc_id) per distinct shingle
+    "corpus_novelty_curve" -> s"""
+      WITH $ShinglesCte,
+      f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT CAST(doc_id // 50 AS BIGINT) AS ingest_bucket,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+               AS novelty_ppm
+      FROM sh JOIN f USING (shingle)
+      GROUP BY 1""",
     // exact greedy first-fit replayed as a recursive walk per group;
     // the group count is derived from count(*) with the same integer
     // formula as Packing.autoGroups (~64 docs/group, power of two)
@@ -967,6 +1086,48 @@ object ExtQueriesCorpus {
              n_tokens * 1000000 // tt AS naive_weight_ppm,
              eff_tokens * 1000000 // te AS adjusted_weight_ppm
       FROM per CROSS JOIN t2""",
+    // the clusters replay again, crossed with the score-bucket
+    // arithmetic of the calibration oracle; shares floor-div over the
+    // report's own totals
+    "quality_dedup_bias_report" -> s"""
+      WITH RECURSIVE
+      ${clustersCtes("SELECT doc_id, text FROM documents")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      t2 AS (SELECT doc_id, text,
+          ' ' || lower(text) || ' ' AS p FROM documents),
+      m AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens,
+          length(text)
+            - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+            AS n_punct,
+          ${scoreSql("en")} AS c_en
+        FROM t2),
+      q AS (SELECT doc_id,
+          least(1.0, n_tokens / 50.0) * 0.4
+            + least(1.0, (c_en * 1.0 / n_tokens) * 5.0) * 0.3
+            + (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10.0)) * 0.3
+            AS quality_score
+        FROM m),
+      qb AS (SELECT doc_id,
+          least(4, CAST(floor(quality_score * 5.0) AS BIGINT))
+            AS score_bucket
+        FROM q WHERE NOT isnan(quality_score)),
+      cell AS (SELECT score_bucket,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN c.component <> qb.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed
+        FROM qb JOIN comp c USING (doc_id) GROUP BY 1),
+      t3 AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+               CAST(sum(n_removed) AS BIGINT) AS tr FROM cell)
+      SELECT score_bucket, n_docs, n_removed,
+             n_removed * 1000000 // n_docs AS removed_ppm,
+             CASE WHEN tr = 0 THEN 0
+               ELSE n_removed * 1000000 // tr END AS removal_share_ppm,
+             n_docs * 1000000 // td AS bucket_share_ppm
+      FROM cell CROSS JOIN t3""",
     // score-vs-rules calibration: the quality-score formula (the
     // text_quality_score oracle's arithmetic — pure IEEE, exact both
     // engines) bucketed to quintiles against the two keep

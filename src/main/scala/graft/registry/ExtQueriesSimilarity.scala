@@ -54,6 +54,17 @@ object ExtQueriesSimilarity {
         .select(col("vec_id"), col("pos").cast("long").as("rp_dim"),
           col("col").as("rp_val"))),
 
+    // maximum-inner-product retrieval (raw dot, NOT cosine — the
+    // recommender/learned-retriever order; differs from cosine
+    // whenever corpus norms vary). Bounded-heap agg shape; the ANN
+    // path is the norm-augmentation reduction to cosine (MipsSpec
+    // pins the order equivalence)
+    "sim_mips_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mipsTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
+        "embedding", k = 5)
+    }),
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -712,6 +723,22 @@ object ExtQueriesSimilarity {
     "sim_ivfpq_topk" -> ivfPqTopKSql(dim = 64, m = 4, ksub = 16, k = 5,
       nProbe = 2, shortlist = 50, iters = 2),
     "sim_lsh_ann" -> lshPairsSql(tables = 1, threshold = 0.2),
+
+    // raw dot product, same per-term double widening as DotProduct
+    "sim_mips_topk" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1,65),
+                 i -> CAST(qv[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))) AS dot
+        FROM q, embeddings e WHERE query_id <> e.vec_id)
+      SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
 
     "sim_bruteforce_topk" -> s"""
       WITH n AS (SELECT vec_id, $NormSql AS nv FROM embeddings),

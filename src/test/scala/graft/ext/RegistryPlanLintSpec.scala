@@ -65,7 +65,27 @@ class RegistryPlanLintSpec extends SparkSpec {
     "vocab_kn_continuation",
     // window_gapfill's hours x types grid reused for the dense EWMA
     // spine
-    "window_ewma_hourly")
+    "window_ewma_hourly",
+    // session-4 additions, all metadata-sized by construction: the
+    // MIPS query set is the same <=10-vector broadcast as the other
+    // brute ANN entries; DSIR joins its 1-row smoothed-total frame
+    // onto the <=1024-row bucket table; the CUSUM spine is the
+    // gapfill hours x types grid plus a per-key 1-row stats join;
+    // KMV pairs cross tiny class lists and k-row sketches; the
+    // basket score and ABC classifier each join a 1-row
+    // order-count/revenue-total frame (ABC also walks the <=64-row
+    // log2-bucket triangular carry)
+    "sim_mips_topk", "quality_dsir_weights", "events_cusum_changepoint",
+    "sketch_kmv_jaccard", "analytics_basket_pairs",
+    "analytics_pareto_abc",
+    // 1-row broadcasts again: the resample inherits dsir's smoothed
+    // totals; the bloom report joins its 1-row bits_set frame; the
+    // conversion walk joins the 1-row histogram total
+    "curate_dsir_resample", "sketch_bloom_fpr_report",
+    "analytics_time_to_convert",
+    // the bias report joins its 1-row removal/doc totals onto the
+    // 5-cell bucket frame
+    "quality_dedup_bias_report")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

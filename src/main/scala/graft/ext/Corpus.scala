@@ -272,6 +272,253 @@ object Corpus {
         expr("n_boiler * 1000000L div n_shingles"))
   }
 
+  /** Cross-document line-level dedup — the C4 preprocessing step
+    * (Raffel et al. 2020 §2.2 deduplicate three-sentence spans; the
+    * line variant is what production crawls actually run): any line
+    * of at least `minTokens` whitespace tokens that occurs more than
+    * once in the corpus survives ONLY at its lexicographically-first
+    * occurrence (doc_id, position) — every other copy is removed and
+    * the document re-assembled in original line order. Shorter lines
+    * (headers, "***", empty) always stay: killing them would shred
+    * formatting for no dedup gain. This is the span-granularity
+    * complement to document-level dedup: navigation chrome, cookie
+    * banners and license boilerplate repeat across MILLIONS of
+    * otherwise-unique pages, so document-level near-dup never touches
+    * them ([[boilerplateNgrams]] MEASURES that mass; this op removes
+    * it). Output per doc: the cleaned text, total line count, removed
+    * line count.
+    *
+    * Determinism: the keep rule is a pure function of the corpus (min
+    * (doc_id, pos) per line content — a total order), re-assembly is
+    * position-sorted, and identical content implies identical
+    * eligibility, so the transform is hash-verifiable. Lines compare
+    * by md5 of their exact bytes; distinct lines colliding would fold
+    * identically on both engines (the 60-bit-shingle convention).
+    *
+    * Scale shape: one explode pass; winners are ONE row per distinct
+    * eligible line (a groupBy-min, map-side combinable); the
+    * occurrence-to-winner join is a hash join on the line hash (AQE
+    * handles the hot-boilerplate skew — each hot key's winner side is
+    * exactly one row); re-assembly is one per-doc aggregate. No
+    * windows over the corpus, no driver state. */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+                minTokens: Int = 5): DataFrame = {
+    val lines = df
+      .select(id.as("doc_id"), posexplode(split(text, "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("eligible",
+        size(split(trim(col("line")), "\\s+")) >= minTokens)
+      .withColumn("h", md5(col("line")))
+    val winners = lines.filter(col("eligible"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("wdoc"),
+        col("w.pos").as("wpos"))
+    lines.join(winners, Seq("h"), "left")
+      .withColumn("keep", !col("eligible") ||
+        (col("doc_id") === col("wdoc") && col("pos") === col("wpos")))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          e => e.getField("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum((!col("keep")).cast("long")).as("n_removed"))
+  }
+
+  /** Zipf tail fit over the token frequency distribution — the
+    * one-number vocabulary health check (a natural-language corpus
+    * sits near slope -1; templated/machine-generated text flattens
+    * the tail, OCR noise steepens it) — computed WITHOUT a global
+    * rank sort: types bucket by floor-log2(frequency) (length(bin(f))
+    * — the Pareto/winsorize histogram-walk discipline), the
+    * complementary type count cum_b = #types with f >= 2^(b-1) comes
+    * from a <=64-row triangular join, and the fit is least-squares of
+    * log2(cum_b) on b. For a power-law tail P(F >= f) ~ f^(-alpha)
+    * this slope IS -alpha (the log2s cancel), and alpha = 1/s for
+    * Zipf exponent s — so zipf_slope_ppm ~ -1e6 on clean text.
+    *
+    * log2(cum) is computed EXACTLY in 1/1024 units by the classic
+    * bit-by-bit integer algorithm: mantissa scaled to [2^30, 2^31),
+    * ten square-and-shift rounds (x <- x*x >> 30, emit a fraction bit
+    * when x crosses 2^31, renormalize) — every step is int64-safe
+    * integer arithmetic (x < 2^31 so x*x < 2^62), zero
+    * transcendentals, bit-identical in any engine. The least-squares
+    * slope is exact integer sums with the subtract-pmod floor-div
+    * (the emb_label_centroids convention, so Spark's truncating `div`
+    * and floor-division engines agree on the negative slope).
+    *
+    * Scale shape: one token-count aggregation (the corpus pass every
+    * vocab op already pays), then <=64 bucket rows end-to-end; the
+    * fit is a single-row fold. Nothing sorts the vocabulary. */
+  /** Appends `out` = log2(`in`) in 1/1024 units, computed EXACTLY in
+    * integer arithmetic (no transcendentals): e = floor(log2) via
+    * bin-length, mantissa scaled to [2^30, 2^31), ten square-and-
+    * shift fraction-bit rounds (x <- x^2 >> 30, emit a bit and
+    * renormalize when x crosses 2^31). Every step is int64-safe
+    * (x < 2^31 so x^2 < 2^62) and bit-identical in any engine —
+    * the SQL twin is ExtQueriesCorpus's generated z-step CTE chain.
+    * Input must be >= 1. Shared by the Zipf tail fit and the Heaps
+    * growth fit. */
+  private[ext] def withLog2Milli(df0: DataFrame, in: String,
+                                 out: String): DataFrame = {
+    val x0 = expr(s"CASE WHEN (length(bin($in)) - 1) <= 30" +
+      s" THEN shiftleft($in, CAST(30 - (length(bin($in)) - 1) AS INT))" +
+      s" ELSE shiftright($in, CAST((length(bin($in)) - 1) - 30 AS INT))" +
+      " END")
+    var df = df0
+      .withColumn("_l2e", (length(bin(col(in))) - 1).cast("long"))
+      .withColumn("_l2x", x0)
+      .withColumn("_l2f", lit(0L))
+    for (_ <- 1 to 10) {
+      df = df
+        .withColumn("_l2s", shiftright(col("_l2x") * col("_l2x"), 30))
+        .withColumn("_l2b", (col("_l2s") >= lit(2147483648L)).cast("long"))
+        .withColumn("_l2f", col("_l2f") * 2 + col("_l2b"))
+        .withColumn("_l2x",
+          when(col("_l2b") === 1, shiftright(col("_l2s"), 1))
+            .otherwise(col("_l2s")))
+    }
+    df.withColumn(out, col("_l2e") * 1024 + col("_l2f"))
+      .drop("_l2e", "_l2x", "_l2f", "_l2s", "_l2b")
+  }
+
+  def zipfBucketFit(df: DataFrame, text: Column): DataFrame = {
+    val freqs = df.select(explode(TextOps.tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .select(length(bin(col("f"))).cast("long").as("b"))
+    // <=64 rows by construction — re-literalized so the three
+    // downstream references (self-join both sides + the type total)
+    // pay the corpus token pass ONCE (the ivfCentroids relit idiom)
+    val nb = Materialize.relit(
+      freqs.groupBy(col("b")).agg(count(lit(1)).as("nb")))
+    val cum = nb.as("cur")
+      .join(broadcast(nb.as("hi")),
+        col("hi.b") >= col("cur.b"))
+      .groupBy(col("cur.b").as("b"))
+      .agg(sum(col("hi.nb")).as("cum"))
+    val fit = withLog2Milli(cum, "cum", "y")
+      .select(col("b"), col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("b") * col("y")).as("sxy"),
+        sum(col("b") * col("b")).as("sxx"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")) * 1024)
+          .as("den"))
+    // n_types off the 64-row histogram, NOT a second corpus pass
+    val total = nb.agg(sum(col("nb")).as("n_types"))
+      .withColumn("_one", lit(1))
+    fit.withColumn("_one", lit(1)).join(total, Seq("_one"))
+      .select(col("n_types"), col("n").as("n_buckets"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(num * 1000000 - pmod(num * 1000000, den)) div den"))
+          .as("zipf_slope_ppm"))
+  }
+
+  /** Heaps-law growth exponent — vocabulary V(n) ~ C n^beta over
+    * ingest order — the second client of the [[withLog2Milli]]
+    * integer least-squares harness. [[noveltyCurve]] SHOWS the
+    * marginal novelty falling; this fit turns the same first-carrier
+    * attribution into the one number a capacity plan wants (natural
+    * text sits near beta ~ 0.5-0.7; beta near 1 means the corpus
+    * never stops minting types — tokenizer vocab and dedup-index
+    * sizing both key off it).
+    *
+    * No global windows: doc ids collapse to OCTAVE buckets
+    * (g = bin-length of doc_id+1 — the Pareto discipline), per-octave
+    * occurrence and first-carrier counts come from the one shingle
+    * pass, the cumulative pair (cum_occ, cum_types) from a <=64-row
+    * triangular join, both coordinates through the exact fixed-point
+    * log2, and the slope beta = d log2 V / d log2 n from integer
+    * least squares — decimal128 for the ppm numerator (both
+    * coordinates are log-scaled <= 64K, but n*sxy*1e6 brushes int64).
+    *
+    * Scale shape: ONE (doc, shingle)-distinct explode pass
+    * (materialized, shared by the occurrence and first-carrier
+    * aggregates), then <=64 rows end-to-end. */
+  def heapsBucketFit(df: DataFrame, id: Column, text: Column,
+                     n: Int = 3): DataFrame = {
+    val pairs = Materialize.eager(
+      df.select(id.as("doc_id"),
+          explode(TextOps.wordShingles(text, n)).as("shingle"))
+        .distinct())
+    val occ = pairs
+      .groupBy(length(bin(col("doc_id") + 1)).cast("long").as("g"))
+      .agg(count(lit(1)).as("n_occ"))
+    val fresh = pairs.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(length(bin(col("first_doc") + 1)).cast("long").as("g"))
+      .agg(count(lit(1)).as("n_new"))
+    // every first_doc is a doc, so fresh's octaves are a subset of
+    // occ's — occ is the spine; <=64 rows, relit for the triple use
+    val spine = Materialize.relit(occ
+      .join(fresh, Seq("g"), "left")
+      .select(col("g"), col("n_occ"),
+        coalesce(col("n_new"), lit(0L)).as("n_new")))
+    val cum = spine.as("cur")
+      .join(broadcast(spine.as("lo")), col("lo.g") <= col("cur.g"))
+      .groupBy(col("cur.g").as("g"))
+      .agg(sum(col("lo.n_occ")).as("cum_occ"),
+        sum(col("lo.n_new")).as("cum_types"))
+    val pts = withLog2Milli(
+      withLog2Milli(cum, "cum_occ", "x"), "cum_types", "y")
+    val fit = pts
+      .agg(count(lit(1)).as("nn"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("nn"),
+        expr("CAST(nn * sxy - sx * sy AS DECIMAL(38,0)) * 1000000")
+          .as("num"),
+        expr("CAST(nn * sxx - sx * sx AS DECIMAL(38,0))").as("den"))
+    val total = Materialize.relit(
+      spine.agg(sum(col("n_new")).as("n_types")))
+      .withColumn("_one", lit(1))
+    fit.withColumn("_one", lit(1)).join(total, Seq("_one"))
+      .select(col("n_types"), col("nn").as("n_buckets"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((num - pmod(num, den)) div den AS BIGINT)"))
+          .as("heaps_beta_ppm"))
+  }
+
+  /** Crawl-truncation duplicate groups: documents sharing the md5 of
+    * their first `prefixTokens` whitespace tokens — the dup class a
+    * content-hash or full-shingle near-dup underweights (a truncated
+    * fetch shares only a PREFIX with its full copy, so its Jaccard
+    * against the original decays with the missing tail; prefix
+    * identity catches it at any truncation point past the window).
+    * Per group: member count, the token-length spread (a wide spread
+    * IS the truncation signature), and the keep choice — the LONGEST
+    * member, doc id as tiebreak (dedup keeps the most complete copy,
+    * the opposite of [[lineDedup]]'s first-wins, because here the
+    * copies are not equal). Docs shorter than the prefix window never
+    * group: their "prefix" is their whole body, which is
+    * [[Dedup.exact]]'s jurisdiction.
+    *
+    * Scale shape: one narrow map (tokenize head, md5) + one
+    * hash-aggregate; >= 2 filter keeps the output to actual dup
+    * groups. No joins, no windows, no pair blowup — prefix identity
+    * is a GROUP key, not a similarity. */
+  def prefixTruncationReport(df: DataFrame, id: Column, text: Column,
+                             prefixTokens: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(text)
+    df.select(id.as("doc_id"),
+        md5(array_join(slice(toks, 1, prefixTokens), " "))
+          .as("prefix_fp"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= prefixTokens)
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"),
+          struct(col("n_tokens"), -col("doc_id"))).as("keep_doc"),
+        max(col("n_tokens")).as("max_tokens"),
+        min(col("n_tokens")).as("min_tokens"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Class-cardinality cap shared by the mixing/balancing samplers:
     * their per-class constants fold back as broadcast frames or
     * literal maps, which is the right shape ONLY when the class
@@ -577,7 +824,16 @@ object Corpus {
     * a learned-scorer threshold review starts. Bucket =
     * least(4, floor(score*5)): the score is a [0,1] double computed
     * identically in any IEEE engine (no transcendentals), so the
-    * bucket boundary is bit-portable. At 100 TB: one corpus scan, one
+    * bucket boundary is bit-portable. NaN-scored docs are excluded,
+    * matching every other score consumer
+    * ([[ksDriftReport]]/[[dedupBiasReport]]). NOTE the guard is
+    * defensive, not load-bearing today: an EMPTY doc's NaN punct
+    * ratio is absorbed by least() under both engines' NaN-is-greatest
+    * ordering, so empty docs score a finite 0.008 and land in bucket
+    * 0 on BOTH sides (probed r14; the r13 ADVICE divergence premise
+    * does not materialize) — the filter only bites if the score
+    * formula ever becomes genuinely NaN-producing.
+    * At 100 TB: one corpus scan, one
     * <=20-row aggregation, matrix-internal denominator. */
   def qualityCalibrationReport(df: DataFrame, id: Column,
                                text: Column): DataFrame = {
@@ -590,6 +846,7 @@ object Corpus {
       .select(col("c4_keep"), col("keep").as("gopher_keep"),
         col("_doc_text"))
     val cells = TextOps.withQualityScore(flags, col("_doc_text"))
+      .filter(!isnan(col("quality_score")))
       .groupBy(
         least(lit(4L), floor(col("quality_score") * 5.0).cast("long"))
           .as("score_bucket"),

@@ -108,6 +108,33 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged norm-augmented IVF index for MIPS retrieval — the
+    * [[ivfCentroids]] contract applied after the Bachrach
+    * norm-augmentation reduction ([[Similarity.normAugment]]): corpus
+    * vectors gain the sqrt(M^2 - |x|^2) coordinate (M = max corpus
+    * norm, computed here once), so the fitted coarse quantizer
+    * partitions the CONSTANT-NORM augmented space where cosine order
+    * == inner-product order. Persisted as (centroid_id, cv) with
+    * 65-dim unit centroids; an exact IEEE round-trip like the cosine
+    * index. */
+  def mipsIvfCentroids(spark: SparkSession, dir: String,
+                       nCentroids: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max}
+    val key = Seq("mipsivf", spark.sparkContext.applicationId, dir,
+      nCentroids, iters).mkString("|")
+    val path = stagedPath(spark, "mipsivf", key) { p =>
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+      val msq = emb.agg(max(Similarity.dot(col("embedding"),
+        col("embedding")))).first().getDouble(0)
+      Similarity.ivfCentroids(
+          Similarity.normAugment(emb, "embedding", lit(msq),
+            isQuery = false, "av"),
+          "vec_id", "av", nCentroids, iters)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** The staged per-cell membership stats (centroid_id, n_cell) of
     * the IVF index over the full corpus — the inverted-list sizes a
     * deployed index persists next to its centroids. The filtered ANN

@@ -1080,4 +1080,67 @@ object Similarity {
                 else sqrt(maxNormSq - dot(col(vecCol), col(vecCol)))
     df.withColumn(out, concat(asDouble, array(extra)))
   }
+
+  /** Per-label embedding outliers: the k members of each label whose
+    * cosine to the label's centroid is LOWEST — the mislabeled-sample
+    * / noisy-annotation sweep a curation pipeline runs before
+    * trusting labels for balancing or eval splits (a vector far from
+    * its own class centroid is either mislabeled, an embedding-model
+    * failure, or genuinely hard — all three belong on a review
+    * queue). Centroids are the [[labelSeparationReport]] /
+    * emb_label_centroids discipline: per-dimension micro-quantized
+    * truncated-mean integers (order-proof sums, exact both engines),
+    * re-assembled in dimension order and compared in double — the
+    * full cosine is IEEE +,*,/,sqrt only, so the score is
+    * hash-verifiable. Zero vectors (NaN cosine) are excluded before
+    * ranking, the bruteForceTopK convention. Ties break (cosine asc,
+    * id asc) — a total order.
+    *
+    * Scale shape: one posexplode pass reduced to (label x dim)
+    * integer sums; centroids fold back as a BROADCAST of
+    * labels x dim doubles (bounded by the [[Corpus.MaxClasses]]-class
+    * contract for label columns); per-member scoring is one narrow
+    * map over the corpus; the per-label bottom-k runs through the
+    * bounded-heap [[graft.functions.TopK]] aggregate (score negated —
+    * the heap keeps the k LOWEST cosines), so each task forwards at
+    * most k rows per label and nothing window-sorts the corpus. */
+  def labelOutlierReport(df: DataFrame, idCol: String, labelCol: String,
+                         vecCol: String, k: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = df
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast("double") * 1000000).cast("long")
+          .as("micro"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("micro").cast(dec)).cast("long").as("sm"))
+      .withColumn("m", expr("(sm - pmod(sm, n)) div n").cast("double"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("dm"))
+      .select(col("label"),
+        transform(col("dm"), e => e.getField("m")).as("cvec"))
+    df.select(col(labelCol).cast("long").as("label"),
+        col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .join(broadcast(cents), Seq("label"))
+      // when-guarded NaN divide (the r13 ANSI lesson: Spark 4 throws
+      // on even a double zero divisor) — zero vectors and all-zero
+      // centroids score NaN and fall out of the ranking below
+      .withColumn("_den", sqrt(dot(col("v"), col("v"))) *
+        sqrt(dot(col("cvec"), col("cvec"))))
+      .withColumn("cosine",
+        when(col("_den") === 0, lit(Double.NaN))
+          .otherwise(dot(col("v"), col("cvec")) / col("_den")))
+      .filter(!isnan(col("cosine")))
+      .groupBy(col("label"))
+      .agg(graft.functions.TopK.topkByScore(-col("cosine"),
+        col("vec_id"), k).as("top"))
+      .select(col("label"), posexplode(col("top")))
+      .select(col("label"), col("col.id").as("vec_id"),
+        (-col("col.score")).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

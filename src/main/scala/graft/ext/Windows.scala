@@ -146,6 +146,44 @@ object Windows {
     * FIRST (map-side combined); the spine join and both windows run
     * over hours x keys — metadata-sized at any corpus scale — and
     * every window is key-partitioned, never global. */
+  /** Hour-of-day seasonal profile per key — the baseline the anomaly
+    * gates ([[cusumChangepoint]], events_anomaly_mad) implicitly
+    * assume away: a diurnal service whose 3am volume is 1/20th of its
+    * noon volume will trip any flat-threshold monitor twice a day.
+    * Per (key, hour-of-day): total events, the uniform-baseline ratio
+    * (n_hod x 24 x 1e6 div n_key — 1e6 = flat traffic), and the
+    * peak-day concentration (max daily count x days x 1e6 div n_hod —
+    * 1e6 = the same volume every present day; large = one-off burst,
+    * not seasonality). Hour-of-day and day are pure integer epoch
+    * arithmetic ((sec div 3600) % 24, sec div 86400) — timezone-proof
+    * and bit-identical in any engine. Days with zero events in a cell
+    * are absent by construction (the events_anomaly_mad convention;
+    * window_gapfill is the zero-filling op).
+    *
+    * Scale shape: the raw scan collapses to (key, day, hod) counts
+    * FIRST (map-side combined); everything downstream is keys x 24
+    * rows — metadata-sized at any event volume. No windows at all. */
+  def seasonalHourly(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val ev = df.select(key.as("k"), ts.cast("long").as("sec"))
+      .select(col("k"), expr("sec div 86400").as("day"),
+        expr("(sec div 3600) % 24").as("hod"))
+    val cells = ev.groupBy(col("k"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val hodAgg = cells.groupBy(col("k"), col("hod"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_days"),
+        max(col("n")).as("max_day"))
+    val totals = hodAgg.groupBy(col("k")).agg(sum(col("n_events")).as("t"))
+    // ppm numerators in decimal128: n_events x 24e6 exceeds int64
+    // right around 1e12 events/key — a day of a busy stream at 100 TB
+    hodAgg.join(broadcast(totals), Seq("k"))
+      .select(col("k").as("key"), col("hod"), col("n_events"),
+        col("n_days"),
+        expr("CAST((CAST(n_events AS DECIMAL(38,0)) * 24 * 1000000)" +
+          " div t AS BIGINT)").as("uniform_ratio_ppm"),
+        expr("CAST((CAST(max_day AS DECIMAL(38,0)) * n_days * 1000000)" +
+          " div n_events AS BIGINT)").as("peak_day_ratio_ppm"))
+  }
+
   def cusumChangepoint(df: DataFrame, key: Column, ts: Column,
                        lambda: Long = 5L): DataFrame = {
     val ev = df.select(key.as("k"),

@@ -68,12 +68,26 @@ object ExtQueriesAnalytics {
     "events_cusum_changepoint" -> ((s, dir) =>
       Windows.cusumChangepoint(Tables.events(s, dir), col("event_type"),
         col("ts"))),
+    // hour-of-day seasonal profile: the diurnal baseline the flat
+    // anomaly gates assume away; pure integer epoch arithmetic
+    "events_seasonal_hourly" -> ((s, dir) =>
+      Windows.seasonalHourly(Tables.events(s, dir), col("event_type"),
+        col("ts"))),
     // market-basket co-purchase mining: within-order distinct part
     // pairs (bounded explode — pair count is quadratic in BASKET size,
     // never corpus size), min-support 2, lift/confidence in exact ppm
     // (decimal128 product before the floor-div — n_pair x n_orders x
     // 1e6 leaves int64 right around the 100 TB order count), top 100
-    // via TakeOrdered on a total order
+    // via TakeOrdered on a total order. Baskets larger than
+    // maxBasket=512 distinct parts are dropped from the PAIR JOIN
+    // only (and logged, never silent — the dedup df-cap discipline):
+    // one pathological mega-basket (a bot cart, a B2B bulk order)
+    // otherwise contributes O(n^2) pairs on its own. Sizes and the
+    // order denominator stay PRE-cap, so reported lift/confidence are
+    // conservative lower bounds — capping can hide pairs, never
+    // inflate them. Retail baskets are orders of magnitude under the
+    // cap (TPC-H tops out at 7), so the cap is inert until the data
+    // is degenerate, which is exactly when it must fire.
     "analytics_basket_pairs" -> ((s, dir) => {
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
@@ -82,7 +96,18 @@ object ExtQueriesAnalytics {
         .withColumn("_one", lit(1))
       val itemCnt = items.groupBy(col("pkey"))
         .agg(count(lit(1)).as("n_item"))
-      val pairs = items.as("a").join(items.as("b"),
+      val maxBasket = 512L
+      val mega = graft.ext.Materialize.eager(
+        items.groupBy(col("okey")).agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBasket).select(col("okey")))
+      val nMega = mega.count()
+      if (nMega > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.registry.ExtQueriesAnalytics")
+          .warn(s"basket_pairs: dropping $nMega baskets with > " +
+            s"$maxBasket distinct parts from the pair join " +
+            "(bounded-pair guard; raise maxBasket to keep them)")
+      val capped = items.join(mega, Seq("okey"), "left_anti")
+      val pairs = capped.as("a").join(capped.as("b"),
           col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
         .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
         .agg(count(lit(1)).as("n_pair"))
@@ -1281,9 +1306,11 @@ object ExtQueriesAnalytics {
              FROM it),
       ic AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_item
              FROM it GROUP BY 1),
+      cap AS (SELECT okey FROM it GROUP BY okey HAVING count(*) <= 512),
       pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b,
                CAST(count(*) AS BIGINT) AS n_pair
              FROM it a JOIN it b ON a.okey = b.okey AND a.pkey < b.pkey
+             WHERE a.okey IN (SELECT okey FROM cap)
              GROUP BY 1, 2 HAVING count(*) >= 2)
       SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
              CAST(CAST(n_pair AS HUGEINT) * n_orders * 1000000
@@ -1294,6 +1321,26 @@ object ExtQueriesAnalytics {
         JOIN ic ib ON ib.pkey = part_b
         CROSS JOIN no
       ORDER BY lift_ppm DESC, n_pair DESC, part_a, part_b LIMIT 100""",
+    // same integer day/hod decomposition; HUGEINT ppm numerators
+    "events_seasonal_hourly" -> """
+      WITH ev AS (SELECT event_type AS key,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+          (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod
+        FROM events),
+      c AS (SELECT key, day, hod, CAST(count(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2, 3),
+      h AS (SELECT key, hod, CAST(sum(n) AS BIGINT) AS n_events,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(max(n) AS BIGINT) AS max_day
+            FROM c GROUP BY 1, 2),
+      t AS (SELECT key, CAST(sum(n_events) AS BIGINT) AS t
+            FROM h GROUP BY 1)
+      SELECT h.key, h.hod, h.n_events, h.n_days,
+             CAST(CAST(n_events AS HUGEINT) * 24 * 1000000 // t.t
+               AS BIGINT) AS uniform_ratio_ppm,
+             CAST(CAST(max_day AS HUGEINT) * n_days * 1000000 // n_events
+               AS BIGINT) AS peak_day_ratio_ppm
+      FROM h JOIN t USING (key)""",
     // one global window replays the bucket-decomposed cumulative
     "analytics_pareto_abc" -> """
       WITH rv AS (SELECT l_partkey AS pkey,

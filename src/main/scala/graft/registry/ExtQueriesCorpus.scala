@@ -439,6 +439,28 @@ object ExtQueriesCorpus {
     "corpus_boilerplate_ngrams" -> ((s, dir) =>
       Corpus.boilerplateNgrams(t(s, dir, "documents"), col("doc_id"),
         col("text"), shingleN = 3, dfMin = 5)),
+    // C4-style cross-document LINE dedup as a transform: >=5-token
+    // lines survive only at their lexicographically-first (doc, pos)
+    // occurrence; docs re-assembled in line order
+    "text_line_dedup" -> ((s, dir) =>
+      Corpus.lineDedup(t(s, dir, "documents"), col("doc_id"),
+        col("text"), minTokens = 5)),
+    // Zipf tail slope in exact integer arithmetic: floor-log2
+    // frequency buckets, <=64-row complementary counts, bit-by-bit
+    // fixed-point log2, integer least squares — no global rank sort,
+    // no transcendentals
+    "vocab_zipf_bucket_fit" -> ((s, dir) =>
+      Corpus.zipfBucketFit(t(s, dir, "documents"), col("text"))),
+    // Heaps growth exponent off the novelty curve's first-carrier
+    // attribution: octave doc buckets, triangular cumulative, the
+    // same fixed-point-log2 least squares on BOTH coordinates
+    "corpus_heaps_fit" -> ((s, dir) =>
+      Corpus.heapsBucketFit(t(s, dir, "documents"), col("doc_id"),
+        col("text"))),
+    // truncation dups: same first-20-token md5, keep the longest
+    "dedup_prefix_truncation" -> ((s, dir) =>
+      Corpus.prefixTruncationReport(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     // integer-exact PMI collocations: pointwise mutual information as
     // the monotone ratio proxy (N * n12 * 1e6) div (n1 * n2) — log is
     // monotone, so thresholding/ranking the ratio equals PMI without
@@ -517,7 +539,157 @@ object ExtQueriesCorpus {
     }),
   )
 
+  /** CTE chain computing the fixed-point log2 of column `v` from CTE
+    * `from` (Corpus.withLog2Milli's SQL twin): `pfx`0 scales the
+    * mantissa to [2^30, 2^31) and extracts e = floor(log2) via
+    * bin-length; `pfx`1..10 are the square-and-shift fraction-bit
+    * rounds (x <- x^2 >> 30, emit a bit and renormalize when x
+    * crosses 2^31 — int64-safe: x < 2^31 so x^2 < 2^62, identical
+    * integer ops both engines). The caller reads e * 1024 + f from
+    * `pfx`10; `carry` columns ride along untouched. */
+  private def log2fixCtes(pfx: String, from: String, carry: String,
+                          v: String): String = {
+    val z0 =
+      s"""${pfx}0 AS (SELECT $carry,
+         |        CAST(length(bin($v)) - 1 AS BIGINT) AS e,
+         |        CASE WHEN length(bin($v)) - 1 <= 30
+         |             THEN $v << (30 - (length(bin($v)) - 1))
+         |             ELSE $v >> ((length(bin($v)) - 1) - 30) END AS x,
+         |        CAST(0 AS BIGINT) AS f
+         |      FROM $from)""".stripMargin
+    val steps = (1 to 10).map { i =>
+      s"""${pfx}$i AS (SELECT $carry, e,
+         |        CASE WHEN ((x*x) >> 30) >= 2147483648
+         |             THEN ((x*x) >> 30) >> 1 ELSE (x*x) >> 30 END AS x,
+         |        f * 2 + CASE WHEN ((x*x) >> 30) >= 2147483648
+         |                     THEN 1 ELSE 0 END AS f
+         |      FROM ${pfx}${i - 1})""".stripMargin
+    }
+    (z0 +: steps).mkString(",\n      ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // winner = min (doc_id, pos) per md5 of the exact line bytes,
+    // eligibility (>= 5 ws-tokens) a pure function of content;
+    // re-assembly string_agg ORDER BY pos; COALESCE('') matches
+    // Spark's array_join on an all-removed doc
+    "text_line_dedup" -> """
+      WITH l AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+            unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents)),
+      e AS (SELECT doc_id, pos, line,
+              len(regexp_split_to_array(trim(line), '\s+')) >= 5
+                AS eligible,
+              md5(line) AS h
+            FROM l),
+      w AS (SELECT h, doc_id AS wdoc, pos AS wpos FROM (
+              SELECT h, doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS rn
+              FROM e WHERE eligible) WHERE rn = 1),
+      k AS (SELECT e.doc_id, e.pos, e.line,
+              (NOT e.eligible
+               OR (e.doc_id = w.wdoc AND e.pos = w.wpos)) AS keep
+            FROM e LEFT JOIN w ON e.h = w.h AND e.eligible)
+      SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE keep), '') AS text_clean,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed
+      FROM k GROUP BY 1""",
+    // floor-log2 buckets via bin-length, triangular complementary
+    // count, the zipfZSteps fixed-point log2, integer least squares
+    // with floor division on both engines
+    "vocab_zipf_bucket_fit" -> s"""
+      WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text),
+              '\\s+')) AS tok FROM documents),
+      fr AS (SELECT CAST(length(bin(CAST(count(*) AS BIGINT)))
+               AS BIGINT) AS b
+             FROM tk GROUP BY tok),
+      nb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb
+             FROM fr GROUP BY 1),
+      cm AS (SELECT cur.b AS b, CAST(sum(hi.nb) AS BIGINT) AS cum
+             FROM nb cur JOIN nb hi ON hi.b >= cur.b GROUP BY 1),
+      ${log2fixCtes("z", "cm", "b", "cum")},
+      pts AS (SELECT b, e * 1024 + f AS y FROM z10),
+      ft AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(b) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(b*y) AS BIGINT) AS sxy,
+               CAST(sum(b*b) AS BIGINT) AS sxx
+             FROM pts),
+      tt AS (SELECT CAST(sum(nb) AS BIGINT) AS n_types FROM nb),
+      fd AS (SELECT n_types, n,
+               (n*sxy - sx*sy) * 1000000 AS num,
+               (n*sxx - sx*sx) * 1024 AS den
+             FROM ft CROSS JOIN tt)
+      SELECT n_types, n AS n_buckets,
+             CASE WHEN den = 0 THEN NULL
+                  ELSE (num - ((num % den) + den) % den) // den END
+               AS zipf_slope_ppm
+      FROM fd""",
+    // octave buckets on doc ids, triangular cumulative pair, the
+    // log2fixCtes chain on each coordinate, HUGEINT ppm numerator
+    // with the subtract-mod floor division
+    "corpus_heaps_fit" -> s"""
+      WITH $ShinglesCte,
+      occ AS (SELECT CAST(length(bin(doc_id + 1)) AS BIGINT) AS g,
+                CAST(count(*) AS BIGINT) AS n_occ
+              FROM sh GROUP BY 1),
+      fs AS (SELECT shingle, min(doc_id) AS first_doc
+             FROM sh GROUP BY 1),
+      fr AS (SELECT CAST(length(bin(first_doc + 1)) AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n_new
+             FROM fs GROUP BY 1),
+      sp AS (SELECT occ.g, occ.n_occ, COALESCE(fr.n_new, 0) AS n_new
+             FROM occ LEFT JOIN fr USING (g)),
+      cu AS (SELECT cur.g AS g, CAST(sum(lo.n_occ) AS BIGINT) AS cum_occ,
+               CAST(sum(lo.n_new) AS BIGINT) AS cum_types
+             FROM sp cur JOIN sp lo ON lo.g <= cur.g GROUP BY 1),
+      ${log2fixCtes("zx", "cu", "g, cum_types", "cum_occ")},
+      px AS (SELECT g, cum_types, e * 1024 + f AS xc FROM zx10),
+      ${log2fixCtes("zy", "px", "g, xc", "cum_types")},
+      pt AS (SELECT g, xc AS x, e * 1024 + f AS y FROM zy10),
+      ft AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(x*x) AS BIGINT) AS sxx
+             FROM pt),
+      tt AS (SELECT CAST(sum(n_new) AS BIGINT) AS n_types FROM sp),
+      fd AS (SELECT n_types, nn,
+               CAST(nn*sxy - sx*sy AS HUGEINT) * 1000000 AS num,
+               CAST(nn*sxx - sx*sx AS HUGEINT) AS den
+             FROM ft CROSS JOIN tt)
+      SELECT n_types, nn AS n_buckets,
+             CASE WHEN den = 0 THEN NULL
+                  ELSE CAST((num - ((num % den) + den) % den) // den
+                       AS BIGINT) END
+               AS heaps_beta_ppm
+      FROM fd""",
+    // prefix fingerprint is a GROUP key, not a similarity; keep the
+    // longest member (doc id tiebreak) via one windowed argmax
+    "dedup_prefix_truncation" -> """
+      WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+      p AS (SELECT doc_id,
+              md5(array_to_string(toks[1:20], ' ')) AS prefix_fp,
+              CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM t WHERE len(toks) >= 20),
+      g AS (SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+              CAST(min(n_tokens) AS BIGINT) AS min_tokens
+            FROM p GROUP BY 1 HAVING count(*) >= 2),
+      k AS (SELECT prefix_fp, doc_id AS keep_doc FROM (
+              SELECT prefix_fp, doc_id,
+                     row_number() OVER (PARTITION BY prefix_fp
+                       ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM p) WHERE rn = 1)
+      SELECT g.prefix_fp, n_docs, keep_doc, max_tokens, min_tokens
+      FROM g JOIN k USING (prefix_fp)""",
     // same hashed-bucket frame both sides; bits via the bin-length
     // floor-log2; the signed mean sign-split onto non-negative
     // floor-div (Spark div truncates, DuckDB // floors)
@@ -1197,6 +1369,7 @@ object ExtQueriesCorpus {
               AS score_bucket,
             c4_keep, gopher_keep, CAST(count(*) AS BIGINT) AS n_docs
           FROM sc JOIN c4 USING (doc_id) JOIN g USING (doc_id)
+          WHERE NOT isnan(qs)
           GROUP BY 1, 2, 3)
       SELECT score_bucket, c4_keep, gopher_keep, n_docs,
              CAST(n_docs * 1000000

@@ -65,6 +65,30 @@ object ExtQueriesSimilarity {
         emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id",
         "embedding", k = 5)
     }),
+    // MIPS *ANN*: the Bachrach norm-augmentation reduction made
+    // concrete — corpus vectors gain sqrt(M^2-|x|^2), queries gain 0,
+    // and the UNCHANGED cosine-IVF stack (staged augmented fit,
+    // build-once/search-many) retrieves by inner-product order. The
+    // score column is the augmented-space cosine: per query a
+    // positive affine image of the raw dot, so ranks are MIPS ranks
+    // (MipsSpec pins the equivalence)
+    "sim_mips_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val msq = emb.agg(max(Similarity.dot(col("embedding"),
+        col("embedding")))).first().getDouble(0)
+      val cents = graft.ext.PairStage.mipsIvfCentroids(s, dir,
+        Similarity.autoCentroids(emb.count()), iters = 2)
+      Similarity.ivfTopKWith(cents,
+        Similarity.normAugment(emb, "embedding", lit(msq),
+          isQuery = false, "av"),
+        Similarity.normAugment(emb.filter(col("vec_id") < 10),
+          "embedding", lit(msq), isQuery = true, "av"),
+        "vec_id", "av", k = 5, nProbe = 2)
+    }),
+    // per-label centroid-cosine outliers: the mislabeled-sample sweep
+    "emb_outlier_report" -> ((s, dir) =>
+      Similarity.labelOutlierReport(t(s, dir, "embeddings"), "vec_id",
+        "label", "embedding", k = 5)),
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -1244,6 +1268,37 @@ object ExtQueriesSimilarity {
     // toward zero on negatives, so the oracle carries the SAME
     // positive-remainder rewrite as the Spark side — the numerator is
     // exactly divisible, making the division convention irrelevant
+    "sim_mips_ivf_topk" -> mipsIvfTopKSql(k = 5, nProbe = 2, iters = 2),
+    // centroid = the emb_label_centroids truncated-mean integers,
+    // cast to DOUBLE inside the list so the cosine promotes exactly
+    // like the Spark side's cast("double") centroid vector
+    "emb_outlier_report" -> s"""
+      WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+          unnest(range(len(embedding))) AS dim,
+          unnest(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+            AS micro
+        FROM embeddings),
+      ag AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(micro) AS BIGINT) AS sm
+        FROM ex GROUP BY 1, 2),
+      cm AS (SELECT label,
+          list(CAST((sm - ((sm % n) + n) % n) // n AS DOUBLE)
+               ORDER BY dim) AS cvec
+        FROM ag GROUP BY 1),
+      ev AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (SELECT ev.label, ev.vec_id,
+          ${dotSql("ev.v", "cm.cvec")}
+            / (sqrt(${dotSql("ev.v", "ev.v")})
+               * sqrt(${dotSql("cm.cvec", "cm.cvec")})) AS cosine
+        FROM ev JOIN cm USING (label))
+      SELECT label, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY cosine ASC, vec_id) AS rank
+            FROM sc WHERE NOT isnan(cosine))
+      WHERE rank <= 5""",
     "emb_label_centroids" -> """
       WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
           unnest(range(len(embedding))) AS dim,

@@ -115,7 +115,13 @@ object QueryShared {
   /** DuckDB in-order dot product over 64-dim double lists (probed
     * bit-identical to Spark's strict left-fold). */
   private[registry] def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1,65), i -> $a[i]*$b[i]))"
+    dotSqlN(a, b, 64)
+
+  /** [[dotSql]] at an explicit dimension — the norm-augmented MIPS
+    * vectors are dim+1. At dim=64 the emitted SQL is byte-identical
+    * to the historical dotSql, so existing oracles are untouched. */
+  private[registry] def dotSqlN(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(range(1,${dim + 1}), i -> $a[i]*$b[i]))"
   /** Unit-normalized double vector (norm = sqrt of in-order self-dot,
     * matching Similarity.withNormalized exactly). */
   private[registry] val NormSql =
@@ -398,19 +404,22 @@ object QueryShared {
     * centroids. Defaults emit byte-identical SQL to the pre-r11
     * builder, so existing oracles are untouched. */
   private[registry] def ivfAssignCtes(iters: Int, fitWhere: String = "",
-                                      assignFrom: String = "nv"): String = {
+                                      assignFrom: String = "nv",
+                                      nvSelect: String = "",
+                                      preCtes: String = "",
+                                      dim: Int = 64): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""a$it AS (SELECT vec_id, centroid_id, v FROM (
          |    SELECT nv.vec_id, $prev.centroid_id, nv.v,
          |           row_number() OVER (PARTITION BY nv.vec_id
-         |             ORDER BY ${dotSql("nv.v", s"$prev.cv")} DESC,
+         |             ORDER BY ${dotSqlN("nv.v", s"$prev.cv", dim)} DESC,
          |                      $prev.centroid_id) AS rn
          |    FROM nv CROSS JOIN $prev) WHERE rn = 1),
          |m$it AS (SELECT centroid_id, d,
          |       (SUM(CAST(FLOOR(v[d+1]*1000000) AS BIGINT)) / 1000000.0)
          |         / count(*) AS m
-         |     FROM a$it CROSS JOIN range(0, 64) r(d)
+         |     FROM a$it CROSS JOIN range(0, $dim) r(d)
          |     GROUP BY centroid_id, d),
          |g$it AS (SELECT centroid_id, list(m ORDER BY d) AS mv
          |       FROM m$it GROUP BY centroid_id),
@@ -424,7 +433,9 @@ object QueryShared {
     val fw = if (fitWhere.isEmpty) "" else s" WHERE $fitWhere"
     val av = if (assignFrom == "nv") ""
       else s"\n      av AS (SELECT vec_id, $NormSql AS v FROM embeddings),"
-    s"""nv AS (SELECT vec_id, $NormSql AS v FROM embeddings$fw),
+    val nvBody = if (nvSelect.isEmpty)
+      s"SELECT vec_id, $NormSql AS v FROM embeddings$fw" else nvSelect
+    s"""${preCtes}nv AS ($nvBody),
       nc_t AS (SELECT GREATEST(4, LEAST(4096,
                  CASE WHEN n <= 1 THEN 1
                       ELSE (CAST(1 AS BIGINT)
@@ -439,7 +450,7 @@ object QueryShared {
       ca AS (SELECT vec_id, centroid_id, v FROM (
           SELECT $assignFrom.vec_id, c$iters.centroid_id, $assignFrom.v,
                  row_number() OVER (PARTITION BY $assignFrom.vec_id
-                   ORDER BY ${dotSql(s"$assignFrom.v", s"c$iters.cv")} DESC,
+                   ORDER BY ${dotSqlN(s"$assignFrom.v", s"c$iters.cv", dim)} DESC,
                             c$iters.centroid_id) AS rn
           FROM $assignFrom CROSS JOIN c$iters) WHERE rn = 1)"""
   }
@@ -459,6 +470,53 @@ object QueryShared {
           FROM q CROSS JOIN c$iters) WHERE rn <= $nProbe),
       scored AS (SELECT query_id, ca.vec_id AS neighbor_id,
                    ${dotSql("qp.qv", "ca.v")} AS cosine
+                 FROM qp JOIN ca USING (centroid_id)
+                 WHERE query_id <> ca.vec_id)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored
+            WHERE NOT isnan(cosine))
+      WHERE rank <= $k"""
+  }
+
+  /** DuckDB twin of the norm-augmented MIPS-IVF search
+    * (PairStage.mipsIvfCentroids + Similarity.ivfTopKWith over the
+    * augmented column): corpus vectors gain coordinate
+    * sqrt(msq - |x|^2) (msq = max corpus self-dot, its own CTE),
+    * queries gain literal 0, and the standard 65-dim IVF CTE chain
+    * runs over the augmented space — where cosine order equals raw
+    * inner-product order (Bachrach et al. 2014), so this IS MIPS ANN.
+    * Both augmented norms are computed from the augmented list itself
+    * (never the sqrt(msq) shortcut): the engines must round-trip the
+    * SAME float ops, not algebraically-equal ones. The query's
+    * trailing 0 divides to 0 and adds 0 to the self-dot, so
+    * list_append(unit64, 0.0) replays Spark's normalize-after-augment
+    * bit-exactly. */
+  private[registry] def mipsIvfTopKSql(k: Int, nProbe: Int,
+                                       iters: Int): String = {
+    val selfDot =
+      "list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))"
+    val aug = "list_append(list_transform(embedding," +
+      s" x -> CAST(x AS DOUBLE)), sqrt(mx.msq - $selfDot))"
+    val nvSelect =
+      s"""SELECT vec_id, list_transform(av,
+         |            x -> x / sqrt(list_sum(list_transform(av, y -> y*y)))) AS v
+         |          FROM (SELECT vec_id, $aug AS av
+         |                FROM embeddings CROSS JOIN mx)""".stripMargin
+    val pre = s"mx AS (SELECT max($selfDot) AS msq FROM embeddings),\n      "
+    s"""
+      WITH ${ivfAssignCtes(iters, nvSelect = nvSelect, preCtes = pre,
+                           dim = 65)},
+      q AS (SELECT vec_id AS query_id, list_append($NormSql, 0.0) AS qv
+            FROM embeddings WHERE vec_id < 10),
+      qp AS (SELECT query_id, centroid_id, qv FROM (
+          SELECT q.query_id, c$iters.centroid_id, q.qv,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSqlN("q.qv", s"c$iters.cv", 65)} DESC,
+                            c$iters.centroid_id) AS rn
+          FROM q CROSS JOIN c$iters) WHERE rn <= $nProbe),
+      scored AS (SELECT query_id, ca.vec_id AS neighbor_id,
+                   ${dotSqlN("qp.qv", "ca.v", 65)} AS cosine
                  FROM qp JOIN ca USING (centroid_id)
                  WHERE query_id <> ca.vec_id)
       SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank

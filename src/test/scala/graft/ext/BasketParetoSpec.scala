@@ -51,6 +51,25 @@ class BasketParetoSpec extends SparkSpec {
     assert(got((a, c)) === ((a, c, 2L, 3L, 2L, 1333333L, 666666L)))
   }
 
+  test("basket pairs: mega-baskets drop from the pair join, sizes stay pre-cap") {
+    // order 1 is a 513-distinct-part degenerate basket (> the 512
+    // cap); orders 2 and 3 are honest {A, B} baskets. The cap must
+    // remove order 1's O(n^2) pair contribution while item counts and
+    // the order denominator stay PRE-cap (conservative lower-bound
+    // lift, the dedup df-cap contract).
+    val mega = (1L to 513L).map(p => (1L, p, 1.0, 0.0))
+    val dir = liDir(mega ++ Seq(
+      (2L, 1L, 1.0, 0.0), (2L, 2L, 1.0, 0.0),
+      (3L, 1L, 1.0, 0.0), (3L, 2L, 1.0, 0.0)))
+    val got = run("analytics_basket_pairs", dir)
+      .select("part_a", "part_b", "n_pair", "n_a", "n_b", "lift_ppm",
+        "conf_a_to_b_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // only (1,2) reaches support 2 — and at n_pair 2 (orders 2,3),
+    // NOT 3: the mega-basket's copy is capped out of the join
+    assert(got.toSeq === Seq((1L, 2L, 2L, 3L, 3L, 666666L, 666666L)))
+  }
+
   test("pareto ABC: class bars at 80/95 on exact cents, shares sum") {
     // revenues: 800, 150, 30, 20 (total 1000): cum shares 80/95/98/100
     // -> A={800}, B={150}, C={30,20}

@@ -59,6 +59,31 @@ class MipsSpec extends SparkSpec {
       "augmented-cosine order must equal the dot order")
   }
 
+  test("MIPS-IVF with every cell probed reproduces the exact MIPS top-k") {
+    // nProbe = nCentroids makes the IVF search exhaustive, so the
+    // ONLY thing between it and mipsTopK is the augmented index
+    // machinery (staged 65-dim fit, cell assignment, heap ranking) —
+    // which must then be rank-for-rank identical to the flat dot scan
+    val maxSq = emb.agg(max(Similarity.dot(col("embedding"),
+      col("embedding")))).as[Double].head()
+    val nC = Similarity.autoCentroids(emb.count())
+    val cents = PairStage.mipsIvfCentroids(spark, sf0001, nC, iters = 2)
+    val got = Similarity.ivfTopKWith(cents,
+        Similarity.normAugment(emb, "embedding", lit(maxSq),
+          isQuery = false, out = "av"),
+        Similarity.normAugment(emb.filter(col("vec_id") < 10),
+          "embedding", lit(maxSq), isQuery = true, out = "av"),
+        "vec_id", "av", k = 5, nProbe = nC)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.mipsTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "all-cells MIPS-IVF must equal the flat MIPS ranking")
+  }
+
   test("cosine and MIPS disagree when corpus norms vary") {
     // neighbor 1 is perfectly aligned but short; neighbor 2 is
     // half-aligned but long: cosine picks 1, inner product picks 2

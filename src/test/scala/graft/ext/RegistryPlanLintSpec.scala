@@ -85,7 +85,13 @@ class RegistryPlanLintSpec extends SparkSpec {
     "analytics_time_to_convert",
     // the bias report joins its 1-row removal/doc totals onto the
     // 5-cell bucket frame
-    "quality_dedup_bias_report")
+    "quality_dedup_bias_report",
+    // r14 additions: the Zipf and Heaps fits each walk a <=64-row
+    // octave-bucket TRIANGULAR join (the Pareto carry discipline) and
+    // join a 1-row fit/total frame; MIPS-IVF is the standard ANN
+    // <=10-query x centroid condition-free broadcast over the
+    // norm-augmented index
+    "vocab_zipf_bucket_fit", "corpus_heaps_fit", "sim_mips_ivf_topk")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

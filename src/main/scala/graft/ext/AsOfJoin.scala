@@ -55,4 +55,30 @@ object AsOfJoin {
       df.withColumn(p, col("_payload").getField(p))
     }.filter(col("_side") === 1).drop("_side", "_payload")
   }
+
+  /** [[asofLe]] with a MAX-STALENESS bound — the semantics a
+    * production enrichment actually wants: a reference row older than
+    * `toleranceSec` is no better than no row (a price quote from last
+    * month, a session attribute from a previous visit), so the match
+    * is kept only when left.ts − right.ts <= toleranceSec. Same
+    * union+window single-shuffle shape: the matched right TIMESTAMP
+    * rides the carried payload struct (one extra field), and the
+    * staleness test is a post-carry projection — no second join, no
+    * range condition for the planner to explode. Payload columns of
+    * an out-of-tolerance match come back NULL, and `asof_ts` is
+    * NULLed with them so callers can tell "stale, rejected" from
+    * "matched at t". */
+  def asofLeWithin(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, payload: Seq[String],
+                   toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, "tolerance must be non-negative")
+    val withTs = right.withColumn("_asof_ts", col(ts).cast("long"))
+    val joined = asofLe(left, withTs, key, ts, payload :+ "_asof_ts")
+    val fresh = col("_asof_ts").isNotNull &&
+      (col(ts).cast("long") - col("_asof_ts") <= toleranceSec)
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }.withColumn("asof_ts", when(fresh, col("_asof_ts")))
+      .drop("_asof_ts")
+  }
 }

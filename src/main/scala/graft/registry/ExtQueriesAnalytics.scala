@@ -766,6 +766,36 @@ object ExtQueriesAnalytics {
           Seq("purchase_value", "purchase_epoch"))
         .select(col("event_id"), col("purchase_value"), col("purchase_epoch"))
     }),
+    // as-of with a MAX-STALENESS bound (1h): a reference row older
+    // than the tolerance enriches as NULL — same single-shuffle
+    // union+window shape, staleness tested post-carry
+    "asof_join_tolerance" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsOfJoin.asofLeWithin(events, purchases, "user_id", "ts",
+          Seq("purchase_value"), toleranceSec = 3600L)
+        .select(col("event_id"), col("purchase_value"), col("asof_ts"))
+    }),
+    // join-key skew pre-flight: the octave histogram of per-key row
+    // counts that decides BEFORE a fact-fact join whether it needs
+    // salting/AQE — one key aggregation, then <=64 rows end-to-end
+    "join_skew_report" -> ((s, dir) => {
+      val hist = graft.ext.Materialize.relit(
+        Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .groupBy(length(bin(col("n"))).cast("long").as("freq_octave"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+            max(col("n")).as("max_key_rows")))
+      val tot = hist.agg(sum(col("n_rows")).as("t"))
+        .withColumn("_one", lit(1))
+      hist.withColumn("_one", lit(1)).join(broadcast(tot), Seq("_one"))
+        .select(col("freq_octave"), col("n_keys"), col("n_rows"),
+          col("max_key_rows"),
+          expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * 1000000) div t" +
+            " AS BIGINT)").as("rows_share_ppm"))
+    }),
     // snapshot diff / CDC derivation: classify every PK as added /
     // removed / changed between two table versions via ONE full-outer
     // join (a hash exchange per side on the PK — co-partitioned and
@@ -1745,6 +1775,39 @@ object ExtQueriesAnalytics {
         FROM events e
         ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
+    // the same ASOF join + a staleness CASE on the matched epoch pair
+    "asof_join_tolerance" -> """
+      WITH p AS (
+          SELECT user_id, ts, max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      a AS (SELECT e.event_id, e.ts AS lts, p.ts AS rts,
+                   p.purchase_value
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts),
+      f AS (SELECT event_id, purchase_value,
+              CAST(FLOOR(epoch(rts)) AS BIGINT) AS rts_epoch,
+              (rts IS NOT NULL AND
+               CAST(FLOOR(epoch(lts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(rts)) AS BIGINT) <= 3600) AS ok
+            FROM a)
+      SELECT event_id,
+             CASE WHEN ok THEN purchase_value END AS purchase_value,
+             CASE WHEN ok THEN rts_epoch END AS asof_ts
+      FROM f""",
+    // one key aggregation then octave math, HUGEINT share numerator
+    "join_skew_report" -> """
+      WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+      h AS (SELECT CAST(length(bin(n)) AS BIGINT) AS freq_octave,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(max(n) AS BIGINT) AS max_key_rows
+            FROM k GROUP BY 1),
+      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM h)
+      SELECT freq_octave, n_keys, n_rows, max_key_rows,
+             CAST(CAST(n_rows AS HUGEINT) * 1000000 // t.t AS BIGINT)
+               AS rows_share_ppm
+      FROM h CROSS JOIN t""",
     // per-purchase click counts via a grouped CTE (== the per-key
     // window), integer ppm split summed per click
     "attribution_linear" -> """

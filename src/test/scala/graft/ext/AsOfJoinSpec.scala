@@ -32,6 +32,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.contains(7.0))
   }
 
+  test("tolerance as-of: fresh matches keep payload + asof_ts, stale ones NULL both") {
+    val left = Seq((1L, 100L, "e1"), (1L, 5000L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 90L, 5.0), (1L, 95L, 7.0))
+      .toDF("k", "ts", "value")
+    val out = AsOfJoin.asofLeWithin(left, right, "k", "ts",
+        Seq("value"), toleranceSec = 100L)
+      .orderBy("tag").select("tag", "value", "asof_ts")
+      .as[(String, Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      // ts=100 matches ts=95 (latest <=), 5s stale: kept, with the ts
+      ("e1", Some(7.0), Some(95L)),
+      // ts=5000 still MATCHES ts=95 positionally, but 4905s > 100s:
+      // payload AND asof_ts come back NULL — stale is as good as none
+      ("e2", None, None),
+      ("e3", None, None)))
+  }
+
   test("frame sampling handles empty payloads") {
     val out = Multimodal.frameSample(
       Seq((1L, ""), (2L, "x" * 100)).toDF("doc_id", "text"),

@@ -91,7 +91,10 @@ class RegistryPlanLintSpec extends SparkSpec {
     // join a 1-row fit/total frame; MIPS-IVF is the standard ANN
     // <=10-query x centroid condition-free broadcast over the
     // norm-augmented index
-    "vocab_zipf_bucket_fit", "corpus_heaps_fit", "sim_mips_ivf_topk")
+    "vocab_zipf_bucket_fit", "corpus_heaps_fit", "sim_mips_ivf_topk",
+    // the skew report joins its 1-row row-total onto the <=64-row
+    // octave histogram (relit, so both sides are literal frames)
+    "join_skew_report")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

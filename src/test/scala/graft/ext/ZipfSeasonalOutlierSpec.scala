@@ -124,6 +124,23 @@ class ZipfSeasonalOutlierSpec extends SparkSpec {
     assert(got(1L) === (("a", 1L, 4L, 1L, 12000000L, 1000000L)))
   }
 
+  test("join skew report: exact octave histogram on a hand-built key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val rows = (Seq.fill(8)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, 1000L + i, u, "click", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.registry.ExtQueriesAnalytics
+      .queries("join_skew_report")(spark, dir)
+      .select("freq_octave", "n_keys", "n_rows", "max_key_rows",
+        "rows_share_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(4L) === ((4L, 1L, 8L, 8L, 666666L)))  // the hot key
+    assert(got(2L) === ((2L, 1L, 3L, 3L, 250000L)))
+    assert(got(1L) === ((1L, 1L, 1L, 1L, 83333L)))
+  }
+
   test("label outliers: the anti-aligned member ranks first, zero vectors drop") {
     def vec(x: Double): Array[Float] =
       (Array(x.toFloat) ++ Array.fill(63)(0f))

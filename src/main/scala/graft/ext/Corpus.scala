@@ -303,12 +303,16 @@ object Corpus {
     * windows over the corpus, no driver state. */
   def lineDedup(df: DataFrame, id: Column, text: Column,
                 minTokens: Int = 5): DataFrame = {
-    val lines = df
+    // materialized ONCE: the winner aggregate and the occurrence side
+    // of the join both read this frame — without this the corpus is
+    // re-scanned, re-split and re-hashed per consumer (the
+    // boilerplateNgrams shared-explode discipline; plan-audited r14)
+    val lines = Materialize.eager(df
       .select(id.as("doc_id"), posexplode(split(text, "\n"))
         .as(Seq("pos", "line")))
       .withColumn("eligible",
         size(split(trim(col("line")), "\\s+")) >= minTokens)
-      .withColumn("h", md5(col("line")))
+      .withColumn("h", md5(col("line"))))
     val winners = lines.filter(col("eligible"))
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))

@@ -67,11 +67,23 @@ object AsOfJoin {
     * range condition for the planner to explode. Payload columns of
     * an out-of-tolerance match come back NULL, and `asof_ts` is
     * NULLed with them so callers can tell "stale, rejected" from
-    * "matched at t". */
+    * "matched at t".
+    *
+    * The names `_asof_ts` (the internal carry) and `asof_ts` (the
+    * output) are RESERVED: an input already carrying either would be
+    * silently replaced by withColumn and then dropped/overwritten,
+    * corrupting caller data — so their presence is rejected loudly
+    * (r15, ADVICE; the same collision care [[asofLe]] takes with its
+    * payload struct). */
   def asofLeWithin(left: DataFrame, right: DataFrame, key: String,
                    ts: String, payload: Seq[String],
                    toleranceSec: Long): DataFrame = {
     require(toleranceSec >= 0, "tolerance must be non-negative")
+    for (reserved <- Seq("_asof_ts", "asof_ts"))
+      require(!left.columns.contains(reserved) &&
+        !right.columns.contains(reserved),
+        s"asofLeWithin reserves the column name '$reserved'; rename it " +
+          "on the input before joining")
     val withTs = right.withColumn("_asof_ts", col(ts).cast("long"))
     val joined = asofLe(left, withTs, key, ts, payload :+ "_asof_ts")
     val fresh = col("_asof_ts").isNotNull &&

@@ -299,7 +299,12 @@ object Corpus {
     * eligible line (a groupBy-min, map-side combinable); the
     * occurrence-to-winner join is a hash join on the line hash (AQE
     * handles the hot-boilerplate skew — each hot key's winner side is
-    * exactly one row); re-assembly is one per-doc aggregate. No
+    * exactly one row), and ONLY the eligible slice enters it (r15,
+    * ADVICE): ineligible lines are keep=true by definition, so
+    * shuffling them through the winner join was pure dead weight —
+    * they bypass straight to the re-assembly union, keeping the join
+    * shuffle proportional to eligible lines (real crawls are
+    * majority-short-line); re-assembly is one per-doc aggregate. No
     * windows over the corpus, no driver state. */
   def lineDedup(df: DataFrame, id: Column, text: Column,
                 minTokens: Int = 5): DataFrame = {
@@ -313,14 +318,22 @@ object Corpus {
       .withColumn("eligible",
         size(split(trim(col("line")), "\\s+")) >= minTokens)
       .withColumn("h", md5(col("line"))))
-    val winners = lines.filter(col("eligible"))
+    val eligible = lines.filter(col("eligible"))
+    val winners = eligible
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
       .select(col("h"), col("w.doc_id").as("wdoc"),
         col("w.pos").as("wpos"))
-    lines.join(winners, Seq("h"), "left")
-      .withColumn("keep", !col("eligible") ||
-        (col("doc_id") === col("wdoc") && col("pos") === col("wpos")))
+    // inner join is lossless here: winners contains every eligible h
+    // by construction (it is a groupBy over this very slice)
+    val flaggedEligible = eligible.join(winners, Seq("h"))
+      .withColumn("keep",
+        col("doc_id") === col("wdoc") && col("pos") === col("wpos"))
+      .select(col("doc_id"), col("pos"), col("line"), col("keep"))
+    val passThrough = lines.filter(!col("eligible"))
+      .select(col("doc_id"), col("pos"), col("line"),
+        lit(true).as("keep"))
+    flaggedEligible.unionByName(passThrough)
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Execution-time guard logging for lazily-constructed plans.
+  *
+  * An operator that must WARN when a data-dependent guard fires (e.g.
+  * the basket-pairs mega-basket cap dropping degenerate baskets) has
+  * two bad options: count eagerly at query-construction time — every
+  * plan-only consumer (lint, explain, dry-run) then pays a
+  * corpus-scale job and the warning fires before any data flows
+  * (ADVICE r14) — or stay silent. This is the third option: the
+  * operator attaches a `Dataset.observe` metric (a CollectMetrics
+  * node — zero extra jobs, the count rides the rows already flowing
+  * through the plan) under a `graft_guard_*` name and calls
+  * [[ensure]]; a session-registered [[QueryExecutionListener]] then
+  * logs any nonzero guard count WHEN THE QUERY ACTUALLY EXECUTES.
+  * Construction stays plan-only, the guard stays loud, and the
+  * warning carries the real executed count.
+  *
+  * The listener is registered at most once per session (identity-
+  * keyed — sessions in this library are few and long-lived). Guard
+  * firings are also recorded in [[lastFired]] so specs can assert the
+  * path without scraping logs; the listener bus is asynchronous, so
+  * spec assertions poll.
+  */
+object GuardLog {
+
+  /** Observation-name prefix the listener reacts to; the suffix names
+    * the guarding operator. The observed row's FIRST column must be
+    * the fired-count long. */
+  val Prefix = "graft_guard_"
+
+  private val installed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  @volatile private var fired: Map[String, Long] = Map.empty
+
+  /** Most recent nonzero count per guard name (spec hook; listener
+    * delivery is async — poll with a deadline). */
+  def lastFired: Map[String, Long] = fired
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith(Prefix) && !row.isNullAt(0)) {
+          val n = row.getLong(0)
+          if (n > 0) {
+            fired += name -> n
+            org.slf4j.LoggerFactory.getLogger("graft.ext.GuardLog")
+              .warn(s"$name: guard fired on $n rows " +
+                "(see the registering operator's scaladoc)")
+          }
+        }
+      }
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  /** Idempotently register the guard listener on this session. */
+  def ensure(s: SparkSession): Unit =
+    if (installed.add(Integer.valueOf(System.identityHashCode(s))))
+      s.listenerManager.register(listener)
+}

@@ -155,18 +155,30 @@ object Windows {
     * peak-day concentration (max daily count x days x 1e6 div n_hod —
     * 1e6 = the same volume every present day; large = one-off burst,
     * not seasonality). Hour-of-day and day are pure integer epoch
-    * arithmetic ((sec div 3600) % 24, sec div 86400) — timezone-proof
-    * and bit-identical in any engine. Days with zero events in a cell
-    * are absent by construction (the events_anomaly_mad convention;
-    * window_gapfill is the zero-filling op).
+    * arithmetic — timezone-proof and bit-identical in any engine —
+    * in the FLOOR convention (r15, ADVICE): day is the subtract-pmod
+    * floor division `(sec - pmod(sec, 86400)) div 86400` and hod the
+    * in-day offset `pmod(sec, 86400) div 3600`, so pre-1970
+    * timestamps land on the correct calendar day with hod in [0, 24)
+    * instead of truncating toward day 0 with negative hours. (Probed
+    * r15: DuckDB's integer `//` TRUNCATES like Spark's `div` —
+    * `-1 // 3600 = 0`, `-7201 // 3600 = -2` — so the engines already
+    * agreed; the rewrite makes the semantics floor-correct under ANY
+    * engine's division convention, not just these two's shared one.
+    * Every remaining raw div here is either by-construction
+    * non-negative (the pmod offset) or an exact multiple (sec minus
+    * its pmod), where floor == truncate.) Days with zero events in a
+    * cell are absent by construction (the events_anomaly_mad
+    * convention; window_gapfill is the zero-filling op).
     *
     * Scale shape: the raw scan collapses to (key, day, hod) counts
     * FIRST (map-side combined); everything downstream is keys x 24
     * rows — metadata-sized at any event volume. No windows at all. */
   def seasonalHourly(df: DataFrame, key: Column, ts: Column): DataFrame = {
     val ev = df.select(key.as("k"), ts.cast("long").as("sec"))
-      .select(col("k"), expr("sec div 86400").as("day"),
-        expr("(sec div 3600) % 24").as("hod"))
+      .select(col("k"),
+        expr("(sec - pmod(sec, 86400)) div 86400").as("day"),
+        expr("pmod(sec, 86400) div 3600").as("hod"))
     val cells = ev.groupBy(col("k"), col("day"), col("hod"))
       .agg(count(lit(1)).as("n"))
     val hodAgg = cells.groupBy(col("k"), col("hod"))
@@ -211,5 +223,84 @@ object Windows {
         sum(col("alarm").cast("long")).as("n_alarm_hours"),
         max(col("cusum")).as("max_cusum"),
         min(when(col("alarm"), col("epoch"))).as("first_alarm_epoch"))
+  }
+
+  /** Per-key hourly event counts — [[cusumChangepoint]]'s first stage
+    * factored out so the SEASONAL cusum can consume counts from either
+    * a batch scan or a streaming tumbling aggregation (the
+    * stream_cusum_gate handoff). Output: (k, epoch, n), epoch
+    * hour-aligned seconds. */
+  def hourlyCounts(df: DataFrame, key: Column, ts: Column): DataFrame =
+    df.select(key.as("k"),
+        (floor(ts.cast("long") / 3600) * 3600).cast("long").as("epoch"))
+      .groupBy(col("k"), col("epoch"))
+      .agg(count(lit(1)).as("n"))
+
+  /** SEASONALLY-ADJUSTED one-sided CUSUM (the [[cusumChangepoint]] ×
+    * [[seasonalHourly]] composition, VERDICT r14 #4): the flat CUSUM's
+    * reference level is the key's global hourly mean, so a diurnal
+    * service alarms twice a day at its natural peak and trough; here
+    * each hour's deviation is measured against its OWN hour-of-day
+    * seasonal mean — dev_t = n_t*1e6 − floor(t_hod*1e6 / h_hod) in
+    * exact ppm units (t_hod/h_hod = the key's mean count for that
+    * hod over the gap-filled spine) — so only drift BEYOND the
+    * diurnal pattern accumulates. Same closed-form reset recursion
+    * (running sum minus running min — plain key-partitioned windows),
+    * alarm bar lambda × the global hourly mean in the same ppm units.
+    * Hod is the floor-convention in-day offset (`pmod(epoch, 86400)
+    * div 3600` — the [[seasonalHourly]] idiom).
+    *
+    * Int64 bound: the running ppm sum is bounded by 1e6 × per-key
+    * event total, so int64 holds to ~9.2e12 events/key (≈ a week of
+    * a 15M events/s key); beyond that lift `dev` to decimal128 — the
+    * seasonalHourly numerator discipline.
+    *
+    * Scale shape: identical to [[cusumChangepoint]] — the corpus scan
+    * collapses to (key, hour) counts first (map-side combined), the
+    * spine join and both windows run over hours × keys
+    * (metadata-sized), every window key-partitioned, never global.
+    * The hod stats add one keys×24 aggregate + broadcast join. */
+  def cusumSeasonal(df: DataFrame, key: Column, ts: Column,
+                    lambda: Long = 5L): DataFrame =
+    cusumSeasonalFromCounts(hourlyCounts(df, key, ts), lambda)
+
+  /** [[cusumSeasonal]] over pre-aggregated (k, epoch, n) hourly counts
+    * — the entry point streaming hands its materialized tumbling
+    * aggregation to. Gap-fills the spine over [min, max] epoch across
+    * ALL keys (absent hours are real zeros for a key that was up),
+    * exactly like [[cusumChangepoint]]. */
+  def cusumSeasonalFromCounts(counts: DataFrame,
+                              lambda: Long = 5L): DataFrame = {
+    val hours = counts.agg(min(col("epoch")).as("lo"),
+        max(col("epoch")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+        .as("epoch"))
+    val keys = counts.select(col("k")).distinct()
+    val dense = hours.join(broadcast(keys))
+      .join(counts, Seq("k", "epoch"), "left")
+      .select(col("k"), col("epoch"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("pmod(epoch, 86400L) div 3600").as("hod"))
+    val hodStats = dense.groupBy(col("k"), col("hod"))
+      .agg(sum(col("n")).as("t_hod"), count(lit(1)).as("h_hod"))
+    val totals = hodStats.groupBy(col("k"))
+      .agg(sum(col("t_hod")).as("t"), sum(col("h_hod")).as("h"))
+    val w = Window.partitionBy(col("k")).orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(hodStats), Seq("k", "hod"))
+      .join(broadcast(totals), Seq("k"))
+      .withColumn("dev",
+        expr("n * 1000000L - (t_hod * 1000000L div h_hod)"))
+      .withColumn("rs", sum(col("dev")).over(w))
+      .withColumn("cusum",
+        col("rs") - least(min(col("rs")).over(w), lit(0L)))
+      .withColumn("alarm",
+        col("cusum") > expr("(t * 1000000L div h)") * lambda)
+      .groupBy(col("k"))
+      .agg(max(col("h")).as("n_hours"), max(col("t")).as("n_events"),
+        sum(col("alarm").cast("long")).as("n_alarm_hours"),
+        max(col("cusum")).as("max_cusum_ppm"),
+        min(when(col("alarm"), col("epoch"))).as("first_alarm_epoch"))
+      .withColumnRenamed("k", "key")
   }
 }

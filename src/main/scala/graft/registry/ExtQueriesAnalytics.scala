@@ -88,7 +88,14 @@ object ExtQueriesAnalytics {
     // inflate them. Retail baskets are orders of magnitude under the
     // cap (TPC-H tops out at 7), so the cap is inert until the data
     // is degenerate, which is exactly when it must fire.
+    // The guard is LAZY (r15, ADVICE): the mega-basket side is a plain
+    // anti-join build input carrying an observe() metric, so
+    // construction is plan-only (no job for lint/explain consumers —
+    // r14's eager count ran a corpus-scale aggregation inside every
+    // timed bench window) and the warning fires AT EXECUTION with the
+    // executed count, via the GuardLog session listener.
     "analytics_basket_pairs" -> ((s, dir) => {
+      graft.ext.GuardLog.ensure(s)
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
         .distinct()
@@ -97,15 +104,10 @@ object ExtQueriesAnalytics {
       val itemCnt = items.groupBy(col("pkey"))
         .agg(count(lit(1)).as("n_item"))
       val maxBasket = 512L
-      val mega = graft.ext.Materialize.eager(
-        items.groupBy(col("okey")).agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") > maxBasket).select(col("okey")))
-      val nMega = mega.count()
-      if (nMega > 0)
-        org.slf4j.LoggerFactory.getLogger("graft.registry.ExtQueriesAnalytics")
-          .warn(s"basket_pairs: dropping $nMega baskets with > " +
-            s"$maxBasket distinct parts from the pair join " +
-            "(bounded-pair guard; raise maxBasket to keep them)")
+      val mega = items.groupBy(col("okey")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBasket).select(col("okey"))
+        .observe(graft.ext.GuardLog.Prefix + "basket_pairs",
+          count(lit(1)).as("n_mega_dropped"))
       val capped = items.join(mega, Seq("okey"), "left_anti")
       val pairs = capped.as("a").join(capped.as("b"),
           col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
@@ -1351,12 +1353,16 @@ object ExtQueriesAnalytics {
         JOIN ic ib ON ib.pkey = part_b
         CROSS JOIN no
       ORDER BY lift_ppm DESC, n_pair DESC, part_a, part_b LIMIT 100""",
-    // same integer day/hod decomposition; HUGEINT ppm numerators
+    // same integer day/hod decomposition in the r15 FLOOR convention
+    // (subtract-pmod day, in-day-offset hod — the ((x%m)+m)%m idiom is
+    // SQL's pmod); HUGEINT ppm numerators
     "events_seasonal_hourly" -> """
-      WITH ev AS (SELECT event_type AS key,
-          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
-          (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod
-        FROM events),
+      WITH sec0 AS (SELECT event_type,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+      ev AS (SELECT event_type AS key,
+          (sec - ((sec % 86400 + 86400) % 86400)) // 86400 AS day,
+          ((sec % 86400 + 86400) % 86400) // 3600 AS hod
+        FROM sec0),
       c AS (SELECT key, day, hod, CAST(count(*) AS BIGINT) AS n
             FROM ev GROUP BY 1, 2, 3),
       h AS (SELECT key, hod, CAST(sum(n) AS BIGINT) AS n_events,

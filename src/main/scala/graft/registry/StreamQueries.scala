@@ -277,6 +277,47 @@ object StreamQueries {
           threshold = 0.5, eventTimeCol = Some("arrival_ts")),
         "graft_mem_neardup_gate", OutputMode.Append())
     }),
+    // seasonally-adjusted streaming drift gate (VERDICT r14 #4 — the
+    // cusumChangepoint x seasonalHourly streaming composition): the
+    // STREAMED half is a watermark-bounded tumbling hourly count per
+    // key (Append mode — closed windows emit and their state evicts,
+    // the only aggregation shape a forever-stream can run; the
+    // sentinel-staged source advances the final watermark past every
+    // real window, the stream_session_stateful contract), and the
+    // CUSUM half runs batch over the materialized counts — the
+    // stream_trending_topk handoff pattern, because stacked stateful
+    // streaming aggregations don't exist. Hour counts are
+    // hod-normalized (dev vs each hour-of-day's own seasonal mean),
+    // so a diurnal key only alarms on drift BEYOND its daily shape.
+    // Parity spec pins stream == Windows.cusumSeasonal(batch).
+    "stream_cusum_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
+      val gapMs = 3600 * 1000L
+      val src = streamSourceWithSentinel(s, dir, gapMs)
+      // NO pre-aggregation sentinel filter: Catalyst pushes a
+      // deterministic filter BELOW the EventTimeWatermark node into
+      // the scan, so a filtered-out sentinel would never advance the
+      // watermark and the final real window would never close
+      // (measured r15: the max-ts event's window silently missing).
+      // The sentinel instead flows into its OWN group, whose window
+      // end sits PAST the final watermark (= sentinel ts) by
+      // construction, so it never emits — the post-handoff filter
+      // below is belt-and-braces, not load-bearing.
+      val counts = src.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("k"),
+          col("window.start").cast("long").as("epoch"), col("n"))
+      // materialized handoff: the CUSUM stage reads the counts frame
+      // from MULTIPLE subplans (spine bounds, key set, the join), and
+      // the memory-sink relation cannot be self-joined (its leaf does
+      // not re-instance under DeduplicateRelations) — the parquet
+      // round-trip both breaks that and avoids re-reading the sink
+      // per consumer. keys x hours rows: tiny at any scale.
+      val mat = graft.ext.Materialize.eager(
+        StreamOps.runToMemory(counts, "graft_mem_cusum_gate",
+          OutputMode.Append()).filter(col("k") =!= "sentinel"))
+      graft.ext.Windows.cusumSeasonalFromCounts(mat, lambda = 5L)
+    }),
     // stream-stream INTERVAL join: each click matched to the same
     // user's purchases within the following 30 minutes. The bounded
     // time condition + both-side watermarks are what keep the join
@@ -493,6 +534,49 @@ object StreamQueries {
     // STANDING corpus; intra-batch dedup is the batch job's concern.
     "stream_neardup_gate" -> QueryShared.minhashPairsSql(
       extraWhere = " AND ((doc_a % 10 = 3) <> (doc_b % 10 = 3))"),
+    // batch replay of the seasonally-adjusted CUSUM over the streamed
+    // hourly counts: gap-filled spine, per-(key, hod) seasonal means,
+    // ppm deviations, running-sum-minus-running-min closed form, alarm
+    // bar = 5 x the global hourly mean in the same ppm units. Hod is
+    // the floor-convention in-day offset (((x%m)+m)%m == pmod).
+    "stream_cusum_gate" -> """
+      WITH b AS (SELECT event_type AS k,
+             CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS epoch
+           FROM events),
+      c AS (SELECT k, epoch, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2),
+      r AS (SELECT min(epoch) AS lo, max(epoch) AS hi FROM b),
+      hrs AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS epoch FROM r),
+      ks AS (SELECT DISTINCT k FROM b),
+      dense AS (SELECT ks.k, hrs.epoch, COALESCE(c.n, 0) AS n,
+            ((hrs.epoch % 86400 + 86400) % 86400) // 3600 AS hod
+            FROM hrs CROSS JOIN ks
+            LEFT JOIN c ON c.k = ks.k AND c.epoch = hrs.epoch),
+      hstat AS (SELECT k, hod, CAST(sum(n) AS BIGINT) AS t_hod,
+               CAST(count(*) AS BIGINT) AS h_hod
+             FROM dense GROUP BY 1, 2),
+      tot AS (SELECT k, CAST(sum(t_hod) AS BIGINT) AS t,
+               CAST(sum(h_hod) AS BIGINT) AS h FROM hstat GROUP BY 1),
+      dv AS (SELECT dense.k, epoch,
+               n * 1000000 - ((t_hod * 1000000) // h_hod) AS dev
+             FROM dense JOIN hstat USING (k, hod)),
+      cs AS (SELECT k, epoch,
+               CAST(sum(dev) OVER (PARTITION BY k ORDER BY epoch
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs
+             FROM dv),
+      cc AS (SELECT k, epoch,
+               rs - least(CAST(min(rs) OVER (PARTITION BY k ORDER BY epoch
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS cusum
+             FROM cs),
+      al AS (SELECT cc.k, epoch, cusum,
+               cusum > ((t * 1000000) // h) * 5 AS alarm, t, h
+             FROM cc JOIN tot USING (k))
+      SELECT k AS key, max(h) AS n_hours, max(t) AS n_events,
+             CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_hours,
+             CAST(max(cusum) AS BIGINT) AS max_cusum_ppm,
+             min(CASE WHEN alarm THEN epoch END) AS first_alarm_epoch
+      FROM al GROUP BY k""",
     "stream_enrich_dim" -> """
       SELECT e.event_id, e.user_id, c.c_name,
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey

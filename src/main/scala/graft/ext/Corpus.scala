@@ -748,8 +748,12 @@ object Corpus {
     *  - `low_symbol`: '#' and '...' occurrences <= 10% of words
     *  - `few_bullets`: <= 90% of lines start with '- ' or '* '
     *  - `few_ellipsis`: <= 30% of lines end with '...'
-    *  - `enough_stopwords`: >= 2 distinct hits among 8 common English
-    *    stopwords (exact token membership, not substring)
+    *  - `enough_stopwords`: >= `minStopHits` distinct hits among 8
+    *    common English stopwords (exact token membership, not
+    *    substring). Default 2 — the Gopher paper's bar; corpora whose
+    *    vocabulary legitimately carries few function words (domain
+    *    logs, the driver's synthetic tables) dial it down rather
+    *    than nulling the whole filter.
     *
     * Pure per-row Column algebra: narrow, no shuffle. The list-lambda
     * metrics (token lengths, alpha hits, line scans) are HOF
@@ -758,6 +762,7 @@ object Corpus {
   def gopherQualityFlags(df: DataFrame, id: Column, text: Column,
                          minWords: Int = 10,
                          maxWords: Int = 100000,
+                         minStopHits: Int = 2,
                          carry: Seq[(String, Column)] = Nil): DataFrame = {
     // every raw count comes from ONE codegen'd linear pass
     // ([[graft.functions.GopherTextStats]]) — the six interpreted
@@ -789,7 +794,7 @@ object Corpus {
       .withColumn("low_symbol", col("symbol_ppm") <= 100000L)
       .withColumn("few_bullets", col("bullet_line_ppm") <= 900000L)
       .withColumn("few_ellipsis", col("ellipsis_line_ppm") <= 300000L)
-      .withColumn("enough_stopwords", col("stop_hits") >= 2L)
+      .withColumn("enough_stopwords", col("stop_hits") >= minStopHits.toLong)
       .withColumn("keep", col("word_count_ok") && col("word_len_ok") &&
         col("mostly_alpha") && col("low_symbol") && col("few_bullets") &&
         col("few_ellipsis") && col("enough_stopwords"))
@@ -862,13 +867,37 @@ object Corpus {
           "_doc_text" -> col("_doc_text")))
       .select(col("c4_keep"), col("keep").as("gopher_keep"),
         col("_doc_text"))
+    // The NaN guard rides as a GROUP KEY dropped post-aggregation,
+    // NOT a pre-aggregation filter (r15): PushDownPredicates
+    // substitutes a filter's alias references unconditionally, so
+    // `filter(!isnan(quality_score))` landed the ENTIRE score
+    // expression (five stopword regexes + the punct regex + splits)
+    // in a scan-level Filter and recomputed it in the projection —
+    // measured 1.41x on the whole query (probe r15, 1.04s -> 1.47s
+    // min). As a key it references the projected attribute, which
+    // CollapseProject declines to inline (expensive alias used
+    // twice), so the score computes ONCE per row; NaN rows (none on
+    // either engine — every score term passes through least(1.0, ·),
+    // which caps NaN — the guard is defense for pathological inputs)
+    // would land in _nan=true groups and drop after the fold,
+    // identical to the oracle's pre-aggregation WHERE. The `n_docs <
+    // 0` disjunct (never true: count is non-negative) references an
+    // AGGREGATE output, which is what actually pins the filter above
+    // the aggregate — a predicate on grouping keys alone is pushed
+    // through the aggregate and re-expands the alias at the scan,
+    // recreating the 1.41x (the segmentDedup coalesce(assert_true)
+    // discipline: a semantically-inert term carrying a plan
+    // constraint the optimizer cannot see otherwise).
     val cells = TextOps.withQualityScore(flags, col("_doc_text"))
-      .filter(!isnan(col("quality_score")))
       .groupBy(
         least(lit(4L), floor(col("quality_score") * 5.0).cast("long"))
           .as("score_bucket"),
-        col("c4_keep"), col("gopher_keep"))
+        col("c4_keep"), col("gopher_keep"),
+        isnan(col("quality_score")).as("_nan"))
       .agg(count(lit(1)).as("n_docs"))
+      .filter(!col("_nan") || col("n_docs") < 0)
+      .select(col("score_bucket"), col("c4_keep"), col("gopher_keep"),
+        col("n_docs"))
     val total = cells.agg(sum(col("n_docs")).as("_total"))
       .withColumn("_one", lit(1))
     cells.withColumn("_one", lit(1))

@@ -354,6 +354,29 @@ object ExtQueriesCorpus {
             col("n_docs"))
       }.reduce(_.unionAll(_))
     }),
+    // the v3 flagship (VERDICT r14 #5): line dedup FIRST, then Gopher
+    // over the cleaned text, near-dup representatives, temperature
+    // mixture — the production C4 ordering, with the funnel (docs AND
+    // tokens per stage) as the registered output: line dedup's effect
+    // is token mass, not doc count, so the funnel carries both. Each
+    // prefix materializes once (the curation_funnel discipline — a
+    // deployed pipeline counts its staged outputs, never re-runs the
+    // chain per prefix).
+    "corpus_curation_v3" -> ((s, dir) => {
+      val prefixes = curationV3Stages(s, dir)
+        .scanLeft("raw" ->
+          graft.ext.Materialize.eager(curationV2Docs(s, dir))) {
+          case ((_, df), (name, stage)) =>
+            name -> graft.ext.Materialize.eager(stage(df))
+        }
+      prefixes.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextOps.tokenCount(col("text"))), lit(0L))
+              .as("n_tokens"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      }.reduce(_.unionAll(_))
+    }),
 
     // group count grows with the corpus via autoGroups (~64 docs per
     // group, power of two; SQL twin derives the same count from
@@ -569,6 +592,116 @@ object ExtQueriesCorpus {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the v3 funnel replay: line-dedup CTEs (the text_line_dedup
+    // oracle), Gopher keep conjunction over the CLEANED text, the
+    // 0.8-jaccard clustering CTEs, temperature-mixture keep rule —
+    // then one count+token row per stage
+    "corpus_curation_v3" -> s"""
+      WITH RECURSIVE
+      b0 AS (SELECT doc_id, source, text FROM documents),
+      l AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+            unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM b0)),
+      e AS (SELECT doc_id, pos, line,
+              len(regexp_split_to_array(trim(line), '\\s+')) >= 5
+                AS eligible,
+              md5(line) AS h
+            FROM l),
+      w AS (SELECT h, doc_id AS wdoc, pos AS wpos FROM (
+              SELECT h, doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS rn
+              FROM e WHERE eligible) WHERE rn = 1),
+      kk AS (SELECT e.doc_id, e.pos, e.line,
+              (NOT e.eligible
+               OR (e.doc_id = w.wdoc AND e.pos = w.wpos)) AS keep
+            FROM e LEFT JOIN w ON e.h = w.h AND e.eligible),
+      ld AS (SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE keep), '') AS text
+            FROM kk GROUP BY 1),
+      d1 AS (SELECT b0.doc_id, b0.source, ld.text
+             FROM b0 JOIN ld USING (doc_id)
+             WHERE length(trim(ld.text)) > 0),
+      g AS (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(text), '\\s+') AS toks,
+          string_split(text, chr(10)) AS lines
+        FROM d1),
+      gm AS (SELECT doc_id, source, text,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS mean_word_len_ppm,
+          CAST(len(list_filter(toks,
+              tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
+            // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS symbol_ppm,
+          CAST(len(list_filter(lines, ln -> starts_with(ln, '- ')
+              OR starts_with(ln, '* '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, ln -> ends_with(ln, '...')))
+            AS BIGINT) AS n_ell,
+          CAST(list_contains(toks, 'the') AS BIGINT)
+            + CAST(list_contains(toks, 'be') AS BIGINT)
+            + CAST(list_contains(toks, 'to') AS BIGINT)
+            + CAST(list_contains(toks, 'of') AS BIGINT)
+            + CAST(list_contains(toks, 'and') AS BIGINT)
+            + CAST(list_contains(toks, 'that') AS BIGINT)
+            + CAST(list_contains(toks, 'have') AS BIGINT)
+            + CAST(list_contains(toks, 'with') AS BIGINT) AS stop_hits
+        FROM g),
+      d2 AS (SELECT doc_id, source, text FROM gm
+        WHERE n_words >= 10 AND n_words <= 100000
+          AND mean_word_len_ppm >= 3000000
+          AND mean_word_len_ppm <= 10000000
+          AND alpha_ppm >= 800000 AND symbol_ppm <= 100000
+          AND n_bullet * 1000000 // n_lines <= 900000
+          AND n_ell * 1000000 // n_lines <= 300000
+          AND stop_hits >= 1),
+      ${clustersCtes("SELECT doc_id, text FROM d2")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      d3 AS (SELECT d2.doc_id, d2.source, d2.text FROM d2
+             JOIN comp USING (doc_id) WHERE component = d2.doc_id),
+      tc AS (SELECT source AS cls, count(*) AS n
+             FROM d3 WHERE source IS NOT NULL GROUP BY 1),
+      tw AS (SELECT cls, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+             FROM tc),
+      anc AS (SELECT n AS n0, wt AS w0 FROM tw
+              ORDER BY wt * 1000000 // n DESC, n, wt, cls LIMIT 1),
+      ppm AS (SELECT cls,
+              CAST(CAST(wt AS HUGEINT) * n0 * 1000000
+                   // (CAST(n AS HUGEINT) * w0) AS BIGINT) AS keep_ppm
+              FROM tw CROSS JOIN anc),
+      d4 AS (SELECT d3.doc_id, d3.source, d3.text
+             FROM d3 JOIN ppm ON d3.source = ppm.cls
+             WHERE (${hex60Sql("'temp' || CAST(doc_id AS VARCHAR)")}
+                    % ${Sampling.Buckets}) < ppm.keep_ppm)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) AS n_tokens FROM b0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'line_dedup', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'gopher_filter', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'neardup_reps', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'temp_mixture', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d4""",
     // winner = min (doc_id, pos) per md5 of the exact line bytes,
     // eligibility (>= 5 ws-tokens) a pure function of content;
     // re-assembly string_agg ORDER BY pos; COALESCE('') matches

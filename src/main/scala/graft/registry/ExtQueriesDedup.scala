@@ -51,6 +51,27 @@ object ExtQueriesDedup {
       Dedup.sourceOverlapReport(
         graft.ext.PairStage.lshPairs(s, dir),
         t(s, dir, "documents"), "doc_id", "source")),
+    // the SKETCHED source-overlap matrix (VERDICT r14 #7 — the
+    // sketch_kmv_jaccard composition): per unordered source pair, the
+    // KMV-estimated Jaccard of the sources' distinct 3-shingle sets.
+    // dedup_source_overlap_report prices near-dup PAIR mass and pays
+    // the staged pair table; this prices raw CONTENT overlap from
+    // 256-row-per-source sketches — the shape that scales past the
+    // audit path: one shingle explode (the pass every dedup op pays),
+    // one distinct, a bounded per-source window, then all pair math
+    // on |sources| x 256 rows. The exact-truth columns are the
+    // deliberate audit cost (the recall-report convention); a
+    // production run drops them and keeps only the sketch side.
+    // KmvErrorBoundSpec pins |est - exact| within the k=256
+    // binomial-sampling bound.
+    "dedup_source_overlap_kmv" -> ((s, dir) =>
+      Sketches.kmvJaccard(
+        t(s, dir, "documents").select(col("source"),
+          explode(graft.functions.VectorFunctions.wordShingleStrings(
+            col("text"), 3)).as("sh")),
+        col("source"), col("sh"), k = 256)
+        .withColumnRenamed("cls_a", "source_a")
+        .withColumnRenamed("cls_b", "source_b")),
     // the PRODUCTION dedup shape: a new ingest batch (doc_id % 10 = 3
     // plays the daily increment) deduped against the standing corpus
     // at |corpus| x |batch| bucket cost — never corpus x corpus. The
@@ -263,6 +284,60 @@ object ExtQueriesDedup {
                min(doc_id) AS doc_id_kept, count(*) AS n_copies
         FROM all_docs GROUP BY 1""",
     "dedup_minhash_lsh" -> minhashPairsSql(),
+    // the KMV replay of sketch_kmv_jaccard over (source, 3-shingle):
+    // distinct hashes, per-source 256-minima sketch, merged-union
+    // re-cut, membership join — all windows bounded by k; exact truth
+    // from the distinct shingle-string sets
+    "dedup_source_overlap_kmv" -> s"""
+      WITH tok AS (SELECT source,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+      d AS (SELECT DISTINCT source AS cls,
+             unnest(list_transform(range(len(toks) - 2),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS it
+           FROM tok),
+      hh AS (SELECT DISTINCT cls, ${hex60Sql("it")} AS h FROM d),
+      sk AS (SELECT cls, h FROM (SELECT cls, h, row_number() OVER
+               (PARTITION BY cls ORDER BY h) AS r FROM hh) WHERE r <= 256),
+      cl AS (SELECT DISTINCT cls FROM sk),
+      pc AS (SELECT x.cls AS cls_a, y.cls AS cls_b
+             FROM cl x JOIN cl y ON x.cls < y.cls),
+      mg AS (SELECT DISTINCT cls_a, cls_b, h FROM (
+               SELECT pc.cls_a, pc.cls_b, s.h FROM pc
+                 JOIN sk s ON s.cls = pc.cls_a
+               UNION ALL
+               SELECT pc.cls_a, pc.cls_b, s.h FROM pc
+                 JOIN sk s ON s.cls = pc.cls_b)),
+      tu AS (SELECT cls_a, cls_b, h FROM (SELECT *, row_number() OVER
+               (PARTITION BY cls_a, cls_b ORDER BY h) AS r FROM mg)
+             WHERE r <= 256),
+      est AS (SELECT cls_a, cls_b, CAST(count(*) AS BIGINT) AS k_used,
+               CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+             FROM tu
+               LEFT JOIN sk sa ON sa.cls = tu.cls_a AND sa.h = tu.h
+               LEFT JOIN sk sb ON sb.cls = tu.cls_b AND sb.h = tu.h
+             GROUP BY 1, 2),
+      ex AS (SELECT x.cls AS cls_a, y.cls AS cls_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+             FROM d x JOIN d y ON x.it = y.it AND x.cls < y.cls
+             GROUP BY 1, 2),
+      sz AS (SELECT cls, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+      SELECT est.cls_a AS source_a, est.cls_b AS source_b, k_used, n_both,
+             n_both * 1000000 // k_used AS kmv_jaccard_ppm,
+             COALESCE(ex.n_inter, 0) AS n_inter,
+             sa.n AS n_a, sb.n AS n_b,
+             COALESCE(ex.n_inter, 0) * 1000000
+               // (sa.n + sb.n - COALESCE(ex.n_inter, 0))
+               AS exact_jaccard_ppm,
+             abs(n_both * 1000000 // k_used
+               - COALESCE(ex.n_inter, 0) * 1000000
+                 // (sa.n + sb.n - COALESCE(ex.n_inter, 0)))
+               AS abs_err_ppm
+      FROM est
+        LEFT JOIN ex ON ex.cls_a = est.cls_a AND ex.cls_b = est.cls_b
+        JOIN sz sa ON sa.cls = est.cls_a
+        JOIN sz sb ON sb.cls = est.cls_b""",
     // the pair oracle joined twice to the source labels, folded to the
     // unordered source matrix; share as exact integer ppm of the total
     "dedup_source_overlap_report" -> s"""

@@ -245,6 +245,39 @@ object ExtQueriesSimilarity {
           col("total"),
           expr("matched * 1000000L div total").as("recall_ppm"))
     }),
+    // MIPS recall-vs-nProbe (VERDICT r14 #6): the augmented-space IVF
+    // (sim_mips_ivf_topk's index, staged fit shared across the three
+    // probe configs) priced against the EXACT raw-dot MIPS truth
+    // (sim_mips_topk) — the same artifact the cosine family ships via
+    // ann_nprobe_tune_report, so the Bachrach reduction's recall/scan
+    // dial is measured, not just rank-pinned at all-cells-probed.
+    "ann_mips_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.mipsTopK(q, emb, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val msq = emb.agg(max(Similarity.dot(col("embedding"),
+        col("embedding")))).first().getDouble(0)
+      val cents = graft.ext.PairStage.mipsIvfCentroids(s, dir,
+        Similarity.autoCentroids(emb.count()), iters = 2)
+      val corpusAug = Similarity.normAugment(emb, "embedding",
+        lit(msq), isQuery = false, "av")
+      val qAug = Similarity.normAugment(q, "embedding", lit(msq),
+        isQuery = true, "av")
+      Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopKWith(cents, corpusAug, qAug,
+            "vec_id", "av", k = 5, nProbe = np)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(1).as("hit"))
+        truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("matched"),
+            count(lit(1)).as("total"))
+          .select(lit(s"mips_ivf_np$np").as("method"),
+            lit(np.toLong).as("n_probe"), col("matched"), col("total"),
+            expr("matched * 1000000L div total").as("recall_ppm"))
+      }.reduce(_.unionAll(_))
+    }),
     // same report for the shipped PQ configuration (m=4, ksub=16,
     // shortlist+exact-rerank): codebook or shortlist parameter changes
     // cannot silently trade recall for speed — the recall number
@@ -676,6 +709,73 @@ object ExtQueriesSimilarity {
                    (SELECT CAST(count(*) AS BIGINT) FROM qx)
                    * (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
                    AS denom),
+      ${cfg(1)},${cfg(2)},${cfg(4)}
+      ${row(1)}
+      UNION ALL${row(2)}
+      UNION ALL${row(4)}"""
+    },
+    // MIPS recall-vs-nProbe: one shared AUGMENTED Lloyd replay (the
+    // mipsIvfTopKSql fit, 65-dim) feeds all three probe configs —
+    // same MATERIALIZED-CTE discipline as ann_nprobe_tune_report —
+    // and the truth side is the exact RAW-DOT MIPS top-5 (the
+    // sim_mips_topk twin), so the recall prices the whole Bachrach
+    // reduction end-to-end, not just the augmented-space search.
+    "ann_mips_recall_report" -> {
+      val selfDot = "list_sum(list_transform(embedding," +
+        " y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))"
+      val aug = "list_append(list_transform(embedding," +
+        s" x -> CAST(x AS DOUBLE)), sqrt(mx.msq - $selfDot))"
+      val nvSelect =
+        s"""SELECT vec_id, list_transform(av,
+           |            x -> x / sqrt(list_sum(list_transform(av, y -> y*y)))) AS v
+           |          FROM (SELECT vec_id, $aug AS av
+           |                FROM embeddings CROSS JOIN mx)""".stripMargin
+      val pre =
+        s"mx AS (SELECT max($selfDot) AS msq FROM embeddings),\n      "
+      def cfg(n: Int) = s"""
+      ivf$n AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM (SELECT qrm.query_id, cam.vec_id AS neighbor_id,
+                   ${dotSqlN("qrm.qv", "cam.v", 65)} AS cosine
+                FROM qrm JOIN cam USING (centroid_id)
+                WHERE qrm.rn <= $n AND qrm.query_id <> cam.vec_id)
+          WHERE NOT isnan(cosine)) WHERE rank <= 5),
+      r$n AS (SELECT CAST(count(i.neighbor_id) AS BIGINT) AS matched,
+                  CAST(count(*) AS BIGINT) AS total
+              FROM ivf$n i RIGHT JOIN truth b
+                ON b.query_id = i.query_id
+                AND b.neighbor_id = i.neighbor_id)"""
+      def row(n: Int) = s"""
+      SELECT 'mips_ivf_np$n' AS method, CAST($n AS BIGINT) AS n_probe,
+             matched, total,
+             matched * 1000000 // total AS recall_ppm
+      FROM r$n"""
+      s"""
+      WITH ${ivfAssignCtes(2, nvSelect = nvSelect, preCtes = pre,
+                           dim = 65)},
+      cam AS MATERIALIZED (SELECT vec_id, centroid_id, v FROM ca),
+      qx AS MATERIALIZED (SELECT vec_id AS query_id,
+             list_append($NormSql, 0.0) AS qv
+             FROM embeddings WHERE vec_id < 10),
+      qrm AS MATERIALIZED (SELECT query_id, centroid_id, qv, rn FROM (
+          SELECT qx.query_id, c2.centroid_id, qx.qv,
+                 row_number() OVER (PARTITION BY qx.query_id
+                   ORDER BY ${dotSqlN("qx.qv", "c2.cv", 65)} DESC,
+                            c2.centroid_id) AS rn
+          FROM qx CROSS JOIN c2)),
+      truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id) AS rank
+          FROM (SELECT q2.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1,65),
+                     i -> CAST(q2.qraw[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE))) AS dot
+                FROM (SELECT vec_id AS query_id, embedding AS qraw
+                      FROM embeddings WHERE vec_id < 10) q2
+                CROSS JOIN embeddings e
+                WHERE q2.query_id <> e.vec_id))
+          WHERE rank <= 5),
       ${cfg(1)},${cfg(2)},${cfg(4)}
       ${row(1)}
       UNION ALL${row(2)}

@@ -81,6 +81,47 @@ object QueryShared {
           col("cum_tokens"))
     }))
 
+  /** The v3 chain (VERDICT r14 #5): LINE dedup first — production
+    * C4-style pipelines remove repeated boilerplate lines BEFORE any
+    * document-level work, because navigation chrome and cookie
+    * banners inflate shingle similarity (two unrelated pages sharing
+    * a fat footer read as near-dups) and distort shape statistics —
+    * then Gopher shape rules over the CLEANED text, near-dup
+    * representatives, and a temperature source mixture. Every stage
+    * is an already-verified operator; this registers the composition
+    * in the production order. Docs whose every line was removed
+    * (empty after cleaning) drop at stage 1 — an all-boilerplate doc
+    * has nothing left to curate. */
+  private[graft] def curationV3Stages(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "line_dedup" -> ((in: DataFrame) =>
+      in.select(col("doc_id"), col("source"))
+        .join(Corpus.lineDedup(in, col("doc_id"), col("text"),
+            minTokens = 5)
+          .select(col("doc_id"), col("text_clean").as("text")),
+          Seq("doc_id"))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"), col("text"))),
+    // minStopHits = 1: the driver corpus's synthetic vocabulary
+    // carries only 'the'/'a' from the 8-stopword list, so the paper
+    // default (2) zeroes the funnel corpus-wide — the dial keeps the
+    // stopword rule MEANINGFUL (a doc must still carry one function
+    // word) without annulling every downstream stage. Production
+    // English text trivially passes either bar.
+    "gopher_filter" -> ((in: DataFrame) => in.join(
+      Corpus.gopherQualityFlags(in, col("doc_id"), col("text"),
+          minStopHits = 1)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))),
+    "neardup_reps" -> ((in: DataFrame) => {
+      val pairs = Dedup.jaccardPairs(in, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val reps = Dedup.connectedComponents(in.select(col("doc_id")), pairs)
+        .filter(col("doc_id") === col("component")).select("doc_id")
+      in.join(reps, Seq("doc_id"))
+    }),
+    "temp_mixture" -> ((in: DataFrame) =>
+      Corpus.temperatureSample(in, col("source"), col("doc_id"))))
+
   /** Per-stage wall seconds for the v2 curation chain: each stage runs
     * against the MATERIALIZED previous output, so a stage's number is
     * its own work, not a recompute of everything before it. */

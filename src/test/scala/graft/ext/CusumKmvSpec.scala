@@ -94,4 +94,29 @@ class CusumKmvSpec extends SparkSpec {
     assert(math.abs(r._1 - r._2) < 240000,
       s"KMV estimate ${r._1} implausibly far from exact ${r._2}")
   }
+
+  test("dedup_source_overlap_kmv: every pair inside the binomial error bound") {
+    // the registered sketched overlap matrix on the driver corpus:
+    // the k-min union sample is a uniform draw of the union, so
+    // n_both ~ Binomial(k_used, J) and |est - exact| must sit within
+    // 4 x sqrt(J(1-J)/k_used) (+1 ppm floor-div quantization, + a
+    // small-J floor because 4 sd of a near-zero J underestimates the
+    // discrete one-hit jump 1/k). A hash family that clumped (a
+    // non-uniform sample) would blow through this on SOME of the
+    // 190 source pairs.
+    val rows = graft.registry.ExtQueriesDedup
+      .queries("dedup_source_overlap_kmv")(spark, sf0001)
+      .select("source_a", "source_b", "k_used", "kmv_jaccard_ppm",
+        "exact_jaccard_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.length === 190, "20 sources -> 190 unordered pairs")
+    rows.foreach { case (a, b, k, est, exact) =>
+      assert(k > 0 && k <= 256)
+      val j = exact.toDouble / 1e6
+      val sd = math.sqrt(j * (1 - j) / k)
+      val bound = 4 * sd * 1e6 + 1e6 / k + 1
+      assert(math.abs(est - exact) <= bound,
+        s"($a,$b): |$est - $exact| > 4sd bound ${bound.toLong} at k=$k")
+    }
+  }
 }

@@ -94,7 +94,14 @@ class RegistryPlanLintSpec extends SparkSpec {
     "vocab_zipf_bucket_fit", "corpus_heaps_fit", "sim_mips_ivf_topk",
     // the skew report joins its 1-row row-total onto the <=64-row
     // octave histogram (relit, so both sides are literal frames)
-    "join_skew_report")
+    "join_skew_report",
+    // r15 additions: the MIPS recall report inherits sim_mips_topk's
+    // <=10-query brute-truth broadcast and the ANN family's query x
+    // centroid condition-free broadcast, three probe configs over the
+    // SAME staged fit; the KMV overlap matrix inherits
+    // sketch_kmv_jaccard's tiny class-list cross (20 sources) and
+    // k-row sketch joins — every BNLJ side is metadata-sized
+    "ann_mips_recall_report", "dedup_source_overlap_kmv")
 
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

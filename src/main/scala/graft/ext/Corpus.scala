@@ -931,14 +931,24 @@ object Corpus {
     * joins, no unpartitioned windows. */
   def ksDriftReport(df: DataFrame, id: Column, source: Column,
                     text: Column, buckets: Int = 32): DataFrame = {
+    // NaN guard as a group key dropped post-fold, with the inert
+    // aggregate-output disjunct pinning the filter above the
+    // aggregate — the qualityCalibrationReport r15 fix: a
+    // pre-aggregation !isnan filter is pushed to the scan with the
+    // WHOLE score expression substituted in, recomputing five
+    // stopword regexes + the punct regex per row per consumer (this
+    // query's histogram feeds BOTH sides of the pair join, so the
+    // duplication doubled again: 4 full-score evals in the r14 plan).
     val scored = TextOps.withQualityScore(
         df.select(id.as("doc_id"), source.as("source"), text.as("_t")),
         col("_t"))
-      .filter(!isnan(col("quality_score")))
     val hist = scored.groupBy(col("source"),
         least(lit(buckets - 1L),
-          floor(col("quality_score") * buckets)).as("bucket"))
+          floor(col("quality_score") * buckets)).as("bucket"),
+        isnan(col("quality_score")).as("_nan"))
       .agg(count(lit(1)).as("n_bucket"))
+      .filter(!col("_nan") || col("n_bucket") < 0)
+      .select(col("source"), col("bucket"), col("n_bucket"))
     val spine = hist.select(col("source")).distinct()
       .select(col("source"),
         explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))

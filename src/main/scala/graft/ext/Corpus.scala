@@ -1790,16 +1790,22 @@ object Corpus {
     * report is 5 cells + a 1-row total broadcast. */
   def dedupBiasReport(docs: DataFrame, components: DataFrame,
                       id: Column, text: Column): DataFrame = {
+    // NaN guard carried as a column through the doc-keyed join and
+    // dropped at the bucket fold (the qualityCalibrationReport r15
+    // pushdown fix; the pre-join filter form recomputed the whole
+    // score in a scan-level Filter)
     val scored = TextOps.withQualityScore(
         docs.select(id.as("doc_id"), text.as("_t")), col("_t"))
-      .filter(!isnan(col("quality_score")))
       .select(col("doc_id"), least(lit(4L),
-        floor(col("quality_score") * 5.0).cast("long")).as("score_bucket"))
+        floor(col("quality_score") * 5.0).cast("long")).as("score_bucket"),
+        isnan(col("quality_score")).as("_nan"))
     val cells = scored.join(components, Seq("doc_id"))
       .withColumn("red", col("component") =!= col("doc_id"))
-      .groupBy(col("score_bucket"))
+      .groupBy(col("score_bucket"), col("_nan"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("red").cast("long")).as("n_removed"))
+      .filter(!col("_nan") || col("n_docs") < 0)
+      .select(col("score_bucket"), col("n_docs"), col("n_removed"))
     val tot = cells.agg(sum(col("n_docs")).as("_td"),
         sum(col("n_removed")).as("_tr"))
       .withColumn("_one", lit(1))

@@ -248,10 +248,13 @@ object ExtQueriesCorpus {
       val scored = TextOps.withQualityScore(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           col("text")), col("text"))
-        // empty text -> 0/0 = NaN score; the heap agg skips NaN rows,
-        // so exclude them explicitly to keep the oracle's rank frame
-        // identical (the SQL twin filters NOT isnan likewise)
-        .filter(!isnan(col("quality_score")))
+      // NaN guard: the heap aggregate ITSELF excludes NaN scores
+      // (TopK.topkByScore:88 — no place in the total order), exactly
+      // matching the oracle's NOT isnan rank frame. The r14 explicit
+      // pre-filter was redundant AND expensive: pushdown substituted
+      // the whole score expression into a scan-level Filter (the
+      // quality_calibration_report r15 finding), doubling the regex
+      // work per row for zero semantic effect.
       scored.groupBy(col("source"))
         .agg(graft.functions.TopK.topkByScore(col("quality_score"),
           col("doc_id"), 5).as("top"))
@@ -266,13 +269,23 @@ object ExtQueriesCorpus {
     // and training-set assembly. Strict prefix semantics (cumsum
     // window), so the kept set is order-replayable cross-engine.
     "curate_token_budget" -> ((s, dir) => {
+      // NaN guard without the pushdown tax (the calibration r15
+      // finding, window-consumer shape): NaN rows segregate into
+      // their own (source, _nan) PARTITION — the real partitions'
+      // budget frames are bit-identical to pre-filtering — and drop
+      // AFTER the window, with the inert window-output disjunct
+      // (cum_tokens is a sum of non-negative token counts) pinning
+      // the filter above both the window and the projection. One
+      // score eval per row instead of two.
       val scored = TextOps.withQualityScore(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           col("text")), col("text"))
-        .filter(!isnan(col("quality_score")))
-      Corpus.tokenBudgetSelect(scored, col("source"),
+        .withColumn("_nan", isnan(col("quality_score")))
+      Corpus.tokenBudgetSelect(scored,
+          struct(col("source"), col("_nan")),
           Seq(col("quality_score").desc, col("doc_id")),
           col("n_tokens"), budget = 500L)
+        .filter(!col("_nan") || col("cum_tokens") < 0)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"))
     }),
@@ -283,16 +296,22 @@ object ExtQueriesCorpus {
     // preserves row order within files). Per-shard windows only;
     // shard count scales with the corpus.
     "sink_curriculum_shards" -> ((s, dir) => {
+      // NaN guard in the window-consumer shape (see
+      // curate_token_budget): NaN rows rank in their own
+      // (shard, _nan) partition — real shards' positions identical
+      // to pre-filtering — and drop after the window behind the
+      // inert row_number disjunct (row_number >= 1 always).
       val scored = TextOps.withQualityScore(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         col("text"))
-        .filter(!isnan(col("quality_score")))
+        .withColumn("_nan", isnan(col("quality_score")))
         .withColumn("shard", Sampling.bucket(col("doc_id"), "shard") % 8)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard"))
+        .partitionBy(col("shard"), col("_nan"))
         .orderBy(col("quality_score").desc, col("doc_id"))
       val ordered = scored
         .withColumn("position", row_number().over(w).cast("long"))
+        .filter(!col("_nan") || col("position") < 1)
         .select(col("shard"), col("position"), col("doc_id"))
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_curr/shards"
       reclaimOnExit(tmp)

@@ -71,12 +71,19 @@ object QueryShared {
       train.join(bad, Seq("doc_id"), "left_anti")
     }),
     "budget_select" -> ((in: DataFrame) => {
+      // NaN guard in the window-consumer shape (curate_token_budget's
+      // r15 comment): _nan partition segregation + post-window drop,
+      // one score eval per row instead of the pushed-down two —
+      // this stage sits inside the v2 flagship, so the saving lands
+      // in a headline number.
       val scored = TextOps.withQualityScore(
         in.select(col("doc_id"), col("source"), col("text")), col("text"))
-        .filter(!isnan(col("quality_score")))
-      Corpus.tokenBudgetSelect(scored, col("source"),
+        .withColumn("_nan", isnan(col("quality_score")))
+      Corpus.tokenBudgetSelect(scored,
+          struct(col("source"), col("_nan")),
           Seq(col("quality_score").desc, col("doc_id")),
           col("n_tokens"), budget = 500L)
+        .filter(!col("_nan") || col("cum_tokens") < 0)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"))
     }))

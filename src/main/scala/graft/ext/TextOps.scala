@@ -25,41 +25,64 @@ object TextOps {
   def bpeCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
 
-  /** Stopword lists for the n-gram language-ID heuristic. */
-  val LangStopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to"),
-    "es" -> Seq("el", "la", "de", "que", "los"),
-    "de" -> Seq("der", "die", "und", "das", "ist"),
-    "fr" -> Seq("le", "la", "les", "et", "des"))
+  /** Stopword lists for the n-gram language-ID heuristic (re-export;
+    * the one source of truth lives beside the native expression —
+    * [[graft.functions.TextHashUtil.LangStopwordLists]]). */
+  val LangStopwords: Seq[(String, Seq[String])] =
+    graft.functions.TextHashUtil.LangStopwordLists
+      .toSeq.map { case (l, ws) => l -> ws.toSeq }
 
   /** Occurrences of ` word ` in the space-padded lowered text —
     * replace-based counting, no regex, identical semantics in any SQL
     * engine. Matches are non-overlapping, so immediately repeated words
     * ("the the the") count n/2 rounded up, not n — acceptable for the
-    * ratio heuristics these scores feed. */
-  def keywordHits(text: Column, word: String): Column = {
+    * ratio heuristics these scores feed.
+    *
+    * This Column-algebra form is the REFERENCE implementation (and
+    * the shape the DuckDB oracle twins replay); the hot path runs
+    * the native one-scan twin below (r15 — the GopherTextStats
+    * playbook). LangHitsSpec pins value equality. */
+  def keywordHitsRef(text: Column, word: String): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val needle = s" $word "
     ((length(padded) - length(regexp_replace(padded,
       java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
   }
 
-  /** Per-language stopword-hit score. */
-  def langScore(text: Column, lang: String): Column =
+  /** Per-language stopword-hit score — Column-algebra REFERENCE
+    * (5 lower+pad evaluations and 5 regex-replace string rebuilds per
+    * row; kept for the parity spec and as documentation of the
+    * replace-diff semantics the native twin must reproduce). */
+  def langScoreRef(text: Column, lang: String): Column =
     LangStopwords.toMap.apply(lang)
-      .map(w => keywordHits(text, w))
+      .map(w => keywordHitsRef(text, w))
       .reduce(_ + _)
 
-  /** Heuristic language ID: argmax of stopword hits with a fixed
-    * priority order (en > es > de > fr) for ties. */
-  def langId(text: Column): Column = {
-    val en = langScore(text, "en"); val es = langScore(text, "es")
-    val de = langScore(text, "de"); val fr = langScore(text, "fr")
+  /** Per-language stopword-hit score: ONE lower+pad and an
+    * allocation-free indexOf scan per word
+    * ([[graft.functions.LangHits]] — codegen'd, value-identical to
+    * [[langScoreRef]], spec-pinned). */
+  def langScore(text: Column, lang: String): Column =
+    graft.functions.VectorFunctions.langHits(text,
+      LangStopwords.toMap.apply(lang))
+
+  /** [[langId]]'s Column-algebra REFERENCE (20 regex rebuilds/row). */
+  def langIdRef(text: Column): Column = {
+    val en = langScoreRef(text, "en"); val es = langScoreRef(text, "es")
+    val de = langScoreRef(text, "de"); val fr = langScoreRef(text, "fr")
     when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")
       .otherwise("fr")
   }
+
+  /** Heuristic language ID: argmax of stopword hits with a fixed
+    * priority order (en > es > de > fr) for ties — native one-pass
+    * form ([[graft.functions.LangIdArgmax]]; one lower+pad per ROW
+    * instead of 20 regex-replace rebuilds, value-identical to
+    * [[langIdRef]], spec-pinned). */
+  def langId(text: Column): Column =
+    graft.functions.VectorFunctions.langIdArgmax(text)
 
   /** Quality-score components: n_chars, n_tokens, avg token length,
     * punctuation ratio, stopword ratio, composite score in [0,1]-ish. */

@@ -409,6 +409,83 @@ object TextHashUtil {
   private val GopherStop8 = Array(
     "the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Stopword lists for the n-gram language-ID heuristic — the ONE
+    * source of truth ([[graft.ext.TextOps.LangStopwords]] re-exports
+    * it; the SQL oracle twins embed the same words). Order is the
+    * langId tie-break priority. */
+  val LangStopwordLists: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "a", "of", "and", "to"),
+    "es" -> Array("el", "la", "de", "que", "los"),
+    "de" -> Array("der", "die", "und", "das", "ist"),
+    "fr" -> Array("le", "la", "les", "et", "des"))
+
+  /** Non-overlapping occurrences of each ` word ` in the space-padded
+    * LOWERED text, summed over `words` — value-identical to the
+    * replace-diff Column algebra it replaces
+    * (`(length(padded) - length(regexp_replace(padded, quoted, '')))
+    * / needle_len`, the [[graft.ext.TextOps.keywordHitsRef]] reference):
+    * regex literal replace scans left-to-right and resumes AFTER each
+    * match, which indexOf-advance-by-needle-length replicates
+    * exactly (overlapping candidates like " a a " count once on
+    * both). Lowercasing goes through `UTF8String.toLowerCase` — the
+    * SAME implementation Spark's `lower()` uses — so exotic casings
+    * fold identically. Needles are ASCII, so occurrence counting is
+    * code-point-safe without code-point arithmetic. The win over the
+    * Column form: ONE lower+pad per row instead of one per word, and
+    * an allocation-free indexOf scan per word instead of a full
+    * regex-replace STRING REBUILD per word (5 rebuilds per langScore,
+    * 20 per langId). */
+  def langHits(s: org.apache.spark.unsafe.types.UTF8String,
+               words: Array[String]): Long = {
+    val padded = " " + s.toLowerCase.toString + " "
+    var total = 0L
+    var w = 0
+    while (w < words.length) {
+      val needle = " " + words(w) + " "
+      var idx = padded.indexOf(needle)
+      while (idx >= 0) {
+        total += 1
+        idx = padded.indexOf(needle, idx + needle.length)
+      }
+      w += 1
+    }
+    total
+  }
+
+  /** Language-ID argmax over [[LangStopwordLists]] with the fixed
+    * priority tie order (en > es > de > fr) — the
+    * [[graft.ext.TextOps.langId]] when-chain, computed with ONE
+    * lower+pad per row and [[langHits]]-semantics counts. */
+  def langIdArgmax(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val padded = " " + s.toLowerCase.toString + " "
+    val scores = new Array[Long](LangStopwordLists.length)
+    var l = 0
+    while (l < LangStopwordLists.length) {
+      val words = LangStopwordLists(l)._2
+      var total = 0L
+      var w = 0
+      while (w < words.length) {
+        val needle = " " + words(w) + " "
+        var idx = padded.indexOf(needle)
+        while (idx >= 0) {
+          total += 1
+          idx = padded.indexOf(needle, idx + needle.length)
+        }
+        w += 1
+      }
+      scores(l) = total
+      l += 1
+    }
+    val Array(en, es, de, fr) = scores
+    val lang =
+      if (en >= es && en >= de && en >= fr) "en"
+      else if (es >= de && es >= fr) "es"
+      else if (de >= fr) "de"
+      else "fr"
+    org.apache.spark.unsafe.types.UTF8String.fromString(lang)
+  }
+
   /** Every raw count the Gopher quality rules need, in ONE linear pass
     * over the document — value-identical to the Column-algebra HOF
     * formulation it replaces (equality is spec-pinned against the HOF
@@ -552,6 +629,50 @@ case class GopherTextStats(child: Expression)
     copy(child = c)
 }
 
+/** Summed stopword-occurrence count for one language's word list as a
+  * native codegen'd expression — see [[TextHashUtil.langHits]]. */
+case class LangHits(child: Expression, words: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val wordsArr: Array[String] = words.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.langHits(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      wordsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langWords", wordsArr,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.langHits($str, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Language-ID argmax as a native codegen'd expression — see
+  * [[TextHashUtil.langIdArgmax]]. */
+case class LangIdArgmax(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.langIdArgmax(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.langIdArgmax($str);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Non-overlapping word chunks as a native codegen'd expression —
   * see [[TextHashUtil.wordChunks]]. */
 case class WordChunks(child: Expression, n: Int)
@@ -641,6 +762,14 @@ object VectorFunctions {
   /** Column wrapper for [[GopherTextStats]]. */
   def gopherStats(text: Column): Column =
     GraftColumnBridge.column(GopherTextStats(
+      GraftColumnBridge.expression(text)))
+  /** Column wrapper for [[LangHits]]. */
+  def langHits(text: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(LangHits(
+      GraftColumnBridge.expression(text), words))
+  /** Column wrapper for [[LangIdArgmax]]. */
+  def langIdArgmax(text: Column): Column =
+    GraftColumnBridge.column(LangIdArgmax(
       GraftColumnBridge.expression(text)))
   /** Column wrapper for [[WordChunks]]. */
   def wordChunks(text: Column, n: Int): Column =

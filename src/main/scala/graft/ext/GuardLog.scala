@@ -33,14 +33,21 @@ object GuardLog {
     * the fired-count long. */
   val Prefix = "graft_guard_"
 
-  private val installed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  // Keyed on the SESSION OBJECT via a weak set, not its identity
+  // hash (ADVICE r15): identity hashes are not unique and outlive
+  // GC'd sessions, so a hash reuse would silently skip registration
+  // and drop guard warnings with no signal. The weak keys let dead
+  // sessions fall out instead of pinning them.
+  private val installed = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  @volatile private var fired: Map[String, Long] = Map.empty
+  private val fired = new java.util.concurrent.atomic.AtomicReference(
+    Map.empty[String, Long])
 
   /** Most recent nonzero count per guard name (spec hook; listener
     * delivery is async — poll with a deadline). */
-  def lastFired: Map[String, Long] = fired
+  def lastFired: Map[String, Long] = fired.get()
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
@@ -49,7 +56,10 @@ object GuardLog {
         if (name.startsWith(Prefix) && !row.isNullAt(0)) {
           val n = row.getLong(0)
           if (n > 0) {
-            fired += name -> n
+            // CAS loop: listener buses from multiple sessions deliver
+            // concurrently, and a plain read-modify-write on a
+            // volatile Map loses entries under that race (ADVICE r15)
+            fired.updateAndGet(m => m + (name -> n))
             org.slf4j.LoggerFactory.getLogger("graft.ext.GuardLog")
               .warn(s"$name: guard fired on $n rows " +
                 "(see the registering operator's scaladoc)")
@@ -62,6 +72,5 @@ object GuardLog {
 
   /** Idempotently register the guard listener on this session. */
   def ensure(s: SparkSession): Unit =
-    if (installed.add(Integer.valueOf(System.identityHashCode(s))))
-      s.listenerManager.register(listener)
+    if (installed.add(s)) s.listenerManager.register(listener)
 }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native Catalyst vector expressions.
   *
@@ -582,7 +582,11 @@ object TextHashUtil {
 /** Word n-gram strings as a native codegen'd expression — the
   * string-valued sibling of [[ShingleHex60]] (multiset, no dedup). */
 case class WordShingleStrings(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -608,7 +612,11 @@ case class WordShingleStrings(child: Expression, n: Int)
   * (gopher filter, ensemble, calibration) sits on the corpus hot
   * path at 100 TB. */
 case class GopherTextStats(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   override def dataType: DataType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -632,7 +640,11 @@ case class GopherTextStats(child: Expression)
 /** Summed stopword-occurrence count for one language's word list as a
   * native codegen'd expression — see [[TextHashUtil.langHits]]. */
 case class LangHits(child: Expression, words: Seq[String])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   private lazy val wordsArr: Array[String] = words.toArray
 
@@ -657,7 +669,11 @@ case class LangHits(child: Expression, words: Seq[String])
 /** Language-ID argmax as a native codegen'd expression — see
   * [[TextHashUtil.langIdArgmax]]. */
 case class LangIdArgmax(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
 
@@ -676,7 +692,11 @@ case class LangIdArgmax(child: Expression)
 /** Non-overlapping word chunks as a native codegen'd expression —
   * see [[TextHashUtil.wordChunks]]. */
 case class WordChunks(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -696,7 +716,11 @@ case class WordChunks(child: Expression, n: Int)
 /** Overlapping (strided) word chunks as a native codegen'd
   * expression — see [[TextHashUtil.wordChunksStrided]]. */
 case class WordChunksStrided(child: Expression, n: Int, stride: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -714,7 +738,11 @@ case class WordChunksStrided(child: Expression, n: Int, stride: Int)
 }
 
 case class ShingleHex60(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] = Seq(StringType)
+
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)

@@ -10,4 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Public alias for the `private[sql]` AbstractDataType, so graft
+    * expressions can declare `ExpectsInputTypes.inputTypes` (analysis-
+    * time type contracts) without living in the sql package. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

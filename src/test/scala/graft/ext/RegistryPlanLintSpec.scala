@@ -103,6 +103,88 @@ class RegistryPlanLintSpec extends SparkSpec {
     // k-row sketch joins — every BNLJ side is metadata-sized
     "ann_mips_recall_report", "dedup_source_overlap_kmv")
 
+  /** Queries whose UNPARTITIONED window frames are metadata-sized by
+    * construction (r16 audit — a global window funnels every row into
+    * one task, so each site must prove its frame never scales with
+    * the corpus):
+    *  - analytics_time_to_convert: cumulative sum over the delta-hours
+    *    HISTOGRAM (distinct conversion-lag hours; the corpus reduced
+    *    to it by a group-agg first)
+    *  - dedup_keep_priority: row_number over the DISTINCT-SOURCE
+    *    priority dim (|sources| rows; docs never enter the window)
+    *  - sink_compaction_plan: cumulative size over the 64-shard frame
+    *    (doc_id % 64 — exactly 64 rows by construction)
+    *  - vocab_coverage_report: the frequency-LEVEL histogram walk
+    *    (distinct type-frequency values, the no-per-type-sort design)
+    */
+  private val GlobalWindowAllowed = Set(
+    "analytics_time_to_convert", "dedup_keep_priority",
+    "sink_compaction_plan", "vocab_coverage_report")
+
+  test("unpartitioned windows only on the pinned metadata-sized allowlist") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- graft.registry.ExtQueries.queries.toSeq.sortBy(_._1)) {
+      try {
+        val global = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty && !GlobalWindowAllowed.contains(name))
+          offenders += s"$name plans ${global.size} unallowlisted global window(s)"
+      } catch {
+        case NonFatal(e) =>
+          offenders += s"$name failed to plan: ${e.getClass.getSimpleName}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** The quality_score expression must never land inside a Filter
+    * node (ADVICE r15): PushDownPredicates substitutes filter alias
+    * references unconditionally, so a predicate touching the score
+    * once inlined the WHOLE five-regex expression into the scan
+    * filter and recomputed it in the projection — a measured 1.41x on
+    * calibration. The fix (NaN guard as a group key + an inert
+    * aggregate-output disjunct) rests on unasserted Catalyst
+    * internals, so this pins it: the punct-ratio regex is the score's
+    * distinctive marker, and per-consumer Project-occurrence counts
+    * are pinned exactly (subtrees referencing the same histogram
+    * print it once per branch; exchange reuse dedupes them
+    * physically).
+    */
+  private val ScoreMarker = "[^A-Za-z0-9 ]"
+  private val ScoreMarkerCounts = Map(
+    "corpus_curation_v2" -> 1, "curate_token_budget" -> 1,
+    "curate_topk_per_source" -> 1, "text_quality_score" -> 1,
+    // cells + 1-row total denominator branch
+    "quality_calibration_report" -> 2,
+    // kept + removed branches of the bias split
+    "quality_dedup_bias_report" -> 2,
+    // source-histogram branch per side of the pair join, x2 for the
+    // dense-spine outer reference
+    "quality_ks_drift_report" -> 4)
+
+  test("quality_score computes in Projects only, at the pinned per-consumer counts") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- graft.registry.ExtQueries.queries.toSeq.sortBy(_._1)) {
+      try {
+        val lines = fn(spark, sf0001).queryExecution.optimizedPlan
+          .toString.linesIterator.filter(_.contains(ScoreMarker)).toSeq
+        val inFilter = lines.filter(_.contains("Filter "))
+        if (inFilter.nonEmpty)
+          offenders += s"$name inlines quality_score into a Filter " +
+            s"(the 1.41x double-eval regression): ${inFilter.head.take(120)}"
+        val expected = ScoreMarkerCounts.getOrElse(name, 0)
+        if (lines.size != expected)
+          offenders += s"$name score-marker count ${lines.size} != pinned $expected"
+      } catch {
+        case NonFatal(e) =>
+          offenders += s"$name failed to plan: ${e.getClass.getSimpleName}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no registry query plans a cartesian; BNLJ only on the pinned allowlist") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- graft.registry.ExtQueries.queries.toSeq.sortBy(_._1)) {

@@ -73,4 +73,19 @@ class LangHitsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(""))
       .toString === "en")
   }
+
+  test("non-string child fails ANALYSIS, not execution (ExpectsInputTypes)") {
+    // ADVICE r15: without an input-type contract a long child passed
+    // analysis and died as a ClassCastException inside codegen'd
+    // TextHashUtil calls — the contract must reject it up front
+    val df = Seq(1L, 2L).toDF("n")
+    for (mk <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => TextOps.langScore(c, "en"),
+        c => TextOps.langId(c))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(mk(col("n"))).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"), e.getMessage)
+    }
+  }
 }

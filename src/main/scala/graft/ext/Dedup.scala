@@ -461,37 +461,26 @@ object Dedup {
       transform(toks, t => TextOps.hex60(t)))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit simhash into 4
-    * 16-bit chunks; any equal chunk makes a candidate. By pigeonhole, 4
-    * bands GUARANTEE a shared chunk only for Hamming <= 3 — the default
-    * maxHamming matches that bound (guaranteeing Hamming <= k requires
-    * k+1 bands; a larger maxHamming makes the result best-effort). */
+  /** SimHash near-dup pairs over DISTINCT-hash classes: band the
+    * 64-bit simhash into 4 16-bit chunks; any equal chunk makes a
+    * candidate. By pigeonhole, 4 bands GUARANTEE a shared chunk only
+    * for Hamming <= 3 — the default maxHamming matches that bound.
+    *
+    * Class-collapsed since r16 (see [[BandedPairs.classPairs]] for
+    * the full scale argument): identical simhashes group to one
+    * representative row first, so an exact-duplicate class of size k
+    * emits ONE intra-class row (n_pairs = k·(k-1)/2) instead of k²/2
+    * banded self-join pairs, and cross-class near-dups carry their
+    * class sizes (n_pairs = n_a·n_b). Buckets holding more than
+    * `maxBucket` distinct classes are dropped loudly (GuardLog
+    * `simhash_hot_bucket`). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // materialized once for the self-join, not .cache()'d (see
-    // minhashLshPairs / [[Materialize.eager]] for the policy)
-    val sh = Materialize.eager(df.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh")))
-    val chunks = sh.select(col("doc_id"), col("sh"), explode(array(
-      (0 until 4).map(c => struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
-          .as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.key"))
-    // Hamming-filter BEFORE the pair distinct (r12): the xor/bit_count
-    // verify is a codegen'd scalar on the join's output stream, while
-    // distinct is a shuffle over every band-collision candidate —
-    // filtering first shrinks that shuffle from the (up to 4x-banded)
-    // candidate multiset to just the true near-dup pairs. Filter and
-    // distinct commute, so the pair set is unchanged.
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                   maxHamming: Int = 3,
+                   maxBucket: Long = 2048L): DataFrame =
+    BandedPairs.classPairs(
+      df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
+      "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming,
+      maxBucket, "simhash_hot_bucket")
 
   /** Connected components over near-dup pairs: every node is labeled
     * with the MINIMUM id reachable in its component — turning pairwise

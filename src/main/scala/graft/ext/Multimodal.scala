@@ -325,39 +325,31 @@ object Multimodal {
   }
 
   /** Image near-dup PAIRS via Hamming-banded dHash — the promise in
-    * [[dhash]]'s contract made a real operator: the 56-bit hash splits
-    * into 4 x 14-bit bands, candidates meet on any equal band
+    * [[dhash]]'s contract made a real operator: the 56-bit hash
+    * splits into 4 x 14-bit bands, candidates meet on any equal band
     * (bucket-keyed equi-join — inverted-index shaped, never all
     * pairs), and a codegen'd xor/bit_count verify keeps exactly the
     * pairs within `maxHamming`. Pigeonhole makes the banding LOSSLESS
     * here: maxHamming <= 3 differing bits cannot touch all 4 bands,
-    * so recall vs brute force is exactly 1 and the oracle can replay
-    * the output as brute-force Hamming pairs. Verify runs BEFORE the
-    * pair distinct (the simhash r12 lesson): the distinct shuffle
-    * carries only true near-dups, not the banded candidate multiset.
-    * At 100 TB this is the text-SimHash scale story on the image
-    * column: 8 bytes/image cross the shuffle, never payloads. */
+    * so recall vs brute force is exactly 1 and a SQL oracle can
+    * replay the output. At 100 TB this is the text-SimHash scale
+    * story on the image column: 8 bytes/image cross the shuffle,
+    * never payloads.
+    *
+    * Class-collapsed since r16 (see [[graft.ext.BandedPairs]]): a
+    * duplicate-heavy corpus previously emitted k²/2 pairs per k-copy
+    * image class (97.9 M rows at sf1; one 10⁶-copy viral image is
+    * 5·10¹¹ pairs at 100 TB). Identical hashes now group to one
+    * representative row before banding, cross-class rows carry class
+    * sizes (n_pairs = n_a·n_b), each class of size >= 2 emits one
+    * intra-class row (n_pairs = n·(n-1)/2), and hot band buckets are
+    * capped loudly (GuardLog `phash_hot_bucket`). */
   def phashHammingPairs(media: Dataset[MediaRecord],
-                        maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "banding is lossless only up to Hamming 3 (4 bands)")
-    val hashes = Materialize.eager(dhash(media).toDF())
-    val bands = hashes.select(col("media_id"), col("phash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("band"),
-        shiftrightunsigned(col("phash"), c * 14)
-          .bitwiseAND(lit(0x3FFFL)).as("key"))): _*)).as("bk"))
-      .select(col("media_id"), col("phash"), col("bk.band"),
-        col("bk.key"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("doc_a"),
-        col("y.media_id").as("doc_b"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                        maxHamming: Int = 3,
+                        maxBucket: Long = 2048L): DataFrame =
+    graft.ext.BandedPairs.classPairs(dhash(media).toDF(),
+      "media_id", "phash", nBands = 4, bandBits = 14, maxHamming,
+      maxBucket, "phash_hot_bucket")
 
   /** Content-level image dedup: group by the perceptual hash of the
     * DECODED raster, not the payload bytes — the operator that

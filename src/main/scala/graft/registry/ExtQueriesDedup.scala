@@ -413,17 +413,24 @@ object ExtQueriesDedup {
       sg AS (SELECT doc_id,
          $SimhashBitSum AS sh
        FROM h GROUP BY doc_id),
-      chunks AS (SELECT doc_id, sh, unnest([
+      cls AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
+              FROM sg GROUP BY sh),
+      chunks AS (SELECT rep, sh, n, unnest([
           {c: 0, k: (sh >> 0) & 65535},  {c: 1, k: (sh >> 16) & 65535},
           {c: 2, k: (sh >> 32) & 65535}, {c: 3, k: (sh >> 48) & 65535}])
-          AS ck FROM sg),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sh AS sh_a,
-                      y.doc_id AS doc_b, y.sh AS sh_b
+          AS ck FROM cls),
+      cand AS (SELECT DISTINCT x.rep AS doc_a, x.sh AS sh_a, x.n AS n_a,
+                      y.rep AS doc_b, y.sh AS sh_b, y.n AS n_b
                FROM chunks x JOIN chunks y
-                 ON x.ck = y.ck AND x.doc_id < y.doc_id)
+                 ON x.ck = y.ck AND x.rep < y.rep)
       SELECT doc_a, doc_b,
-             CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+             CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+             n_a, n_b, CAST(n_a * n_b AS BIGINT) AS n_pairs
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      UNION ALL
+      SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
+             n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+      FROM cls WHERE n >= 2""",
     "dedup_ngram_jaccard" ->
       """WITH tokraw AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

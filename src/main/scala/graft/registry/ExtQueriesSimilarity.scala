@@ -487,9 +487,11 @@ object ExtQueriesSimilarity {
         Multimodal.mediaDupFromDocuments(t(s, dir, "documents")))),
     // image NEAR-dup pairs: Hamming-banded dHash over the
     // edited-reupload fixture (one raster byte retouched on every
-    // third copy — the edit content hashing misses); 4x14-bit bands
-    // make the <=3-Hamming pair set lossless vs brute force, which is
-    // exactly what the oracle replays
+    // third copy — the edit content hashing misses); identical hashes
+    // collapse to classes BEFORE banding (r16 — per-row banding was
+    // Theta(k^2) per duplicate class, 97.9M rows at sf1), 4x14-bit
+    // bands make the <=3-Hamming class-pair set lossless vs brute
+    // force, which is exactly what the oracle replays
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.phashHammingPairs(
         Multimodal.mediaEditedFromDocuments(t(s, dir, "documents")))),
@@ -1161,8 +1163,11 @@ object ExtQueriesSimilarity {
     // pair replay: per-doc dHash from the generator closed form with
     // the one-byte edit folded in (channel 0 of pixel (0,0) bumped by
     // 64 mod 256 on edited docs — only grid samples reading that
-    // pixel shift), then brute-force Hamming pairs: banding at <=3
-    // bits over 4 bands is lossless by pigeonhole, so brute == banded
+    // pixel shift), grouped to DISTINCT-hash classes (r16: rep = min
+    // doc_id, n = copies), then brute-force Hamming pairs over the
+    // <= 2x97 classes plus one intra-class row per n >= 2 class —
+    // banding at <=3 bits over 4 bands is lossless by pigeonhole, so
+    // brute-over-classes == the engine's banded-class join
     "mm_phash_pairs" -> {
       def chan(c: Int, gx: String, gy: String): String = {
         val sx = s"((($gx))*width//8)"
@@ -1189,11 +1194,18 @@ object ExtQueriesSimilarity {
                  CASE WHEN ${luma("x+1", "y")} > ${luma("x", "y")}
                       THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
                       ELSE 0 END)))) AS BIGINT) AS phash
-            FROM dims)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+            FROM dims),
+      cls AS (SELECT phash, min(doc_id) AS rep, count(*) AS n
+              FROM ph GROUP BY phash)
+      SELECT a.rep AS doc_a, b.rep AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+             a.n AS n_a, b.n AS n_b, CAST(a.n * b.n AS BIGINT) AS n_pairs
+      FROM cls a JOIN cls b ON a.rep < b.rep
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      UNION ALL
+      SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
+             n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+      FROM cls WHERE n >= 2"""
     },
     // decode after a factor-2 nearest-neighbor resize: kept pixel
     // (X, Y) is source pixel (2X, 2Y), new dims are ceil-halved, and

@@ -100,9 +100,55 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, "spark query filter join group sort merge"),
       (3L, "completely 9 different 8 words 7 entirely 6 unrelated"))
       .toDF("doc_id", "text")
+    // class semantics (r16): the identical pair is ONE intra-class
+    // row (rep 1, n = 2, 1 implied doc pair), not a (1,2) row
     val out = Dedup.simhashPairs(pair, "doc_id", "text", maxHamming = 0)
-    val rows = out.select("doc_a", "doc_b").as[(Long, Long)].collect()
-    assert(rows.toSeq == Seq((1L, 2L)))
+    val rows = out.select("doc_a", "doc_b", "hamming", "n_a", "n_b",
+      "n_pairs").as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 1L, 0L, 2L, 2L, 1L)))
+  }
+
+  test("simhashPairs emits O(classes) rows: a size-k identical class is ONE row") {
+    val k = 200
+    val docs = ((1 to k).map(i => (i.toLong, "spark query filter join group sort merge")) :+
+      (1000L, "spark query filter join group sort merged"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming", "n_a", "n_b", "n_pairs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // one intra-class row for the k-copy class (k*(k-1)/2 implied
+    // pairs), plus at most one cross row to the near-dup singleton —
+    // NEVER k^2/2 rows (the pre-r16 blow-up this spec pins away)
+    val intra = out.filter(r => r._1 == r._2)
+    assert(intra == Seq((1L, 1L, 0L, k.toLong, k.toLong,
+      k.toLong * (k - 1) / 2)), s"got $intra")
+    val cross = out.filter(r => r._1 != r._2)
+    assert(cross.size <= 1 && out.size <= 2, s"got ${out.size} rows")
+    cross.foreach { r =>
+      assert(r._1 == 1L && r._2 == 1000L && r._3 >= 1L &&
+        r._4 == k.toLong && r._5 == 1L && r._6 == k.toLong, s"got $r")
+    }
+  }
+
+  test("simhashPairs n_pairs conserves the doc-level pair count exactly") {
+    // mixed fixture: duplicate classes of sizes 1..4 over near-dup
+    // text variants — class rows must re-express, not lose, the
+    // per-doc pair set: sum(n_pairs) == |brute-force doc pairs|
+    val base = "spark query filter join group sort merge stream batch"
+    val docs = (for {
+      v <- 0 until 6; copy <- 0 to (v % 4)
+    } yield ((v * 10 + copy).toLong,
+      if (v % 2 == 0) base else base + s" extra$v")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val sumPairs = out.agg(sum($"n_pairs")).as[Long].head()
+    // brute force over per-doc simhashes, driver-side
+    val hs = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      if java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield 1).size.toLong
+    assert(sumPairs == brute, s"sum(n_pairs)=$sumPairs brute=$brute")
   }
 
   test("LSH bucket pairs are a subset of brute-force pairs at the same threshold") {

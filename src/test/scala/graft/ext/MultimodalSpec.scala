@@ -196,34 +196,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_._2 >= 2), "re-encoded copies must be visible")
   }
 
-  test("phashHammingPairs: banded pairs equal brute force, edits stay near") {
+  test("phashHammingPairs: class pairs equal brute force over classes, edits stay near") {
     // ids 0..11 at copies=4 -> seeds {0,1,2,3}, three copies each;
     // ids 1,4,7,10 carry the one-byte raster edit
     val docs = (0L until 12L).toSeq.toDF("doc_id")
     val media = Multimodal.mediaEditedFromDocuments(docs, copies = 4)
-    val pairs = Multimodal.phashHammingPairs(media, maxHamming = 3)
-      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
-    // brute force over the same hashes
+    val rows = Multimodal.phashHammingPairs(media, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming", "n_a", "n_b", "n_pairs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // brute force over DISTINCT-hash classes built from the same
+    // hashes (r16 class semantics): banding must stay lossless
     val hs = Multimodal.dhash(media).collect()
       .map(m => m.media_id -> m.phash).toMap
+    val cls = hs.groupBy(_._2).map { case (h, m) =>
+      (h, m.keys.min, m.size.toLong)
+    }.toSeq
+    val cross = (for {
+      (ha, ra, na) <- cls; (hb, rb, nb) <- cls if ra < rb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ra, rb, d.toLong, na, nb, na * nb)).toSet
+    val intra = cls.filter(_._3 >= 2).map { case (_, r, n) =>
+      (r, r, 0L, n, n, n * (n - 1) / 2)
+    }.toSet
+    assert(rows == cross ++ intra,
+      s"class banding must be lossless at Hamming <= 3: $rows vs ${cross ++ intra}")
+    // the implied doc-level pair count is conserved exactly: every
+    // same-seed copy pair is representable from the class rows
+    val sumPairs = rows.toSeq.map(_._6).sum
+    val ids = hs.keys.toSeq
     val brute = (for {
-      a <- hs.keys; b <- hs.keys if a < b
-      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
-    } yield (a, b, d.toLong)).toSeq.sortBy(p => (p._1, p._2))
-    assert(pairs == brute,
-      s"banding must be lossless at Hamming <= 3: $pairs vs $brute")
-    // every same-seed pair is found: unedited copies at distance 0,
-    // edited-vs-unedited within 3 bits
-    val bySeed = (0L until 12L).groupBy(_ % 4)
-    bySeed.values.foreach { ids =>
-      for (a <- ids; b <- ids if a < b)
-        assert(pairs.exists(p => p._1 == a && p._2 == b),
-          s"same-seed pair ($a,$b) missing")
-    }
-    val zero = pairs.filter(p => p._1 % 3 != 1 && p._2 % 3 != 1 &&
-      p._1 % 4 == p._2 % 4)
-    assert(zero.forall(_._3 == 0L), "unedited same-seed copies differ?")
-    assert(pairs.exists(_._3 > 0L),
-      "at least one edited pair should sit at nonzero Hamming")
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } yield 1).size.toLong
+    assert(sumPairs == brute, s"sum(n_pairs)=$sumPairs brute=$brute")
+    // edited copies sit within 3 bits of their seed class but CAN
+    // land a nonzero-Hamming cross row — at least one must
+    assert(rows.exists(r => r._3 > 0L),
+      "at least one edited class should sit at nonzero Hamming")
+    // and unedited copies of one seed share a class (intra rows exist)
+    assert(rows.exists(r => r._1 == r._2 && r._4 >= 2L))
   }
 }

@@ -269,6 +269,44 @@ object Multimodal {
     hash
   }
 
+  /** One-decode curation profile: [[MediaFeatures]] plus the [[dhash]]
+    * fingerprint. */
+  case class MediaProfile(media_id: Long, width: Int, height: Int,
+                          n_bytes: Long, n_pixels: Long,
+                          sum_r: Long, sum_g: Long, sum_b: Long,
+                          brightness_ppm: Long, phash: Long)
+
+  /** Decode ONCE, emit everything curation needs: per-channel sums,
+    * brightness, byte/pixel counts AND the perceptual hash in a
+    * single pass over the payload bytes. The multimodal curation
+    * funnel ([[graft.registry]] `corpus_curation_mm`) runs its gates
+    * and its dedup off this table — at 100 TB the decode is the
+    * expensive pass, so quality gates and the near-dup keeper must
+    * share one, never re-decode per stage (the Gopher one-scan
+    * discipline applied to the image column). */
+  def decodeProfile(media: Dataset[MediaRecord]): Dataset[MediaProfile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.raster.length) {
+          sr += (img.raster(i) & 0xff)
+          sg += (img.raster(i + 1) & 0xff)
+          sb += (img.raster(i + 2) & 0xff)
+          i += 3
+        }
+        val nPx = img.width.toLong * img.height
+        MediaProfile(r.media_id, img.width, img.height,
+          r.payload.length.toLong, nPx, sr, sg, sb,
+          (sr + sg + sb) * 1000000L / (nPx * 3L * img.maxVal),
+          dhashOf(img))
+      }
+    }
+  }
+
   /** Duplicate-upload fixture: the same image re-hosted under many
     * doc_ids — seed = doc_id mod `copies`, so every seed's raster
     * recurs ~n/copies times — with every ODD doc_id re-encoded

@@ -556,6 +556,48 @@ object ExtQueriesSimilarity {
           (col("sum_r") + col("sum_g") + col("sum_b")).as("content_sum"))
       img.unionByName(aud).unionByName(vid)
     }),
+    // the MULTIMODAL curation flagship (VERDICT r15 #4): the text
+    // funnels' production shape applied to the image column —
+    // modality dispatch routes the image slice (doc_id % 3, the
+    // payload_stats convention) through the duplicate-upload fixture,
+    // then ONE real decode pass emits every curation feature AND the
+    // perceptual hash (decodeProfile — gates and dedup share the
+    // decode, never re-run it per stage), followed by size gate ->
+    // brightness gate -> phash keep-representative (content-level:
+    // re-encoded copies collapse where byte dedup misses) ->
+    // temperature source mixture. Funnel rows count items and decoded
+    // pixel mass per stage prefix; each prefix materializes once (the
+    // curation_funnel discipline). Every stage is an already-verified
+    // operator; this registers the composition.
+    "corpus_curation_mm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val imgDocs = docs.filter(col("doc_id") % 3 === 0)
+      val profile = Multimodal.decodeProfile(
+          Multimodal.mediaDupFromDocuments(imgDocs)).toDF()
+        .join(imgDocs.select(col("doc_id").as("media_id"),
+          col("source")), Seq("media_id"))
+      val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "size_gate" -> ((in: DataFrame) =>
+          in.filter(col("n_pixels") >= 24)),
+        "brightness_gate" -> ((in: DataFrame) =>
+          in.filter(col("brightness_ppm").between(300000L, 650000L))),
+        "phash_dedup" -> ((in: DataFrame) => in.join(
+          in.groupBy(col("phash")).agg(min(col("media_id"))
+            .as("media_id")).select("media_id"), Seq("media_id"))),
+        "temp_mixture" -> ((in: DataFrame) =>
+          Corpus.temperatureSample(in, col("source"), col("media_id"))))
+      val prefixes = stages.scanLeft("decode_profile" ->
+        graft.ext.Materialize.eager(profile)) {
+        case ((_, df), (name, stage)) =>
+          name -> graft.ext.Materialize.eager(stage(df))
+      }
+      prefixes.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_items"),
+            coalesce(sum(col("n_pixels")), lit(0L)).as("n_pixels"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_items"), col("n_pixels"))
+      }.reduce(_.unionAll(_))
+    }),
     // per-label embedding centroids in stable micro-units: components
     // floor-quantized to int64 at 1e6 (float sums order-drift; long
     // sums don't), summed per (label, dim) with the fold in decimal128
@@ -1207,6 +1249,71 @@ object ExtQueriesSimilarity {
              n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
       FROM cls WHERE n >= 2"""
     },
+    // the mm curation funnel replay: every stage is a closed-form
+    // function of the seed (raster generator) plus the doc id (copy
+    // structure, mixture bucket) — profile stats and the dHash from
+    // the per-seed generator formulas (the mm_decode_features /
+    // mm_phash_dedup forms), gates as plain predicates, the keeper as
+    // min media_id per phash, and the v3 temperature-mixture CTE
+    // chain (floor(sqrt) weights, anchor class, integer-ppm keep
+    // rule over the salted hash bucket)
+    "corpus_curation_mm" -> s"""
+      WITH m AS (SELECT doc_id AS mid, doc_id % 97 AS seed, source
+                 FROM documents WHERE doc_id % 3 = 0),
+      dims AS (SELECT DISTINCT seed AS media_id,
+              CAST(4 + seed % 13 AS BIGINT) AS width,
+              CAST(3 + seed % 7 AS BIGINT) AS height
+            FROM m),
+      sp AS (SELECT media_id AS seed, width*height AS n_pixels,
+              ${ppmChanSumSql(0)} + ${ppmChanSumSql(1)}
+                + ${ppmChanSumSql(2)} AS csum,
+              CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+                list_transform(range(0, 7), x ->
+                  CASE WHEN ${phashLumaSql("x+1", "y")}
+                          > ${phashLumaSql("x", "y")}
+                       THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                       ELSE 0 END)))) AS BIGINT) AS phash
+            FROM dims),
+      prof AS (SELECT m.mid AS media_id, m.source, sp.n_pixels, sp.phash,
+              CAST(sp.csum * 1000000 // (sp.n_pixels*3*255) AS BIGINT)
+                AS brightness_ppm
+            FROM m JOIN sp ON m.seed = sp.seed),
+      s1 AS (SELECT * FROM prof WHERE n_pixels >= 24),
+      s2 AS (SELECT * FROM s1
+             WHERE brightness_ppm BETWEEN 300000 AND 650000),
+      k3 AS (SELECT min(media_id) AS media_id FROM s2 GROUP BY phash),
+      s3 AS (SELECT s2.* FROM s2 JOIN k3 USING (media_id)),
+      tc AS (SELECT source AS cls, count(*) AS n FROM s3
+             WHERE source IS NOT NULL GROUP BY 1),
+      tw AS (SELECT cls, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+             FROM tc),
+      anc AS (SELECT n AS n0, wt AS w0 FROM tw
+              ORDER BY wt * 1000000 // n DESC, n, wt, cls LIMIT 1),
+      kp AS (SELECT cls,
+              CAST(CAST(wt AS HUGEINT) * n0 * 1000000
+                   // (CAST(n AS HUGEINT) * w0) AS BIGINT) AS keep_ppm
+              FROM tw CROSS JOIN anc),
+      s4 AS (SELECT s3.* FROM s3 JOIN kp ON s3.source = kp.cls
+             WHERE (${hex60Sql("'temp' || CAST(media_id AS VARCHAR)")}
+                    % ${Sampling.Buckets}) < kp.keep_ppm)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'decode_profile' AS stage,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(COALESCE(sum(n_pixels), 0) AS BIGINT) AS n_pixels
+      FROM prof
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'size_gate', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(n_pixels), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'brightness_gate',
+             CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(n_pixels), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'phash_dedup', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(n_pixels), 0) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'temp_mixture', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(n_pixels), 0) AS BIGINT) FROM s4""",
     // decode after a factor-2 nearest-neighbor resize: kept pixel
     // (X, Y) is source pixel (2X, 2Y), new dims are ceil-halved, and
     // n_bytes replays the re-encoded header for the NEW dims

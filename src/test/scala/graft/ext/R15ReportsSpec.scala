@@ -46,4 +46,35 @@ class R15ReportsSpec extends SparkSpec {
     // nonzero curated set on the driver corpus (the stop-hits dial)
     assert(rows.last._3 > 0, "curated output is empty")
   }
+
+  test("corpus_curation_mm: funnel is monotone, anchored at the image slice, dedup collapses copies") {
+    val rows = graft.registry.ExtQueriesSimilarity
+      .queries("corpus_curation_mm")(spark, sf0001)
+      .select("stage_idx", "stage", "n_items", "n_pixels")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq ===
+      Seq("decode_profile", "size_gate", "brightness_gate",
+        "phash_dedup", "temp_mixture"))
+    // anchored at the dispatched image slice (doc_id % 3 == 0)
+    val imgs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .count()
+    assert(rows.head._3 === imgs)
+    // every stage only removes: items and pixel mass non-increasing
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3,
+        s"stage ${cur._2} grew items: ${prev._3} -> ${cur._3}")
+      assert(cur._4 <= prev._4,
+        s"stage ${cur._2} grew pixels: ${prev._4} -> ${cur._4}")
+    }
+    // the dedup stage must actually collapse the duplicate-upload
+    // fixture (copies = doc_id % 97 share rasters): strictly fewer
+    // keepers than gate survivors, bounded by the 97 seed classes
+    val byStage = rows.map(r => r._2 -> r._3).toMap
+    assert(byStage("phash_dedup") < byStage("brightness_gate"),
+      "phash dedup removed nothing on a duplicate-heavy fixture")
+    assert(byStage("phash_dedup") <= 97L,
+      "more keepers than distinct seed rasters")
+    assert(rows.last._3 > 0, "curated output is empty")
+  }
 }

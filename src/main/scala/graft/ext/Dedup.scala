@@ -81,9 +81,11 @@ object Dedup {
       .filter(col("df_count") > maxDf)
       .select(col(keyCol)))
     val n = hot.count()
-    if (n > 0)
+    if (n > 0) {
       log.warn(s"dropping $n $what with df > $maxDf before " +
         "the pair join (bounded-index guard; raise maxDf to keep them)")
+      GuardLog.record("df_cap", n)
+    }
     hot
   }
 
@@ -281,7 +283,8 @@ object Dedup {
     // unpersist (a leak in long-lived sessions).
     val sigs = Materialize.eager(
       minhashSignatures(df, col(idCol), col(textCol), shingleN, k))
-    val long = bandBuckets(sigs, k, bands)
+    val long = cappedBandBuckets(bandBuckets(sigs, k, bands),
+      maxBucket = 1024L, guardName = "minhash_hot_bucket")
     val cands = long.as("x").join(long.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
@@ -328,7 +331,8 @@ object Dedup {
       minhashSignatures(df, col(idCol), col(textCol), shingleN, k))
     bandChoices.map { b =>
       require(k % b == 0, s"bands $b must divide k $k")
-      val long = bandBuckets(sigs, k, b)
+      val long = cappedBandBuckets(bandBuckets(sigs, k, b),
+        maxBucket = 1024L, guardName = s"minhash_tune_hot_bucket_b$b")
       val cand = Materialize.eager(long.as("x").join(long.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key")
             && col("x.doc_id") < col("y.doc_id"))
@@ -382,6 +386,32 @@ object Dedup {
         expr("n_pairs * 1000000L div t").as("share_ppm"))
   }
 
+  /** Hot-bucket cap over a banded signature table — the
+    * [[BandedPairs]] discipline applied to the minhash LSH self-joins
+    * (r16): a duplicate class of k identical texts carries identical
+    * signatures, so every band bucket it touches holds k rows and the
+    * candidate join emits k²/2 pairs from that bucket alone. Buckets
+    * holding more than `maxBucket` rows are dropped from the join,
+    * counted by an observe() metric riding the staged table, and
+    * logged at execution via [[GuardLog]] — recall-only and loud,
+    * inert on well-behaved corpora (measured sf1 occupancy tops out
+    * at 18 rows across the registered configs vs the 1024 default;
+    * `tools/BucketProbe`). The result is MATERIALIZED: both sides of
+    * the candidate self-join read it, and the observe node must
+    * execute exactly once. */
+  private def cappedBandBuckets(long: DataFrame, maxBucket: Long,
+                                guardName: String): DataFrame = {
+    GuardLog.ensure(long.sparkSession)
+    val occ = Window.partitionBy(col("band"), col("key"))
+    Materialize.eager(long
+      .withColumn("_bucket_n", count(lit(1)).over(occ))
+      .observe(GuardLog.Prefix + guardName,
+        sum(when(col("_bucket_n") > maxBucket, 1L).otherwise(0L))
+          .as("n_rows_dropped"))
+      .filter(col("_bucket_n") <= maxBucket)
+      .drop("_bucket_n"))
+  }
+
   /** Exploded (doc_id, band, key) bucket rows from a signature frame. */
   private def bandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
@@ -433,8 +463,10 @@ object Dedup {
       minhashSignatures(corpus, col(idCol), col(textCol), shingleN, k))
     val sigNew = Materialize.eager(
       minhashSignatures(batch, col(idCol), col(textCol), shingleN, k))
-    val bOld = bandBuckets(sigOld, k, bands)
-    val bNew = bandBuckets(sigNew, k, bands)
+    val bOld = cappedBandBuckets(bandBuckets(sigOld, k, bands),
+      maxBucket = 1024L, guardName = "minhash_inc_corpus_hot_bucket")
+    val bNew = cappedBandBuckets(bandBuckets(sigNew, k, bands),
+      maxBucket = 1024L, guardName = "minhash_inc_batch_hot_bucket")
     // corpus x batch collisions in either id order, normalized, plus
     // batch-internal collisions — never corpus x corpus
     val oldNew = bOld.as("x").join(bNew.as("y"),

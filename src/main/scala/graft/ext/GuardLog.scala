@@ -73,4 +73,10 @@ object GuardLog {
   /** Idempotently register the guard listener on this session. */
   def ensure(s: SparkSession): Unit =
     if (installed.add(s)) s.listenerManager.register(listener)
+
+  /** Record an EAGERLY-counted guard firing (the [[Dedup.hotKeys]]
+    * df-cap counts at staging time, not through an observe metric) so
+    * specs and the stress gate read every guard through one surface. */
+  def record(name: String, n: Long): Unit =
+    if (n > 0) fired.updateAndGet(m => m + ((Prefix + name) -> n))
 }

@@ -29,6 +29,17 @@ object BucketProbe {
     println(s"simhash: docs=${docs.count()} classes=${cls.count()}")
     occ.orderBy(col("bn").desc).limit(10).collect()
       .foreach(r => println(s"  band=${r.get(0)} key=${r.get(1)} occ=${r.get(2)}"))
+    // minhash band-bucket occupancy at the registered configs (8
+    // bands for the pairs op; 16 is the tune report's loosest)
+    val sigs = graft.ext.Dedup.minhashSignatures(
+      docs, col("doc_id"), col("text"), shingleN = 3, k = 32)
+    for (b <- Seq(4, 8, 16)) {
+      val mocc = graft.ext.Dedup.minhashBandBuckets(sigs, 32, b)
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("bn"))
+      val top = mocc.orderBy(col("bn").desc).limit(3).collect()
+      println(s"minhash bands=$b top occupancy: " +
+        top.map(_.get(2)).mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -243,6 +243,20 @@ object Dedup {
   def minhashBandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame =
     bandBuckets(sigs, k, bands)
 
+  /** [[minhashBandBuckets]] with the hot-bucket cap, for STANDING
+    * index builds (r16): a stream-static join probes the corpus index
+    * once per micro-batch, so a hot standing bucket (a 10⁴-copy
+    * corpus class carries identical signatures) costs |bucket|
+    * candidate rows per matching incoming doc on EVERY trigger —
+    * unbounded corpora need the same guard the batch self-joins got.
+    * Capped, counted, and logged at the (batch) staging execution;
+    * the streaming plan reads the materialized leaf. */
+  def minhashBandBucketsCapped(sigs: DataFrame, k: Int, bands: Int,
+                               maxBucket: Long = 1024L,
+                               guardName: String = "corpus_index_hot_bucket")
+      : DataFrame =
+    cappedBandBuckets(bandBuckets(sigs, k, bands), maxBucket, guardName)
+
   /** MinHash signature columns: ONE portable md5 per distinct shingle
     * (hex60, reduced mod 2^31-1), then k derived universal hashes
     * h_i(s) = (a_i * base + b_i) mod 2^31-1 — hashing cost is one

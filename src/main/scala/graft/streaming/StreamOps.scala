@@ -392,8 +392,13 @@ object StreamOps {
           .map(i => col("_sig")(i)): _*).as("key"))): _*)).as("bk"): _*)
       .select(carry ++ Seq(col("bk.band").as("band"),
         col("bk.key").as("key")): _*)
-    val corpusBands =
-      graft.ext.Dedup.minhashBandBuckets(corpusSigs, k, bands)
+    // capped standing index (r16): a hot corpus bucket would cost
+    // |bucket| candidates per matching incoming doc on EVERY
+    // micro-batch; the cap drops it loudly at (batch) staging time
+    // and the stream probes the materialized, bounded leaf
+    val corpusBands = graft.ext.Dedup.minhashBandBucketsCapped(
+      corpusSigs, k, bands,
+      guardName = "stream_neardup_corpus_hot_bucket")
     val joined = streamBands
       .join(corpusBands, Seq("band", "key"))
       .select(col("doc_id").as("_corpus_id") +: carry: _*)

@@ -85,4 +85,21 @@ class StressGuardsSpec extends SparkSpec {
     assert(awaitGuard("df_cap").exists(_ >= 1L),
       s"df-cap drop must be recorded; fired=${GuardLog.lastFired}")
   }
+
+  test("streaming gate's standing index is hot-bucket capped: degenerate corpus probes stay bounded") {
+    val k = 1100 // > the 1024 default cap
+    val text = (1 to 48).map(i => s"tok$i").mkString(" ")
+    val corpus = (1 to k).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, col("doc_id"),
+      col("text"), 3, 32)
+    val arriving = Seq((999999L, text)).toDF("doc_id", "text")
+    // without the cap this probe pays |bucket| = 1100 candidate rows
+    // per band on EVERY micro-batch; with it the hot standing buckets
+    // are dropped at staging (loud) and the probe sees nothing
+    val out = graft.streaming.StreamOps.nearDupGate(arriving, sigs,
+      "doc_id", "text")
+    assert(out.count() === 0L)
+    assert(awaitGuard("stream_neardup_corpus_hot_bucket").contains(8L * k),
+      s"fired=${GuardLog.lastFired}")
+  }
 }

@@ -1749,24 +1749,35 @@ object Corpus {
     * "another crawl of the same sources buys little" — the
     * per-slice twin of [[boilerplateNgrams]]'s per-doc view.
     *
-    * Scale shape: one shingle explode -> distinct (doc, shingle) ->
-    * a shingle-keyed min-agg (map-side combined, 8-byte-hashable
-    * key) joined back to the SAME frame (materialized once), then a
-    * bucket-keyed rollup of |buckets| rows. Attribution via min is
-    * one shuffle on the shingle key — never a corpus self-join. */
+    * Scale shape: one shingle explode -> distinct (doc, shingle),
+    * materialized once, then TWO bucket-sized aggregations over it —
+    * occupancy (pairs per bucket) and first-carrier counts (shingles
+    * whose min doc_id lands in the bucket) — joined on the
+    * |buckets|-row spine. A shingle's first-carrier pair
+    * (first_doc, shingle) is itself a pair in the frame, so counting
+    * min-docs per bucket IS counting novel pairs per bucket; the
+    * corpus-sized pairs-to-first shuffle join the naive attribution
+    * form pays (re-keying doc x shingle rows on the shingle a second
+    * time) buys nothing — [[heapsBucketFit]]'s occ/fresh shape,
+    * measured 6.1 -> 3.4 s median at sf0.1 (SCALE.md r16). */
   def noveltyCurve(df: DataFrame, id: Column, text: Column,
                    n: Int = 3, bucketSize: Long = 50L): DataFrame = {
     val pairs = Materialize.eager(
       df.select(id.as("doc_id"),
           explode(TextOps.wordShingles(text, n)).as("shingle"))
         .distinct())
-    val first = pairs.groupBy(col("shingle"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    pairs.join(first, Seq("shingle"))
+    val occ = pairs
       .groupBy(expr(s"doc_id div ${bucketSize}L").as("ingest_bucket"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum((col("doc_id") === col("first_doc")).cast("long"))
-          .as("n_novel"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = pairs.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div ${bucketSize}L").as("ingest_bucket"))
+      .agg(count(lit(1)).as("n_novel"))
+    // novel buckets are a subset of occ buckets (every first_doc is a
+    // carrier), so occ is the spine and missing novel counts are 0
+    occ.join(broadcast(novel), Seq("ingest_bucket"), "left")
+      .select(col("ingest_bucket"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
   }
 

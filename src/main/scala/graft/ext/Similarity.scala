@@ -303,6 +303,63 @@ object Similarity {
     assignTo(normed, centroids)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning inside k-means cells. Every vector is
+    * assigned to its Lloyd-fit cell, ranked within the cell by cosine
+    * to the centroid (most-central first, id tiebreak), and REMOVED
+    * iff some EARLIER-ranked cell member sits within `eps` cosine —
+    * the paper's keep rule: scanning the cell in centrality order,
+    * each point is checked against everything before it (kept or
+    * not), so exactly the most-central member of each near-dup chain
+    * survives. Deterministic end to end, so the whole decision —
+    * including the iterative centroid fit — is hash-verifiable in
+    * SQL.
+    *
+    * Returns one row per vector: (vec_id, centroid_id, cell_rank,
+    * removed_by, is_removed) with removed_by = the lowest-id earlier
+    * neighbor that triggered removal (NULL for kept rows).
+    *
+    * Scale shape: clustering bounds the candidate stream — pairs are
+    * generated per cell (avg cell = n / nCentroids, ~sqrt(n) under
+    * [[autoCentroids]]), keyed by centroid_id, never corpus x corpus.
+    * The rank window and the occupancy count share one cell-keyed
+    * Exchange. Mega cells (a degenerate corpus collapsing into one
+    * cell — the semantic twin of the banded-pair hot bucket) are
+    * excluded from the pair join above `maxCell` members, counted by
+    * an `observe` metric and logged through [[GuardLog]]: their rows
+    * are all KEPT, loudly — dedup recall is lost only where the cell
+    * went quadratic, which is exactly when it must not run. */
+  def semDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, eps: Double, maxCell: Long = 4096L,
+               guardName: String = "semdedup_mega_cell"): DataFrame = {
+    GuardLog.ensure(emb.sparkSession)
+    val cw = Window.partitionBy(col("centroid_id"))
+    val ranked = Materialize.eager(
+      ivfAssignWith(centroids, emb, idCol, vecCol)
+        .join(broadcast(centroids), Seq("centroid_id"))
+        .withColumn("cos_c", dot(col("v"), col("cv")))
+        .withColumn("cell_rank", row_number().over(
+          cw.orderBy(col("cos_c").desc, col("vec_id"))))
+        .withColumn("_cell_n", count(lit(1)).over(cw))
+        .observe(GuardLog.Prefix + guardName,
+          sum(when(col("_cell_n") > maxCell, 1L).otherwise(0L))
+            .as("n_mega_cell_rows_kept_undeduped"))
+        .select(col("vec_id"), col("centroid_id"), col("v"),
+          col("cell_rank"), col("_cell_n")))
+    val joinable = ranked.filter(col("_cell_n") <= maxCell)
+    val removed = joinable.as("a").join(joinable.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("b.cell_rank") < col("a.cell_rank"))
+      .filter(dot(col("a.v"), col("b.v")) >= lit(eps))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("removed_by"))
+    ranked.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("cell_rank").cast("long").as("cell_rank"),
+        col("removed_by"),
+        when(col("removed_by").isNull, 0L).otherwise(1L).as("is_removed"))
+  }
+
   /** Product-quantization codebooks (Jegou et al. 2011): split the
     * unit-normalized vector into `m` contiguous subspaces and run an
     * independent k-means (`ksub` codewords, `iters` Lloyd rounds) in

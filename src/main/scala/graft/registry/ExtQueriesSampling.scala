@@ -66,6 +66,44 @@ object ExtQueriesSampling {
       t(s, dir, "documents").select(col("doc_id"), col("source"),
         Sampling.splitColumn(col("source"), valPct = 0.1, testPct = 0.1,
           salt = "grp").as("split"))),
+    // leakage-safe split at the NEAR-DUP-CLOSURE level: the split key
+    // is the connected-component label over the staged 0.8-jaccard
+    // pair graph, so two near-duplicate documents can never straddle
+    // train/val/test (Lee et al. 2022's contamination concern — a
+    // doc-keyed split leaks every split-straddling near-dup pair into
+    // eval). Per (source, split) doc counts, plus the audit pair: the
+    // component split's straddle count (0 by construction, COMPUTED
+    // from the pair table, not asserted) next to the straddle count
+    // the naive doc-keyed split would have produced on the same pairs
+    "sample_component_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ext.PairStage.jaccardPairs(s, dir)
+      val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id")), pairs)
+      val assigned = docs.select(col("doc_id"), col("source"))
+        .join(comps, Seq("doc_id"))
+        .withColumn("split", Sampling.splitColumn(col("component"),
+          valPct = 0.1, testPct = 0.1, salt = "comp"))
+        .withColumn("_naive", Sampling.splitColumn(col("doc_id"),
+          valPct = 0.1, testPct = 0.1, salt = "comp"))
+      val sp = assigned.select(col("doc_id"), col("split"), col("_naive"))
+      val straddle = pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("_ca"),
+          col("_naive").as("_na")), Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("_cb"),
+          col("_naive").as("_nb")), Seq("doc_b"))
+        .agg(
+          coalesce(sum((col("_ca") =!= col("_cb")).cast("long")), lit(0L))
+            .as("n_cross_pairs"),
+          coalesce(sum((col("_na") =!= col("_nb")).cast("long")), lit(0L))
+            .as("n_cross_pairs_naive"))
+        .withColumn("_one", lit(1))
+      assigned.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("_one", lit(1))
+        .join(broadcast(straddle), Seq("_one"))
+        .drop("_one")
+    }),
     // class rebalancing: every event_type deterministically
     // downsampled to the minority class's count (in expectation)
     "balance_event_classes" -> ((s, dir) =>
@@ -140,6 +178,40 @@ object ExtQueriesSampling {
                     < ${(0.2 * Sampling.Buckets).toLong} THEN 'val'
                   ELSE 'train' END AS split
       FROM documents""",
+    // component-keyed split over the shared clusters CTE block, with
+    // both straddle audits computed from the same pairs CTE the
+    // clustering walked
+    "sample_component_split" -> {
+      def splitCase(key: String) = s"""
+             CASE WHEN (${hex60Sql(s"'comp' || CAST($key AS VARCHAR)")}
+                          % ${Sampling.Buckets})
+                    < ${(0.1 * Sampling.Buckets).toLong} THEN 'test'
+                  WHEN (${hex60Sql(s"'comp' || CAST($key AS VARCHAR)")}
+                          % ${Sampling.Buckets})
+                    < ${(0.2 * Sampling.Buckets).toLong} THEN 'val'
+                  ELSE 'train' END"""
+      s"""
+      WITH RECURSIVE
+      ${clustersCtes("SELECT doc_id, text FROM documents")},
+      comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM walk GROUP BY node),
+      asg AS (SELECT d.doc_id, d.source,
+                ${splitCase("comp.component")} AS split,
+                ${splitCase("d.doc_id")} AS naive
+              FROM documents d JOIN comp ON comp.doc_id = d.doc_id),
+      st AS (SELECT
+               COALESCE(CAST(sum(CASE WHEN a.split <> b.split
+                 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_cross_pairs,
+               COALESCE(CAST(sum(CASE WHEN a.naive <> b.naive
+                 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_cross_pairs_naive
+             FROM pairs p
+             JOIN asg a ON a.doc_id = p.doc_a
+             JOIN asg b ON b.doc_id = p.doc_b),
+      cells AS (SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+                FROM asg GROUP BY 1, 2)
+      SELECT source, split, n_docs, n_cross_pairs, n_cross_pairs_naive
+      FROM cells CROSS JOIN st"""
+    },
     "balance_event_classes" -> s"""
       WITH c AS (SELECT event_type AS cls, count(*) AS n
                  FROM events GROUP BY 1),

@@ -14,23 +14,26 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    // self dot product + norm per row
-    emb.select(col("vec_id"),
-        Similarity.dot(col("embedding"), col("embedding")).as("dot_self"),
-        Similarity.norm(col("embedding")).as("norm"))
-      .coalesce(1).write.mode("overwrite").parquet("/tmp/probe_dot")
-    // percentile probe: Spark exact interpolated percentiles
-    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-      .selectExpr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99)) as p")
-      .show(false)
-    // events ts conversion probe
-    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    ev.printSchema()
-    ev.select(col("event_id"),
-        date_format(timestamp_micros(expr("ts div 1000")),
-          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
-      .coalesce(1).write.mode("overwrite").parquet("/tmp/probe_ts")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val nC = Similarity.autoCentroids(n)
+    println(s"[probe] n=$n nC=$nC")
+    val cents = graft.ext.PairStage.ivfCentroids(spark, dir, nC, iters = 2)
+    for (eps <- Seq(0.3, 0.5, 0.7, 0.8, 0.9)) {
+      val r = Similarity.semDedup(emb, cents, "vec_id", "embedding", eps)
+      val agg = r.agg(count(lit(1)).as("n"),
+        sum(col("is_removed")).as("n_removed")).collect()(0)
+      println(s"[probe] eps=$eps n=${agg.getLong(0)} removed=${agg.getLong(1)}")
+    }
+    // within-cell earlier-pair cosine distribution (percentiles)
+    val assigned = Similarity.ivfAssignWith(cents, emb, "vec_id", "embedding")
+    val p = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(Similarity.dot(col("a.v"), col("b.v")).as("cos"))
+    p.selectExpr("count(*) as n_pairs",
+      "percentile(cos, array(0.5, 0.9, 0.99, 0.999, 1.0)) as pct").show(false)
     spark.stop()
   }
 }

@@ -101,7 +101,12 @@ class RegistryPlanLintSpec extends SparkSpec {
     // SAME staged fit; the KMV overlap matrix inherits
     // sketch_kmv_jaccard's tiny class-list cross (20 sources) and
     // k-row sketch joins — every BNLJ side is metadata-sized
-    "ann_mips_recall_report", "dedup_source_overlap_kmv")
+    "ann_mips_recall_report", "dedup_source_overlap_kmv",
+    // r16 session-2: the component split joins its 1-row straddle
+    // audit (two straddle counts folded over the staged pair table)
+    // onto the |sources| x 3 cell frame — the literal-key equi-join
+    // folds to condition-free
+    "sample_component_split")
 
   /** Queries whose UNPARTITIONED window frames are metadata-sized by
     * construction (r16 audit — a global window funnels every row into

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SemDeDup semantic pruning and the component-keyed leakage-safe
+  * split (r16 session-2 additions). */
+class SemDedupSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def awaitGuard(name: String, deadlineMs: Long = 10000): Option[Long] = {
+    val full = GuardLog.Prefix + name
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    var got = GuardLog.lastFired.get(full)
+    while (got.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      got = GuardLog.lastFired.get(full)
+    }
+    got
+  }
+
+  /** Two well-separated directions with an exact duplicate in each of
+    * two of the four cell-X members; ids chosen so the deterministic
+    * init (lowest two ids) seeds one centroid per true cluster. */
+  private lazy val fixture = Seq(
+    (1L, Array(1.0f, 0f, 0f, 0f)),
+    (2L, Array(0f, 1.0f, 0f, 0f)),
+    (3L, Array(1.0f, 0f, 0f, 0f)),    // copy of 1
+    (4L, Array(0.8f, 0.6f, 0f, 0f)),
+    (5L, Array(0f, 0.8f, 0.6f, 0f)),
+    (6L, Array(0.8f, 0.6f, 0f, 0f)))  // copy of 4
+    .toDF("vec_id", "embedding")
+
+  test("semDedup removes exactly the later copy of each duplicate, keeps rank 1") {
+    val cents = Similarity.ivfCentroids(fixture, "vec_id", "embedding",
+      nCentroids = 2, iters = 2)
+    val out = Similarity.semDedup(fixture, cents, "vec_id", "embedding",
+        eps = 0.95)
+      .select("vec_id", "cell_rank", "removed_by", "is_removed")
+      .as[(Long, Long, Option[Long], Long)].collect()
+    assert(out.length == 6)
+    val removed = out.filter(_._4 == 1L).map(r => r._1 -> r._3.get).toMap
+    // cos(1,3) = cos(4,6) = 1 >= 0.95; cos(1,4) = 0.8 < 0.95 — only
+    // the exact copies fall, each attributed to its original
+    assert(removed == Map(3L -> 1L, 6L -> 4L), s"got $removed")
+    // the most central member of every cell survives by construction
+    out.filter(_._2 == 1L).foreach { r =>
+      assert(r._4 == 0L, s"cell_rank 1 row ${r._1} was removed")
+    }
+    // removed_by and is_removed agree row by row
+    out.foreach { r => assert((r._3.isDefined) == (r._4 == 1L)) }
+  }
+
+  test("semDedup mega-cell guard keeps everything and fires loudly") {
+    val cents = Similarity.ivfCentroids(fixture, "vec_id", "embedding",
+      nCentroids = 2, iters = 2)
+    val out = Similarity.semDedup(fixture, cents, "vec_id", "embedding",
+        eps = 0.95, maxCell = 1L, guardName = "semdedup_spec_cap")
+      .agg(sum(col("is_removed"))).as[Long].collect()(0)
+    // every cell exceeds the cap: no pair join runs, nothing removed
+    assert(out == 0L)
+    // both cells (4 + 2 rows) counted as kept-undeduped
+    assert(awaitGuard("semdedup_spec_cap").contains(6L))
+  }
+
+  test("sample_component_split: zero straddle by construction, naive straddles counted") {
+    val rows = graft.registry.ExtQueriesSampling
+      .queries("sample_component_split")(spark, sf0001)
+      .select("source", "split", "n_docs", "n_cross_pairs",
+        "n_cross_pairs_naive")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the component key makes straddling impossible — and the query
+    // COMPUTES that from the pair table rather than asserting it
+    assert(rows.forall(_._4 == 0L))
+    // the audit columns are global constants across cells
+    assert(rows.map(r => (r._4, r._5)).distinct.length == 1)
+    assert(rows.forall(r => Set("train", "val", "test").contains(r._2)))
+    val total = rows.map(_._3).sum
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(total == corpus, s"split cells cover $total of $corpus docs")
+  }
+}

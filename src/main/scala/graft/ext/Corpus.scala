@@ -457,11 +457,16 @@ object Corpus {
     * (materialized, shared by the occurrence and first-carrier
     * aggregates), then <=64 rows end-to-end. */
   def heapsBucketFit(df: DataFrame, id: Column, text: Column,
-                     n: Int = 3): DataFrame = {
-    val pairs = Materialize.eager(
+                     n: Int = 3): DataFrame =
+    heapsBucketFitFrom(Materialize.eager(
       df.select(id.as("doc_id"),
           explode(TextOps.wordShingles(text, n)).as("shingle"))
-        .distinct())
+        .distinct()))
+
+  /** [[heapsBucketFit]] over a pre-materialized DISTINCT (doc_id,
+    * shingle) frame — the registry path reads the staged
+    * [[PairStage.shingleSets]] artifact (see [[noveltyCurveFrom]]). */
+  def heapsBucketFitFrom(pairs: DataFrame): DataFrame = {
     val occ = pairs
       .groupBy(length(bin(col("doc_id") + 1)).cast("long").as("g"))
       .agg(count(lit(1)).as("n_occ"))
@@ -1761,11 +1766,18 @@ object Corpus {
     * time) buys nothing — [[heapsBucketFit]]'s occ/fresh shape,
     * measured 6.1 -> 3.4 s median at sf0.1 (SCALE.md r16). */
   def noveltyCurve(df: DataFrame, id: Column, text: Column,
-                   n: Int = 3, bucketSize: Long = 50L): DataFrame = {
-    val pairs = Materialize.eager(
+                   n: Int = 3, bucketSize: Long = 50L): DataFrame =
+    noveltyCurveFrom(Materialize.eager(
       df.select(id.as("doc_id"),
           explode(TextOps.wordShingles(text, n)).as("shingle"))
-        .distinct())
+        .distinct()), bucketSize)
+
+  /** [[noveltyCurve]] over a pre-materialized DISTINCT (doc_id,
+    * shingle) frame — the registry path reads the staged
+    * [[PairStage.shingleSets]] artifact so the corpus-sized explode +
+    * distinct is paid once per snapshot, not once per report. */
+  def noveltyCurveFrom(pairs: DataFrame,
+                       bucketSize: Long = 50L): DataFrame = {
     val occ = pairs
       .groupBy(expr(s"doc_id div ${bucketSize}L").as("ingest_bucket"))
       .agg(count(lit(1)).as("n_shingles"))

@@ -322,6 +322,28 @@ object PairStage {
     (spark.read.parquet(s"$path/merges"), spark.read.parquet(s"$path/state"))
   }
 
+  /** The staged DISTINCT (doc_id, word-n-shingle) occurrence frame of
+    * the RAW documents corpus — the base artifact of the
+    * novelty/Heaps vocabulary-growth family. The explode + distinct
+    * is the dominant cost of every consumer (two shuffles of a
+    * corpus x shingles frame); at 100 TB it is computed once per
+    * corpus snapshot and read by each growth report, exactly like the
+    * pair tables above. Same build-once contract and keying as
+    * [[lshPairs]]. */
+  def shingleSets(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val key = Seq("shset", spark.sparkContext.applicationId, dir, n)
+      .mkString("|")
+    val path = stagedPath(spark, "shingle_sets", key) { p =>
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            TextOps.wordShingles(col("text"), n)).as("shingle"))
+        .distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** The staged exact n-gram-jaccard pair table over the RAW documents
     * corpus — shared by the clustering consumers (components +
     * representative selection). Same build-once contract and keying as

@@ -30,8 +30,7 @@ object ExtQueriesCorpus {
     // marginal-novelty curve per ingest slice: share of (doc, distinct
     // 3-shingle) pairs whose doc is the shingle's first carrier
     "corpus_novelty_curve" -> ((s, dir) =>
-      Corpus.noveltyCurve(t(s, dir, "documents"), col("doc_id"),
-        col("text"))),
+      Corpus.noveltyCurveFrom(graft.ext.PairStage.shingleSets(s, dir))),
     // the resampling half of DSIR: keep probability is a monotone
     // clamp of the per-doc milli-bit advantage, the coin is the
     // portable hash threshold — per-source before/after report
@@ -497,8 +496,7 @@ object ExtQueriesCorpus {
     // attribution: octave doc buckets, triangular cumulative, the
     // same fixed-point-log2 least squares on BOTH coordinates
     "corpus_heaps_fit" -> ((s, dir) =>
-      Corpus.heapsBucketFit(t(s, dir, "documents"), col("doc_id"),
-        col("text"))),
+      Corpus.heapsBucketFitFrom(graft.ext.PairStage.shingleSets(s, dir))),
     // truncation dups: same first-20-token md5, keep the longest
     "dedup_prefix_truncation" -> ((s, dir) =>
       Corpus.prefixTruncationReport(t(s, dir, "documents"),

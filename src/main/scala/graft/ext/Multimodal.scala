@@ -210,6 +210,83 @@ object Multimodal {
     }
   }
 
+  /** One row of the decode-or-quarantine surface: decoded stats for
+    * parseable payloads, a classified error for the rest. */
+  case class QuarantineRow(media_id: Long, status: String,
+                           err_class: Option[String], width: Option[Long],
+                           height: Option[Long],
+                           brightness_ppm: Option[Long])
+
+  /** Deterministic corruption of a media fixture — the hostile slice
+    * every real crawl contains (truncated fetches, content-type lies,
+    * zero-byte bodies). media_id % 11 picks the fate: 0 → payload cut
+    * to half (header survives, raster short), 1 → magic byte
+    * destroyed, 2 → empty payload; everything else passes through
+    * untouched. Closed-form in the id, so an oracle can replay the
+    * classification without parsing bytes. */
+  def corruptFixture(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        java.lang.Math.floorMod(m.media_id, 11L) match {
+          case 0L => m.copy(payload =
+            java.util.Arrays.copyOf(m.payload, m.payload.length / 2))
+          case 1L =>
+            val p = m.payload.clone()
+            if (p.nonEmpty) p(0) = 'X'.toByte
+            m.copy(payload = p)
+          case 2L => m.copy(payload = Array.emptyByteArray)
+          case _ => m
+        }
+      }
+    }
+  }
+
+  /** Decode-or-quarantine: the production form of [[decodeFeatures]].
+    * The strict parser's loud failure is the right contract for a
+    * gate, but at 100 TB one corrupt payload in a trillion must not
+    * kill the job — here every payload decodes inside a per-row
+    * try/catch, parse failures become CLASSIFIED quarantine rows
+    * (bad_magic / truncated_raster / malformed_header) instead of
+    * task deaths, and the quarantine count rides an `observe` metric
+    * through [[GuardLog]] so the rot rate is loud in the logs without
+    * a second pass. Good rows carry the parsed dimensions and the
+    * exact integer brightness; quarantined rows carry NULL stats —
+    * nothing downstream can mistake a half-decoded image for data. */
+  def decodeQuarantine(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    GuardLog.ensure(spark)
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val img = Ppm.decode(r.payload)
+          var s = 0L
+          var i = 0
+          while (i < img.raster.length) {
+            s += (img.raster(i) & 0xff); i += 1
+          }
+          val nPx = img.width.toLong * img.height
+          QuarantineRow(r.media_id, "ok", None, Some(img.width.toLong),
+            Some(img.height.toLong),
+            Some(s * 1000000L / (nPx * 3L * img.maxVal)))
+        } catch {
+          case e: IllegalArgumentException =>
+            val m = if (e.getMessage == null) "" else e.getMessage
+            val cls =
+              if (m.contains("bad magic")) "bad_magic"
+              else if (m.contains("truncated raster")) "truncated_raster"
+              else "malformed_header"
+            QuarantineRow(r.media_id, "quarantined", Some(cls),
+              None, None, None)
+        }
+      }
+    }.toDF().observe(GuardLog.Prefix + "mm_quarantined",
+      sum(when(col("status") === "quarantined", 1L).otherwise(0L))
+        .as("n_quarantined"))
+  }
+
   /** Perceptual hash record: 56-bit difference hash. */
   case class MediaHash(media_id: Long, phash: Long)
 

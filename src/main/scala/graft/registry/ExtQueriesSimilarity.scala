@@ -466,6 +466,14 @@ object ExtQueriesSimilarity {
     "mm_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+    // decode-or-quarantine over a deterministically hostile fixture
+    // (1/11 truncated, 2/11 unparseable): corrupt payloads become
+    // classified quarantine rows instead of task deaths, counted
+    // loudly through GuardLog — the form a 100 TB decode job runs
+    "mm_decode_quarantine" -> ((s, dir) =>
+      Multimodal.decodeQuarantine(
+        Multimodal.corruptFixture(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents"))))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameScanlines(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")),
@@ -1157,6 +1165,33 @@ object ExtQueriesSimilarity {
              CAST((sum_r + sum_g + sum_b) * 1000000
                   // (width*height*3*255) AS BIGINT) AS brightness_ppm
       FROM sums""",
+    // quarantine replay: the corruption fate is closed-form in the id
+    // (0 mod 11 -> header survives but the raster is short; 1 and
+    // 2 mod 11 -> the magic check fails), so the classification and
+    // the surviving rows' generator stats replay without parsing a
+    // byte — a decoder that dies, misclassifies, or half-decodes a
+    // corrupt payload cannot hash-match
+    "mm_decode_quarantine" -> s"""
+      WITH cls AS (SELECT doc_id AS media_id,
+              CAST(4 + doc_id % 13 AS BIGINT) AS width,
+              CAST(3 + doc_id % 7 AS BIGINT) AS height,
+              CASE WHEN doc_id % 11 = 0 THEN 'truncated_raster'
+                   WHEN doc_id % 11 IN (1, 2) THEN 'bad_magic'
+                   ELSE NULL END AS err_class
+            FROM documents),
+      oksum AS (SELECT media_id,
+              ${ppmChanSumSql(0)} + ${ppmChanSumSql(1)}
+                + ${ppmChanSumSql(2)} AS s
+            FROM cls WHERE err_class IS NULL)
+      SELECT c.media_id,
+             CASE WHEN c.err_class IS NULL THEN 'ok'
+                  ELSE 'quarantined' END AS status,
+             c.err_class,
+             CASE WHEN c.err_class IS NULL THEN c.width END AS width,
+             CASE WHEN c.err_class IS NULL THEN c.height END AS height,
+             CAST(o.s * 1000000 // (c.width*c.height*3*255) AS BIGINT)
+               AS brightness_ppm
+      FROM cls c LEFT JOIN oksum o USING (media_id)""",
     // dHash replay: 8x8 NN luma grid from the generator formula, 7
     // horizontal strict-> comparisons per row, bit y*7+x — 56 bits,
     // positive signed-64 by construction

@@ -236,4 +236,45 @@ class MultimodalSpec extends SparkSpec {
     // and unedited copies of one seed share a class (intra rows exist)
     assert(rows.exists(r => r._1 == r._2 && r._4 >= 2L))
   }
+
+  test("decodeQuarantine classifies hostile payloads, never dies, and is loud") {
+    import org.apache.spark.sql.functions._
+    val (w, h) = Multimodal.fixtureDims(5L)
+    val good = Ppm.encode(5L, w, h)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", good, w, h, "image/ppm"),
+      // raster cut short but header intact
+      Multimodal.MediaRecord(2L, "image",
+        java.util.Arrays.copyOf(good, good.length / 2), w, h, "image/ppm"),
+      // wrong magic
+      Multimodal.MediaRecord(3L, "image",
+        "P5\n4 3\n255\n".getBytes(US_ASCII), w, h, "image/ppm"),
+      // empty body
+      Multimodal.MediaRecord(4L, "image", Array.emptyByteArray, w, h,
+        "image/ppm"),
+      // magic ok, header garbage
+      Multimodal.MediaRecord(5L, "image", "P6\nxyz".getBytes(US_ASCII),
+        w, h, "image/ppm"),
+      // degenerate dimensions
+      Multimodal.MediaRecord(6L, "image", "P6\n0 3\n255\n".getBytes(US_ASCII),
+        w, h, "image/ppm"))
+      .toDS()
+    val out = Multimodal.decodeQuarantine(rows)
+      .select("media_id", "status", "err_class")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3.orNull)).toSeq == Seq(
+      (1L, "ok", null),
+      (2L, "quarantined", "truncated_raster"),
+      (3L, "quarantined", "bad_magic"),
+      (4L, "quarantined", "bad_magic"),
+      (5L, "quarantined", "malformed_header"),
+      (6L, "quarantined", "malformed_header")), s"got ${out.toSeq}")
+    // the ok row still carries real decoded stats
+    val okRow = Multimodal.decodeQuarantine(rows)
+      .filter(col("status") === "ok")
+      .select("width", "height", "brightness_ppm")
+      .as[(Option[Long], Option[Long], Option[Long])].collect()(0)
+    assert(okRow._1.contains(w.toLong) && okRow._2.contains(h.toLong))
+    assert(okRow._3.exists(b => b >= 0L && b <= 1000000L))
+  }
 }

@@ -236,6 +236,31 @@ object PairStage {
     spark.read.parquet(path)
   }
 
+  /** The staged SEMANTIC corpus index for the streaming admission
+    * gate: the standing corpus (`vec_id % 10 != excludeMod`) assigned
+    * with the STALE fit ([[ivfCentroidsCorpus]]) — (vec_id,
+    * centroid_id, v) with v unit-normalized, the inverted-list
+    * membership a deployed semantic dedup gate persists next to its
+    * centroids. The gate's stream side probes cells every
+    * micro-batch; re-assigning the corpus per batch would re-pay the
+    * corpus-wide normalize/argmax work the index amortizes. Exact
+    * parquet round-trip (int64 ids + IEEE-double unit vectors). */
+  def semanticCorpusIndex(spark: SparkSession, dir: String,
+                          nCentroids: Int, iters: Int,
+                          excludeMod: Int): DataFrame = {
+    val key = Seq("semidx", spark.sparkContext.applicationId, dir,
+      nCentroids, iters, excludeMod).mkString("|")
+    val path = stagedPath(spark, "semidx", key) { p =>
+      Similarity.ivfAssignWith(
+          ivfCentroidsCorpus(spark, dir, nCentroids, iters, excludeMod),
+          graft.Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") % 10 =!= excludeMod),
+          "vec_id", "embedding")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** The staged PQ index — (codebooks, encoded corpus): the two
     * artifacts a production PQ deployment persists (re-encoding the
     * corpus per search would defeat the compression). One per-subspace

@@ -153,6 +153,27 @@ object StreamQueries {
   private val stagedDocs =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
 
+  /** Staged INCOMING-embedding stream source (`vec_id % 10 == modEq`)
+    * — the [[docStreamSource]] contract for the semantic gate. */
+  private val stagedEmb =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+
+  private def embStreamSource(s: SparkSession, dir: String,
+                              modEq: Int): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 === modEq)
+    val stage = stagedEmb.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir, modEq), {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_stream_emb").toString
+        emb.write.mode("overwrite").parquet(d)
+        graft.ext.Scratch.reclaimOnExit(d)
+        d
+      })
+    s.readStream.schema(emb.schema).parquet(stage)
+  }
+
   private def docStreamSource(s: SparkSession, dir: String,
                               modEq: Int): DataFrame = {
     // modEq < 0 streams the FULL corpus (the ingest-gate queries);
@@ -276,6 +297,28 @@ object StreamQueries {
           sigs, "doc_id", "text", shingleN = 3, k = 32, bands = 8,
           threshold = 0.5, eventTimeCol = Some("arrival_ts")),
         "graft_mem_neardup_gate", OutputMode.Append())
+    }),
+    // semantic admission gate: arrivals assigned to stale-fit cells
+    // as a per-row literal fold (zero shuffle), probed against the
+    // staged standing-corpus index, cell-mates within eps cosine
+    // flagged before the arrival lands — the embedding-space twin of
+    // stream_neardup_gate, sharing its bounded-state contract
+    "stream_semdedup_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
+      val standing = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 3).count()
+      val nC = graft.ext.Similarity.autoCentroids(standing)
+      StreamOps.runToMemory(
+        StreamOps.semanticGate(
+          embStreamSource(s, dir, modEq = 3).withColumn("arrival_ts",
+            timestamp_seconds(lit(1700000000L) +
+              pmod(col("vec_id"), lit(3600)))),
+          graft.ext.PairStage.ivfCentroidsCorpus(s, dir, nC, iters = 2,
+            excludeMod = 3),
+          graft.ext.PairStage.semanticCorpusIndex(s, dir, nC, iters = 2,
+            excludeMod = 3),
+          "vec_id", "embedding", eps = 0.3,
+          eventTimeCol = Some("arrival_ts")),
+        "graft_mem_semdedup_gate", OutputMode.Append())
     }),
     // seasonally-adjusted streaming drift gate (VERDICT r14 #4 — the
     // cusumChangepoint x seasonalHourly streaming composition): the
@@ -534,6 +577,25 @@ object StreamQueries {
     // STANDING corpus; intra-batch dedup is the batch job's concern.
     "stream_neardup_gate" -> QueryShared.minhashPairsSql(
       extraWhere = " AND ((doc_a % 10 = 3) <> (doc_b % 10 = 3))"),
+    // semantic gate replay: the stale fit (standing corpus only),
+    // ALL embeddings assigned with the stale centroids (the av
+    // shape), then arrival x standing cell-mate pairs at >= eps
+    // cosine; standing cells above the cap excluded like the Spark
+    // guard
+    "stream_semdedup_gate" -> s"""
+      WITH ${QueryShared.ivfAssignCtes(2,
+        fitWhere = "vec_id % 10 <> 3", assignFrom = "av")},
+      szc AS (SELECT centroid_id, count(*) AS n_cell
+              FROM ca WHERE vec_id % 10 <> 3 GROUP BY 1)
+      SELECT least(a.vec_id, b.vec_id) AS vec_a,
+             greatest(a.vec_id, b.vec_id) AS vec_b,
+             ${QueryShared.dotSql("a.v", "b.v")} AS cosine
+      FROM ca a
+      JOIN ca b ON a.centroid_id = b.centroid_id
+               AND a.vec_id % 10 = 3 AND b.vec_id % 10 <> 3
+      JOIN szc ON szc.centroid_id = a.centroid_id
+      WHERE szc.n_cell <= 4096
+        AND ${QueryShared.dotSql("a.v", "b.v")} >= 0.3""",
     // batch replay of the seasonally-adjusted CUSUM over the streamed
     // hourly counts: gap-filled spine, per-(key, hod) seasonal means,
     // ppm deviations, running-sum-minus-running-min closed form, alarm

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -419,6 +419,93 @@ object StreamOps {
       .select(least(col("_corpus_id"), col("_gate_id")).as("doc_a"),
         greatest(col("_corpus_id"), col("_gate_id")).as("doc_b"),
         col("est_jaccard"))
+  }
+
+  /** Ingest-time SEMANTIC admission gate — the streaming shape of
+    * [[graft.ext.Similarity.semDedup]]'s corpus x batch contract:
+    * each incoming embedding is unit-normalized and assigned to its
+    * k-means cell as a NARROW PER-ROW FOLD over the fitted centroids
+    * (the quantizer is metadata-sized by the autoCentroids contract,
+    * so it collects once at plan build and rides the plan as a
+    * literal — zero shuffle and zero streaming state on the stream
+    * side, the argmax/tie order identical to the batch assignment),
+    * then stream-static joins its cell against the STANDING corpus's
+    * staged semantic index
+    * ([[graft.ext.PairStage.semanticCorpusIndex]]); cell-mates within
+    * `eps` cosine are emitted as (vec_a, vec_b, cosine) admission
+    * flags BEFORE the arrival lands in the corpus. Intra-batch
+    * near-dups are the batch job's concern, same as [[nearDupGate]].
+    *
+    * Scale shape: per micro-batch the work is |batch| x nCentroids
+    * literal dots plus the matched cells' verify sliver — never
+    * corpus x corpus. Mega standing cells (> `maxCell` members would
+    * cost |cell| candidates per matching arrival on EVERY trigger)
+    * are dropped from the staged index loudly at (batch) staging
+    * time through [[graft.ext.GuardLog]]. The only streaming state
+    * is the emit-once pair dedup, horizon-bounded via
+    * `dropDuplicatesWithinWatermark` when `eventTimeCol` is given —
+    * the same bounded-state contract as [[nearDupGate]]. */
+  def semanticGate(stream: DataFrame, centroids: DataFrame,
+                   corpusIndex: DataFrame, idCol: String, vecCol: String,
+                   eps: Double, maxCell: Long = 4096L,
+                   eventTimeCol: Option[String] = None,
+                   horizon: String = "24 hours",
+                   guardName: String = "stream_semgate_mega_cell")
+      : DataFrame = {
+    val spark = stream.sparkSession
+    graft.ext.GuardLog.ensure(spark)
+    val cents = centroids.select(col("centroid_id"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.length <= 8192,
+      s"quantizer must be metadata-sized, got ${cents.length} centroids")
+    val centLit = typedlit(cents.toSeq)
+    def dotFold(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val carryTs = eventTimeCol.map(c => col(c).as("_gate_ts")).toSeq
+    val normed = graft.ext.Similarity.withNormalized(
+      stream.select(col(idCol).as("_gate_id") +:
+        col(vecCol).as("_gate_vec") +: carryTs: _*),
+      "_gate_vec", "_v")
+    // per-row argmax with the batch tie order (max dot, then min id)
+    val assigned = normed.withColumn("_best",
+      aggregate(centLit,
+        struct(lit(-1L).as("cid"),
+          lit(Double.NegativeInfinity).as("d")),
+        (acc, c) => {
+          val d = dotFold(col("_v"), c.getField("_2"))
+          when(d > acc.getField("d") ||
+              (d === acc.getField("d") &&
+                c.getField("_1") < acc.getField("cid")),
+            struct(c.getField("_1").as("cid"), d.as("d")))
+            .otherwise(acc)
+        }))
+      .withColumn("centroid_id", col("_best").getField("cid"))
+      .drop("_best", "_gate_vec")
+    // capped standing index, materialized at batch staging time (the
+    // observe fires there); the streaming plan reads the bounded leaf
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+    val cappedIdx = graft.ext.Materialize.eager(corpusIndex
+      .withColumn("_cell_n", count(lit(1)).over(cw))
+      .observe(graft.ext.GuardLog.Prefix + guardName,
+        sum(when(col("_cell_n") > maxCell, 1L).otherwise(0L))
+          .as("n_corpus_rows_dropped"))
+      .filter(col("_cell_n") <= maxCell)
+      .select(col("vec_id").as("_corpus_id"), col("centroid_id"),
+        col("v").as("_cv")))
+    val matched = assigned.join(cappedIdx, Seq("centroid_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotNative(col("_v"), col("_cv")))
+      .filter(col("cosine") >= lit(eps))
+    val once = eventTimeCol match {
+      case Some(_) => matched
+        .withWatermark("_gate_ts", horizon)
+        .dropDuplicatesWithinWatermark("_corpus_id", "_gate_id")
+      case None => matched.dropDuplicates("_corpus_id", "_gate_id")
+    }
+    once.select(least(col("_corpus_id"), col("_gate_id")).as("vec_a"),
+      greatest(col("_corpus_id"), col("_gate_id")).as("vec_b"),
+      col("cosine"))
   }
 
   /** Run a streaming query over a bounded source to completion into an

@@ -396,6 +396,29 @@ object ExtQueriesCorpus {
       }.reduce(_.unionAll(_))
     }),
 
+    // the SEMANTIC curation flagship: Gopher -> exact dedup ->
+    // SemDeDup pruning over the embedding column -> temperature
+    // mixture. Same funnel surface and prefix-materialization
+    // discipline as v3; the semantic stage anti-joins the standing
+    // SemDeDup removal set (built once per snapshot on the staged
+    // kmeans fit), so text-space and embedding-space dedup compose in
+    // one chain.
+    "corpus_curation_v4" -> ((s, dir) => {
+      val prefixes = curationV4Stages(s, dir)
+        .scanLeft("raw" ->
+          graft.ext.Materialize.eager(curationV2Docs(s, dir))) {
+          case ((_, df), (name, stage)) =>
+            name -> graft.ext.Materialize.eager(stage(df))
+        }
+      prefixes.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextOps.tokenCount(col("text"))), lit(0L))
+              .as("n_tokens"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      }.reduce(_.unionAll(_))
+    }),
+
     // group count grows with the corpus via autoGroups (~64 docs per
     // group, power of two; SQL twin derives the same count from
     // count(*)), so per-group fold memory stays constant at any scale
@@ -713,6 +736,107 @@ object ExtQueriesCorpus {
                '\\s+'))), 0) AS BIGINT) FROM d2
       UNION ALL
       SELECT CAST(3 AS BIGINT), 'neardup_reps', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'temp_mixture', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d4""",
+    // the v4 replay: the v3 Gopher block over the RAW text, exact
+    // keep-first, the SemDeDup CTE chain (shared Lloyd fit +
+    // centrality rank + earlier-member scan) as the removal set, the
+    // v3 mixture tail — then one count+token row per stage
+    "corpus_curation_v4" -> s"""
+      WITH b0 AS (SELECT doc_id, source, text FROM documents),
+      g AS (SELECT doc_id, source, text,
+          regexp_split_to_array(trim(text), '\\s+') AS toks,
+          string_split(text, chr(10)) AS lines
+        FROM b0),
+      gm AS (SELECT doc_id, source, text,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS mean_word_len_ppm,
+          CAST(len(list_filter(toks,
+              tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) * 1000000
+            // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3)
+            * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1)
+            AS symbol_ppm,
+          CAST(len(list_filter(lines, ln -> starts_with(ln, '- ')
+              OR starts_with(ln, '* '))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lines, ln -> ends_with(ln, '...')))
+            AS BIGINT) AS n_ell,
+          CAST(list_contains(toks, 'the') AS BIGINT)
+            + CAST(list_contains(toks, 'be') AS BIGINT)
+            + CAST(list_contains(toks, 'to') AS BIGINT)
+            + CAST(list_contains(toks, 'of') AS BIGINT)
+            + CAST(list_contains(toks, 'and') AS BIGINT)
+            + CAST(list_contains(toks, 'that') AS BIGINT)
+            + CAST(list_contains(toks, 'have') AS BIGINT)
+            + CAST(list_contains(toks, 'with') AS BIGINT) AS stop_hits
+        FROM g),
+      d1 AS (SELECT doc_id, source, text FROM gm
+        WHERE n_words >= 10 AND n_words <= 100000
+          AND mean_word_len_ppm >= 3000000
+          AND mean_word_len_ppm <= 10000000
+          AND alpha_ppm >= 800000 AND symbol_ppm <= 100000
+          AND n_bullet * 1000000 // n_lines <= 900000
+          AND n_ell * 1000000 // n_lines <= 300000
+          AND stop_hits >= 1),
+      d2 AS (SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM d1) WHERE doc_id = keeper),
+      ${ivfAssignCtes(2)},
+      sr AS (SELECT ca.vec_id, ca.centroid_id, ca.v,
+              row_number() OVER (PARTITION BY ca.centroid_id
+                ORDER BY ${dotSql("ca.v", "c2.cv")} DESC, ca.vec_id)
+                AS cell_rank
+            FROM ca JOIN c2 USING (centroid_id)),
+      ssz AS (SELECT centroid_id, count(*) AS n_cell
+              FROM sr GROUP BY 1),
+      srm AS (SELECT DISTINCT a.vec_id
+             FROM sr a
+             JOIN ssz ON ssz.centroid_id = a.centroid_id
+             JOIN sr b ON b.centroid_id = a.centroid_id
+                      AND b.cell_rank < a.cell_rank
+             WHERE ssz.n_cell <= 4096
+               AND ${dotSql("a.v", "b.v")} >= 0.3),
+      d3 AS (SELECT d2.doc_id, d2.source, d2.text FROM d2
+             LEFT JOIN srm ON srm.vec_id = d2.doc_id
+             WHERE srm.vec_id IS NULL),
+      tc AS (SELECT source AS cls, count(*) AS n
+             FROM d3 WHERE source IS NOT NULL GROUP BY 1),
+      tw AS (SELECT cls, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+             FROM tc),
+      anc AS (SELECT n AS n0, wt AS w0 FROM tw
+              ORDER BY wt * 1000000 // n DESC, n, wt, cls LIMIT 1),
+      ppm AS (SELECT cls,
+              CAST(CAST(wt AS HUGEINT) * n0 * 1000000
+                   // (CAST(n AS HUGEINT) * w0) AS BIGINT) AS keep_ppm
+              FROM tw CROSS JOIN anc),
+      d4 AS (SELECT d3.doc_id, d3.source, d3.text
+             FROM d3 JOIN ppm ON d3.source = ppm.cls
+             WHERE (${hex60Sql("'temp' || CAST(doc_id AS VARCHAR)")}
+                    % ${Sampling.Buckets}) < ppm.keep_ppm)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) AS n_tokens FROM b0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'gopher_filter', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
+               '\\s+'))), 0) AS BIGINT) FROM d2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'semdedup_prune', CAST(count(*) AS BIGINT),
              CAST(COALESCE(sum(len(regexp_split_to_array(trim(text),
                '\\s+'))), 0) AS BIGINT) FROM d3
       UNION ALL

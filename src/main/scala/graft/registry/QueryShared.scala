@@ -129,6 +129,39 @@ object QueryShared {
     "temp_mixture" -> ((in: DataFrame) =>
       Corpus.temperatureSample(in, col("source"), col("doc_id"))))
 
+  /** The v4 chain (r16 session 2): the SEMANTIC curation order —
+    * Gopher shape rules, exact dedup, then SemDeDup pruning over the
+    * embedding column (cell-mates of an earlier-ranked semantic
+    * near-dup drop; the embedding table covers a SUBSET of docs at
+    * some scales, and un-embedded docs pass the stage — pruning
+    * applies only where the semantic signal exists), then the
+    * temperature source mixture. SemDeDup runs over the FULL standing
+    * embedding table, not the filtered survivors: semantic duplicate
+    * structure is a property of the corpus snapshot, the same
+    * build-once contract as the staged pair tables. */
+  private[graft] def curationV4Stages(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "gopher_filter" -> ((in: DataFrame) => in.join(
+      Corpus.gopherQualityFlags(in, col("doc_id"), col("text"),
+          minStopHits = 1)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))),
+    "exact_dedup" -> ((in: DataFrame) => in.join(
+      in.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"))),
+    "semdedup_prune" -> ((in: DataFrame) => {
+      val emb = t(s, dir, "embeddings")
+      val removed = Similarity.semDedup(emb,
+          graft.ext.PairStage.ivfCentroids(s, dir,
+            Similarity.autoCentroids(emb.count()), iters = 2),
+          "vec_id", "embedding", eps = 0.3)
+        .filter(col("is_removed") === 1L)
+        .select(col("vec_id").as("doc_id"))
+      in.join(removed, Seq("doc_id"), "left_anti")
+    }),
+    "temp_mixture" -> ((in: DataFrame) =>
+      Corpus.temperatureSample(in, col("source"), col("doc_id"))))
+
   /** Per-stage wall seconds for the v2 curation chain: each stage runs
     * against the MATERIALIZED previous output, so a stage's number is
     * its own work, not a recompute of everything before it. */

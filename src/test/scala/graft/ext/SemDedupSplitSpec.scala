@@ -64,6 +64,31 @@ class SemDedupSplitSpec extends SparkSpec {
     assert(awaitGuard("semdedup_spec_cap").contains(6L))
   }
 
+  test("corpus_curation_v4: funnel is monotone, anchored, and the semantic stage bites") {
+    val rows = graft.registry.ExtQueriesCorpus
+      .queries("corpus_curation_v4")(spark, sf0001)
+      .select("stage_idx", "stage", "n_docs", "n_tokens")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq ===
+      Seq("raw", "gopher_filter", "exact_dedup", "semdedup_prune",
+        "temp_mixture"))
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.head._3 === raw)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3,
+        s"stage ${cur._2} grew docs: ${prev._3} -> ${cur._3}")
+      assert(cur._4 <= prev._4,
+        s"stage ${cur._2} grew tokens: ${prev._4} -> ${cur._4}")
+    }
+    // the semantic stage must actually remove something on the
+    // fixture (embedding near-dups exist at eps 0.3), and the funnel
+    // must not degenerate to empty
+    val byName = rows.map(r => r._2 -> r._3).toMap
+    assert(byName("semdedup_prune") < byName("exact_dedup"),
+      "semantic pruning removed nothing")
+    assert(rows.last._3 > 0L, "funnel degenerated to an empty corpus")
+  }
+
   test("sample_component_split: zero straddle by construction, naive straddles counted") {
     val rows = graft.registry.ExtQueriesSampling
       .queries("sample_component_split")(spark, sf0001)

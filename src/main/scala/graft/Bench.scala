@@ -444,7 +444,10 @@ object Bench {
            "graph_pagerank", "dedup_clusters", "vocab_bpe_merges",
            "vocab_bpe_merges64", "sim_ivf_incremental",
            "stream_neardup_gate", "sim_ivf_filtered_topk",
-           "sim_ivfpq_topk")
+           "sim_ivfpq_topk",
+           // r16 session-2 staged artifacts: the snapshot shingle-set
+           // frame and the semantic gate's stale fit + corpus index
+           "corpus_novelty_curve", "stream_semdedup_gate")
          if SparkEntry.queries.contains(name)) {
       try { SparkEntry.queries(name)(spark, sfDir).count(); () }
       catch { case NonFatal(_) => () } // a real failure re-surfaces timed

@@ -791,7 +791,7 @@ object ExtQueriesCorpus {
                  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
           FROM d1) WHERE doc_id = keeper),
       ${ivfAssignCtes(2)},
-      sr AS (SELECT ca.vec_id, ca.centroid_id, ca.v,
+      sr AS MATERIALIZED (SELECT ca.vec_id, ca.centroid_id, ca.v,
               row_number() OVER (PARTITION BY ca.centroid_id
                 ORDER BY ${dotSql("ca.v", "c2.cv")} DESC, ca.vec_id)
                 AS cell_rank

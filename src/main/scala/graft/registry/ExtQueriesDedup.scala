@@ -562,7 +562,7 @@ object ExtQueriesDedup {
     // pair join exactly like the Spark guard
     "dedup_semdedup" -> s"""
       WITH ${ivfAssignCtes(2)},
-      r AS (SELECT ca.vec_id, ca.centroid_id, ca.v,
+      r AS MATERIALIZED (SELECT ca.vec_id, ca.centroid_id, ca.v,
               row_number() OVER (PARTITION BY ca.centroid_id
                 ORDER BY ${dotSql("ca.v", "c2.cv")} DESC, ca.vec_id)
                 AS cell_rank

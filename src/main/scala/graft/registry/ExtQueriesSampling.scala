@@ -195,7 +195,7 @@ object ExtQueriesSampling {
       ${clustersCtes("SELECT doc_id, text FROM documents")},
       comp AS (SELECT node AS doc_id, min(lbl) AS component
                FROM walk GROUP BY node),
-      asg AS (SELECT d.doc_id, d.source,
+      asg AS MATERIALIZED (SELECT d.doc_id, d.source,
                 ${splitCase("comp.component")} AS split,
                 ${splitCase("d.doc_id")} AS naive
               FROM documents d JOIN comp ON comp.doc_id = d.doc_id),

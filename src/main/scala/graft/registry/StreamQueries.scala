@@ -585,13 +585,14 @@ object StreamQueries {
     "stream_semdedup_gate" -> s"""
       WITH ${QueryShared.ivfAssignCtes(2,
         fitWhere = "vec_id % 10 <> 3", assignFrom = "av")},
+      cam AS MATERIALIZED (SELECT vec_id, centroid_id, v FROM ca),
       szc AS (SELECT centroid_id, count(*) AS n_cell
-              FROM ca WHERE vec_id % 10 <> 3 GROUP BY 1)
+              FROM cam WHERE vec_id % 10 <> 3 GROUP BY 1)
       SELECT least(a.vec_id, b.vec_id) AS vec_a,
              greatest(a.vec_id, b.vec_id) AS vec_b,
              ${QueryShared.dotSql("a.v", "b.v")} AS cosine
-      FROM ca a
-      JOIN ca b ON a.centroid_id = b.centroid_id
+      FROM cam a
+      JOIN cam b ON a.centroid_id = b.centroid_id
                AND a.vec_id % 10 = 3 AND b.vec_id % 10 <> 3
       JOIN szc ON szc.centroid_id = a.centroid_id
       WHERE szc.n_cell <= 4096

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut] [onlyCsv]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over views
@@ -9,6 +9,13 @@ of the sfDir parquet tables, sorts columns by name + rows by all
 columns, and compares values exactly. Mirrors (at least as strictly)
 what the driver does, so a PASS here should mean a PASS in
 CORRECTNESS_r{N}.json.
+
+`onlyCsv` (comma-separated query names) restricts the run to those
+queries; with `jsonOut` pointing at an existing artifact the re-checked
+entries are MERGED into it (and n_pass/n_fail recomputed) — the
+targeted re-adjudication path for a gate run that lost single queries
+to an environmental failure (e.g. a transient disk-full in the spill
+dir) without re-paying the full multi-hour oracle pass.
 """
 import json
 import math
@@ -31,7 +38,10 @@ def normalize(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     results = {}
+    if only and json_out and Path(json_out).exists():
+        results = json.loads(Path(json_out).read_text()).get("queries", {})
     con = duckdb.connect()
     # an in-memory DuckDB has no temp directory, so a big oracle
     # (e.g. the ANN replays at the sf1 gate) ABORTS at the memory
@@ -49,6 +59,8 @@ def main():
     n_pass = n_fail = 0
     import time
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         res_dir = Path(out_dir) / name
         t0 = time.time()
 
@@ -118,6 +130,10 @@ def main():
             print(f"PASS {name} ({len(g)} rows, {len(g.columns)} cols)")
             record("pass", f"{len(g)} rows, {len(g.columns)} cols")
             n_pass += 1
+    if only is not None:
+        # merged totals over the full artifact, not just this subset
+        n_pass = sum(1 for r in results.values() if r["status"] == "pass")
+        n_fail = sum(1 for r in results.values() if r["status"] != "pass")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_out:
         Path(json_out).write_text(json.dumps(

@@ -560,28 +560,7 @@ object ExtQueriesDedup {
     // earlier-member scan — removed iff an earlier-ranked cell-mate
     // sits within eps cosine; mega cells (> 4096) excluded from the
     // pair join exactly like the Spark guard
-    "dedup_semdedup" -> s"""
-      WITH ${ivfAssignCtes(2)},
-      r AS MATERIALIZED (SELECT ca.vec_id, ca.centroid_id, ca.v,
-              row_number() OVER (PARTITION BY ca.centroid_id
-                ORDER BY ${dotSql("ca.v", "c2.cv")} DESC, ca.vec_id)
-                AS cell_rank
-            FROM ca JOIN c2 USING (centroid_id)),
-      sz AS (SELECT centroid_id, count(*) AS n_cell FROM r GROUP BY 1),
-      rm AS (SELECT a.vec_id, min(b.vec_id) AS removed_by
-             FROM r a
-             JOIN sz ON sz.centroid_id = a.centroid_id
-             JOIN r b ON b.centroid_id = a.centroid_id
-                      AND b.cell_rank < a.cell_rank
-             WHERE sz.n_cell <= 4096
-               AND ${dotSql("a.v", "b.v")} >= 0.3
-             GROUP BY 1)
-      SELECT r.vec_id, r.centroid_id,
-             CAST(r.cell_rank AS BIGINT) AS cell_rank,
-             rm.removed_by,
-             CAST(CASE WHEN rm.removed_by IS NULL THEN 0 ELSE 1 END
-               AS BIGINT) AS is_removed
-      FROM r LEFT JOIN rm USING (vec_id)""",
+    "dedup_semdedup" -> SemDedupSql,
     // blocked fuzzy pairs over DISTINCT names: same (first token,
     // length-band) blocking, levenshtein 1..3, lexicographic ordering
     "dedup_fuzzy_names" -> """

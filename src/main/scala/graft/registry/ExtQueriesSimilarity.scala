@@ -89,6 +89,21 @@ object ExtQueriesSimilarity {
     "emb_outlier_report" -> ((s, dir) =>
       Similarity.labelOutlierReport(t(s, dir, "embeddings"), "vec_id",
         "label", "embedding", k = 5)),
+    // per-cell SemDeDup removal rates (the paper's per-cluster dedup
+    // fraction): an nCentroids-row rollup over the semdedup output —
+    // the observable that decides eps and flags boilerplate-heavy
+    // regions of the embedding space
+    "emb_semdedup_cell_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedup(emb,
+          graft.ext.PairStage.ivfCentroids(s, dir,
+            Similarity.autoCentroids(emb.count()), iters = 2),
+          "vec_id", "embedding", eps = 0.3)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_cell"),
+          sum(col("is_removed")).as("n_removed"))
+        .withColumn("removal_ppm", expr("n_removed * 1000000 div n_cell"))
+    }),
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -1523,6 +1538,14 @@ object ExtQueriesSimilarity {
     // positive-remainder rewrite as the Spark side — the numerator is
     // exactly divisible, making the division convention irrelevant
     "sim_mips_ivf_topk" -> mipsIvfTopKSql(k = 5, nProbe = 2, iters = 2),
+    // rollup over the shared SemDeDup replay (the r CTE chain is
+    // MATERIALIZED inside SemDedupSql, so the report pays the fit once)
+    "emb_semdedup_cell_report" -> s"""
+      SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_cell,
+             CAST(sum(is_removed) AS BIGINT) AS n_removed,
+             CAST(sum(is_removed) AS BIGINT) * 1000000
+               // CAST(count(*) AS BIGINT) AS removal_ppm
+      FROM ($SemDedupSql) GROUP BY 1""",
     // centroid = the emb_label_centroids truncated-mean integers,
     // cast to DOUBLE inside the list so the cosine promotes exactly
     // like the Spark side's cast("double") centroid vector

@@ -64,6 +64,58 @@ class SemDedupSplitSpec extends SparkSpec {
     assert(awaitGuard("semdedup_spec_cap").contains(6L))
   }
 
+  test("semDedup equals an exact driver-side replay on random vectors") {
+    // deterministic pseudo-random fixture: 80 vectors, 8 dims, 8 cells
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 80L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val eps = 0.5
+    val got = Similarity.semDedup(df, cents, "vec_id", "embedding", eps)
+      .select("vec_id", "centroid_id", "cell_rank", "removed_by",
+        "is_removed")
+      .as[(Long, Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // replay with the engine's exact arithmetic: strict in-order
+    // double folds for dot and norm, argmax tie -> lowest centroid,
+    // rank tie -> lowest id
+    def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cvs = cents.select("centroid_id", "cv")
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, cv) => (id, cv.toIndexedSeq) }
+    val normed = rows.map { case (id, v) =>
+      val d = v.map(_.toDouble).toIndexedSeq
+      val nm = math.sqrt(dot(d, d))
+      id -> d.map(_ / nm)
+    }
+    val assigned = normed.map { case (id, v) =>
+      val best = cvs.map { case (cid, cv) => (cid, dot(v, cv)) }
+        .reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+        }
+      (id, best._1, v, best._2)
+    }
+    val want = assigned.groupBy(_._2).flatMap { case (cid, members) =>
+      val ranked = members.sortBy { case (id, _, _, cos) => (-cos, id) }
+        .zipWithIndex.map { case ((id, _, v, _), r) => (id, v, r + 1L) }
+      ranked.map { case (id, v, rank) =>
+        val earlier = ranked.filter(_._3 < rank)
+          .filter { case (_, w, _) => dot(v, w) >= eps }.map(_._1)
+        val rb = if (earlier.isEmpty) None else Some(earlier.min)
+        id -> ((cid, rank, rb, if (rb.isDefined) 1L else 0L))
+      }
+    }
+    assert(got == want,
+      s"divergence: ${got.toSet.diff(want.toSet)} vs ${want.toSet.diff(got.toSet)}")
+    // the replay must be non-trivial: some removals at this eps
+    assert(want.values.exists(_._4 == 1L), "fixture produced no removals")
+  }
+
   test("corpus_curation_v4: funnel is monotone, anchored, and the semantic stage bites") {
     val rows = graft.registry.ExtQueriesCorpus
       .queries("corpus_curation_v4")(spark, sf0001)

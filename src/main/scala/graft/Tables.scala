@@ -8,8 +8,21 @@ import org.apache.spark.sql.functions._
   * `customer`/`part`/`supplier`(+`nation`/`region`) play the dims.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  // Schema memo per path: the testdata contract makes table files
+  // immutable for a session's lifetime, so the parquet footer is
+  // read once and every later `load` passes the schema explicitly —
+  // repeated reads (a serving call per retrieval batch, 279 registry
+  // queries in one Verify run) then trigger ZERO schema-inference
+  // jobs at construction (AnnServingPathSpec pins this).
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val sch = schemaCache.getOrElseUpdate(p, spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   /** events table with `ts` surfaced as a microsecond TimestampType,
     * adapting to how the corpus generator wrote the column:

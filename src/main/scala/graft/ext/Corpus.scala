@@ -1786,8 +1786,13 @@ object Corpus {
       .groupBy(expr(s"first_doc div ${bucketSize}L").as("ingest_bucket"))
       .agg(count(lit(1)).as("n_novel"))
     // novel buckets are a subset of occ buckets (every first_doc is a
-    // carrier), so occ is the spine and missing novel counts are 0
-    occ.join(broadcast(novel), Seq("ingest_bucket"), "left")
+    // carrier), so occ is the spine and missing novel counts are 0.
+    // NO broadcast hint (ADVICE r16): both sides are |buckets|-keyed
+    // aggregates whose row count grows linearly with the corpus
+    // (n_docs div bucketSize — ~10^7-10^8 buckets at the 100 TB
+    // posture), so broadcasting one side risks driver OOM; the
+    // bucket-keyed shuffle join is the bounded-state shape.
+    occ.join(novel, Seq("ingest_bucket"), "left")
       .select(col("ingest_bucket"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))

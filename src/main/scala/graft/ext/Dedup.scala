@@ -743,4 +743,115 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** Dedup-modality AGREEMENT matrix (r17 #5): the three independent
+    * near-dup signals this library ships — shingle MinHash-LSH,
+    * SimHash Hamming, SemDeDup embedding — classified jointly per
+    * document pair, as the 2x2x2 (in_minhash, in_simhash,
+    * in_semantic) contingency table with exact pair counts and ppm
+    * shares, per canonical source pair. This is the calibration
+    * observable a 100 TB curation run reads to set eps / thresholds:
+    * heavy (1,1,1) mass says the signals are redundant, heavy
+    * single-signal cells say each catches a different duplication
+    * mode (template boilerplate vs paraphrase vs re-encode).
+    *
+    * Pair universe and the class-space trick: minhash pairs and
+    * semantic removal edges are ENUMERABLE (both bounded artifacts);
+    * simhash doc-pairs are NOT (the class-collapsed form exists
+    * precisely because they explode — r16). So every cell with
+    * minhash or semantic membership is counted over the enumerated
+    * union (simhash membership decided per pair by class lookup:
+    * same class, or the class-representative pair appears in the
+    * banded output), and the one remaining cell — simhash-ONLY,
+    * (0,1,0) — is derived by exact subtraction: the per-source-pair
+    * simhash total expands in CLASS space (cross-class: sum of
+    * per-source member-count products; intra-class: per-source
+    * C(c,2) + cross-source products) minus the simhash-flagged mass
+    * already counted in the union. Nothing doc-pair-sized is ever
+    * materialized; every count is exact integer arithmetic.
+    *
+    * @param docsSrc  (doc_id, source)
+    * @param mPairs   minhash-LSH pair table (doc_a, doc_b) — staged
+    * @param simHashes (doc_id, sh) — one narrow pass
+    * @param simClassPairs [[simhashPairs]] output (class form) — staged
+    * @param semPairs semantic removal edges (vec_id, removed_by)
+    * @return (src_lo, src_hi, in_minhash, in_simhash, in_semantic,
+    *         n_pairs, share_ppm)
+    */
+  def agreementMatrix(docsSrc: DataFrame, mPairs: DataFrame,
+                      simHashes: DataFrame, simClassPairs: DataFrame,
+                      semPairs: DataFrame): DataFrame = {
+    val cls = simHashes.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
+    val mem = simHashes.join(cls, Seq("sh"))
+      .select(col("doc_id"), col("rep"))
+    val xp = simClassPairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
+    val sem = semPairs
+      .select(least(col("vec_id"), col("removed_by")).as("a"),
+        greatest(col("vec_id"), col("removed_by")).as("b"),
+        lit(1L).as("in_semantic"))
+    val mh = mPairs.select(col("doc_a").as("a"), col("doc_b").as("b"),
+      lit(1L).as("in_minhash"))
+    val u = mh.join(sem, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("in_minhash"), lit(0L)).as("in_minhash"),
+        coalesce(col("in_semantic"), lit(0L)).as("in_semantic"))
+    val srcOf = docsSrc.select(col("doc_id"), col("source"))
+    val flagged = u
+      .join(mem.select(col("doc_id").as("a"), col("rep").as("_ra")),
+        Seq("a"))
+      .join(mem.select(col("doc_id").as("b"), col("rep").as("_rb")),
+        Seq("b"))
+      .join(xp,
+        least(col("_ra"), col("_rb")) === col("rep_a") &&
+          greatest(col("_ra"), col("_rb")) === col("rep_b"), "left")
+      .withColumn("in_simhash",
+        when(col("_ra") === col("_rb") || col("rep_a").isNotNull, 1L)
+          .otherwise(0L))
+      .join(srcOf.select(col("doc_id").as("a"), col("source").as("_sa")),
+        Seq("a"))
+      .join(srcOf.select(col("doc_id").as("b"), col("source").as("_sb")),
+        Seq("b"))
+      .select(least(col("_sa"), col("_sb")).as("src_lo"),
+        greatest(col("_sa"), col("_sb")).as("src_hi"),
+        col("in_minhash"), col("in_simhash"), col("in_semantic"))
+    val cellsU = flagged
+      .groupBy(col("src_lo"), col("src_hi"), col("in_minhash"),
+        col("in_simhash"), col("in_semantic"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // exact simhash totals per source pair, in class space
+    val cs = mem.join(srcOf, Seq("doc_id"))
+      .groupBy(col("rep"), col("source")).agg(count(lit(1)).as("c"))
+    val xtot = xp
+      .join(cs.select(col("rep").as("rep_a"), col("source").as("_s1"),
+        col("c").as("_c1")), Seq("rep_a"))
+      .join(cs.select(col("rep").as("rep_b"), col("source").as("_s2"),
+        col("c").as("_c2")), Seq("rep_b"))
+      .select(least(col("_s1"), col("_s2")).as("src_lo"),
+        greatest(col("_s1"), col("_s2")).as("src_hi"),
+        (col("_c1") * col("_c2")).as("n"))
+    val itot = cs.as("x").join(cs.as("y"),
+        col("x.rep") === col("y.rep") && col("x.source") <= col("y.source"))
+      .select(col("x.source").as("src_lo"), col("y.source").as("src_hi"),
+        when(col("x.source") === col("y.source"),
+          expr("x.c * (x.c - 1) div 2"))
+          .otherwise(col("x.c") * col("y.c")).as("n"))
+      .filter(col("n") > 0)
+    val stot = xtot.unionByName(itot)
+      .groupBy(col("src_lo"), col("src_hi")).agg(sum(col("n")).as("s_tot"))
+    val sInU = cellsU.filter(col("in_simhash") === 1L)
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(sum(col("n_pairs")).as("s_in_u"))
+    val sOnly = stot.join(sInU, Seq("src_lo", "src_hi"), "left")
+      .select(col("src_lo"), col("src_hi"), lit(0L).as("in_minhash"),
+        lit(1L).as("in_simhash"), lit(0L).as("in_semantic"),
+        (col("s_tot") - coalesce(col("s_in_u"), lit(0L))).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    val allCells = cellsU.unionByName(sOnly)
+    val tot = allCells.agg(sum(col("n_pairs")).as("_t"))
+    allCells.join(broadcast(tot))
+      .select(col("src_lo"), col("src_hi"), col("in_minhash"),
+        col("in_simhash"), col("in_semantic"), col("n_pairs"),
+        expr("n_pairs * 1000000L div _t").as("share_ppm"))
+  }
 }

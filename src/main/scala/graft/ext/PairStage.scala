@@ -36,6 +36,20 @@ object PairStage {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
+
+  // Staged artifacts are written once per key and immutable after —
+  // memoize their schemas so repeated serving-path reads trigger no
+  // schema-inference job (same contract as graft.Tables.load).
+  private val schemas = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  private def readStaged(spark: SparkSession, path: String)
+      : DataFrame = {
+    val sch = schemas.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   /** Resolve (building at most once) the scratch path for `key`.
     * The directory name embeds an md5 of the FULL key: a 32-bit
     * `hashCode` suffix (pre-r11) lets two distinct (dir, params) keys
@@ -85,7 +99,60 @@ object PairStage {
         .select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
+  }
+
+  /** The staged SimHash CLASS-PAIR table — [[Dedup.simhashPairs]]'s
+    * class-collapsed near-dup output (doc_a, doc_b, hamming, n_a,
+    * n_b, n_pairs), built once per (corpus dir, maxHamming) key and
+    * read by dedup_simhash and the agreement matrix. The hot-bucket
+    * guard fires at staging (the observe rides the write job), same
+    * contract as [[semanticCorpusIndex]]. */
+  def simhashClassPairs(spark: SparkSession, dir: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val key = Seq("shcls", spark.sparkContext.applicationId, dir,
+      maxHamming).mkString("|")
+    val path = stagedPath(spark, "shcls", key) { p =>
+      Dedup.simhashPairs(
+          graft.Tables.load(spark, dir, "documents"),
+          "doc_id", "text", maxHamming)
+        .write.mode("overwrite").parquet(p)
+    }
+    readStaged(spark, path)
+  }
+
+  private val cards = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Double)]
+
+  /** The staged one-row CORPUS CARD — (n, max_norm_sq) of the
+    * embeddings table (optionally the `vec_id % 10 != excludeMod`
+    * standing slice) — the metadata sidecar a deployed ANN index
+    * persists next to its centroids (VERDICT r16 #1). Serving-path
+    * consumers read the corpus size (for [[Similarity.autoCentroids]]
+    * / [[Similarity.autoPlanes]]) and the MIPS augmentation bound M²
+    * from this card instead of running a per-call `count()` +
+    * max-norm scan over the corpus; the scalars are additionally
+    * memo-cached per key, so a retrieval call after first touch
+    * triggers ZERO driver jobs at construction. One corpus pass per
+    * (dir, excludeMod) key, ever. */
+  def corpusCard(spark: SparkSession, dir: String,
+                 excludeMod: Int = -1): (Long, Double) = {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    val key = Seq("card", spark.sparkContext.applicationId, dir,
+      excludeMod).mkString("|")
+    cards.getOrElseUpdate(key, {
+      val path = stagedPath(spark, "card", key) { p =>
+        val emb0 = graft.Tables.load(spark, dir, "embeddings")
+        val emb = if (excludeMod < 0) emb0
+          else emb0.filter(col("vec_id") % 10 =!= excludeMod)
+        emb.agg(count(lit(1)).as("n"),
+            max(Similarity.dot(col("embedding"), col("embedding")))
+              .as("max_norm_sq"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val r = readStaged(spark, path).head()
+      (r.getLong(0), r.getDouble(1))
+    })
   }
 
   /** The staged IVF coarse-quantizer index — the build-once/search-
@@ -105,7 +172,7 @@ object PairStage {
           "vec_id", "embedding", nCentroids, iters)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged norm-augmented IVF index for MIPS retrieval — the
@@ -119,20 +186,73 @@ object PairStage {
     * index. */
   def mipsIvfCentroids(spark: SparkSession, dir: String,
                        nCentroids: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{lit, max}
+    import org.apache.spark.sql.functions.lit
     val key = Seq("mipsivf", spark.sparkContext.applicationId, dir,
       nCentroids, iters).mkString("|")
     val path = stagedPath(spark, "mipsivf", key) { p =>
       val emb = graft.Tables.load(spark, dir, "embeddings")
-      val msq = emb.agg(max(Similarity.dot(col("embedding"),
-        col("embedding")))).first().getDouble(0)
+      // M² comes from the staged corpus card (same agg expression) —
+      // one corpus scan serves the fit, the inverted list, and every
+      // serving call
+      val (_, msq) = corpusCard(spark, dir)
       Similarity.ivfCentroids(
           Similarity.normAugment(emb, "embedding", lit(msq),
             isQuery = false, "av"),
           "vec_id", "av", nCentroids, iters)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
+  }
+
+  /** The staged IVF INVERTED LIST — every corpus vector's cell
+    * assignment (vec_id, centroid_id, v; v unit-normalized) under the
+    * staged Lloyd fit: the artifact a production IVF deployment
+    * persists so a retrieval call is a probe join against staged
+    * cells, never a corpus re-assignment (VERDICT r16 #1 — the
+    * serving path's last per-call full-corpus job). Built from the
+    * SAME staged centroids its consumers probe, so list and fit can
+    * never disagree; exact parquet round-trip (int64 ids +
+    * IEEE-double unit vectors), so staged and inline search are
+    * value-identical. Read by [[Similarity.ivfTopKStaged]], the
+    * probe-tune/recall reports, the k-means assignment consumers,
+    * and [[Similarity.semDedupFrom]]. */
+  def ivfCorpusCells(spark: SparkSession, dir: String, nCentroids: Int,
+                     iters: Int): DataFrame = {
+    val key = Seq("ivfcells", spark.sparkContext.applicationId, dir,
+      nCentroids, iters).mkString("|")
+    val path = stagedPath(spark, "ivfcells", key) { p =>
+      Similarity.ivfAssignWith(
+          ivfCentroids(spark, dir, nCentroids, iters),
+          graft.Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding")
+        .write.mode("overwrite").parquet(p)
+    }
+    readStaged(spark, path)
+  }
+
+  /** The staged inverted list of the MIPS (norm-augmented) index —
+    * [[ivfCorpusCells]] in the Bachrach augmented space: corpus
+    * vectors gain sqrt(M² - |x|²) (M² from the staged [[corpusCard]],
+    * the same scalar the augmented fit used) and are assigned with
+    * the staged [[mipsIvfCentroids]]. The MIPS serving path probes
+    * these cells; pre-r17 it re-augmented and re-assigned the corpus
+    * per retrieval call AND re-scanned for M². */
+  def mipsIvfCorpusCells(spark: SparkSession, dir: String,
+                         nCentroids: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val key = Seq("mipscells", spark.sparkContext.applicationId, dir,
+      nCentroids, iters).mkString("|")
+    val path = stagedPath(spark, "mipscells", key) { p =>
+      val (_, msq) = corpusCard(spark, dir)
+      Similarity.ivfAssignWith(
+          mipsIvfCentroids(spark, dir, nCentroids, iters),
+          Similarity.normAugment(
+            graft.Tables.load(spark, dir, "embeddings"),
+            "embedding", lit(msq), isQuery = false, "av"),
+          "vec_id", "av")
+        .write.mode("overwrite").parquet(p)
+    }
+    readStaged(spark, path)
   }
 
   /** The staged per-cell membership stats (centroid_id, n_cell) of
@@ -140,21 +260,21 @@ object PairStage {
     * deployed index persists next to its centroids. The filtered ANN
     * search reads the corpus size as sum(n_cell) from these
     * nCentroids rows instead of running a full-corpus count job per
-    * retrieval batch (VERDICT r11 #3). Built from the SAME staged
-    * centroids its consumers search with, so the stats and the index
-    * can never disagree on the fit. */
+    * retrieval batch (VERDICT r11 #3). Derived from the staged
+    * inverted list ([[ivfCorpusCells]]) with one cell-keyed count —
+    * stats, list, and fit are one artifact family and can never
+    * disagree. */
   def ivfCellStats(spark: SparkSession, dir: String, nCentroids: Int,
                    iters: Int): DataFrame = {
     val key = Seq("ivfstats", spark.sparkContext.applicationId, dir,
       nCentroids, iters).mkString("|")
     val path = stagedPath(spark, "ivfstats", key) { p =>
-      Similarity.ivfCellStats(
-          ivfCentroids(spark, dir, nCentroids, iters),
-          graft.Tables.load(spark, dir, "embeddings"),
-          "vec_id", "embedding")
+      import org.apache.spark.sql.functions.{count, lit}
+      ivfCorpusCells(spark, dir, nCentroids, iters)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_cell"))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged PREDICATE-SLIVER assignment for filtered ANN over a
@@ -186,7 +306,7 @@ object PairStage {
           "vec_id", "embedding")
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged minhash SIGNATURE INDEX of the standing corpus
@@ -210,7 +330,7 @@ object PairStage {
           col("doc_id"), col("text"), shingleN, k)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged STALE-index fit for the incremental-ANN family: Lloyd
@@ -233,7 +353,7 @@ object PairStage {
           "vec_id", "embedding", nCentroids, iters)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged SEMANTIC corpus index for the streaming admission
@@ -244,21 +364,34 @@ object PairStage {
     * centroids. The gate's stream side probes cells every
     * micro-batch; re-assigning the corpus per batch would re-pay the
     * corpus-wide normalize/argmax work the index amortizes. Exact
-    * parquet round-trip (int64 ids + IEEE-double unit vectors). */
+    * parquet round-trip (int64 ids + IEEE-double unit vectors).
+    *
+    * The mega-cell cap is applied HERE, at staging (ADVICE r16): a
+    * standing cell above `maxCell` members would cost |cell|
+    * candidates per matching arrival on EVERY trigger, so its rows
+    * are dropped from the persisted artifact loudly
+    * ([[Similarity.capCells]] — the observe metric fires once, on
+    * the staging write) and the gate reads the bounded leaf
+    * directly. Keyed by maxCell so two cap configurations never
+    * share an artifact. */
   def semanticCorpusIndex(spark: SparkSession, dir: String,
                           nCentroids: Int, iters: Int,
-                          excludeMod: Int): DataFrame = {
+                          excludeMod: Int, maxCell: Long = 4096L,
+                          guardName: String = "stream_semgate_mega_cell")
+      : DataFrame = {
     val key = Seq("semidx", spark.sparkContext.applicationId, dir,
-      nCentroids, iters, excludeMod).mkString("|")
+      nCentroids, iters, excludeMod, maxCell).mkString("|")
     val path = stagedPath(spark, "semidx", key) { p =>
-      Similarity.ivfAssignWith(
-          ivfCentroidsCorpus(spark, dir, nCentroids, iters, excludeMod),
-          graft.Tables.load(spark, dir, "embeddings")
-            .filter(col("vec_id") % 10 =!= excludeMod),
-          "vec_id", "embedding")
+      Similarity.capCells(
+          Similarity.ivfAssignWith(
+            ivfCentroidsCorpus(spark, dir, nCentroids, iters, excludeMod),
+            graft.Tables.load(spark, dir, "embeddings")
+              .filter(col("vec_id") % 10 =!= excludeMod),
+            "vec_id", "embedding"),
+          maxCell, guardName)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged PQ index — (codebooks, encoded corpus): the two
@@ -279,7 +412,7 @@ object PairStage {
       Similarity.pqEncodeWith(books, emb, "vec_id", "embedding", dim, m)
         .write.mode("overwrite").parquet(s"$p/codes")
     }
-    (spark.read.parquet(s"$path/books"), spark.read.parquet(s"$path/codes"))
+    (readStaged(spark, s"$path/books"), readStaged(spark, s"$path/codes"))
   }
 
   /** The staged IVF-PQ inverted lists — every corpus vector's PQ code
@@ -308,7 +441,7 @@ object PairStage {
           col("code_id"))
         .write.mode("overwrite").parquet(p)
     }
-    (cents, books, spark.read.parquet(path))
+    (cents, books, readStaged(spark, path))
   }
 
   /** The staged int8 index: the normalized + symmetric-int8-coded
@@ -324,7 +457,7 @@ object PairStage {
           "vec_id", "embedding", "neighbor_id", "cv", "cq")
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged trained-BPE artifacts — (mergeTable, state): the
@@ -344,7 +477,7 @@ object PairStage {
       merges.write.mode("overwrite").parquet(s"$p/merges")
       state.write.mode("overwrite").parquet(s"$p/state")
     }
-    (spark.read.parquet(s"$path/merges"), spark.read.parquet(s"$path/state"))
+    (readStaged(spark, s"$path/merges"), readStaged(spark, s"$path/state"))
   }
 
   /** The staged DISTINCT (doc_id, word-n-shingle) occurrence frame of
@@ -366,7 +499,7 @@ object PairStage {
         .distinct()
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 
   /** The staged exact n-gram-jaccard pair table over the RAW documents
@@ -386,6 +519,6 @@ object PairStage {
         .select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    readStaged(spark, path)
   }
 }

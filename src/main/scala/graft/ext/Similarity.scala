@@ -325,17 +325,38 @@ object Similarity {
     * The rank window and the occupancy count share one cell-keyed
     * Exchange. Mega cells (a degenerate corpus collapsing into one
     * cell — the semantic twin of the banded-pair hot bucket) are
-    * excluded from the pair join above `maxCell` members, counted by
-    * an `observe` metric and logged through [[GuardLog]]: their rows
-    * are all KEPT, loudly — dedup recall is lost only where the cell
-    * went quadratic, which is exactly when it must not run. */
+    * SPLIT, not skipped (r17): members above `maxCell` are
+    * sub-clustered with one grouped Lloyd fit over the mega sliver
+    * (the paper's own hierarchical fallback — [[subClusterAssign]]),
+    * counted by an `observe` metric and logged through [[GuardLog]];
+    * the centrality-order scan then runs inside sub-cells, so
+    * boilerplate-heavy corpora still dedup. Only sub-cells STILL
+    * over the cap after the split (> maxCell exactly-identical
+    * vectors — unsplittable) keep their rows undeduped, loudly, via
+    * the recursion-floor guard. */
   def semDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String, eps: Double, maxCell: Long = 4096L,
-               guardName: String = "semdedup_mega_cell"): DataFrame = {
-    GuardLog.ensure(emb.sparkSession)
+               guardName: String = "semdedup_mega_cell",
+               floorGuardName: String = "semdedup_split_floor")
+      : DataFrame =
+    semDedupFrom(ivfAssignWith(centroids, emb, idCol, vecCol),
+      centroids, eps, maxCell, guardName, floorGuardName)
+
+  /** [[semDedup]] over a PRE-ASSIGNED corpus (`corpusCells`: vec_id,
+    * centroid_id, v — the staged inverted list
+    * [[PairStage.ivfCorpusCells]]): the build-once path — the
+    * corpus-wide normalize + argmax was paid at staging; this adds
+    * only the cell-keyed rank window and the within-cell pair scan.
+    * Values identical to the inline assignment by construction. */
+  def semDedupFrom(corpusCells: DataFrame, centroids: DataFrame,
+                   eps: Double, maxCell: Long = 4096L,
+                   guardName: String = "semdedup_mega_cell",
+                   floorGuardName: String = "semdedup_split_floor")
+      : DataFrame = {
+    GuardLog.ensure(corpusCells.sparkSession)
     val cw = Window.partitionBy(col("centroid_id"))
     val ranked = Materialize.eager(
-      ivfAssignWith(centroids, emb, idCol, vecCol)
+      corpusCells
         .join(broadcast(centroids), Seq("centroid_id"))
         .withColumn("cos_c", dot(col("v"), col("cv")))
         .withColumn("cell_rank", row_number().over(
@@ -343,21 +364,119 @@ object Similarity {
         .withColumn("_cell_n", count(lit(1)).over(cw))
         .observe(GuardLog.Prefix + guardName,
           sum(when(col("_cell_n") > maxCell, 1L).otherwise(0L))
-            .as("n_mega_cell_rows_kept_undeduped"))
+            .as("n_mega_cell_rows_split"))
         .select(col("vec_id"), col("centroid_id"), col("v"),
           col("cell_rank"), col("_cell_n")))
     val joinable = ranked.filter(col("_cell_n") <= maxCell)
-    val removed = joinable.as("a").join(joinable.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col("b.cell_rank") < col("a.cell_rank"))
-      .filter(dot(col("a.v"), col("b.v")) >= lit(eps))
-      .groupBy(col("a.vec_id").as("vec_id"))
-      .agg(min(col("b.vec_id")).as("removed_by"))
+    def pairRemovals(cells: DataFrame, keys: Seq[String]): DataFrame = {
+      val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("b.cell_rank") < col("a.cell_rank")
+      cells.as("a").join(cells.as("b"), cond)
+        .filter(dot(col("a.v"), col("b.v")) >= lit(eps))
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(min(col("b.vec_id")).as("removed_by"))
+    }
+    val removedSmall = pairRemovals(joinable, Seq("centroid_id"))
+    // Mega cells SPLIT instead of skip (VERDICT r16 #4): a
+    // boilerplate-heavy corpus concentrates exactly where dedup
+    // matters most, so an over-cap cell is sub-clustered with one
+    // extra GROUPED Lloyd fit over the mega sliver (the paper's own
+    // hierarchical fallback) and the centrality-order scan runs
+    // inside sub-cells. The recursion floor keeps the old guard
+    // semantics: a sub-cell STILL above maxCell after the split
+    // (e.g. > maxCell exactly-identical vectors — no partition can
+    // separate them) is kept undeduped loudly. The branch is
+    // data-dependent off the already-materialized ranked frame, so
+    // the well-behaved path (no mega cells — every registered scale)
+    // pays one empty-check scan and nothing else.
+    val anyMega = !ranked.filter(col("_cell_n") > maxCell).isEmpty
+    val removed = if (!anyMega) removedSmall else {
+      val mega = ranked.filter(col("_cell_n") > maxCell)
+      val sw = Window.partitionBy(col("centroid_id"), col("sub_id"))
+      val subAssigned = Materialize.eager(
+        subClusterAssign(mega)
+          .withColumn("_sub_n", count(lit(1)).over(sw))
+          .observe(GuardLog.Prefix + floorGuardName,
+            sum(when(col("_sub_n") > maxCell, 1L).otherwise(0L))
+              .as("n_rows_kept_undeduped_after_split")))
+      val removedMega = pairRemovals(
+        subAssigned.filter(col("_sub_n") <= maxCell),
+        Seq("centroid_id", "sub_id"))
+      removedSmall.unionByName(removedMega)
+    }
     ranked.join(removed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"),
         col("cell_rank").cast("long").as("cell_rank"),
         col("removed_by"),
         when(col("removed_by").isNull, 0L).otherwise(1L).as("is_removed"))
+  }
+
+  /** Per-parent sub-centroid count for the mega-cell split: the
+    * [[autoCentroids]] integer formula over the `_cell_n` column
+    * (same clamps, same BIGINT shift), so a SQL oracle derives the
+    * identical count from each cell's n. */
+  private val autoCentroidsOfCellN: Column = expr(
+    "greatest(4L, least(4096L, CASE WHEN _cell_n <= 1 THEN 1L " +
+      "ELSE shiftleft(1L, CAST((length(bin(_cell_n - 1)) + 1) div 2 " +
+      "AS INT)) END))")
+
+  /** The grouped Lloyd sub-fit + final assignment of the mega-cell
+    * split (see [[semDedupFrom]]): for EVERY over-cap parent cell at
+    * once — one job per round for all parents, keyed by (parent,
+    * sub), never a per-cell loop. Deterministic init (each parent's
+    * nSub lowest vec_ids, sub_id = the init vec_id,
+    * nSub = [[autoCentroids]](cell_n)), micro-quantized per-dimension
+    * means, renormalize, empty sub-cells keep their previous
+    * sub-centroid — the [[ivfCentroids]] arithmetic contract
+    * transplanted to grouped keys, so the split is hash-verifiable in
+    * SQL like the flat fit. Assignment tie order (dot desc, sub_id
+    * asc) matches [[assignTo]]. Loop-carried state is (Σ nSub per
+    * mega cell) x dim — corpus-proportional in the adversarial limit,
+    * so lineage is truncated with [[Materialize.eager]] (distributed),
+    * never a driver collect.
+    *
+    * Input: (vec_id, centroid_id, v, cell_rank, _cell_n); output the
+    * same plus sub_id. */
+  private def subClusterAssign(mega: DataFrame,
+                               iters: Int = 2): DataFrame = {
+    val withNsub = mega.withColumn("_nsub", autoCentroidsOfCellN)
+    def assign(books: DataFrame): DataFrame =
+      mega.join(books, Seq("centroid_id"))
+        .withColumn("_sd", dot(col("v"), col("scv")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("centroid_id"), col("sub_id"), col("v"),
+            col("cell_rank"), col("_cell_n")),
+          struct(col("_sd"), col("sub_id") * -1)).as("best"))
+        .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+          col("best.sub_id").as("sub_id"), col("best.v").as("v"),
+          col("best.cell_rank").as("cell_rank"),
+          col("best._cell_n").as("_cell_n"))
+    val iw = Window.partitionBy(col("centroid_id")).orderBy(col("vec_id"))
+    var books = Materialize.eager(withNsub
+      .withColumn("_ir", row_number().over(iw))
+      .filter(col("_ir") <= col("_nsub"))
+      .select(col("centroid_id"), col("vec_id").as("sub_id"),
+        col("v").as("scv")))
+    for (_ <- 1 to iters) {
+      val dims = assign(books)
+        .select(col("centroid_id"), col("sub_id"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("sub_id"), col("d"))
+        .agg((Windows.stableSum(col("x")) / count(lit(1))).as("m"))
+      val renormed = dims.groupBy(col("centroid_id"), col("sub_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("centroid_id"), col("sub_id"),
+          transform(col("dm"), e => e.getField("m")).as("mv"))
+        .select(col("centroid_id"), col("sub_id"),
+          transform(col("mv"), x => x / sqrt(dot(col("mv"), col("mv"))))
+            .as("new_scv"))
+      books = Materialize.eager(
+        books.join(renormed, Seq("centroid_id", "sub_id"), "left")
+          .select(col("centroid_id"), col("sub_id"),
+            coalesce(col("new_scv"), col("scv")).as("scv")))
+    }
+    assign(books)
   }
 
   /** Product-quantization codebooks (Jegou et al. 2011): split the
@@ -638,7 +757,10 @@ object Similarity {
 
   /** [[ivfTopK]] against PRE-FIT centroids (the staged index path —
     * [[PairStage.ivfCentroids]]): search-many without re-running the
-    * Lloyd fit; values identical to the inline fit. */
+    * Lloyd fit; values identical to the inline fit. This is the
+    * SELF-CONTAINED variant — it still assigns the corpus per call;
+    * the serving path is [[ivfTopKStaged]] over the staged inverted
+    * list ([[PairStage.ivfCorpusCells]]). */
   def ivfTopKWith(centroids: DataFrame, df: DataFrame,
                   queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, nProbe: Int = 1): DataFrame = {
@@ -647,6 +769,22 @@ object Similarity {
     searchAssignedCells(centroids, assignTo(normed, centroids), queries,
       idCol, vecCol, k, nProbe)
   }
+
+  /** [[ivfTopK]] against a PRE-FIT index AND a PRE-ASSIGNED corpus —
+    * the inverted list (vec_id, centroid_id, v) a production IVF
+    * deployment persists next to its centroids
+    * ([[PairStage.ivfCorpusCells]]). This is the SERVING path
+    * (VERDICT r16 #1): a retrieval call runs the broadcast probe join
+    * and the bounded-heap rank over the probed cells only — zero
+    * full-corpus jobs; the corpus-wide normalize + argmax was paid
+    * once at staging. Values identical to [[ivfTopKWith]] by
+    * construction (exact parquet round-trip of int64 ids +
+    * IEEE-double unit vectors). */
+  def ivfTopKStaged(centroids: DataFrame, corpusCells: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 1): DataFrame =
+    searchAssignedCells(centroids, corpusCells, queries, idCol, vecCol,
+      k, nProbe)
 
   /** The probe-and-rank half of IVF search over an ALREADY-ASSIGNED
     * corpus (`corpusCells`: vec_id, centroid_id, v) — split out so the
@@ -727,6 +865,28 @@ object Similarity {
       .select(col("centroid_id"), col("n_corpus"), col("n_added"),
         (col("n_corpus") + col("n_added")).as("n_total"),
         col("stale_ppm"), col("refit_due"))
+  }
+
+  /** Cap a cell-keyed index (`centroid_id`, ...) at `maxCell` members
+    * per cell: rows of over-cap cells are dropped LOUDLY — counted by
+    * an `observe` metric that fires when the frame is consumed (at
+    * the staging write for [[PairStage.semanticCorpusIndex]], so the
+    * cap is paid and reported ONCE per staged artifact, not per
+    * downstream read — ADVICE r16; pre-fix the streaming gate re-ran
+    * this count scan on every gate construction). The occupancy
+    * window shares the cell-keyed shuffle the index build already
+    * pays. */
+  def capCells(index: DataFrame, maxCell: Long,
+               guardName: String): DataFrame = {
+    GuardLog.ensure(index.sparkSession)
+    val cw = Window.partitionBy(col("centroid_id"))
+    index
+      .withColumn("_cell_n", count(lit(1)).over(cw))
+      .observe(GuardLog.Prefix + guardName,
+        sum(when(col("_cell_n") > maxCell, 1L).otherwise(0L))
+          .as("n_rows_dropped_over_cap"))
+      .filter(col("_cell_n") <= maxCell)
+      .drop("_cell_n")
   }
 
   /** Per-cell membership counts (centroid_id, n_cell) of a corpus
@@ -825,7 +985,8 @@ object Similarity {
     * (nQueries * corpusN), exact while scanned * 1e6 < 2^63 (the
     * tfidf/pmi integer discipline). */
   def ivfProbeTuneReport(centroids: DataFrame, cellStats: DataFrame,
-                         corpus: DataFrame, queries: DataFrame,
+                         corpusCells: DataFrame, corpus: DataFrame,
+                         queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
                          nProbes: Seq[Int], corpusN: Long,
                          nQueries: Long): DataFrame = {
@@ -833,8 +994,12 @@ object Similarity {
       bruteForceTopK(queries, corpus, idCol, idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id")))
     nProbes.map { np =>
-      val ivf = ivfTopKWith(centroids, corpus, queries, idCol, vecCol,
-          k, nProbe = np)
+      // each config searches the STAGED inverted list (r17: the
+      // per-config corpus re-assignment was the last unstaged scan
+      // in this report; the brute-truth pass above is the only
+      // deliberate full-corpus read left)
+      val ivf = ivfTopKStaged(centroids, corpusCells, queries, idCol,
+          vecCol, k, nProbe = np)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       val rec = brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))

@@ -805,9 +805,12 @@ object ExtQueriesCorpus {
                       AND b.cell_rank < a.cell_rank
              WHERE ssz.n_cell <= 4096
                AND ${dotSql("a.v", "b.v")} >= 0.3),
+      ${QueryShared.semDedupSplitCtes("v4sd_", "sr", "ssz", eps = 0.3)},
+      srmall AS (SELECT vec_id FROM srm
+                 UNION SELECT vec_id FROM v4sd_rm),
       d3 AS (SELECT d2.doc_id, d2.source, d2.text FROM d2
-             LEFT JOIN srm ON srm.vec_id = d2.doc_id
-             WHERE srm.vec_id IS NULL),
+             LEFT JOIN srmall ON srmall.vec_id = d2.doc_id
+             WHERE srmall.vec_id IS NULL),
       tc AS (SELECT source AS cls, count(*) AS n
              FROM d3 WHERE source IS NOT NULL GROUP BY 1),
       tw AS (SELECT cls, n,

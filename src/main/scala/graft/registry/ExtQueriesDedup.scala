@@ -123,8 +123,33 @@ object ExtQueriesDedup {
       Dedup.containmentPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleN = 3, pct = 90)),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 3)),
+      // class-pair table is STAGED (r17): built once per corpus
+      // snapshot, shared with the agreement matrix
+      graft.ext.PairStage.simhashClassPairs(s, dir, maxHamming = 3)),
+    // the 2x2x2 dedup-modality agreement matrix (r17 #5): minhash x
+    // simhash x semantic pair classification with exact ppm shares
+    // per canonical source pair — the eps/threshold calibration
+    // observable. Enumerates only the bounded minhash ∪ semantic
+    // union; the simhash-only cell derives by exact class-space
+    // subtraction (see Dedup.agreementMatrix).
+    "dedup_agreement_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      val sem = Similarity.semDedupFrom(
+          graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
+          graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+          eps = 0.3)
+        .filter(col("removed_by").isNotNull)
+        .select(col("vec_id"), col("removed_by"))
+      Dedup.agreementMatrix(
+        docs.select(col("doc_id"), col("source")),
+        graft.ext.PairStage.lshPairs(s, dir),
+        docs.select(col("doc_id"),
+          Dedup.simhash(col("text")).as("sh")),
+        graft.ext.PairStage.simhashClassPairs(s, dir, maxHamming = 3),
+        sem)
+    }),
     "dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // staged corpus-level pair table (build-once contract; shared
@@ -187,7 +212,8 @@ object ExtQueriesDedup {
     "dedup_embedding_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding", dim = 64,
-        planes = Similarity.autoPlanes(emb.count()), tables = 4,
+        planes = Similarity.autoPlanes(
+          graft.ext.PairStage.corpusCard(s, dir)._1), tables = 4,
         threshold = 0.3)
     }),
     // SemDeDup semantic pruning: Lloyd cells bound the pair stream,
@@ -196,11 +222,12 @@ object ExtQueriesDedup {
     // dedup_embedding_cosine near-dup threshold); reuses the staged
     // kmeans fit shared with the whole IVF family
     "dedup_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.semDedup(emb,
-        graft.ext.PairStage.ivfCentroids(s, dir,
-          Similarity.autoCentroids(emb.count()), iters = 2),
-        "vec_id", "embedding", eps = 0.3)
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      Similarity.semDedupFrom(
+        graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
+        graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+        eps = 0.3)
     }),
     // ER-style fuzzy dedup: collapse exact-duplicate names FIRST (the
     // quadratic killer — identical names form Θ(k²) pairs for free),
@@ -443,6 +470,93 @@ object ExtQueriesDedup {
       SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
              n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
       FROM cls WHERE n >= 2""",
+    // the agreement matrix: minhash + semdedup replays enumerate the
+    // union (each embedded as its own WITH-subquery); simhash
+    // membership via the class CTEs; the simhash-only cell by exact
+    // class-space subtraction — mirror of Dedup.agreementMatrix
+    "dedup_agreement_report" -> s"""
+      WITH tokraw AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents),
+      tokd AS (SELECT DISTINCT doc_id, token FROM tokraw),
+      hh AS (SELECT doc_id, ${hex60Sql("token")} AS th FROM tokd),
+      sg AS MATERIALIZED (SELECT doc_id,
+         $SimhashBitSum AS sh
+       FROM hh GROUP BY doc_id),
+      cls AS (SELECT sh, min(doc_id) AS rep FROM sg GROUP BY sh),
+      mem AS MATERIALIZED (SELECT sg.doc_id, cls.rep
+             FROM sg JOIN cls USING (sh)),
+      chunks AS (SELECT rep, sh, unnest([
+          {c: 0, k: (sh >> 0) & 65535},  {c: 1, k: (sh >> 16) & 65535},
+          {c: 2, k: (sh >> 32) & 65535}, {c: 3, k: (sh >> 48) & 65535}])
+          AS ck FROM cls),
+      xp AS MATERIALIZED (
+        SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+        FROM chunks x JOIN chunks y
+          ON x.ck = y.ck AND x.rep < y.rep
+        WHERE bit_count(xor(x.sh, y.sh)) <= 3),
+      mh AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b
+            FROM (${minhashPairsSql()})),
+      sem AS MATERIALIZED (
+        SELECT least(vec_id, removed_by) AS a,
+               greatest(vec_id, removed_by) AS b
+        FROM (${QueryShared.SemDedupSql})
+        WHERE removed_by IS NOT NULL),
+      u AS (SELECT a, b,
+              CASE WHEN _m IS NULL THEN 0 ELSE 1 END AS in_minhash,
+              CASE WHEN _e IS NULL THEN 0 ELSE 1 END AS in_semantic
+            FROM (SELECT a, b, 1 AS _m FROM mh) mhj
+            FULL JOIN (SELECT a, b, 1 AS _e FROM sem) semj USING (a, b)),
+      uf AS (SELECT least(da.source, db.source) AS src_lo,
+               greatest(da.source, db.source) AS src_hi,
+               u.in_minhash,
+               CASE WHEN ma.rep = mb.rep THEN 1
+                    WHEN xp.rep_a IS NOT NULL THEN 1 ELSE 0 END
+                 AS in_simhash,
+               u.in_semantic
+             FROM u
+             JOIN mem ma ON ma.doc_id = u.a
+             JOIN mem mb ON mb.doc_id = u.b
+             LEFT JOIN xp ON xp.rep_a = least(ma.rep, mb.rep)
+                         AND xp.rep_b = greatest(ma.rep, mb.rep)
+             JOIN documents da ON da.doc_id = u.a
+             JOIN documents db ON db.doc_id = u.b),
+      cellsU AS (SELECT src_lo, src_hi, in_minhash, in_simhash,
+               in_semantic, count(*) AS n_pairs
+             FROM uf GROUP BY 1, 2, 3, 4, 5),
+      cs AS (SELECT mem.rep, d.source, count(*) AS c
+             FROM mem JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      xtot AS (SELECT least(ca.source, cb.source) AS src_lo,
+               greatest(ca.source, cb.source) AS src_hi,
+               SUM(ca.c * cb.c) AS n
+             FROM xp
+             JOIN cs ca ON ca.rep = xp.rep_a
+             JOIN cs cb ON cb.rep = xp.rep_b GROUP BY 1, 2),
+      itot AS (SELECT x.source AS src_lo, y.source AS src_hi,
+               SUM(CASE WHEN x.source = y.source
+                        THEN x.c * (x.c - 1) // 2
+                        ELSE x.c * y.c END) AS n
+             FROM cs x JOIN cs y
+               ON x.rep = y.rep AND x.source <= y.source
+             GROUP BY 1, 2),
+      stot AS (SELECT src_lo, src_hi, SUM(n) AS s_tot
+             FROM (SELECT * FROM xtot UNION ALL
+                   SELECT * FROM itot WHERE n > 0) GROUP BY 1, 2),
+      sinu AS (SELECT src_lo, src_hi, SUM(n_pairs) AS s_in_u
+             FROM cellsU WHERE in_simhash = 1 GROUP BY 1, 2),
+      sonly AS (SELECT s.src_lo, s.src_hi, 0 AS in_minhash,
+               1 AS in_simhash, 0 AS in_semantic,
+               s.s_tot - COALESCE(iu.s_in_u, 0) AS n_pairs
+             FROM stot s LEFT JOIN sinu iu USING (src_lo, src_hi)
+             WHERE s.s_tot - COALESCE(iu.s_in_u, 0) > 0),
+      allc AS (SELECT * FROM cellsU UNION ALL SELECT * FROM sonly),
+      tt AS (SELECT SUM(n_pairs) AS t FROM allc)
+      SELECT src_lo, src_hi, CAST(in_minhash AS BIGINT) AS in_minhash,
+             CAST(in_simhash AS BIGINT) AS in_simhash,
+             CAST(in_semantic AS BIGINT) AS in_semantic,
+             CAST(n_pairs AS BIGINT) AS n_pairs,
+             CAST(n_pairs * 1000000 // t AS BIGINT) AS share_ppm
+      FROM allc CROSS JOIN tt""",
     "dedup_ngram_jaccard" ->
       """WITH tokraw AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -73,14 +73,17 @@ object ExtQueriesSimilarity {
     // positive affine image of the raw dot, so ranks are MIPS ranks
     // (MipsSpec pins the equivalence)
     "sim_mips_ivf_topk" -> ((s, dir) => {
+      // the SERVING shape (r17): n and M² come from the staged
+      // corpus card and the corpus probe reads the staged augmented
+      // inverted list — a retrieval call runs zero full-corpus jobs
+      // (pre-r17 this entry ran a count(), a max-norm scan, AND a
+      // corpus re-assignment per call)
       val emb = t(s, dir, "embeddings")
-      val msq = emb.agg(max(Similarity.dot(col("embedding"),
-        col("embedding")))).first().getDouble(0)
-      val cents = graft.ext.PairStage.mipsIvfCentroids(s, dir,
-        Similarity.autoCentroids(emb.count()), iters = 2)
-      Similarity.ivfTopKWith(cents,
-        Similarity.normAugment(emb, "embedding", lit(msq),
-          isQuery = false, "av"),
+      val (n, msq) = graft.ext.PairStage.corpusCard(s, dir)
+      val nc = Similarity.autoCentroids(n)
+      Similarity.ivfTopKStaged(
+        graft.ext.PairStage.mipsIvfCentroids(s, dir, nc, iters = 2),
+        graft.ext.PairStage.mipsIvfCorpusCells(s, dir, nc, iters = 2),
         Similarity.normAugment(emb.filter(col("vec_id") < 10),
           "embedding", lit(msq), isQuery = true, "av"),
         "vec_id", "av", k = 5, nProbe = 2)
@@ -94,11 +97,12 @@ object ExtQueriesSimilarity {
     // the observable that decides eps and flags boilerplate-heavy
     // regions of the embedding space
     "emb_semdedup_cell_report" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.semDedup(emb,
-          graft.ext.PairStage.ivfCentroids(s, dir,
-            Similarity.autoCentroids(emb.count()), iters = 2),
-          "vec_id", "embedding", eps = 0.3)
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      Similarity.semDedupFrom(
+          graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
+          graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+          eps = 0.3)
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_cell"),
           sum(col("is_removed")).as("n_removed"))
@@ -119,20 +123,26 @@ object ExtQueriesSimilarity {
     "sim_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshNearNeighbors(emb, "vec_id", "embedding", dim = 64,
-        planes = Similarity.autoPlanes(emb.count()), threshold = 0.2)
+        planes = Similarity.autoPlanes(
+          graft.ext.PairStage.corpusCard(s, dir)._1), threshold = 0.2)
     }),
     // centroid count grows ~sqrt(n) with the corpus via autoCentroids
     // (the SQL twin derives the identical count from count(*)) — a
     // fixed count would leave n/const vectors per cell and the
     // within-cell scan linear again at 100x
     "sim_ivf_topk" -> ((s, dir) => {
-      // the Lloyd fit is STAGED (one fit per session, persisted by
-      // PairStage.ivfCentroids; all four ANN-family consumers read
-      // it) — build-once/search-many, value-identical to inline
+      // fit AND inverted list are STAGED (PairStage.ivfCentroids /
+      // ivfCorpusCells; n from the one-row corpus card) — a
+      // retrieval call is the broadcast probe join over staged
+      // cells, zero full-corpus jobs (VERDICT r16 #1);
+      // value-identical to the inline assignment
       val emb = t(s, dir, "embeddings")
-      val cents = graft.ext.PairStage.ivfCentroids(s, dir,
-        Similarity.autoCentroids(emb.count()), iters = 2)
-      Similarity.ivfTopKWith(cents, emb, emb.filter(col("vec_id") < 10),
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      Similarity.ivfTopKStaged(
+        graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+        graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
+        emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
     // nProbe tuning curve: measured recall@5 vs exact truth AND
@@ -141,12 +151,13 @@ object ExtQueriesSimilarity {
     // the IVF twin of dedup_lsh_tune_report
     "ann_nprobe_tune_report" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = emb.count()
+      val n = graft.ext.PairStage.corpusCard(s, dir)._1
       val nc = Similarity.autoCentroids(n)
       val q = emb.filter(col("vec_id") < 10)
       Similarity.ivfProbeTuneReport(
         graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
         graft.ext.PairStage.ivfCellStats(s, dir, nc, iters = 2),
+        graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
         emb, q, "vec_id", "embedding", k = 5, nProbes = Seq(1, 2, 4),
         corpusN = n, nQueries = q.count())
     }),
@@ -155,8 +166,8 @@ object ExtQueriesSimilarity {
     // sizes probeN from), never a corpus pass. The oracle replays the
     // Lloyd fit + assignment in SQL and aggregates identically.
     "ann_ivf_build_report" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val nC = Similarity.autoCentroids(emb.count())
+      val nC = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
       Similarity.ivfBuildReport(
         graft.ext.PairStage.ivfCellStats(s, dir, nC, iters = 2), nC)
     }),
@@ -167,11 +178,11 @@ object ExtQueriesSimilarity {
     // INCLUDING the iterative fit (the oracle replays every Lloyd
     // round in SQL)
     "emb_kmeans_assign" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfAssignWith(
-          graft.ext.PairStage.ivfCentroids(s, dir,
-            Similarity.autoCentroids(emb.count()), iters = 2),
-          emb, "vec_id", "embedding")
+      // reads the staged inverted list — the assignment IS the
+      // artifact, so the consumer is a two-column scan of it
+      graft.ext.PairStage.ivfCorpusCells(s, dir,
+          Similarity.autoCentroids(
+            graft.ext.PairStage.corpusCard(s, dir)._1), iters = 2)
         .select(col("vec_id"), col("centroid_id"))
     }),
     // greedy k-center coreset (farthest-point traversal): 8 maximally
@@ -188,11 +199,9 @@ object ExtQueriesSimilarity {
     // composed from two verified operators (cluster assignment +
     // deterministic class rebalancing)
     "sample_cluster_balanced" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val assigned = Similarity.ivfAssignWith(
-          graft.ext.PairStage.ivfCentroids(s, dir,
-            Similarity.autoCentroids(emb.count()), iters = 2),
-          emb, "vec_id", "embedding")
+      val assigned = graft.ext.PairStage.ivfCorpusCells(s, dir,
+          Similarity.autoCentroids(
+            graft.ext.PairStage.corpusCard(s, dir)._1), iters = 2)
         .select(col("vec_id"), col("centroid_id"))
       Corpus.balanceClasses(assigned, col("centroid_id"), col("vec_id"))
         .select(col("vec_id"), col("centroid_id"))
@@ -218,7 +227,8 @@ object ExtQueriesSimilarity {
     // staged artifact is the inverted-list form (codes WITH cell ids).
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val nc = Similarity.autoCentroids(emb.count())
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
       val (cents, books, cells) = graft.ext.PairStage.ivfPqIndex(
         s, dir, nc, dim = 64, m = 4, ksub = 16, iters = 2)
       Similarity.ivfPqTopKWith(cents, books, cells, emb,
@@ -249,10 +259,12 @@ object ExtQueriesSimilarity {
       val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopKWith(
-          graft.ext.PairStage.ivfCentroids(s, dir,
-            Similarity.autoCentroids(emb.count()), iters = 2),
-          emb, q, "vec_id", "embedding", k = 5, nProbe = 2)
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      val ivf = Similarity.ivfTopKStaged(
+          graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+          graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
+          q, "vec_id", "embedding", k = 5, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
@@ -272,16 +284,16 @@ object ExtQueriesSimilarity {
       val truth = Similarity.mipsTopK(q, emb, "vec_id", "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val msq = emb.agg(max(Similarity.dot(col("embedding"),
-        col("embedding")))).first().getDouble(0)
-      val cents = graft.ext.PairStage.mipsIvfCentroids(s, dir,
-        Similarity.autoCentroids(emb.count()), iters = 2)
-      val corpusAug = Similarity.normAugment(emb, "embedding",
-        lit(msq), isQuery = false, "av")
+      val (n, msq) = graft.ext.PairStage.corpusCard(s, dir)
+      val nc = Similarity.autoCentroids(n)
+      val cents = graft.ext.PairStage.mipsIvfCentroids(s, dir, nc,
+        iters = 2)
+      val cells = graft.ext.PairStage.mipsIvfCorpusCells(s, dir, nc,
+        iters = 2)
       val qAug = Similarity.normAugment(q, "embedding", lit(msq),
         isQuery = true, "av")
       Seq(1, 2, 4).map { np =>
-        val ivf = Similarity.ivfTopKWith(cents, corpusAug, qAug,
+        val ivf = Similarity.ivfTopKStaged(cents, cells, qAug,
             "vec_id", "av", k = 5, nProbe = np)
           .select(col("query_id"), col("neighbor_id"),
             lit(1).as("hit"))
@@ -348,8 +360,9 @@ object ExtQueriesSimilarity {
       val corpus = emb.filter(col("vec_id") % 10 =!= 7)
       val batch = emb.filter(col("vec_id") % 10 === 7)
       val cents = graft.ext.PairStage.ivfCentroidsCorpus(s, dir,
-        Similarity.autoCentroids(corpus.count()), iters = 2,
-        excludeMod = 7)
+        Similarity.autoCentroids(
+          graft.ext.PairStage.corpusCard(s, dir, excludeMod = 7)._1),
+        iters = 2, excludeMod = 7)
       Similarity.ivfUpsertReport(cents, corpus, batch,
         "vec_id", "embedding")
     }),
@@ -372,20 +385,32 @@ object ExtQueriesSimilarity {
       val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      def recallRow(cents: DataFrame, method: String) = {
-        val ivf = Similarity.ivfTopKWith(cents, emb, q,
-            "vec_id", "embedding", k = 5, nProbe = 2)
+      def recallRow(ivf0: DataFrame, method: String) = {
+        val ivf = ivf0
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
         brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
           .agg(count(col("hit")).as("matched"), count(lit(1)).as("total"))
           .select(lit(method).as("method"), col("matched"), col("total"),
             expr("matched * 1000000L div total").as("recall_ppm"))
       }
-      recallRow(graft.ext.PairStage.ivfCentroidsCorpus(s, dir,
-          Similarity.autoCentroids(corpus.count()), iters = 2,
-          excludeMod = 7), "ivf_stale_nprobe2")
-        .unionByName(recallRow(graft.ext.PairStage.ivfCentroids(s, dir,
-          Similarity.autoCentroids(emb.count()), iters = 2),
+      // the STALE row deliberately assigns the full corpus with the
+      // stale standing-only fit inline: that configuration is the
+      // audited anomaly, not a persisted serving index. The
+      // POST-REFIT row reads the staged inverted list (it IS the
+      // serving configuration).
+      val ncFull = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      recallRow(Similarity.ivfTopKWith(
+          graft.ext.PairStage.ivfCentroidsCorpus(s, dir,
+            Similarity.autoCentroids(
+              graft.ext.PairStage.corpusCard(s, dir, excludeMod = 7)._1),
+            iters = 2, excludeMod = 7),
+          emb, q, "vec_id", "embedding", k = 5, nProbe = 2),
+          "ivf_stale_nprobe2")
+        .unionByName(recallRow(Similarity.ivfTopKStaged(
+          graft.ext.PairStage.ivfCentroids(s, dir, ncFull, iters = 2),
+          graft.ext.PairStage.ivfCorpusCells(s, dir, ncFull, iters = 2),
+          q, "vec_id", "embedding", k = 5, nProbe = 2),
           "ivf_postrefit_nprobe2"))
     }),
     // filtered ANN search — predicate + top-k ("nearest among docs
@@ -403,7 +428,8 @@ object ExtQueriesSimilarity {
     // bench priced that at +0.49s per call at sf0.1)
     "sim_ivf_filtered_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val nc = Similarity.autoCentroids(emb.count())
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
       val cents = graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2)
       val stats = graft.ext.PairStage.ivfCellStats(s, dir, nc, iters = 2)
       val sliver = graft.ext.PairStage.ivfFilteredCells(s, dir, nc,
@@ -424,7 +450,8 @@ object ExtQueriesSimilarity {
     "ivfpq_recall_report" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val nc = Similarity.autoCentroids(emb.count())
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
       val (cents, books, cells) = graft.ext.PairStage.ivfPqIndex(
         s, dir, nc, dim = 64, m = 4, ksub = 16, iters = 2)
       val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",

@@ -150,11 +150,12 @@ object QueryShared {
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
       Seq("doc_id"))),
     "semdedup_prune" -> ((in: DataFrame) => {
-      val emb = t(s, dir, "embeddings")
-      val removed = Similarity.semDedup(emb,
-          graft.ext.PairStage.ivfCentroids(s, dir,
-            Similarity.autoCentroids(emb.count()), iters = 2),
-          "vec_id", "embedding", eps = 0.3)
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir)._1)
+      val removed = Similarity.semDedupFrom(
+          graft.ext.PairStage.ivfCorpusCells(s, dir, nc, iters = 2),
+          graft.ext.PairStage.ivfCentroids(s, dir, nc, iters = 2),
+          eps = 0.3)
         .filter(col("is_removed") === 1L)
         .select(col("vec_id").as("doc_id"))
       in.join(removed, Seq("doc_id"), "left_anti")
@@ -901,13 +902,93 @@ object QueryShared {
       SELECT node AS doc_id, min(lbl) AS component
       FROM walk GROUP BY node"""
 
+  /** Mega-cell SPLIT replay (the r17 hierarchical fallback in
+    * [[graft.ext.Similarity.semDedupFrom]]): members of cells above
+    * `maxCell` are sub-clustered with a grouped two-round Lloyd fit —
+    * per-parent init (each parent's nSub lowest vec_ids, nSub = the
+    * autoCentroids formula on the cell's own n), micro-quantized
+    * per-dimension means, renormalize, empty sub-cells keep their
+    * previous sub-centroid — then the centrality-order removal scan
+    * runs inside sub-cells; sub-cells still over the cap keep their
+    * rows (the recursion floor). Emits CTEs ending in `${p}rm`
+    * (vec_id, removed_by) — UNION with the small-cell removal set.
+    * `ranked` must expose (vec_id, centroid_id, v, cell_rank); `sz`
+    * (centroid_id, n_cell). Every arithmetic step mirrors the
+    * grouped Spark fit term for term, so the split branch is
+    * hash-verifiable like the flat fit (validated against a derived
+    * mega-cell corpus — see NOTES_r17). Inert at every registered
+    * scale (no cell exceeds 4096 at sf0.01 or sf1). */
+  private[registry] def semDedupSplitCtes(p: String, ranked: String,
+                                          sz: String, eps: Double,
+                                          maxCell: Long = 4096L): String = {
+    val iterCtes = (1 to 2).map { it =>
+      val prev = s"${p}s${it - 1}"
+      s"""${p}sa$it AS (SELECT vec_id, centroid_id, sub_id, v, cell_rank FROM (
+         |    SELECT m.vec_id, m.centroid_id, s.sub_id, m.v, m.cell_rank,
+         |           row_number() OVER (PARTITION BY m.vec_id
+         |             ORDER BY ${dotSql("m.v", "s.scv")} DESC, s.sub_id) AS rn
+         |    FROM ${p}mega m JOIN $prev s ON s.centroid_id = m.centroid_id)
+         |  WHERE rn = 1),
+         |${p}sm$it AS (SELECT centroid_id, sub_id, d,
+         |       (SUM(CAST(FLOOR(v[d+1]*1000000) AS BIGINT)) / 1000000.0)
+         |         / count(*) AS m
+         |     FROM ${p}sa$it CROSS JOIN range(0, 64) ${p}rr$it(d)
+         |     GROUP BY 1, 2, 3),
+         |${p}sg$it AS (SELECT centroid_id, sub_id, list(m ORDER BY d) AS mv
+         |       FROM ${p}sm$it GROUP BY 1, 2),
+         |${p}sn$it AS (SELECT centroid_id, sub_id, list_transform(mv,
+         |         x -> x / sqrt(list_sum(list_transform(mv, y -> y*y))))
+         |         AS scv FROM ${p}sg$it),
+         |${p}s$it AS (SELECT q.centroid_id, q.sub_id,
+         |         COALESCE(n.scv, q.scv) AS scv
+         |       FROM $prev q LEFT JOIN ${p}sn$it n
+         |         USING (centroid_id, sub_id))""".stripMargin
+    }.mkString(",\n      ")
+    s"""${p}mega AS MATERIALIZED (
+        SELECT r.vec_id, r.centroid_id, r.v, r.cell_rank, z.n_cell
+        FROM $ranked r JOIN $sz z USING (centroid_id)
+        WHERE z.n_cell > $maxCell),
+      ${p}ns AS (SELECT centroid_id, GREATEST(4, LEAST(4096,
+            CASE WHEN n_cell <= 1 THEN 1
+                 ELSE (CAST(1 AS BIGINT)
+                       << CAST((length(bin(n_cell - 1)) + 1) // 2
+                          AS INTEGER)) END)) AS ns
+        FROM (SELECT DISTINCT centroid_id, n_cell FROM ${p}mega)),
+      ${p}s0 AS (SELECT centroid_id, vec_id AS sub_id, v AS scv FROM (
+          SELECT m.centroid_id, m.vec_id, m.v,
+                 row_number() OVER (PARTITION BY m.centroid_id
+                   ORDER BY m.vec_id) AS ir, n.ns
+          FROM ${p}mega m JOIN ${p}ns n USING (centroid_id))
+        WHERE ir <= ns),
+      $iterCtes,
+      ${p}sca AS MATERIALIZED (
+        SELECT vec_id, centroid_id, sub_id, v, cell_rank FROM (
+          SELECT m.vec_id, m.centroid_id, s.sub_id, m.v, m.cell_rank,
+                 row_number() OVER (PARTITION BY m.vec_id
+                   ORDER BY ${dotSql("m.v", "s.scv")} DESC, s.sub_id) AS rn
+          FROM ${p}mega m JOIN ${p}s2 s ON s.centroid_id = m.centroid_id)
+        WHERE rn = 1),
+      ${p}ssz AS (SELECT centroid_id, sub_id, count(*) AS n_sub
+                  FROM ${p}sca GROUP BY 1, 2),
+      ${p}rm AS (SELECT a.vec_id, min(b.vec_id) AS removed_by
+             FROM ${p}sca a
+             JOIN ${p}ssz z ON z.centroid_id = a.centroid_id
+                           AND z.sub_id = a.sub_id
+             JOIN ${p}sca b ON b.centroid_id = a.centroid_id
+                           AND b.sub_id = a.sub_id
+                           AND b.cell_rank < a.cell_rank
+             WHERE z.n_sub <= $maxCell
+               AND ${dotSql("a.v", "b.v")} >= $eps
+             GROUP BY 1)"""
+  }
+
   /** SemDeDup replay: the shared Lloyd-fit CTEs, centrality rank per
     * cell (dot to the final centroid, id tiebreak), then the
     * earlier-member scan — removed iff an earlier-ranked cell-mate
-    * sits within eps cosine; mega cells (> 4096) excluded from the
-    * pair join exactly like the Spark guard. The rank CTE is
-    * MATERIALIZED: DuckDB inlines plain CTEs per consumer, and three
-    * consumers re-evaluating the Lloyd chain OOM'd the sf1 gate
+    * sits within eps cosine; mega cells (> 4096) SPLIT via
+    * [[semDedupSplitCtes]] exactly like the Spark fallback. The rank
+    * CTE is MATERIALIZED: DuckDB inlines plain CTEs per consumer, and
+    * three consumers re-evaluating the Lloyd chain OOM'd the sf1 gate
     * before the fix (`8b5763a`). Shared by dedup_semdedup and the
     * per-cell report. */
   private[registry] val SemDedupSql: String = s"""
@@ -925,13 +1006,16 @@ object QueryShared {
                       AND b.cell_rank < a.cell_rank
              WHERE sz.n_cell <= 4096
                AND ${dotSql("a.v", "b.v")} >= 0.3
-             GROUP BY 1)
+             GROUP BY 1),
+      ${semDedupSplitCtes("sp_", "r", "sz", eps = 0.3)},
+      rmall AS (SELECT vec_id, removed_by FROM rm
+                UNION ALL SELECT vec_id, removed_by FROM sp_rm)
       SELECT r.vec_id, r.centroid_id,
              CAST(r.cell_rank AS BIGINT) AS cell_rank,
-             rm.removed_by,
-             CAST(CASE WHEN rm.removed_by IS NULL THEN 0 ELSE 1 END
+             rmall.removed_by,
+             CAST(CASE WHEN rmall.removed_by IS NULL THEN 0 ELSE 1 END
                AS BIGINT) AS is_removed
-      FROM r LEFT JOIN rm USING (vec_id)"""
+      FROM r LEFT JOIN rmall USING (vec_id)"""
 
   /** SQL twin of Sampling.bucket (salt ""). */
   private[registry] def bucketSql(key: String): String =

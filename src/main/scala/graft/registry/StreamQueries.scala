@@ -304,9 +304,8 @@ object StreamQueries {
     // flagged before the arrival lands — the embedding-space twin of
     // stream_neardup_gate, sharing its bounded-state contract
     "stream_semdedup_gate" -> ((s, dir) => withStreamParallelism(s, dir) {
-      val standing = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") % 10 =!= 3).count()
-      val nC = graft.ext.Similarity.autoCentroids(standing)
+      val nC = graft.ext.Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir, excludeMod = 3)._1)
       StreamOps.runToMemory(
         StreamOps.semanticGate(
           embStreamSource(s, dir, modEq = 3).withColumn("arrival_ts",

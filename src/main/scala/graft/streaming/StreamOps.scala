@@ -438,20 +438,21 @@ object StreamOps {
     *
     * Scale shape: per micro-batch the work is |batch| x nCentroids
     * literal dots plus the matched cells' verify sliver — never
-    * corpus x corpus. Mega standing cells (> `maxCell` members would
-    * cost |cell| candidates per matching arrival on EVERY trigger)
-    * are dropped from the staged index loudly at (batch) staging
-    * time through [[graft.ext.GuardLog]]. The only streaming state
-    * is the emit-once pair dedup, horizon-bounded via
+    * corpus x corpus. `corpusIndex` must be the CAPPED staged
+    * artifact ([[graft.ext.PairStage.semanticCorpusIndex]], which
+    * drops mega standing cells loudly through
+    * [[graft.ext.Similarity.capCells]] at staging time — ADVICE
+    * r16: the pre-fix gate re-ran the per-cell count scan on every
+    * gate construction); the gate reads the bounded leaf directly
+    * with zero per-call index work. The only streaming state is the
+    * emit-once pair dedup, horizon-bounded via
     * `dropDuplicatesWithinWatermark` when `eventTimeCol` is given —
     * the same bounded-state contract as [[nearDupGate]]. */
   def semanticGate(stream: DataFrame, centroids: DataFrame,
                    corpusIndex: DataFrame, idCol: String, vecCol: String,
-                   eps: Double, maxCell: Long = 4096L,
+                   eps: Double,
                    eventTimeCol: Option[String] = None,
-                   horizon: String = "24 hours",
-                   guardName: String = "stream_semgate_mega_cell")
-      : DataFrame = {
+                   horizon: String = "24 hours"): DataFrame = {
     val spark = stream.sparkSession
     graft.ext.GuardLog.ensure(spark)
     val cents = centroids.select(col("centroid_id"), col("cv"))
@@ -481,19 +482,13 @@ object StreamOps {
         }))
       .withColumn("centroid_id", col("_best").getField("cid"))
       .drop("_best", "_gate_vec")
-    // capped standing index, materialized at batch staging time (the
-    // observe fires there); the streaming plan reads the bounded leaf
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("centroid_id"))
-    val cappedIdx = graft.ext.Materialize.eager(corpusIndex
-      .withColumn("_cell_n", count(lit(1)).over(cw))
-      .observe(graft.ext.GuardLog.Prefix + guardName,
-        sum(when(col("_cell_n") > maxCell, 1L).otherwise(0L))
-          .as("n_corpus_rows_dropped"))
-      .filter(col("_cell_n") <= maxCell)
+    // the staged index is already capped at staging time
+    // (Similarity.capCells inside PairStage.semanticCorpusIndex) —
+    // read the bounded leaf directly, no per-call index work
+    val idx = corpusIndex
       .select(col("vec_id").as("_corpus_id"), col("centroid_id"),
-        col("v").as("_cv")))
-    val matched = assigned.join(cappedIdx, Seq("centroid_id"))
+        col("v").as("_cv"))
+    val matched = assigned.join(idx, Seq("centroid_id"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.dotNative(col("_v"), col("_cv")))
       .filter(col("cosine") >= lit(eps))

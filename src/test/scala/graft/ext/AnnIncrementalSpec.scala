@@ -246,8 +246,9 @@ class AnnIncrementalSpec extends SparkSpec {
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nC,
       iters = 2)
     val stats = Similarity.ivfCellStats(cents, emb, "vec_id", "embedding")
+    val cells = Similarity.ivfAssignWith(cents, emb, "vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 10)
-    val rep = Similarity.ivfProbeTuneReport(cents, stats, emb, q,
+    val rep = Similarity.ivfProbeTuneReport(cents, stats, cells, emb, q,
         "vec_id", "embedding", k = 5, nProbes = Seq(1, 2, nC),
         corpusN = n, nQueries = q.count())
       .orderBy("scanned_rows")

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The build-once/serve-many contract of the IVF serving path
+  * (VERDICT r16 #1): after staging, a retrieval call must run ZERO
+  * full-corpus work — no corpus re-assignment, no per-call count()
+  * or max-norm scan. Proven two ways: (a) job count — constructing
+  * the registered serving queries after first touch triggers no
+  * Spark jobs at all (the corpus card is memo-cached, the inverted
+  * list is a staged parquet leaf); (b) plan shape — the only
+  * non-staged relation in the serving plan is the query batch, and
+  * its scan carries the pushed-down `vec_id < 10` predicate. Plus
+  * value parity: the staged search equals the self-contained
+  * inline-assignment search row for row. */
+class AnnServingPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jobsDuring[A](f: => A): (A, Int) = {
+    // suites run concurrently in one JVM — count ONLY jobs submitted
+    // from this thread (job groups are thread-local), so a sibling
+    // suite's jobs can never pollute the zero-job assertion
+    val gid = s"ann-serving-probe-${System.nanoTime()}"
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+          gid == js.properties.getProperty("spark.jobGroup.id")) {
+          n.incrementAndGet(); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(gid, "serving-path construction probe")
+    try {
+      val r = f
+      Thread.sleep(1000) // listener bus is async
+      (r, n.get())
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def serving(name: String): DataFrame =
+    graft.registry.ExtQueries.queries(name)(spark, sf0001)
+
+  test("staged IVF serving: zero jobs at construction, staged-only scans + filtered query batch") {
+    for (name <- Seq("sim_ivf_topk", "sim_mips_ivf_topk")) {
+      serving(name).count() // first touch stages card + fit + cells
+      val (df, jobs) = jobsDuring(serving(name))
+      assert(jobs == 0,
+        s"$name construction after staging triggered $jobs jobs — " +
+          "a serving call must not re-scan the corpus (card is " +
+          "memo-cached, fit and inverted list are staged leaves)")
+      val paths = scanPaths(df)
+      val corpusReads = paths.filterNot(_.contains("/graft_"))
+      assert(corpusReads.forall(_.contains("embeddings.parquet")) &&
+        corpusReads.size == 1,
+        s"$name reads non-staged inputs beyond the query batch: $paths")
+      // the one corpus read is the bounded query batch, filter pushed
+      // to the scan
+      assert(df.queryExecution.executedPlan.toString
+          .contains("LessThan(vec_id,10)"),
+        s"$name query-batch scan lost its pushed vec_id predicate")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("staged and inline IVF search are value-identical") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (n, msq) = PairStage.corpusCard(spark, sf0001)
+    assert(n == emb.count())
+    val direct = emb.agg(max(Similarity.dot(col("embedding"),
+      col("embedding")))).first().getDouble(0)
+    assert(msq == direct, s"card msq $msq != direct $direct")
+    val nc = Similarity.autoCentroids(n)
+    val cents = PairStage.ivfCentroids(spark, sf0001, nc, iters = 2)
+    val cells = PairStage.ivfCorpusCells(spark, sf0001, nc, iters = 2)
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSet
+    val staged = rows(Similarity.ivfTopKStaged(cents, cells, q,
+      "vec_id", "embedding", k = 5, nProbe = 2))
+    val inline = rows(Similarity.ivfTopKWith(cents, emb, q,
+      "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(staged == inline && staged.nonEmpty,
+      s"staged/inline divergence: ${staged.diff(inline)} vs ${inline.diff(staged)}")
+    // MIPS augmented space: staged cells vs inline augmentation
+    val mc = PairStage.mipsIvfCentroids(spark, sf0001, nc, iters = 2)
+    val mCells = PairStage.mipsIvfCorpusCells(spark, sf0001, nc, iters = 2)
+    val qAug = Similarity.normAugment(q, "embedding", lit(msq),
+      isQuery = true, "av")
+    val corpusAug = Similarity.normAugment(emb, "embedding", lit(msq),
+      isQuery = false, "av")
+    val mStaged = rows(Similarity.ivfTopKStaged(mc, mCells, qAug,
+      "vec_id", "av", k = 5, nProbe = 2))
+    val mInline = rows(Similarity.ivfTopKWith(mc, corpusAug, qAug,
+      "vec_id", "av", k = 5, nProbe = 2))
+    assert(mStaged == mInline && mStaged.nonEmpty)
+  }
+}

@@ -237,6 +237,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == r._2 && r._4 >= 2L))
   }
 
+  test("corruptFixture invariant: header always shorter than half the payload") {
+    // ADVICE r16: the 'payload cut to half' fate classifies as
+    // truncated_raster ONLY because the P6 header is shorter than
+    // half the payload — the oracle replays that classification as a
+    // closed form in doc_id % 11, so a fixtureDims change that broke
+    // this would silently desynchronize Spark from the oracle. Pin
+    // the coupling over one full fixtureDims period (lcm(13,7) = 91
+    // ids covers every (w, h) the generator can produce).
+    (0L until 91L).foreach { id =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      val headerLen = s"P6\n$w $h\n255\n".length
+      val payloadLen = headerLen + w * h * 3
+      assert(headerLen < payloadLen / 2,
+        s"id=$id dims=${w}x$h: header $headerLen >= half of $payloadLen — " +
+          "the truncated fate would no longer classify as truncated_raster")
+    }
+  }
+
   test("decodeQuarantine classifies hostile payloads, never dies, and is loud") {
     import org.apache.spark.sql.functions._
     val (w, h) = Multimodal.fixtureDims(5L)

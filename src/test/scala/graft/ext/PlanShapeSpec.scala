@@ -15,14 +15,25 @@ class PlanShapeSpec extends SparkSpec {
 
   test("ivfTopK ranks with partial aggregation, never an unbounded window sort") {
     val plan = ivfPlan
-    // a row_number window over the broadcast-expanded CORPUS would
-    // shuffle-and-sort n x nCentroids assignment rows and
-    // queries x nProbe x cellSize candidate rows; both the centroid
-    // argmax and the final top-k must be map-side-combining aggregates
-    assert(plan.contains("partial_max_by"),
-      s"centroid argmax is not a partial aggregation:\n$plan")
+    // r17: the serving plan reads the STAGED inverted list — the
+    // corpus argmax must be GONE from a retrieval call entirely (it
+    // runs once, at PairStage.ivfCorpusCells staging; the build-path
+    // shape is pinned below). The final top-k must still be the
+    // map-side-combining bounded-heap aggregate.
+    assert(!plan.contains("max_by"),
+      s"serving plan re-runs the corpus assignment argmax:\n$plan")
     assert(plan.toLowerCase.contains("partial_topkbyscore"),
       s"final ranking is not the bounded-heap partial aggregate:\n$plan")
+    // the BUILD path (the staged assignment) keeps the partial-agg
+    // argmax shape: a row_number window over the broadcast-expanded
+    // corpus would shuffle-and-sort n x nCentroids rows
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = PairStage.ivfCentroids(spark, sf0001,
+      Similarity.autoCentroids(emb.count()), iters = 2)
+    val buildPlan = Similarity.ivfAssignWith(cents, emb, "vec_id",
+      "embedding").queryExecution.executedPlan.toString
+    assert(buildPlan.contains("partial_max_by"),
+      s"staged-assignment build lost its partial argmax:\n$buildPlan")
     // the one remaining window is the QUERY-side probe-cell selection
     // (queries x nCentroids rows), and it must carry a map-side
     // WindowGroupLimit so each task forwards at most nProbe rows per

@@ -52,16 +52,67 @@ class SemDedupSplitSpec extends SparkSpec {
     out.foreach { r => assert((r._3.isDefined) == (r._4 == 1L)) }
   }
 
-  test("semDedup mega-cell guard keeps everything and fires loudly") {
+  test("semDedup mega-cell split: unsplittable duplicates hit the recursion floor loudly") {
     val cents = Similarity.ivfCentroids(fixture, "vec_id", "embedding",
       nCentroids = 2, iters = 2)
     val out = Similarity.semDedup(fixture, cents, "vec_id", "embedding",
-        eps = 0.95, maxCell = 1L, guardName = "semdedup_spec_cap")
+        eps = 0.95, maxCell = 1L, guardName = "semdedup_spec_cap",
+        floorGuardName = "semdedup_spec_floor")
       .agg(sum(col("is_removed"))).as[Long].collect()(0)
-    // every cell exceeds the cap: no pair join runs, nothing removed
+    // every cell exceeds the cap (r17: SPLIT, not skip). The
+    // duplicate pairs {1,3} and {4,6} are exactly identical, so the
+    // sub-fit cannot separate them (argmax ties -> lowest sub_id):
+    // their sub-cells stay over the cap-of-1 and hit the recursion
+    // floor — kept undeduped, loudly. The singleton sub-cells pair
+    // nothing. Net: nothing removed, both guards fired with exact
+    // row counts.
     assert(out == 0L)
-    // both cells (4 + 2 rows) counted as kept-undeduped
+    // all 6 rows entered the split path (4 + 2 member cells > cap 1)
     assert(awaitGuard("semdedup_spec_cap").contains(6L))
+    // the two identical pairs (4 rows) are unsplittable -> floor
+    assert(awaitGuard("semdedup_spec_floor").contains(4L))
+  }
+
+  test("semDedup splits a 10k-member mega cell and dedups inside sub-cells") {
+    // 10,000 vectors, 40 exact-duplicate clusters of 250 (cluster
+    // j = id % 40, direction = basis vector e_j in 48 dims), ALL
+    // pinned to one parent cell — the boilerplate-heavy corpus the
+    // r16 keep-undeduped fallback abandoned. The split must fit 128
+    // sub-centroids (autoCentroids(10000)) over the sliver, land
+    // each cluster in its own sub-cell, and remove everything but
+    // each cluster's most-central (lowest-id) member.
+    val dim = 48
+    val n = 10000
+    val cells = spark.range(n).select(col("id").as("vec_id"),
+        lit(0L).as("centroid_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => when(d === (col("id") % 40).cast("int"), lit(1.0))
+            .otherwise(lit(0.0))).as("v"))
+    val cents = Seq((0L, Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+        .toSeq))
+      .toDF("centroid_id", "cv")
+    val out = Similarity.semDedupFrom(cells, cents, eps = 0.9,
+      guardName = "semdedup_split_mega10k",
+      floorGuardName = "semdedup_split_floor10k")
+    val (total, removed) = out.agg(count(lit(1)), sum(col("is_removed")))
+      .as[(Long, Long)].collect()(0)
+    assert(total == n.toLong)
+    // every cluster keeps exactly one representative
+    assert(removed == (n - 40).toLong,
+      s"expected ${n - 40} removals, got $removed")
+    // each kept row is its cluster's lowest id (ids 0..39), and each
+    // removed row is attributed within its own cluster
+    val kept = out.filter(col("is_removed") === 0L)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == (0L until 40L),
+      s"kept ${kept.take(50).toSeq}")
+    val badAttr = out.filter(col("is_removed") === 1L)
+      .filter(col("removed_by") =!= col("vec_id") % 40).count()
+    assert(badAttr == 0L, s"$badAttr rows removed by a non-cluster rep")
+    // whole cell went through the split; nothing hit the floor
+    assert(awaitGuard("semdedup_split_mega10k").contains(n.toLong))
+    assert(awaitGuard("semdedup_split_floor10k", 2000).isEmpty,
+      "no sub-cell should exceed the cap after the split")
   }
 
   test("semDedup equals an exact driver-side replay on random vectors") {

@@ -64,9 +64,13 @@ class StreamSemanticGateSpec extends SparkSpec {
   }
 
   test("semantic gate: mega-cell cap admits everything and fires loudly") {
-    val n = StreamOps.semanticGate(arrivals, cents, corpusIdx, "vec_id",
-        "embedding", eps = 0.3, maxCell = 1L,
-        guardName = "semgate_spec_cap").count()
+    // the cap lives at STAGING time now (ADVICE r16): capCells drops
+    // over-cap cells with an observe that fires when the staged
+    // artifact materializes, and the gate reads the bounded leaf
+    val capped = graft.ext.Materialize.eager(
+      Similarity.capCells(corpusIdx, maxCell = 1L, "semgate_spec_cap"))
+    val n = StreamOps.semanticGate(arrivals, cents, capped, "vec_id",
+        "embedding", eps = 0.3).count()
     // every standing cell holds > 1 member: the whole index drops
     // from the probe (arrivals all admitted), counted through the
     // guard at staging time

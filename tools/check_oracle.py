@@ -40,8 +40,14 @@ def main():
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     results = {}
+    oracle_names = set(json.loads(
+        (Path(out_dir) / "oracle_sql.json").read_text()).keys())
     if only and json_out and Path(json_out).exists():
         results = json.loads(Path(json_out).read_text()).get("queries", {})
+        # drop stale rows for queries renamed/removed from the registry
+        # since the prior artifact (ADVICE r16): without this, targeted
+        # re-check merges keep dead entries and inflate n_pass
+        results = {k: v for k, v in results.items() if k in oracle_names}
     con = duckdb.connect()
     # an in-memory DuckDB has no temp directory, so a big oracle
     # (e.g. the ANN replays at the sf1 gate) ABORTS at the memory

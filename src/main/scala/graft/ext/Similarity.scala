@@ -326,8 +326,8 @@ object Similarity {
     * Exchange. Mega cells (a degenerate corpus collapsing into one
     * cell — the semantic twin of the banded-pair hot bucket) are
     * SPLIT, not skipped (r17): members above `maxCell` are
-    * sub-clustered with one grouped Lloyd fit over the mega sliver
-    * (the paper's own hierarchical fallback — [[subClusterAssign]]),
+    * sub-partitioned with one grouped seed-Voronoi pass over the
+    * mega sliver (the hierarchical fallback — [[subClusterAssign]]),
     * counted by an `observe` metric and logged through [[GuardLog]];
     * the centrality-order scan then runs inside sub-cells, so
     * boilerplate-heavy corpora still dedup. Only sub-cells STILL
@@ -379,10 +379,11 @@ object Similarity {
     val removedSmall = pairRemovals(joinable, Seq("centroid_id"))
     // Mega cells SPLIT instead of skip (VERDICT r16 #4): a
     // boilerplate-heavy corpus concentrates exactly where dedup
-    // matters most, so an over-cap cell is sub-clustered with one
-    // extra GROUPED Lloyd fit over the mega sliver (the paper's own
-    // hierarchical fallback) and the centrality-order scan runs
-    // inside sub-cells. The recursion floor keeps the old guard
+    // matters most, so an over-cap cell is sub-partitioned with one
+    // grouped seed-Voronoi pass over the mega sliver (the
+    // hierarchical fallback; see subClusterAssign for why zero
+    // refinement rounds) and the centrality-order scan runs inside
+    // sub-cells. The recursion floor keeps the old guard
     // semantics: a sub-cell STILL above maxCell after the split
     // (e.g. > maxCell exactly-identical vectors — no partition can
     // separate them) is kept undeduped loudly. The branch is
@@ -420,63 +421,50 @@ object Similarity {
       "ELSE shiftleft(1L, CAST((length(bin(_cell_n - 1)) + 1) div 2 " +
       "AS INT)) END))")
 
-  /** The grouped Lloyd sub-fit + final assignment of the mega-cell
-    * split (see [[semDedupFrom]]): for EVERY over-cap parent cell at
-    * once — one job per round for all parents, keyed by (parent,
-    * sub), never a per-cell loop. Deterministic init (each parent's
-    * nSub lowest vec_ids, sub_id = the init vec_id,
-    * nSub = [[autoCentroids]](cell_n)), micro-quantized per-dimension
-    * means, renormalize, empty sub-cells keep their previous
-    * sub-centroid — the [[ivfCentroids]] arithmetic contract
-    * transplanted to grouped keys, so the split is hash-verifiable in
-    * SQL like the flat fit. Assignment tie order (dot desc, sub_id
-    * asc) matches [[assignTo]]. Loop-carried state is (Σ nSub per
-    * mega cell) x dim — corpus-proportional in the adversarial limit,
-    * so lineage is truncated with [[Materialize.eager]] (distributed),
-    * never a driver collect.
+  /** The grouped SEED-VORONOI sub-partition of the mega-cell split
+    * (see [[semDedupFrom]]): for EVERY over-cap parent cell at once —
+    * one job for all parents, keyed by (parent, sub), never a
+    * per-cell loop. Deterministic seeds (each parent's nSub lowest
+    * vec_ids' own vectors, sub_id = the seed vec_id,
+    * nSub = [[autoCentroids]](cell_n)); every member assigns to its
+    * max-dot seed with the [[assignTo]] tie order (dot desc, sub_id
+    * asc).
+    *
+    * Deliberately ZERO Lloyd refinement rounds: a mega cell is by
+    * definition a DENSE region, and refinement is exactly what
+    * re-collapses it — the per-(parent, sub) means of near-identical
+    * members converge to one point (micro-quantization can make them
+    * bit-identical), every argmax then ties, and the tie-break funnels
+    * the whole cell back into one sub-cell (observed on the mega
+    * fixture: 2 rounds collapsed a 4.5k near-identical cluster to 2
+    * sub-cells; at 30k that re-collapse would hit the recursion floor
+    * instead of deduping). The seed-Voronoi partition keeps the
+    * members' OWN diversity as the partitioner — near-identical blobs
+    * scatter by their residual randomness, genuinely multi-modal mega
+    * cells split along their modes — and is one broadcast-free
+    * parent-keyed join, hash-verifiable in SQL term for term.
     *
     * Input: (vec_id, centroid_id, v, cell_rank, _cell_n); output the
     * same plus sub_id. */
-  private def subClusterAssign(mega: DataFrame,
-                               iters: Int = 2): DataFrame = {
-    val withNsub = mega.withColumn("_nsub", autoCentroidsOfCellN)
-    def assign(books: DataFrame): DataFrame =
-      mega.join(books, Seq("centroid_id"))
-        .withColumn("_sd", dot(col("v"), col("scv")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("centroid_id"), col("sub_id"), col("v"),
-            col("cell_rank"), col("_cell_n")),
-          struct(col("_sd"), col("sub_id") * -1)).as("best"))
-        .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
-          col("best.sub_id").as("sub_id"), col("best.v").as("v"),
-          col("best.cell_rank").as("cell_rank"),
-          col("best._cell_n").as("_cell_n"))
+  private def subClusterAssign(mega: DataFrame): DataFrame = {
     val iw = Window.partitionBy(col("centroid_id")).orderBy(col("vec_id"))
-    var books = Materialize.eager(withNsub
+    val seeds = Materialize.eager(mega
+      .withColumn("_nsub", autoCentroidsOfCellN)
       .withColumn("_ir", row_number().over(iw))
       .filter(col("_ir") <= col("_nsub"))
       .select(col("centroid_id"), col("vec_id").as("sub_id"),
         col("v").as("scv")))
-    for (_ <- 1 to iters) {
-      val dims = assign(books)
-        .select(col("centroid_id"), col("sub_id"),
-          posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("centroid_id"), col("sub_id"), col("d"))
-        .agg((Windows.stableSum(col("x")) / count(lit(1))).as("m"))
-      val renormed = dims.groupBy(col("centroid_id"), col("sub_id"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("centroid_id"), col("sub_id"),
-          transform(col("dm"), e => e.getField("m")).as("mv"))
-        .select(col("centroid_id"), col("sub_id"),
-          transform(col("mv"), x => x / sqrt(dot(col("mv"), col("mv"))))
-            .as("new_scv"))
-      books = Materialize.eager(
-        books.join(renormed, Seq("centroid_id", "sub_id"), "left")
-          .select(col("centroid_id"), col("sub_id"),
-            coalesce(col("new_scv"), col("scv")).as("scv")))
-    }
-    assign(books)
+    mega.join(seeds, Seq("centroid_id"))
+      .withColumn("_sd", dot(col("v"), col("scv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("centroid_id"), col("sub_id"), col("v"),
+          col("cell_rank"), col("_cell_n")),
+        struct(col("_sd"), col("sub_id") * -1)).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.sub_id").as("sub_id"), col("best.v").as("v"),
+        col("best.cell_rank").as("cell_rank"),
+        col("best._cell_n").as("_cell_n"))
   }
 
   /** Product-quantization codebooks (Jegou et al. 2011): split the

@@ -904,46 +904,26 @@ object QueryShared {
 
   /** Mega-cell SPLIT replay (the r17 hierarchical fallback in
     * [[graft.ext.Similarity.semDedupFrom]]): members of cells above
-    * `maxCell` are sub-clustered with a grouped two-round Lloyd fit —
-    * per-parent init (each parent's nSub lowest vec_ids, nSub = the
-    * autoCentroids formula on the cell's own n), micro-quantized
-    * per-dimension means, renormalize, empty sub-cells keep their
-    * previous sub-centroid — then the centrality-order removal scan
-    * runs inside sub-cells; sub-cells still over the cap keep their
-    * rows (the recursion floor). Emits CTEs ending in `${p}rm`
+    * `maxCell` are sub-partitioned by a grouped SEED-VORONOI pass —
+    * per-parent seeds (each parent's nSub lowest vec_ids' own
+    * vectors, nSub = the autoCentroids formula on the cell's own n),
+    * max-dot assignment with the (dot desc, sub_id asc) tie order,
+    * deliberately zero Lloyd refinement (refinement re-collapses a
+    * dense blob's sub-centroids into bit-identical means and the
+    * tie-break funnels the cell back together — see
+    * Similarity.subClusterAssign) — then the centrality-order removal
+    * scan runs inside sub-cells; sub-cells still over the cap keep
+    * their rows (the recursion floor). Emits CTEs ending in `${p}rm`
     * (vec_id, removed_by) — UNION with the small-cell removal set.
     * `ranked` must expose (vec_id, centroid_id, v, cell_rank); `sz`
-    * (centroid_id, n_cell). Every arithmetic step mirrors the
-    * grouped Spark fit term for term, so the split branch is
-    * hash-verifiable like the flat fit (validated against a derived
-    * mega-cell corpus — see NOTES_r17). Inert at every registered
-    * scale (no cell exceeds 4096 at sf0.01 or sf1). */
+    * (centroid_id, n_cell). Every arithmetic step mirrors the grouped
+    * Spark pass term for term, so the split branch is hash-verifiable
+    * like the flat fit (validated against a derived mega-cell corpus
+    * — see NOTES_r17). Inert at every registered scale (no cell
+    * exceeds 4096 at sf0.01 or sf1). */
   private[registry] def semDedupSplitCtes(p: String, ranked: String,
                                           sz: String, eps: Double,
                                           maxCell: Long = 4096L): String = {
-    val iterCtes = (1 to 2).map { it =>
-      val prev = s"${p}s${it - 1}"
-      s"""${p}sa$it AS (SELECT vec_id, centroid_id, sub_id, v, cell_rank FROM (
-         |    SELECT m.vec_id, m.centroid_id, s.sub_id, m.v, m.cell_rank,
-         |           row_number() OVER (PARTITION BY m.vec_id
-         |             ORDER BY ${dotSql("m.v", "s.scv")} DESC, s.sub_id) AS rn
-         |    FROM ${p}mega m JOIN $prev s ON s.centroid_id = m.centroid_id)
-         |  WHERE rn = 1),
-         |${p}sm$it AS (SELECT centroid_id, sub_id, d,
-         |       (SUM(CAST(FLOOR(v[d+1]*1000000) AS BIGINT)) / 1000000.0)
-         |         / count(*) AS m
-         |     FROM ${p}sa$it CROSS JOIN range(0, 64) ${p}rr$it(d)
-         |     GROUP BY 1, 2, 3),
-         |${p}sg$it AS (SELECT centroid_id, sub_id, list(m ORDER BY d) AS mv
-         |       FROM ${p}sm$it GROUP BY 1, 2),
-         |${p}sn$it AS (SELECT centroid_id, sub_id, list_transform(mv,
-         |         x -> x / sqrt(list_sum(list_transform(mv, y -> y*y))))
-         |         AS scv FROM ${p}sg$it),
-         |${p}s$it AS (SELECT q.centroid_id, q.sub_id,
-         |         COALESCE(n.scv, q.scv) AS scv
-         |       FROM $prev q LEFT JOIN ${p}sn$it n
-         |         USING (centroid_id, sub_id))""".stripMargin
-    }.mkString(",\n      ")
     s"""${p}mega AS MATERIALIZED (
         SELECT r.vec_id, r.centroid_id, r.v, r.cell_rank, z.n_cell
         FROM $ranked r JOIN $sz z USING (centroid_id)
@@ -960,13 +940,12 @@ object QueryShared {
                    ORDER BY m.vec_id) AS ir, n.ns
           FROM ${p}mega m JOIN ${p}ns n USING (centroid_id))
         WHERE ir <= ns),
-      $iterCtes,
       ${p}sca AS MATERIALIZED (
         SELECT vec_id, centroid_id, sub_id, v, cell_rank FROM (
           SELECT m.vec_id, m.centroid_id, s.sub_id, m.v, m.cell_rank,
                  row_number() OVER (PARTITION BY m.vec_id
                    ORDER BY ${dotSql("m.v", "s.scv")} DESC, s.sub_id) AS rn
-          FROM ${p}mega m JOIN ${p}s2 s ON s.centroid_id = m.centroid_id)
+          FROM ${p}mega m JOIN ${p}s0 s ON s.centroid_id = m.centroid_id)
         WHERE rn = 1),
       ${p}ssz AS (SELECT centroid_id, sub_id, count(*) AS n_sub
                   FROM ${p}sca GROUP BY 1, 2),

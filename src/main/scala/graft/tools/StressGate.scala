@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   *                             the inverted-index document-frequency
   *                             cap
   *  - `basket_pairs`         — the mega order exceeds maxBasket
+  *  - `semdedup_mega_cell`   — the 30k near-identical embedding
+  *                             cluster enters the SPLIT path (r17),
+  *                             and the gate additionally asserts the
+  *                             split DEDUPED it (>= 25k removed)
+  *  - `semdedup_split_floor` — the 6k exactly-identical vectors are
+  *                             unsplittable and stay, loudly
+  *  - `stream_semgate_mega_cell` — the staged semantic index drops
+  *                             the mega cells at staging time
+  *  - `mm_quarantined`       — corrupt payload fates classify
+  *                             instead of killing tasks
   *
   * Usage: runMain graft.tools.StressGate [baseDir] [outDir] [artifact]
   */
@@ -75,8 +85,44 @@ object StressGate {
       .withColumn("l_orderkey", lit(900000000L))
     li.unionByName(mega).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // hostile EMBEDDINGS (r17 — the semantic family's adversary):
+    //  - 30,000 NEAR-identical vectors: unit e_0 tilted by a small
+    //    fixed angle into a PER-ID murmur3-random direction
+    //    orthogonal to e_0 (cos 0.05 ≈ 0.9988, so every pairwise
+    //    cosine >= ~0.9975 — deep inside eps): one Lloyd cell of
+    //    30k >> maxCell 4096. Because the only member-varying term
+    //    of the sub-fit argmax is the random orthogonal component,
+    //    the split scatters the cluster ~uniformly across its
+    //    sub-centroids and dedup proceeds inside sub-cells;
+    //  - 6,000 EXACTLY identical vectors (unit e_1): unsplittable by
+    //    any partition (all argmax ties) — the recursion FLOOR must
+    //    fire and keep them, loudly, bounded.
+    val dim = 64
+    val noise = transform(sequence(lit(1), lit(dim - 1)), d =>
+      (pmod(hash(col("id"), d).cast("long"), lit(2001L)) - 1000L)
+        .cast("double"))
+    val noiseNorm = greatest(
+      sqrt(aggregate(noise, lit(0.0), (a, x) => a + x * x)), lit(1e-9))
+    val cosT = math.cos(0.05)
+    val sinT = math.sin(0.05)
+    val nearEmb = spark.range(30000).select(
+      (col("id") + 10000000L).as("vec_id"),
+      concat(array(lit(cosT).cast("float")),
+        transform(noise, x => (x / noiseNorm * lit(sinT)).cast("float")))
+        .as("embedding"),
+      lit(7).as("label"))
+    val identEmb = spark.range(6000).select(
+      (col("id") + 20000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        when(d === 1, lit(1.0)).otherwise(lit(0.0)).cast("float"))
+        .as("embedding"),
+      lit(8).as("label"))
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .unionByName(nearEmb).unionByName(identEmb)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events", "embeddings"))
+        "orders", "events"))
       spark.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
   }
@@ -84,7 +130,7 @@ object StressGate {
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_stress"
-    val artifact = if (args.length > 2) args(2) else "STRESS_r16.json"
+    val artifact = if (args.length > 2) args(2) else "STRESS_r17.json"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -100,22 +146,41 @@ object StressGate {
 
     val queries = Seq("dedup_simhash", "dedup_minhash_lsh",
       "dedup_incremental", "dedup_ngram_jaccard",
-      "analytics_basket_pairs", "mm_phash_pairs", "corpus_curation_v3")
+      "analytics_basket_pairs", "mm_phash_pairs", "corpus_curation_v3",
+      // the SEMANTIC family (r17): batch SemDeDup over the mega
+      // embedding clusters (split + recursion floor), the semantic
+      // curation flagship, the streaming admission gate (staged-index
+      // cap), and decode-or-quarantine over the 35k hostile docs
+      "dedup_semdedup", "corpus_curation_v4", "stream_semdedup_gate",
+      "mm_decode_quarantine")
     val results = queries.map { name =>
       val t0 = System.nanoTime()
-      val rows = graft.registry.ExtQueries.queries(name)(spark, outDir)
+      val rows = graft.SparkEntry.queries(name)(spark, outDir)
         .count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[stress] $name rows=$rows wall=$wall%.1fs")
       (name, rows, wall)
     }
 
+    // the split must have DEDUPED the 30k near-identical cluster
+    // (not just survived it): its removal rate inside sub-cells is
+    // the whole point of r17 #4
+    val semRemoved = graft.SparkEntry.queries("dedup_semdedup")(
+        spark, outDir)
+      .filter(col("vec_id") >= 10000000L && col("vec_id") < 20000000L)
+      .agg(sum(col("is_removed"))).head.getLong(0)
+    println(s"[stress] dedup_semdedup removed $semRemoved of 30000 " +
+      "near-identical mega-cluster members via the split")
+
     // listener delivery is async — settle before reading
     val deadline = System.nanoTime() + 15000000000L
     def guards: Map[String, Long] = graft.ext.GuardLog.lastFired
     val expected = Seq("simhash_hot_bucket", "minhash_hot_bucket",
       "minhash_inc_corpus_hot_bucket", "minhash_inc_batch_hot_bucket",
-      "df_cap", "basket_pairs").map(graft.ext.GuardLog.Prefix + _)
+      "df_cap", "basket_pairs",
+      "semdedup_mega_cell", "semdedup_split_floor",
+      "stream_semgate_mega_cell", "mm_quarantined")
+      .map(graft.ext.GuardLog.Prefix + _)
     while (System.nanoTime() < deadline &&
       !expected.forall(guards.contains)) Thread.sleep(200)
     val fired = guards
@@ -126,7 +191,10 @@ object StressGate {
     def jq(s: String) = "\"" + s + "\""
     val json = "{" +
       jq("fixture") + s""": {"base_docs": 5000, "dup_class": 10000,
-        "near_dup_cluster": 20000, "mega_order_parts": 1500},""" +
+        "near_dup_cluster": 20000, "mega_order_parts": 1500,
+        "near_identical_embeddings": 30000,
+        "exact_identical_embeddings": 6000,
+        "semdedup_mega_removed": $semRemoved},""" +
       jq("queries") + ": {" + results.map { case (n, r, w) =>
         jq(n) + s""": {"rows": $r, "wall_sec": ${f"$w%.2f"}}"""
       }.mkString(",") + "}," +
@@ -140,6 +208,11 @@ object StressGate {
     spark.stop()
     if (missing.nonEmpty) {
       System.err.println(s"[stress] MISSING GUARDS: $missing")
+      sys.exit(1)
+    }
+    if (semRemoved < 25000L) {
+      System.err.println(s"[stress] SPLIT DID NOT DEDUP: only " +
+        s"$semRemoved of 30000 near-identical members removed")
       sys.exit(1)
     }
   }

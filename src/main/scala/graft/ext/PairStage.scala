@@ -255,6 +255,39 @@ object PairStage {
     readStaged(spark, path)
   }
 
+  /** The UPSERTED inverted list — the incremental staging variant the
+    * r17 rebuild pricing justifies (SCALE.md: at sf1 the batch assign
+    * costs 0.67 s vs the 8.3 s fit+assign rebuild): the STANDING
+    * corpus's cells are staged once under the stale standing-only fit
+    * ([[ivfCentroidsCorpus]] — the artifact a deployed index carries
+    * between refits), and each call appends the current increment
+    * (`vec_id % 10 == excludeMod`) assigned with the SAME stale
+    * centroids at O(|batch| x nCentroids) cost — never a corpus
+    * re-scan or re-fit. The union equals ALL vectors assigned with
+    * the stale fit (exactly what the upserted index serves until
+    * [[Similarity.ivfUpsertReport]]'s refit trigger fires), so the
+    * whole artifact stays hash-verifiable. */
+  def ivfCorpusCellsUpsert(spark: SparkSession, dir: String,
+                           nCentroids: Int, iters: Int,
+                           excludeMod: Int): DataFrame = {
+    val key = Seq("ivfup", spark.sparkContext.applicationId, dir,
+      nCentroids, iters, excludeMod).mkString("|")
+    val path = stagedPath(spark, "ivfup", key) { p =>
+      Similarity.ivfAssignWith(
+          ivfCentroidsCorpus(spark, dir, nCentroids, iters, excludeMod),
+          graft.Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") % 10 =!= excludeMod),
+          "vec_id", "embedding")
+        .write.mode("overwrite").parquet(p)
+    }
+    readStaged(spark, path).unionByName(
+      Similarity.ivfAssignWith(
+        ivfCentroidsCorpus(spark, dir, nCentroids, iters, excludeMod),
+        graft.Tables.load(spark, dir, "embeddings")
+          .filter(col("vec_id") % 10 === excludeMod),
+        "vec_id", "embedding"))
+  }
+
   /** The staged per-cell membership stats (centroid_id, n_cell) of
     * the IVF index over the full corpus — the inverted-list sizes a
     * deployed index persists next to its centroids. The filtered ANN

@@ -366,6 +366,19 @@ object ExtQueriesSimilarity {
       Similarity.ivfUpsertReport(cents, corpus, batch,
         "vec_id", "embedding")
     }),
+    // the upserted inverted LIST itself (r17 #6's incremental staging
+    // variant): standing cells staged once under the stale fit, the
+    // daily increment assigned at O(|batch| x nCentroids) and
+    // appended — the artifact the index serves between refits, as a
+    // first-class hash-verified output (the oracle replays the stale
+    // fit and assigns every vector with it)
+    "sim_ivf_upsert_cells" -> ((s, dir) => {
+      val nc = Similarity.autoCentroids(
+        graft.ext.PairStage.corpusCard(s, dir, excludeMod = 7)._1)
+      graft.ext.PairStage.ivfCorpusCellsUpsert(s, dir, nc, iters = 2,
+          excludeMod = 7)
+        .select(col("vec_id"), col("centroid_id"))
+    }),
     // recall of BOTH maintenance states against exact brute force
     // over the full corpus — the pair of numbers the refit policy
     // rests on: (a) the UPSERTED index (full corpus searched with the
@@ -1011,6 +1024,13 @@ object ExtQueriesSimilarity {
 
     "sim_ivf_incremental" -> ivfUpsertReportSql(iters = 2,
       excludeMod = 7, refitPpm = 50000L),
+    // the upserted inverted list == every vector assigned with the
+    // stale standing-only fit (the staged standing half and the
+    // appended batch share those centroids by construction)
+    "sim_ivf_upsert_cells" -> s"""
+      WITH ${QueryShared.ivfAssignCtes(2,
+        fitWhere = "vec_id % 10 <> 7", assignFrom = "av")}
+      SELECT vec_id, centroid_id FROM ca""",
     // stale-centroid fit (corpus only) + full-corpus assignment +
     // search, UNIONed with the post-refit (full-fit) state — the two
     // maintenance states' recall twins share the brute-force truth

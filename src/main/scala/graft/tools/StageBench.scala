@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Staged-artifact REBUILD pricing (VERDICT r16 #6): every PairStage
+  * artifact is build-once per corpus snapshot — correct for the
+  * bench, but the 100 TB operator refreshes snapshots, so this tool
+  * measures what a refresh BILLS: the from-scratch build wall of each
+  * artifact (fresh JVM = fresh staging keys, so every call here is a
+  * genuine first-touch build), and next to it the INCREMENTAL batch
+  * cost for the artifacts that have an append contract (assign/code
+  * the 10% batch slice against the standing fit — the
+  * dedup_incremental / ivf-upsert discipline), which is what a daily
+  * increment actually pays instead of the rebuild.
+  *
+  * Build order matters and is deliberate: dependent artifacts
+  * (cells -> stats, fit -> cells) are timed AFTER their inputs, so
+  * each number is that artifact's OWN work.
+  *
+  * Usage: runMain graft.tools.StageBench [sfDir]
+  */
+object StageBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{Dedup, PairStage, Similarity}
+
+    // warm the session (scheduler, codegen, parquet reader) so the
+    // first timed build is not billed the JVM cold start
+    graft.Tables.load(spark, dir, "documents").count()
+    graft.Tables.load(spark, dir, "embeddings").count()
+
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f match {
+        case d: org.apache.spark.sql.DataFrame => d.count()
+        case _ => ()
+      }
+      println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val (n, _) = { val t0 = System.nanoTime()
+      val c = PairStage.corpusCard(spark, dir)
+      println(f"[stage] corpus_card                  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      c }
+    val nc = Similarity.autoCentroids(n)
+    val ncStanding = Similarity.autoCentroids(
+      PairStage.corpusCard(spark, dir, excludeMod = 7)._1)
+
+    // text family
+    time("shingle_sets") { PairStage.shingleSets(spark, dir) }
+    time("minhash_corpus_sigs") { PairStage.minhashCorpusSigs(spark, dir, 7) }
+    time("lsh_pairs") { PairStage.lshPairs(spark, dir) }
+    time("jaccard_pairs") { PairStage.jaccardPairs(spark, dir) }
+    time("simhash_class_pairs") { PairStage.simhashClassPairs(spark, dir) }
+    time("bpe_trained") { PairStage.bpeTrained(spark, dir, 30)._2 }
+
+    // ANN family
+    time("ivf_centroids") { PairStage.ivfCentroids(spark, dir, nc, 2) }
+    time("ivf_corpus_cells") { PairStage.ivfCorpusCells(spark, dir, nc, 2) }
+    time("ivf_cell_stats") { PairStage.ivfCellStats(spark, dir, nc, 2) }
+    time("ivf_filtered_cells") { PairStage.ivfFilteredCells(spark, dir,
+      nc, 2, "label%4=1", col("label") % 4 === 1) }
+    time("mips_ivf_centroids") { PairStage.mipsIvfCentroids(spark, dir, nc, 2) }
+    time("mips_ivf_corpus_cells") { PairStage.mipsIvfCorpusCells(spark, dir, nc, 2) }
+    time("pq_index") { PairStage.pqIndex(spark, dir, 64, 4, 16, 2)._2 }
+    time("ivfpq_index") { PairStage.ivfPqIndex(spark, dir, nc, 64, 4, 16, 2)._3 }
+    time("int8_index") { PairStage.int8Index(spark, dir) }
+    time("ivf_centroids_standing") { PairStage.ivfCentroidsCorpus(spark,
+      dir, ncStanding, 2, 7) }
+    time("semantic_corpus_index") { PairStage.semanticCorpusIndex(spark,
+      dir, ncStanding, 2, 7) }
+
+    // incremental batch paths: what a 10% daily increment pays
+    // INSTEAD of the rebuild (assign/code the batch against the
+    // standing artifacts — the upsert contract)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val docsBatch = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 7)
+    val stale = PairStage.ivfCentroidsCorpus(spark, dir, ncStanding, 2, 7)
+    time("inc_ivf_batch_assign") {
+      Similarity.ivfAssignWith(stale, batch, "vec_id", "embedding")
+        .select("vec_id", "centroid_id") }
+    time("inc_minhash_batch_sigs") {
+      Dedup.minhashSignatures(docsBatch, col("doc_id"), col("text"), 3, 32) }
+    time("inc_int8_batch_code") {
+      Similarity.int8Coded(batch, "vec_id", "embedding",
+        "neighbor_id", "cv", "cq") }
+    time("inc_card_merge") {
+      // the card is mergeable (n adds, max-norm maxes): the batch
+      // contribution is one slice aggregation
+      batch.agg(count(lit(1)), max(Similarity.dot(col("embedding"),
+        col("embedding")))) }
+
+    spark.stop()
+  }
+}

@@ -106,7 +106,12 @@ class RegistryPlanLintSpec extends SparkSpec {
     // audit (two straddle counts folded over the staged pair table)
     // onto the |sources| x 3 cell frame — the literal-key equi-join
     // folds to condition-free
-    "sample_component_split")
+    "sample_component_split",
+    // r17: the agreement matrix joins its 1-row grand-total onto the
+    // <= (sources^2 x 8)-cell frame; the upsert list's batch assign
+    // is the standard corpus x nCentroids condition-free centroid
+    // broadcast (same shape as emb_kmeans_assign)
+    "dedup_agreement_report", "sim_ivf_upsert_cells")
 
   /** Queries whose UNPARTITIONED window frames are metadata-sized by
     * construction (r16 audit — a global window funnels every row into

@@ -9,18 +9,26 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  // Schema memo per path: the testdata contract makes table files
-  // immutable for a session's lifetime, so the parquet footer is
-  // read once and every later `load` passes the schema explicitly —
-  // repeated reads (a serving call per retrieval batch, 279 registry
-  // queries in one Verify run) then trigger ZERO schema-inference
-  // jobs at construction (AnnServingPathSpec pins this).
+  // Schema memo per SNAPSHOT, not per path (ADVICE r17): keying on
+  // the path alone silently served a stale schema when a fixture dir
+  // was regenerated within one JVM, and a foreign one when two
+  // sessions with different parquet-inference configs shared the JVM.
+  // The key now folds in the file-listing fingerprint (name, length,
+  // mtime — a driver-side metadata walk, no Spark job) plus the one
+  // inference conf that changes parquet schemas here, so a rewritten
+  // table re-infers automatically and repeated reads of an unchanged
+  // table still trigger ZERO schema-inference jobs at construction
+  // (AnnServingPathSpec pins this).
   private val schemaCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructType]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val p = s"$dir/$name.parquet"
-    val sch = schemaCache.getOrElseUpdate(p, spark.read.parquet(p).schema)
+    val nanos = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val fp = graft.ext.ArtifactStore.fingerprint(spark, p)
+    val sch = schemaCache.getOrElseUpdate(s"$fp|$nanos|$p",
+      spark.read.parquet(p).schema)
     spark.read.schema(sch).parquet(p)
   }
 

@@ -1,0 +1,307 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Persistent, snapshot-keyed artifact store — the build-once
+  * discipline extended past the JVM boundary (VERDICT r17 #1).
+  *
+  * Pre-r18, every staged artifact ([[PairStage]]) was keyed by
+  * `applicationId` and reclaimed at JVM exit, so a NEW session paid
+  * the full rebuild column of the SCALE.md pricing table again: the
+  * build-once contract ended exactly where a production deployment
+  * begins (one corpus snapshot, many serving sessions). This store
+  * re-keys artifacts on (builder version, CORPUS SNAPSHOT
+  * FINGERPRINT, params) and persists them under a warehouse-side
+  * root with a manifest per artifact, so a fresh session ATTACHES —
+  * validate manifest, read schemas/scalars from it, zero Spark jobs
+  * — instead of rebuilding.
+  *
+  * Snapshot identity: the driver-side filesystem listing of each
+  * input table (relative file name, length, modification time),
+  * md5-folded. Regenerating a fixture dir — even byte-identical —
+  * changes mtimes, so the key changes and the artifact rebuilds;
+  * attach therefore can never serve rows derived from files that no
+  * longer exist in that exact state. The fingerprint is recomputed on
+  * every accessor call (a metadata-only listing, no Spark job), which
+  * also closes the within-JVM stale-cache hole ADVICE r17 flagged on
+  * the path-keyed schema cache.
+  *
+  * Cross-process safety: builds land in a `.building/` scratch dir
+  * and commit with an atomic directory rename; a loser of the rename
+  * race deletes its scratch and attaches to the winner (the
+  * destination only ever appears complete). Within one JVM, builds
+  * are serialized per key through a lazily-completed future exactly
+  * like the pre-r18 [[PairStage]] memo.
+  *
+  * The manifest (`_graft_manifest.json`, underscore-prefixed so
+  * parquet readers ignore it) carries the full key (md5-collision
+  * guard), builder version, build wall-clock, the input fingerprints
+  * (the staleness inputs), every part's Spark schema JSON, and any
+  * builder-declared scalars (e.g. the corpus card's (n, max_norm_sq))
+  * — so attach needs no schema-inference job and no data read at all.
+  *
+  * Versioning: [[codeVersion]] is part of every key. Bump it when any
+  * staged builder's SEMANTICS change; persisted artifacts from older
+  * code then key differently and can never attach to newer consumers.
+  */
+object ArtifactStore {
+
+  /** Part of every artifact key — bump on any builder-semantics
+    * change (see object doc). */
+  val codeVersion = "r18a"
+
+  /** One queryable manifest row per persisted artifact. */
+  final case class ManifestRow(
+      artifact: String, tag: String, version: String,
+      built_unix_ms: Long, build_wall_ms: Long,
+      inputs: String, parts: String, n_scalars: Int)
+
+  /** A validated on-disk artifact: its path plus everything attach
+    * needs without touching data files. */
+  final case class Attached(
+      path: String,
+      schemas: Map[String, String],
+      scalars: Map[String, String])
+
+  private val attached = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.CompletableFuture[Attached]]
+
+  /** Test hook for fresh-session specs: forget the in-JVM memos whose
+    * key contains `rootSubstring` (suites run in parallel — a blanket
+    * clear would churn sibling suites' in-flight builds; the
+    * cross-process rename protocol keeps even that correct, just
+    * wasteful), so the next accessor call exercises the disk-attach
+    * path exactly like a new JVM would. Never called from main-path
+    * code. */
+  def resetMemosForTest(rootSubstring: String): Unit =
+    attached.keys.filter(_.contains(rootSubstring))
+      .foreach(attached.remove)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Artifact root: Spark conf `spark.graft.artifactRoot`, then env
+    * `GRAFT_ARTIFACT_ROOT`, then `$tmpdir/graft_artifacts`. The path
+    * deliberately keeps the `graft_` prefix every staged path has
+    * carried since r9 — plan-shape specs distinguish staged leaves
+    * from corpus reads by it. */
+  def root(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.artifactRoot")
+      .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT"))
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
+
+  /** Driver-side snapshot fingerprint of one input table path: the
+    * sorted recursive (name, length, mtime) listing, md5-folded.
+    * Metadata-only — no Spark job, no data read. */
+  def fingerprint(spark: SparkSession, tablePath: String): String = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(st: FileStatus): Seq[String] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
+      else Seq(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+    require(fs.exists(p), s"artifact input table does not exist: $tablePath")
+    md5hex(walk(fs.getFileStatus(p)).mkString("\n"))
+  }
+
+  // ---- manifest (hand-rolled JSON write, jackson read: both on the
+  // Spark classpath; the writer mirrors Verify's escaping rules) ----
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jmap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+      .mkString("{", ", ", "}")
+
+  private case class Manifest(
+      key: String, tag: String, version: String,
+      builtUnixMs: Long, buildWallMs: Long,
+      inputs: Map[String, String],   // table path -> fingerprint
+      schemas: Map[String, String],  // part ("" = root) -> schema json
+      scalars: Map[String, String])
+
+  private val ManifestFile = "_graft_manifest.json"
+
+  private def writeManifest(fs: FileSystem, dir: Path, m: Manifest): Unit = {
+    val json =
+      s"""{"key": ${jstr(m.key)}, "tag": ${jstr(m.tag)},
+         | "version": ${jstr(m.version)},
+         | "built_unix_ms": ${m.builtUnixMs},
+         | "build_wall_ms": ${m.buildWallMs},
+         | "inputs": ${jmap(m.inputs)},
+         | "schemas": ${jmap(m.schemas)},
+         | "scalars": ${jmap(m.scalars)}}""".stripMargin
+    val out = fs.create(new Path(dir, ManifestFile), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(fs: FileSystem, dir: Path): Option[Manifest] = {
+    val mp = new Path(dir, ManifestFile)
+    if (!fs.exists(mp)) return None
+    try {
+      val in = fs.open(mp)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes)
+      def strMap(field: String): Map[String, String] = {
+        val n = node.get(field)
+        if (n == null) Map.empty
+        else {
+          val it = n.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+          b.result()
+        }
+      }
+      Some(Manifest(
+        node.get("key").asText(), node.get("tag").asText(),
+        node.get("version").asText(),
+        node.get("built_unix_ms").asLong(), node.get("build_wall_ms").asLong(),
+        strMap("inputs"), strMap("schemas"), strMap("scalars")))
+    } catch { case _: Throwable => None } // unreadable == invalid
+  }
+
+  /** Resolve (building at most once per snapshot, across JVMs) the
+    * artifact for `tag` with the given input tables and params.
+    *
+    * @param inputs    input table paths (e.g. `$dir/documents.parquet`);
+    *                  their fingerprints join the key
+    * @param params    every generator parameter (joins the key)
+    * @param parts     artifact sub-layout: `Seq("")` for a single
+    *                  parquet dir, or named subdirs (`books`/`codes`)
+    * @param scalarsOf post-build hook extracting metadata scalars from
+    *                  the built path (runs in the building JVM only;
+    *                  attach reads them from the manifest)
+    * @param build     writes the artifact under the given scratch path
+    */
+  def staged(spark: SparkSession, tag: String,
+             inputs: Seq[String], params: Seq[Any],
+             parts: Seq[String] = Seq(""),
+             scalarsOf: String => Map[String, String] = _ => Map.empty)
+            (build: String => Unit): Attached = {
+    val rootDir = root(spark)
+    val fps = inputs.map(p => p -> fingerprint(spark, p))
+    val key = (Seq(tag, codeVersion) ++ fps.map { case (p, f) => s"$p@$f" }
+      ++ params.map(_.toString)).mkString("|")
+    val memoKey = s"$rootDir|$key"
+    val fresh = new java.util.concurrent.CompletableFuture[Attached]
+    attached.putIfAbsent(memoKey, fresh) match {
+      case Some(existing) => existing.join()
+      case None =>
+        try {
+          val a = attachOrBuild(spark, rootDir, tag, key, fps.toMap,
+            parts, scalarsOf, build)
+          fresh.complete(a)
+          a
+        } catch { case e: Throwable =>
+          attached.remove(memoKey, fresh)
+          fresh.completeExceptionally(e)
+          throw e
+        }
+    }
+  }
+
+  private def attachOrBuild(spark: SparkSession, rootDir: String,
+      tag: String, key: String, fps: Map[String, String],
+      parts: Seq[String], scalarsOf: String => Map[String, String],
+      build: String => Unit): Attached = {
+    val dest = new Path(s"$rootDir/graft_${tag}_${md5hex(key)}")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def tryAttach(): Option[Attached] = readManifest(fs, dest) match {
+      case Some(m) if m.key == key && m.version == codeVersion =>
+        Some(Attached(dest.toString, m.schemas, m.scalars))
+      case Some(m) =>
+        // md5 collision or foreign/corrupt dir at our address: loud,
+        // then rebuild over it (the occupant cannot be this key's
+        // artifact).
+        System.err.println(s"[artifact-store] $dest holds key " +
+          s"'${m.key.take(80)}...' (version ${m.version}), expected this " +
+          s"key at version $codeVersion — evicting and rebuilding")
+        fs.delete(dest, true); None
+      case None if fs.exists(dest) =>
+        // data without a manifest: a pre-r18 session-scoped leftover
+        // or a crashed writer that never committed — rebuild.
+        fs.delete(dest, true); None
+      case None => None
+    }
+
+    tryAttach().getOrElse {
+      val t0 = System.nanoTime()
+      val tmp = new Path(s"$rootDir/.building/graft_${tag}_" +
+        s"${md5hex(key)}_${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(tmp.getParent)
+      try {
+        build(tmp.toString)
+        val schemas = parts.map { part =>
+          val pp = if (part.isEmpty) tmp.toString else s"$tmp/$part"
+          part -> spark.read.parquet(pp).schema.json
+        }.toMap
+        val scalars = scalarsOf(tmp.toString)
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        writeManifest(fs, tmp, Manifest(key, tag, codeVersion,
+          System.currentTimeMillis(), wallMs, fps, schemas, scalars))
+        if (!fs.rename(tmp, dest)) {
+          // another process committed first; its artifact is complete
+          // (the destination only appears via this same atomic rename)
+          fs.delete(tmp, true)
+          tryAttach().getOrElse(throw new IllegalStateException(
+            s"artifact rename to $dest lost the race but the winner " +
+              "does not validate — concurrent writer with a different key?"))
+        } else Attached(dest.toString, schemas, scalars)
+      } catch { case e: Throwable =>
+        try { fs.delete(tmp, true) } catch { case _: Throwable => () }
+        throw e
+      }
+    }
+  }
+
+  /** Read one part of an attached artifact with its manifest schema —
+    * no schema-inference job, ever (the schema crossed sessions inside
+    * the manifest). */
+  def read(spark: SparkSession, a: Attached, part: String = ""): DataFrame = {
+    val schemaJson = a.schemas.getOrElse(part, throw new IllegalStateException(
+      s"artifact ${a.path} has no part '$part' (parts: ${a.schemas.keys.mkString(",")})"))
+    val p = if (part.isEmpty) a.path else s"${a.path}/$part"
+    spark.read.schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      .parquet(p)
+  }
+
+  /** The full persisted manifest as a DataFrame — every artifact
+    * under the store root with its build provenance and staleness
+    * inputs. Driver-side metadata read (number-of-artifacts rows). */
+  def manifest(spark: SparkSession): DataFrame = {
+    val rootPath = new Path(root(spark))
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows: Seq[ManifestRow] =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          readManifest(fs, st.getPath).map { m =>
+            ManifestRow(st.getPath.getName, m.tag, m.version,
+              m.builtUnixMs, m.buildWallMs,
+              m.inputs.toSeq.sortBy(_._1)
+                .map { case (p, f) => s"$p@$f" }.mkString(";"),
+              m.schemas.keys.toSeq.sorted.mkString(";"),
+              m.scalars.size)
+          }
+        }
+        .sortBy(_.artifact)
+    spark.createDataFrame(rows)
+  }
+}

@@ -112,4 +112,139 @@ object BandedPairs {
         expr("n * (n - 1) div 2").as("n_pairs"))
     cross.unionByName(intra)
   }
+
+  /** The distinct-hash CLASS TABLE (h, rep, n) [[classPairs]] builds
+    * internally — exposed so a deployed pipeline can persist it and
+    * merge appends into it ([[classPairsIncremental]]). */
+  def classTable(hashes: DataFrame, idCol: String,
+                 hashCol: String): DataFrame =
+    hashes.groupBy(col(hashCol).as("h"))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("n"))
+
+  /** Incremental [[classPairs]] via CLASS-TABLE MERGE (VERDICT r17
+    * #5b): new items either join an existing hash class (count bump —
+    * and possibly a new min-id representative) or mint one, and the
+    * banded pair delta is computed from the TOUCHED classes only —
+    * never a re-band of every doc, and never a re-hash of the
+    * standing corpus (the expensive per-doc hashing is batch-only;
+    * the class-space merge and banding are O(distinct hashes)).
+    *
+    * Output == `classPairs(standing UNION batch)` EXACTLY, row for
+    * row (spec-pinned), assembled as:
+    *
+    *  - standing pairs whose BOTH endpoint classes are untouched pass
+    *    through verbatim (their h, rep, n are provably unchanged, and
+    *    their surviving band buckets are provably the same — see the
+    *    crossed-bucket rule);
+    *  - pairs touching a touched class are recomputed by banding the
+    *    touched classes against ALL capped classes;
+    *  - intra-class rows for touched classes are re-emitted with the
+    *    merged counts.
+    *
+    * Touched = classes the batch hit (count/rep changed) ∪ classes in
+    * a bucket the merge pushed OVER the hot-bucket cap: a new class
+    * landing in a near-full bucket evicts the whole bucket from the
+    * rebuild's join, so pairs its classes carried in standing output
+    * may vanish — those classes must be re-adjudicated through the
+    * capped join (bucket occupancy counts CLASSES, so only new-class
+    * buckets can cross). The cap guard observe rides the merged band
+    * staging, same contract as [[classPairs]].
+    *
+    * @param standingCls   persisted class table of the standing corpus
+    *                      ([[classTable]] output)
+    * @param standingPairs persisted [[classPairs]] output of the
+    *                      standing corpus (same banding parameters)
+    * @param batchHashes   the new batch, one row per item
+    */
+  def classPairsIncremental(standingCls: DataFrame,
+                            standingPairs: DataFrame,
+                            batchHashes: DataFrame,
+                            idCol: String, hashCol: String,
+                            nBands: Int, bandBits: Int, maxHamming: Int,
+                            maxBucket: Long, guardName: String): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"banding is lossless only up to Hamming ${nBands - 1} " +
+        s"($nBands bands); got $maxHamming")
+    GuardLog.ensure(batchHashes.sparkSession)
+    val batchCls = classTable(batchHashes, idCol, hashCol)
+      .withColumnRenamed("rep", "rep_b").withColumnRenamed("n", "n_b")
+    // class merge: count bump / min-rep / mint, all in one outer join
+    val merged = Materialize.eager(standingCls
+      .withColumnRenamed("rep", "rep_s").withColumnRenamed("n", "n_s")
+      .join(batchCls, Seq("h"), "full_outer")
+      .select(col("h"),
+        least(col("rep_s"), col("rep_b")).as("rep"), // least skips NULL
+        (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n"),
+        col("rep_s").as("old_rep"),
+        col("rep_b").isNotNull.as("batch_hit"),
+        col("rep_s").isNull.as("is_new_class")))
+    val mask = (1L << bandBits) - 1
+    val bands = merged.select(col("rep"), col("h"), col("n"),
+      col("old_rep"), col("batch_hit"), col("is_new_class"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask))
+          .as("key"))): _*)).as("bk"))
+      .select(col("rep"), col("h"), col("n"), col("old_rep"),
+        col("batch_hit"), col("is_new_class"),
+        col("bk.band"), col("bk.key"))
+    val occ = Window.partitionBy(col("band"), col("key"))
+    // standing occupancy = merged occupancy minus the batch-minted
+    // classes (count bumps do not move a class between buckets)
+    val sized = Materialize.eager(bands
+      .withColumn("_occ_all", count(lit(1)).over(occ))
+      .withColumn("_occ_new",
+        sum(when(col("is_new_class"), 1L).otherwise(0L)).over(occ))
+      .observe(GuardLog.Prefix + guardName,
+        sum(when(col("_occ_all") > maxBucket, 1L).otherwise(0L))
+          .as("n_class_rows_dropped"))
+      .withColumn("_crossed",
+        col("_occ_all") > maxBucket &&
+          (col("_occ_all") - col("_occ_new")) <= maxBucket))
+    val kept = sized.filter(col("_occ_all") <= maxBucket)
+    // touched in MERGED rep space (for the delta join) and in OLD rep
+    // space (for evicting superseded standing rows)
+    val touched = Materialize.eager(merged
+      .select(col("rep"), col("old_rep"), col("batch_hit"))
+      .join(sized.filter(col("_crossed")).select(col("rep").as("_cr"))
+          .distinct(),
+        col("rep") === col("_cr"), "left")
+      .filter(col("batch_hit") || col("_cr").isNotNull)
+      .select(col("rep"), col("old_rep")))
+    val untouchedStanding = standingPairs
+      .join(touched.filter(col("old_rep").isNotNull)
+        .select(col("old_rep").as("doc_a")).distinct(),
+        Seq("doc_a"), "left_anti")
+      .join(touched.filter(col("old_rep").isNotNull)
+        .select(col("old_rep").as("doc_b")).distinct(),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_a"),
+        col("n_b"), col("n_pairs"))
+    val keptTouched = kept.join(touched.select(col("rep")).distinct(),
+      Seq("rep"), "left_semi")
+    val deltaCross = keptTouched.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.h") =!= col("y.h"))
+      .select(
+        when(col("x.rep") < col("y.rep"), col("x.rep"))
+          .otherwise(col("y.rep")).as("doc_a"),
+        when(col("x.rep") < col("y.rep"), col("y.rep"))
+          .otherwise(col("x.rep")).as("doc_b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h")))
+          .cast("long").as("hamming"),
+        when(col("x.rep") < col("y.rep"), col("x.n"))
+          .otherwise(col("y.n")).as("n_a"),
+        when(col("x.rep") < col("y.rep"), col("y.n"))
+          .otherwise(col("x.n")).as("n_b"),
+        (col("x.n") * col("y.n")).as("n_pairs"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val deltaIntra = merged
+      .join(touched.select(col("rep")).distinct(), Seq("rep"), "left_semi")
+      .filter(col("n") >= 2)
+      .select(col("rep").as("doc_a"), col("rep").as("doc_b"),
+        lit(0L).as("hamming"), col("n").as("n_a"), col("n").as("n_b"),
+        expr("n * (n - 1) div 2").as("n_pairs"))
+    untouchedStanding.unionByName(deltaCross).unionByName(deltaIntra)
+  }
 }

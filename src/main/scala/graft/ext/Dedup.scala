@@ -495,6 +495,68 @@ object Dedup {
     estimatePairs(cands, sigOld.unionByName(sigNew), k, threshold)
   }
 
+  /** Incremental exact n-gram Jaccard: the similar pairs INVOLVING a
+    * new batch — the exact-truth twin of [[minhashLshIncremental]]
+    * (VERDICT r17 #5a), so recall reports can re-verify after an
+    * append without re-pairing corpus x corpus. Emits exactly the
+    * pairs `jaccardPairs(corpus UNION batch)` would emit that touch
+    * the batch: the df-cap is computed over the FULL (standing +
+    * batch) token frequency — an append CAN push a token over the
+    * cap, and the incremental must agree with the rebuild about it —
+    * while the intersection join is restricted to batch-token x
+    * all-token, so join cost is |batch|-proportional. Standing-side
+    * inputs are the (doc_id, distinct token) table a deployed
+    * pipeline persists and appends per accepted batch
+    * ([[PairStage.docTokenSets]]); sizes derive from the same tables
+    * (pre-cap, like [[jaccardPairs]] — the cap can hide shared hot
+    * tokens, never shrink the union). */
+  def jaccardIncrementalFrom(standingTokens: DataFrame,
+                             batchTokens: DataFrame,
+                             threshold: Double,
+                             maxDf: Long = 500L): DataFrame = {
+    val tOld = standingTokens.select(col("doc_id"), col("token"))
+    val tNew = batchTokens.select(col("doc_id"), col("token"))
+    val all = tOld.unionByName(tNew)
+    // full-corpus document frequency — the rebuild's hot set exactly
+    val hot = hotKeys(all, "token", maxDf, "tokens (incremental)")
+    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val keptNew = tNew.join(hot, Seq("token"), "left_anti")
+    val keptAll = tOld.withColumn("is_new", lit(false))
+      .unionByName(tNew.withColumn("is_new", lit(true)))
+      .join(hot, Seq("token"), "left_anti")
+    // batch x (standing ∪ batch): a batch-standing pair appears once
+    // (x is always the batch side), a batch-batch pair is kept in one
+    // orientation only
+    val inter = keptNew.as("x").join(keptAll.as("y"),
+        col("x.token") === col("y.token") &&
+          (!col("y.is_new") || col("x.doc_id") < col("y.doc_id")) &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_tokens", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_tokens", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  /** Frame-input convenience over [[jaccardIncrementalFrom]] —
+    * [[minhashLshIncremental]]'s signature shape. `corpus` and
+    * `batch` must be id-disjoint. */
+  def jaccardIncremental(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double,
+                         maxDf: Long = 500L): DataFrame =
+    jaccardIncrementalFrom(
+      docTokens(corpus, col(idCol), col(textCol)),
+      docTokens(batch, col(idCol), col(textCol)), threshold, maxDf)
+
   /** SimHash from 60-bit portable token hashes, via the native
     * codegen'd [[graft.functions.SimHash64]] expression (one pass over
     * the token array instead of 64 interpreted folds). Token hashes are
@@ -527,6 +589,34 @@ object Dedup {
       df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
       "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming,
       maxBucket, "simhash_hot_bucket")
+
+  /** The persisted distinct-simhash CLASS TABLE (h, rep, n) of a
+    * corpus slice — the standing-side artifact
+    * [[simhashPairsIncremental]] merges appends into. */
+  def simhashClassTable(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    BandedPairs.classTable(
+      df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
+      "doc_id", "sh")
+
+  /** Incremental [[simhashPairs]] via class-table merge (VERDICT r17
+    * #5b): only the BATCH is tokenized and hashed; new docs either
+    * bump an existing hash class or mint one, and the banded pair
+    * delta comes from the touched classes only
+    * ([[BandedPairs.classPairsIncremental]] — see there for the
+    * exact-conservation argument). Output == `simhashPairs(standing
+    * UNION batch)` row for row, so the ORACLE of the incremental
+    * query is the full rebuild's oracle, verbatim. */
+  def simhashPairsIncremental(standingCls: DataFrame,
+                              standingPairs: DataFrame,
+                              batch: DataFrame, idCol: String,
+                              textCol: String, maxHamming: Int = 3,
+                              maxBucket: Long = 2048L): DataFrame =
+    BandedPairs.classPairsIncremental(
+      standingCls, standingPairs,
+      batch.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
+      "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming, maxBucket,
+      "simhash_inc_hot_bucket")
 
   /** Connected components over near-dup pairs: every node is labeled
     * with the MINIMUM id reachable in its component — turning pairwise

@@ -85,6 +85,33 @@ object ExtQueriesDedup {
         "doc_id", "text", shingleN = 3, k = 32, bands = 8,
         threshold = 0.5)
     }),
+    // the EXACT-TRUTH incremental (VERDICT r17 #5a): batch-touching
+    // exact-Jaccard pairs from the STAGED standing token table — the
+    // recall-report truth set re-verified after an append without the
+    // full rebuild. The df-cap is full-corpus (standing + batch), so
+    // the output equals the rebuild's batch-touching slice exactly.
+    "dedup_jaccard_incremental" -> ((s, dir) => {
+      Dedup.jaccardIncrementalFrom(
+        graft.ext.PairStage.docTokenSets(s, dir, excludeMod = 3),
+        Dedup.docTokens(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
+          col("doc_id"), col("text")),
+        threshold = 0.8)
+    }),
+    // the simhash CLASS-TABLE MERGE incremental (VERDICT r17 #5b):
+    // only the batch is hashed; new docs bump or mint classes in the
+    // staged standing class table, the banded pair delta comes from
+    // the touched classes, untouched standing pairs pass through from
+    // the staged standing pair table. Output == the full rebuild row
+    // for row, so the oracle is dedup_simhash's, verbatim.
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      Dedup.simhashPairsIncremental(
+        graft.ext.PairStage.simhashClasses(s, dir, excludeMod = 3),
+        graft.ext.PairStage.simhashClassPairs(s, dir, maxHamming = 3,
+          excludeMod = 3),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
+        "doc_id", "text")
+    }),
     // incremental EXACT dedup with a bloom split: a fixed-size Bloom
     // filter over the standing corpus's 60-bit content hashes routes
     // each new-batch doc either straight to "kept" (bloom-negative =>
@@ -312,6 +339,39 @@ object ExtQueriesDedup {
     }),
   )
 
+  /** The class-collapsed simhash pair replay — shared VERBATIM by
+    * dedup_simhash and dedup_simhash_incremental (the incremental
+    * reconstructs the entire merged pair table, so its oracle IS the
+    * rebuild's; byte-identical text also lets the oracle runner's
+    * shared-CTE materialization evaluate the replay once). */
+  private val SimhashPairsOracle: String = s"""
+      WITH tokraw AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents),
+      tokd AS (SELECT DISTINCT doc_id, token FROM tokraw),
+      h AS (SELECT doc_id, ${hex60Sql("token")} AS th FROM tokd),
+      sg AS (SELECT doc_id,
+         $SimhashBitSum AS sh
+       FROM h GROUP BY doc_id),
+      cls AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
+              FROM sg GROUP BY sh),
+      chunks AS (SELECT rep, sh, n, unnest([
+          {c: 0, k: (sh >> 0) & 65535},  {c: 1, k: (sh >> 16) & 65535},
+          {c: 2, k: (sh >> 32) & 65535}, {c: 3, k: (sh >> 48) & 65535}])
+          AS ck FROM cls),
+      cand AS (SELECT DISTINCT x.rep AS doc_a, x.sh AS sh_a, x.n AS n_a,
+                      y.rep AS doc_b, y.sh AS sh_b, y.n AS n_b
+               FROM chunks x JOIN chunks y
+                 ON x.ck = y.ck AND x.rep < y.rep)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+             n_a, n_b, CAST(n_a * n_b AS BIGINT) AS n_pairs
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      UNION ALL
+      SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
+             n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+      FROM cls WHERE n >= 2"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH all_docs AS (
@@ -443,33 +503,35 @@ object ExtQueriesDedup {
     // incremental plan must emit exactly this set
     "dedup_incremental" -> minhashPairsSql(
       extraWhere = " AND (doc_a % 10 = 3 OR doc_b % 10 = 3)"),
-    "dedup_simhash" -> s"""
-      WITH tokraw AS (SELECT doc_id,
-              unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-            FROM documents),
-      tokd AS (SELECT DISTINCT doc_id, token FROM tokraw),
-      h AS (SELECT doc_id, ${hex60Sql("token")} AS th FROM tokd),
-      sg AS (SELECT doc_id,
-         $SimhashBitSum AS sh
-       FROM h GROUP BY doc_id),
-      cls AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
-              FROM sg GROUP BY sh),
-      chunks AS (SELECT rep, sh, n, unnest([
-          {c: 0, k: (sh >> 0) & 65535},  {c: 1, k: (sh >> 16) & 65535},
-          {c: 2, k: (sh >> 32) & 65535}, {c: 3, k: (sh >> 48) & 65535}])
-          AS ck FROM cls),
-      cand AS (SELECT DISTINCT x.rep AS doc_a, x.sh AS sh_a, x.n AS n_a,
-                      y.rep AS doc_b, y.sh AS sh_b, y.n AS n_b
-               FROM chunks x JOIN chunks y
-                 ON x.ck = y.ck AND x.rep < y.rep)
-      SELECT doc_a, doc_b,
-             CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
-             n_a, n_b, CAST(n_a * n_b AS BIGINT) AS n_pairs
-      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
-      UNION ALL
-      SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
-             n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
-      FROM cls WHERE n >= 2""",
+    // the exact-truth incremental: the full exact-Jaccard pair set
+    // (full-corpus df-cap) restricted to batch-touching pairs — which
+    // the class-merge-free incremental plan must reproduce exactly
+    "dedup_jaccard_incremental" ->
+      """WITH tokraw AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents),
+        toks AS (
+          SELECT doc_id, token FROM tokraw
+          WHERE token NOT IN (SELECT token FROM tokraw
+                              GROUP BY token HAVING count(*) > 500)),
+        sizes AS (SELECT doc_id, count(*) AS n_tokens FROM tokraw GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter, sa.n_tokens AS n_a, sb.n_tokens AS n_b,
+               n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n_tokens + sb.n_tokens - n_inter) >= 0.8
+          AND (doc_a % 10 = 3 OR doc_b % 10 = 3)""",
+    // the class-merge incremental reconstructs the ENTIRE merged pair
+    // table — its oracle is the full rebuild's oracle, verbatim
+    // (byte-identical WITH prefix, so the oracle runner's shared-CTE
+    // materialization can evaluate the replay once for both)
+    "dedup_simhash_incremental" -> SimhashPairsOracle,
+    "dedup_simhash" -> SimhashPairsOracle,
     // the agreement matrix: minhash + semdedup replays enumerate the
     // union (each embedded as its own WITH-subquery); simhash
     // membership via the class CTEs; the simhash-only cell by exact

@@ -450,11 +450,25 @@ object StreamOps {
     * the same bounded-state contract as [[nearDupGate]]. */
   def semanticGate(stream: DataFrame, centroids: DataFrame,
                    corpusIndex: DataFrame, idCol: String, vecCol: String,
-                   eps: Double,
+                   eps: Double, maxCell: Long = 4096L,
                    eventTimeCol: Option[String] = None,
                    horizon: String = "24 hours"): DataFrame = {
     val spark = stream.sparkSession
     graft.ext.GuardLog.ensure(spark)
+    // boundedness rests on the index being the staging-time-capped
+    // artifact; verify it HONORS the cap at gate construction (one
+    // bounded agg over the artifact, once per stream start — ADVICE
+    // r17: an uncapped index silently reinstated the unbounded
+    // per-trigger candidate cost this gate's guard exists to prevent)
+    val worstRow = corpusIndex.groupBy(col("centroid_id"))
+      .count().agg(max(col("count"))).head()
+    val worstCell = if (worstRow.isNullAt(0)) 0L else worstRow.getLong(0)
+    require(worstCell <= maxCell,
+      s"semanticGate handed an UNCAPPED corpus index: largest cell has " +
+        s"$worstCell members > maxCell=$maxCell — stage it through " +
+        "PairStage.semanticCorpusIndex (capCells) or raise maxCell " +
+        "deliberately; an uncapped cell costs |cell| candidates per " +
+        "matching arrival on every trigger")
     val cents = centroids.select(col("centroid_id"), col("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(cents.length <= 8192,

@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persistent artifact store's contract (VERDICT r17 #1): the
+  * build-once discipline must survive the JVM boundary. A FRESH
+  * session over the same corpus snapshot ATTACHES to the persisted
+  * artifacts — zero build jobs, zero schema-inference jobs, values
+  * identical to the building session — and a CHANGED snapshot can
+  * never serve the old artifact (the file-listing fingerprint is part
+  * of every key). */
+class ArtifactStoreSpec extends SparkSpec {
+
+  private val tmpRoot = java.nio.file.Files
+    .createTempDirectory("graft_store_spec").toString
+  Scratch.reclaimOnExit(tmpRoot)
+
+  private def session(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactRoot", tmpRoot)
+    s
+  }
+
+  /** AnnServingPathSpec's probe, widened to the store's call sites:
+    * count only jobs from this thread's job group whose stage call
+    * sites name the staging/serving code path. */
+  private def jobsDuring[A](f: => A): (A, Int) = {
+    val gid = s"store-probe-${System.nanoTime()}"
+    val sites = Seq("PairStage.scala", "ArtifactStore.scala",
+      "Tables.scala", "Similarity.scala", "Dedup.scala",
+      "ExtQueriesSimilarity.scala", "ExtQueriesDedup.scala",
+      "Materialize.scala", "ArtifactStoreSpec.scala")
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+          gid == js.properties.getProperty("spark.jobGroup.id") &&
+          js.stageInfos.exists(si => sites.exists(si.name.contains))) {
+          n.incrementAndGet(); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(gid, "artifact-store attach probe")
+    try {
+      val r = f
+      Thread.sleep(1000) // listener bus is async
+      (r, n.get())
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
+  private def serving(s: SparkSession, name: String): DataFrame =
+    graft.registry.ExtQueries.queries(name)(s, sf0001)
+
+  test("a fresh session serves the staged families with zero build jobs, values identical") {
+    val s1 = session()
+    // session 1 BUILDS (fresh store root)
+    val built = Seq("sim_ivf_topk", "dedup_simhash").map { q =>
+      q -> serving(s1, q).collect().map(_.toString).sorted.toSeq
+    }.toMap
+    assert(built.values.forall(_.nonEmpty))
+    // simulate a new JVM over the same persisted root: drop every
+    // in-JVM memo for this root (attached artifacts AND the card
+    // scalars ride the same memo), then attach from a fresh session
+    ArtifactStore.resetMemosForTest(tmpRoot)
+    val s2 = session()
+    for (q <- Seq("sim_ivf_topk", "dedup_simhash")) {
+      // construction after a cold attach must trigger ZERO jobs from
+      // the staging/serving path: manifest validation is a driver-side
+      // metadata read, schemas and card scalars ride the manifest.
+      // min over three attempts — see AnnServingPathSpec on why a
+      // sibling suite's broadcast jobs can rarely inherit our group.
+      val attempts = (1 to 3).map { _ => jobsDuring(serving(s2, q)) }
+      val jobs = attempts.map(_._2).min
+      assert(jobs == 0,
+        s"$q construction in a FRESH session over a persisted store " +
+          s"triggered $jobs build jobs on every attempt — attach must " +
+          "be a manifest read, not a rebuild")
+      val got = attempts.head._1.collect().map(_.toString).sorted.toSeq
+      assert(got == built(q),
+        s"$q attach/build divergence across sessions")
+    }
+  }
+
+  test("a changed snapshot rebuilds: the store can never serve stale rows") {
+    val s = session()
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_snap").toString
+    Scratch.reclaimOnExit(dir)
+    val docs1 = Seq((1L, "alpha beta gamma delta alpha beta gamma"),
+      (2L, "alpha beta gamma delta alpha beta gamma"),
+      (3L, "zeta eta theta iota kappa lambda mu"))
+    import s.implicits._
+    docs1.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val p1 = PairStage.lshPairs(s, dir).collect().toSeq
+    assert(p1.nonEmpty, "dup docs 1-2 must pair")
+    // regenerate the snapshot: doc 3 now duplicates doc 1 too
+    val docs2 = docs1.take(2) :+
+      ((3L, "alpha beta gamma delta alpha beta gamma"))
+    docs2.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val p2 = PairStage.lshPairs(s, dir).collect().toSeq
+    assert(p2.size > p1.size,
+      s"regenerated snapshot served ${p2.size} pairs (was ${p1.size}) — " +
+        "the store is keyed by a stale fingerprint")
+  }
+
+  test("manifest frame carries provenance for every persisted artifact") {
+    val s = session()
+    PairStage.corpusCard(s, sf0001) // ensure at least the card exists
+    val m = ArtifactStore.manifest(s)
+    assert(m.columns.toSet == Set("artifact", "tag", "version",
+      "built_unix_ms", "build_wall_ms", "inputs", "parts", "n_scalars"))
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("version") == ArtifactStore.codeVersion))
+    assert(rows.forall(_.getAs[Long]("built_unix_ms") > 0L))
+    val card = rows.find(_.getAs[String]("tag") == "card")
+    assert(card.exists(_.getAs[Int]("n_scalars") == 2),
+      s"card manifest must carry (n, max_norm_sq): ${rows.mkString(";")}")
+    assert(card.exists(_.getAs[String]("inputs")
+      .contains("embeddings.parquet@")))
+  }
+
+  test("corpus card over an empty slice fails loudly, not with an NPE") {
+    val s = session()
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_empty").toString
+    Scratch.reclaimOnExit(dir)
+    import s.implicits._
+    Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      PairStage.corpusCard(s, dir)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+}

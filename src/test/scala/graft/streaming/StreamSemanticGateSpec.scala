@@ -77,4 +77,15 @@ class StreamSemanticGateSpec extends SparkSpec {
     assert(n == 0L, s"capped gate still emitted $n pairs")
     assert(awaitGuard("semgate_spec_cap").exists(_ > 0L))
   }
+
+  test("semantic gate refuses an index that does not honor the cap") {
+    // ADVICE r17: boundedness rests on callers passing the capped
+    // staged artifact — an uncapped index must fail LOUDLY at gate
+    // construction, not silently reinstate per-trigger |cell| cost
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.semanticGate(arrivals, cents, corpusIdx, "vec_id",
+        "embedding", eps = 0.3, maxCell = 1L)
+    }
+    assert(e.getMessage.contains("UNCAPPED"), e.getMessage)
+  }
 }

@@ -46,8 +46,14 @@ def main():
         results = json.loads(Path(json_out).read_text()).get("queries", {})
         # drop stale rows for queries renamed/removed from the registry
         # since the prior artifact (ADVICE r16): without this, targeted
-        # re-check merges keep dead entries and inflate n_pass
-        results = {k: v for k, v in results.items() if k in oracle_names}
+        # re-check merges keep dead entries and inflate n_pass. Keep
+        # rows whose prior status says they never HAD an oracle
+        # (ADVICE r17: e.g. a driver-recorded err=no_oracle entry) —
+        # absence from oracle_sql.json is their normal state, not
+        # staleness.
+        results = {k: v for k, v in results.items()
+                   if k in oracle_names or v.get("err") == "no_oracle"
+                   or v.get("status") == "no_oracle"}
     con = duckdb.connect()
     # an in-memory DuckDB has no temp directory, so a big oracle
     # (e.g. the ANN replays at the sf1 gate) ABORTS at the memory

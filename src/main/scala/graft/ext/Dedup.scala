@@ -513,13 +513,47 @@ object Dedup {
   def jaccardIncrementalFrom(standingTokens: DataFrame,
                              batchTokens: DataFrame,
                              threshold: Double,
-                             maxDf: Long = 500L): DataFrame = {
+                             maxDf: Long = 500L,
+                             standingDf: Option[DataFrame] = None,
+                             standingSizes: Option[DataFrame] = None)
+      : DataFrame = {
     val tOld = standingTokens.select(col("doc_id"), col("token"))
     val tNew = batchTokens.select(col("doc_id"), col("token"))
     val all = tOld.unionByName(tNew)
-    // full-corpus document frequency — the rebuild's hot set exactly
-    val hot = hotKeys(all, "token", maxDf, "tokens (incremental)")
-    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    // full-corpus document frequency — the rebuild's hot set exactly.
+    // When the standing df table is persisted ([[PairStage.tokenDf]]
+    // — the production shape: a deployed pipeline maintains df counts
+    // per append), the full df is standing + batch via one outer-join
+    // MERGE; re-aggregating the standing token table per increment
+    // would re-pay the corpus-wide token shuffle the staged table
+    // amortizes. Identical hot set either way (count distributes over
+    // the disjoint union) — spec-pinned.
+    val hot = standingDf match {
+      case Some(sdf) =>
+        val bdf = tNew.groupBy(col("token")).agg(count(lit(1)).as("bdf"))
+        val merged = Materialize.eager(sdf
+          .withColumnRenamed("df_count", "sdf")
+          .join(bdf, Seq("token"), "full_outer")
+          .select(col("token"), (coalesce(col("sdf"), lit(0L)) +
+            coalesce(col("bdf"), lit(0L))).as("df_count"))
+          .filter(col("df_count") > maxDf)
+          .select(col("token")))
+        val n = merged.count()
+        if (n > 0) {
+          log.warn(s"dropping $n tokens (incremental, merged df) with " +
+            s"df > $maxDf before the pair join")
+          GuardLog.record("df_cap", n)
+        }
+        merged
+      case None => hotKeys(all, "token", maxDf, "tokens (incremental)")
+    }
+    val sizes = standingSizes match {
+      case Some(ss) => ss.select(col("doc_id"), col("n_tokens"))
+        .unionByName(tNew.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens")))
+      case None =>
+        all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    }
     val keptNew = tNew.join(hot, Seq("token"), "left_anti")
     val keptAll = tOld.withColumn("is_new", lit(false))
       .unionByName(tNew.withColumn("is_new", lit(true)))

@@ -474,6 +474,37 @@ object PairStage {
     readPart(spark, a)
   }
 
+  /** The staged (token, df_count) document-frequency table of the
+    * standing corpus — derived from [[docTokenSets]], so table and
+    * token sets can never disagree. A deployed pipeline maintains
+    * this per append (df counts are mergeable); the incremental
+    * exact-Jaccard path merges the batch's counts in instead of
+    * re-aggregating the corpus token table. */
+  def tokenDf(spark: SparkSession, dir: String,
+              excludeMod: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val a = staged(spark, "tokdf", Seq(docs(dir)), Seq(excludeMod)) { p =>
+      docTokenSets(spark, dir, excludeMod)
+        .groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+        .write.mode("overwrite").parquet(p)
+    }
+    readPart(spark, a)
+  }
+
+  /** The staged (doc_id, n_tokens) size table of the standing corpus
+    * — the pre-cap Jaccard denominators, derived from
+    * [[docTokenSets]]. Append-safe (one row per doc, forever). */
+  def docTokenSizes(spark: SparkSession, dir: String,
+                    excludeMod: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val a = staged(spark, "toksz", Seq(docs(dir)), Seq(excludeMod)) { p =>
+      docTokenSets(spark, dir, excludeMod)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+        .write.mode("overwrite").parquet(p)
+    }
+    readPart(spark, a)
+  }
+
   /** The staged exact n-gram-jaccard pair table over the RAW documents
     * corpus — shared by the clustering consumers (components +
     * representative selection) and the recall reports' exact-truth

@@ -96,7 +96,9 @@ object ExtQueriesDedup {
         Dedup.docTokens(
           t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
           col("doc_id"), col("text")),
-        threshold = 0.8)
+        threshold = 0.8,
+        standingDf = Some(graft.ext.PairStage.tokenDf(s, dir, 3)),
+        standingSizes = Some(graft.ext.PairStage.docTokenSizes(s, dir, 3)))
     }),
     // the simhash CLASS-TABLE MERGE incremental (VERDICT r17 #5b):
     // only the batch is hashed; new docs bump or mint classes in the

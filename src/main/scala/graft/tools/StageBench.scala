@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * artifact is build-once per corpus snapshot — correct for the
   * bench, but the 100 TB operator refreshes snapshots, so this tool
   * measures what a refresh BILLS: the from-scratch build wall of each
-  * artifact (fresh JVM = fresh staging keys, so every call here is a
-  * genuine first-touch build), and next to it the INCREMENTAL batch
-  * cost for the artifacts that have an append contract (assign/code
-  * the 10% batch slice against the standing fit — the
+  * artifact (the session pins a FRESH artifact-store root, so every
+  * call here is a genuine first-touch build — since r18 the store
+  * persists across JVMs and a fresh JVM over the default root would
+  * ATTACH, timing a manifest read), and next to it the INCREMENTAL
+  * batch cost for the artifacts that have an append contract
+  * (assign/code the 10% batch slice against the standing fit — the
   * dedup_incremental / ivf-upsert discipline), which is what a daily
   * increment actually pays instead of the rebuild.
   *
@@ -23,13 +25,17 @@ import org.apache.spark.sql.functions._
 object StageBench {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val freshRoot = java.nio.file.Files
+      .createTempDirectory("graft_stagebench_root").toString
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.artifactRoot", freshRoot)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.ext.Scratch.reclaimOnExit(freshRoot)
     import graft.ext.{Dedup, PairStage, Similarity}
 
     // warm the session (scheduler, codegen, parquet reader) so the
@@ -60,6 +66,10 @@ object StageBench {
     time("lsh_pairs") { PairStage.lshPairs(spark, dir) }
     time("jaccard_pairs") { PairStage.jaccardPairs(spark, dir) }
     time("simhash_class_pairs") { PairStage.simhashClassPairs(spark, dir) }
+    time("doc_token_sets") { PairStage.docTokenSets(spark, dir, 7) }
+    time("simhash_classes") { PairStage.simhashClasses(spark, dir, 7) }
+    time("simhash_class_pairs_std") {
+      PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7) }
     time("bpe_trained") { PairStage.bpeTrained(spark, dir, 30)._2 }
 
     // ANN family
@@ -99,6 +109,24 @@ object StageBench {
       // contribution is one slice aggregation
       batch.agg(count(lit(1)), max(Similarity.dot(col("embedding"),
         col("embedding")))) }
+    // the r18 incremental forms (VERDICT r17 #5): what re-verifying
+    // the exact-truth pair set / the simhash class-pair table costs
+    // after an append, INSTEAD of the jaccard_pairs /
+    // simhash_class_pairs rebuild rows above
+    time("token_df") { PairStage.tokenDf(spark, dir, 7) }
+    time("doc_token_sizes") { PairStage.docTokenSizes(spark, dir, 7) }
+    time("inc_jaccard_batch_pairs") {
+      Dedup.jaccardIncrementalFrom(
+        PairStage.docTokenSets(spark, dir, 7),
+        Dedup.docTokens(docsBatch, col("doc_id"), col("text")),
+        threshold = 0.8,
+        standingDf = Some(PairStage.tokenDf(spark, dir, 7)),
+        standingSizes = Some(PairStage.docTokenSizes(spark, dir, 7))) }
+    time("inc_simhash_class_merge") {
+      Dedup.simhashPairsIncremental(
+        PairStage.simhashClasses(spark, dir, 7),
+        PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7),
+        docsBatch, "doc_id", "text") }
 
     spark.stop()
   }

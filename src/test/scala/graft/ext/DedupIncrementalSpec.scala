@@ -31,6 +31,21 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must contain batch-touching pairs")
     assert(got == want,
       s"extra=${got -- want} missing=${want -- got}")
+    // the merged-df path (staged standing df + sizes, the registry
+    // shape) must be value-identical to the recompute path
+    val standing = docs.filter(col("doc_id") % 10 =!= 3)
+    val sTok = Dedup.docTokens(standing, col("doc_id"), col("text"))
+    val merged = Dedup.jaccardIncrementalFrom(
+      sTok,
+      Dedup.docTokens(docs.filter(col("doc_id") % 10 === 3),
+        col("doc_id"), col("text")),
+      threshold = 0.8,
+      standingDf = Some(sTok.groupBy(col("token"))
+        .agg(count(lit(1)).as("df_count"))),
+      standingSizes = Some(sTok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"))))
+    assert(rows(merged) == want,
+      "merged-df incremental diverged from the recompute path")
   }
 
   test("jaccard conservation: standing ∪ incremental == rebuild (cap-stable fixture)") {

@@ -2,6 +2,14 @@
 """Local replica of the driver's correctness gate.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut] [onlyCsv]
+       [--mat | --mat=selfcheck]
+
+`--mat` materializes byte-identical shared WITH prefixes as DuckDB
+temp tables once per gate run and rewrites the participating oracles
+to read them (tools/cte_mat.py) — the sf1 replay-dedup path (VERDICT
+r17 #6). `--mat=selfcheck` additionally evaluates every rewritten
+oracle BOTH ways and fails loudly on any divergence: run it once at
+sf0.01 before an sf1 run trusts the rewrite.
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over views
@@ -36,9 +44,18 @@ def normalize(df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    json_out = sys.argv[3] if len(sys.argv) > 3 else None
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    mat_mode = None  # None | "mat" | "selfcheck"
+    argv = []
+    for a in sys.argv[1:]:
+        if a == "--mat":
+            mat_mode = "mat"
+        elif a == "--mat=selfcheck":
+            mat_mode = "selfcheck"
+        else:
+            argv.append(a)
+    sf_dir, out_dir = argv[0], argv[1]
+    json_out = argv[2] if len(argv) > 2 else None
+    only = set(argv[3].split(",")) if len(argv) > 3 and argv[3] else None
     results = {}
     oracle_names = set(json.loads(
         (Path(out_dir) / "oracle_sql.json").read_text()).keys())
@@ -68,11 +85,37 @@ def main():
         elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    n_pass = n_fail = 0
     import time
+    mats_alive, rewrites, mat_sec = set(), {}, 0.0
+    if mat_mode:
+        import cte_mat
+        running = {k: v for k, v in oracle.items()
+                   if only is None or k in only}
+        mat_plan, rewrites = cte_mat.plan(running)
+        t0 = time.time()
+        for table, chain in mat_plan:
+            try:
+                con.execute(cte_mat.mat_sql(table, chain))
+                mats_alive.add(table)
+            except Exception as e:
+                print(f"MAT-FALLBACK {table} ({chain[-1][0]}): "
+                      f"{str(e)[:120]}")
+        mat_sec = round(time.time() - t0, 2)
+        print(f"== materialized {len(mats_alive)}/{len(mat_plan)} shared "
+              f"CTEs in {mat_sec}s; {len(rewrites)} queries rewritten ==")
+    n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
+        inline_sql = sql
+        used_mat = False
+        if name in rewrites:
+            ctes, rem, depth = rewrites[name]
+            import cte_mat
+            rw = cte_mat.rewritten_sql(ctes, rem, depth, mats_alive)
+            if rw is not None:
+                sql = rw
+                used_mat = True
         res_dir = Path(out_dir) / name
         t0 = time.time()
 
@@ -93,6 +136,28 @@ def main():
             record("fail", str(e)[:200])
             n_fail += 1
             continue
+        if used_mat and mat_mode == "selfcheck":
+            # the rewrite trust gate: the materialized form must equal
+            # the inline form EXACTLY (values and dtypes) before any
+            # larger scale is allowed to rely on it
+            try:
+                inline_want = con.execute(inline_sql).fetchdf()
+            except Exception as e:
+                print(f"FAIL {name}: selfcheck inline form errored: {e}")
+                record("fail", f"mat_selfcheck inline error {str(e)[:150]}")
+                n_fail += 1
+                continue
+            wn, iw = normalize(want), normalize(inline_want)
+            if not (list(wn.columns) == list(iw.columns)
+                    and len(wn) == len(iw)
+                    and all(str(wn[c].dtype) == str(iw[c].dtype)
+                            for c in wn.columns)
+                    and wn.equals(iw)):
+                print(f"FAIL {name}: MAT SELFCHECK divergence — "
+                      "materialized form != inline form")
+                record("fail", "mat_selfcheck divergence")
+                n_fail += 1
+                continue
         g, w = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
@@ -148,9 +213,13 @@ def main():
         n_fail = sum(1 for r in results.values() if r["status"] != "pass")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_out:
-        Path(json_out).write_text(json.dumps(
-            {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-             "queries": results}, indent=1))
+        doc = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+               "queries": results}
+        if mat_mode:
+            doc["mat"] = {"mode": mat_mode, "tables": len(mats_alive),
+                          "rewritten": len(rewrites),
+                          "build_sec": mat_sec}
+        Path(json_out).write_text(json.dumps(doc, indent=1))
     sys.exit(1 if n_fail else 0)
 
 

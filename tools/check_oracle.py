@@ -110,9 +110,8 @@ def main():
         inline_sql = sql
         used_mat = False
         if name in rewrites:
-            ctes, rem, depth = rewrites[name]
             import cte_mat
-            rw = cte_mat.rewritten_sql(ctes, rem, depth, mats_alive)
+            rw = cte_mat.rewritten_sql(sql, rewrites[name], mats_alive)
             if rw is not None:
                 sql = rw
                 used_mat = True
@@ -182,6 +181,17 @@ def main():
             continue
         bad = None
         for c in g.columns:
+            # vectorized fast path: Series.equals is exact (values and
+            # dtype, NaN==NaN) at C speed — the Python loop below cost
+            # ~100s PER 6M-row query at the sf1 gate and exists only to
+            # report the first mismatching position, so run it only
+            # when a column actually differs (or the fast path cannot
+            # tell, e.g. exotic object payloads)
+            try:
+                if g[c].equals(w[c]):
+                    continue
+            except Exception:
+                pass
             gv, wv = g[c].tolist(), w[c].tolist()
             for i, (a, b) in enumerate(zip(gv, wv)):
                 eq = (a == b) or (a is None and b is None)

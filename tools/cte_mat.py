@@ -1,77 +1,106 @@
 """Shared-CTE materialization for the DuckDB oracle gate (VERDICT r17 #6).
 
 The heavy oracle replays (the Lloyd fit chain, the shingle/minhash
-stages, the retail pipeline replay) are byte-identical WITH prefixes
-shared by many queries, and DuckDB recomputes them per query — at the
-sf1 gate that recomputation IS the wall (~60 min). This module parses
-each oracle's top-level WITH chain, finds the longest prefix of
-(name, body) pairs shared byte-identically (modulo per-CTE strip) by
->= 2 queries, materializes each shared prefix CTE ONCE as a DuckDB
-temp table, and rewrites the participating queries to read the temp
-tables (`name AS (SELECT * FROM mat_<hash>)`).
+stages, the retail sales projection) are byte-identical WITH prefixes
+shared by many queries — and by multiple method-branch SUBQUERIES
+inside one query (the recall reports embed one replay per branch).
+DuckDB recomputes them per reference; at the sf1 gate that
+recomputation IS the wall. This module finds every WITH chain in each
+oracle (the top-level one and every parenthesized `(WITH ...)`
+subquery), computes the longest prefix of (name, body) pairs shared
+byte-identically (modulo per-CTE strip) by >= 2 chain sites,
+materializes each shared prefix CTE ONCE as a DuckDB temp table, and
+rewrites the participating chains IN PLACE (each prefix CTE body span
+becomes `SELECT * FROM mat_<hash>` — a pure span splice, so
+MATERIALIZED markers, nesting and everything outside the spans are
+untouched).
 
 Guard rails:
- - queries whose SQL is not a plain top-level WITH (or uses RECURSIVE)
+ - RECURSIVE chains and anything the parser cannot read losslessly
    are left untouched;
- - a failed materialization marks its prefix dead and the queries fall
-   back to their inline form — never a lost query;
- - `selfcheck` mode evaluates BOTH forms and the caller compares them
-   exactly (run at sf0.01 before any sf1 run trusts the rewrite).
+ - an embedded chain whose CTEs reference outer-scope names fails its
+   CREATE TEMP TABLE (unknown table) and falls back inline — never a
+   wrong result;
+ - a failed materialization marks its table dead; any query needing a
+   dead table keeps its inline form;
+ - `selfcheck` mode (check_oracle.py --mat=selfcheck) evaluates BOTH
+   forms and the caller compares them exactly — run at sf0.01 before
+   any sf1 run trusts the rewrite.
 """
 import hashlib
 import re
 
+_HEAD = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(MATERIALIZED\s+)?\(", re.I | re.S)
+_TOP = re.compile(r"(?is)^\s*WITH\s")
+_RECURSIVE = re.compile(r"(?is)^\s*WITH\s+RECURSIVE\b")
+_EMBED = re.compile(r"(?is)\(\s*WITH\s")
 
-def split_ctes(sql):
-    """Parse a top-level `WITH a AS (...), b AS (...) <remainder>`.
 
-    Returns (ctes, remainder) where ctes is a list of
-    (name, materialized_flag, body) — or None if the SQL is not a
-    plain WITH chain this rewriter understands (no WITH, RECURSIVE,
-    or anything it cannot parse losslessly).
-    """
-    s = sql.strip()
-    m = re.match(r"(?is)^WITH\s+", s)
-    if not m or re.match(r"(?is)^WITH\s+RECURSIVE\b", s):
-        return None
-    i = m.end()
+def _scan_paren(s, j):
+    """Index just AFTER the ')' matching the '(' that precedes s[j],
+    honoring single-quoted literals ('' escapes). None if unbalanced."""
+    depth, k, n = 1, j, len(s)
+    while depth > 0:
+        if k >= n:
+            return None
+        c = s[k]
+        if c == "'":
+            k += 1
+            while k < n:
+                if s[k] == "'":
+                    if k + 1 < n and s[k + 1] == "'":
+                        k += 2
+                        continue
+                    break
+                k += 1
+            if k >= n:
+                return None
+        elif c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+        k += 1
+    return k
+
+
+def _parse_chain(s, i):
+    """Parse `name AS [MATERIALIZED] (...), ...` starting at s[i:]
+    (just after the WITH keyword). Returns (ctes, end) where each cte
+    is (name, body, body_start, body_end) and `end` is the index after
+    the last CTE's close paren — or None if unparseable."""
     ctes = []
     while True:
-        h = re.match(
-            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(MATERIALIZED\s+)?\(",
-            s[i:], re.I | re.S)
-        if not h:
+        m = _HEAD.match(s, i)
+        if not m:
             return None
-        name, is_mat = h.group(1), bool(h.group(2))
-        j = i + h.end()
-        depth, k = 1, j
-        n = len(s)
-        while depth > 0:
-            if k >= n:
-                return None  # unbalanced — refuse to rewrite
-            c = s[k]
-            if c == "'":
-                k += 1
-                while k < n:
-                    if s[k] == "'":
-                        if k + 1 < n and s[k + 1] == "'":
-                            k += 2  # escaped quote
-                            continue
-                        break
-                    k += 1
-                if k >= n:
-                    return None
-            elif c == '(':
-                depth += 1
-            elif c == ')':
-                depth -= 1
-            k += 1
-        ctes.append((name, is_mat, s[j:k - 1].strip()))
-        t = re.match(r"\s*,", s[k:])
+        j = m.end()
+        k = _scan_paren(s, j)
+        if k is None:
+            return None
+        ctes.append((m.group(1), s[j:k - 1].strip(), j, k - 1))
+        t = re.compile(r"\s*,").match(s, k)
         if t:
-            i = k + t.end()
+            i = t.end()
         else:
-            return ctes, s[k:].strip()
+            return ctes, k
+
+
+def _sites(sql):
+    """Every WITH chain in `sql`: the top-level one (if the statement
+    is a plain WITH) plus each parenthesized subquery chain."""
+    sites = []
+    if _TOP.match(sql) and not _RECURSIVE.match(sql):
+        p = _parse_chain(sql, _TOP.match(sql).end())
+        if p:
+            sites.append(p[0])
+    for m in _EMBED.finditer(sql):
+        if re.match(r"(?is)RECURSIVE\b", sql[m.end():]):
+            continue
+        p = _parse_chain(sql, m.end())
+        if p:
+            sites.append(p[0])
+    return sites
 
 
 def _key(chain):
@@ -89,41 +118,44 @@ def plan(oracle):
 
     Returns (mats, rewrites):
       mats: ordered list of (table, chain) to materialize — chain is
-            the [(name, body), ...] prefix ending at the CTE this
-            table holds;
-      rewrites: {query: (parsed, depth)} — rewrite the first `depth`
-            CTEs of `parsed` to read mat tables.
+            the [(name, body), ...] prefix ending at the CTE the table
+            holds (build in list order: each build reads the previous
+            tables);
+      rewrites: {query: [(ctes, depth), ...]} — per chain site,
+            rewrite the first `depth` CTE bodies to read mat tables.
     """
-    parsed = {}
-    for q, sql in oracle.items():
-        p = split_ctes(sql)
-        if p:
-            parsed[q] = p
+    parsed = {q: _sites(sql) for q, sql in oracle.items()}
     counts = {}
-    for q, (ctes, _) in parsed.items():
-        chain = []
-        for name, _m, body in ctes:
-            chain.append((name, body))
-            counts[_key(chain)] = counts.get(_key(chain), 0) + 1
+    for sites in parsed.values():
+        for ctes in sites:
+            chain = []
+            for name, body, _s, _e in ctes:
+                chain.append((name, body))
+                k = _key(chain)
+                counts[k] = counts.get(k, 0) + 1
     mats, seen, rewrites = [], set(), {}
-    for q, (ctes, rem) in parsed.items():
-        chain, depth = [], 0
-        for idx, (name, _m, body) in enumerate(ctes):
-            chain.append((name, body))
-            if counts[_key(chain)] >= 2:
-                depth = idx + 1
-            else:
-                break
-        if depth == 0:
-            continue
-        rewrites[q] = (ctes, rem, depth)
-        chain = []
-        for idx in range(depth):
-            chain.append((ctes[idx][0], ctes[idx][2]))
-            k = _key(chain)
-            if k not in seen:
-                seen.add(k)
-                mats.append((f"mat_{k}", list(chain)))
+    for q, sites in parsed.items():
+        q_sites = []
+        for ctes in sites:
+            chain, depth = [], 0
+            for idx, (name, body, _s, _e) in enumerate(ctes):
+                chain.append((name, body))
+                if counts[_key(chain)] >= 2:
+                    depth = idx + 1
+                else:
+                    break
+            if depth == 0:
+                continue
+            q_sites.append((ctes, depth))
+            chain = []
+            for idx in range(depth):
+                chain.append((ctes[idx][0], ctes[idx][1]))
+                k = _key(chain)
+                if k not in seen:
+                    seen.add(k)
+                    mats.append((f"mat_{k}", list(chain)))
+        if q_sites:
+            rewrites[q] = q_sites
     return mats, rewrites
 
 
@@ -131,8 +163,7 @@ def mat_sql(table, chain):
     """CREATE TEMP TABLE statement for the LAST CTE of `chain`, with
     every earlier chain CTE read from its own (already created) mat
     table."""
-    heads = []
-    prefix = []
+    heads, prefix = [], []
     for name, body in chain[:-1]:
         prefix.append((name, body))
         heads.append(f"{name} AS (SELECT * FROM mat_{_key(prefix)})")
@@ -142,18 +173,34 @@ def mat_sql(table, chain):
             f" SELECT * FROM {last_name}")
 
 
-def rewritten_sql(ctes, remainder, depth, alive):
-    """The query with its first `depth` CTEs redirected to mat tables.
-    Returns None if any needed mat table is not alive (failed build)."""
-    heads, chain = [], []
-    for idx, (name, is_mat, body) in enumerate(ctes):
-        if idx < depth:
+def rewritten_sql(sql, q_sites, alive):
+    """Splice `SELECT * FROM mat_x` over the first `depth` CTE body
+    spans of every chain site. Sites nested inside an already-replaced
+    span are dropped (their text is gone). Returns None if nothing
+    could be rewritten (every needed mat table dead)."""
+    repls = []  # (start, end, text)
+    for ctes, depth in q_sites:
+        site, chain, ok = [], [], True
+        for idx in range(depth):
+            name, body, s, e = ctes[idx]
             chain.append((name, body))
             t = f"mat_{_key(chain)}"
             if t not in alive:
-                return None
-            heads.append(f"{name} AS (SELECT * FROM {t})")
-        else:
-            mk = "MATERIALIZED " if is_mat else ""
-            heads.append(f"{name} AS {mk}({body})")
-    return "WITH " + ",\n".join(heads) + "\n" + remainder
+                ok = False
+                break
+            site.append((s, e, f"SELECT * FROM {t}"))
+        if ok and site:
+            repls.extend(site)
+    if not repls:
+        return None
+    repls.sort()
+    out, pos, last_end = [], 0, -1
+    for s, e, text in repls:
+        if s < last_end:
+            continue  # nested inside a replaced span — already gone
+        out.append(sql[pos:s])
+        out.append(text)
+        pos = e
+        last_end = e
+    out.append(sql[pos:])
+    return "".join(out)

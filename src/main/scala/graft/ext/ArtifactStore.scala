@@ -281,6 +281,54 @@ object ArtifactStore {
       .parquet(p)
   }
 
+  /** Reclaim persisted artifacts older than `maxAgeMs` (by manifest
+    * build time), plus `.building/` scratch older than one hour
+    * (crashed writers) — the store grows one artifact per (snapshot,
+    * params) forever otherwise, and regenerated test fixtures mint a
+    * new snapshot per run. Never touches a dir younger than the
+    * cutoff, and never deletes a manifest-less artifact dir (the
+    * attach path owns those). Dropped artifacts are also evicted from
+    * the in-JVM memo so a later call rebuilds instead of serving a
+    * dangling path. Returns the number of artifact dirs deleted.
+    * Exposed to ops via [[graft.tools.ArtifactGC]]. */
+  def sweep(spark: SparkSession, maxAgeMs: Long): Int = {
+    val rootPath = new Path(root(spark))
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val now = System.currentTimeMillis()
+    var n = 0
+    fs.listStatus(rootPath).foreach { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith(".")) {
+        readManifest(fs, st.getPath).foreach { m =>
+          if (now - m.builtUnixMs > maxAgeMs) {
+            fs.delete(st.getPath, true)
+            // evict the memo by QUALIFIED path — listStatus returns
+            // scheme-qualified paths (file:/...), memoized Attached
+            // paths are as-constructed (no scheme); comparing raw
+            // strings silently skips the eviction and a later call
+            // serves a dangling artifact from memory
+            val gone = fs.makeQualified(st.getPath).toString
+            attached.foreach { case (k, f) =>
+              if (f.isDone && !f.isCompletedExceptionally &&
+                fs.makeQualified(new Path(f.join().path)).toString == gone) {
+                attached.remove(k); ()
+              }
+            }
+            n += 1
+          }
+        }
+      }
+    }
+    val building = new Path(rootPath, ".building")
+    if (fs.exists(building))
+      fs.listStatus(building).foreach { st =>
+        if (now - st.getModificationTime > 3600L * 1000) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    n
+  }
+
   /** The full persisted manifest as a DataFrame — every artifact
     * under the store root with its build provenance and staleness
     * inputs. Driver-side metadata read (number-of-artifacts rows). */

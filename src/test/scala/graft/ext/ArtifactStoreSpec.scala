@@ -129,6 +129,26 @@ class ArtifactStoreSpec extends SparkSpec {
       .contains("embeddings.parquet@")))
   }
 
+  test("sweep reclaims only artifacts older than the cutoff; consumers rebuild") {
+    val s = spark.newSession()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_store_gc").toString
+    Scratch.reclaimOnExit(root)
+    s.conf.set("spark.graft.artifactRoot", root)
+    PairStage.corpusCard(s, sf0001)
+    assert(ArtifactStore.manifest(s).count() == 1L)
+    // younger than any sane cutoff: survives
+    assert(ArtifactStore.sweep(s, maxAgeMs = 3600L * 1000) == 0)
+    assert(ArtifactStore.manifest(s).count() == 1L)
+    // cutoff in the past: swept, memo evicted, next call REBUILDS
+    // (same values — the snapshot is unchanged)
+    val before = PairStage.corpusCard(s, sf0001)
+    assert(ArtifactStore.sweep(s, maxAgeMs = -1L) == 1)
+    assert(ArtifactStore.manifest(s).count() == 0L)
+    assert(PairStage.corpusCard(s, sf0001) == before)
+    assert(ArtifactStore.manifest(s).count() == 1L)
+  }
+
   test("corpus card over an empty slice fails loudly, not with an NPE") {
     val s = session()
     val dir = java.nio.file.Files.createTempDirectory("graft_store_empty").toString

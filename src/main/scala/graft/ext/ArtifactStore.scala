@@ -94,18 +94,38 @@ object ArtifactStore {
       .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT"))
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
 
+  // fingerprint TTL memo for NON-local filesystems only: on an object
+  // store (the 100 TB deployment) each recursive listing is RPC
+  // round-trips, and serving paths fingerprint their inputs per call
+  // — a short TTL amortizes that without giving up local-FS
+  // freshness (test fixtures are regenerated and re-read within
+  // milliseconds; local listings are microseconds, so local paths
+  // always recompute)
+  private val fpMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, String)]
+  private val FpTtlMs = 30000L
+
   /** Driver-side snapshot fingerprint of one input table path: the
     * sorted recursive (name, length, mtime) listing, md5-folded.
-    * Metadata-only — no Spark job, no data read. */
+    * Metadata-only — no Spark job, no data read. Memoized for 30s on
+    * non-local filesystems (see [[fpMemo]]). */
   def fingerprint(spark: SparkSession, tablePath: String): String = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val local = fs.getScheme == "file"
+    if (!local) fpMemo.get(tablePath) match {
+      case Some((t, fp))
+        if System.currentTimeMillis() - t < FpTtlMs => return fp
+      case _ => ()
+    }
     def walk(st: FileStatus): Seq[String] =
       if (st.isDirectory)
         fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
       else Seq(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
     require(fs.exists(p), s"artifact input table does not exist: $tablePath")
-    md5hex(walk(fs.getFileStatus(p)).mkString("\n"))
+    val fp = md5hex(walk(fs.getFileStatus(p)).mkString("\n"))
+    if (!local) fpMemo.put(tablePath, (System.currentTimeMillis(), fp))
+    fp
   }
 
   // ---- manifest (hand-rolled JSON write, jackson read: both on the
@@ -255,14 +275,29 @@ object ArtifactStore {
         val wallMs = (System.nanoTime() - t0) / 1000000L
         writeManifest(fs, tmp, Manifest(key, tag, codeVersion,
           System.currentTimeMillis(), wallMs, fps, schemas, scalars))
-        if (!fs.rename(tmp, dest)) {
-          // another process committed first; its artifact is complete
-          // (the destination only appears via this same atomic rename)
-          fs.delete(tmp, true)
+        // Commit protocol, hardened against Hadoop's local-FS rename
+        // semantics: RawLocalFileSystem "succeeds" a rename onto an
+        // EXISTING directory by falling back to FileUtil.copy, whose
+        // checkDest redirects the copy INSIDE the destination
+        // (dest/<tmpName>) and still returns true — a race loser
+        // would silently nest its whole scratch inside the winner's
+        // committed artifact and every later read would see duplicate
+        // rows. So: skip the rename when dest already exists, and
+        // after a "successful" rename verify our scratch did not land
+        // nested — if it did, repair (delete the nested copy) and
+        // attach to the winner.
+        val renamed = !fs.exists(dest) &&
+          (try fs.rename(tmp, dest) catch { case _: Throwable => false })
+        val nested = new Path(dest, tmp.getName)
+        if (renamed && !fs.exists(nested)) {
+          Attached(dest.toString, schemas, scalars)
+        } else {
+          if (fs.exists(nested)) fs.delete(nested, true)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
           tryAttach().getOrElse(throw new IllegalStateException(
             s"artifact rename to $dest lost the race but the winner " +
               "does not validate — concurrent writer with a different key?"))
-        } else Attached(dest.toString, schemas, scalars)
+        }
       } catch { case e: Throwable =>
         try { fs.delete(tmp, true) } catch { case _: Throwable => () }
         throw e
@@ -320,12 +355,23 @@ object ArtifactStore {
       }
     }
     val building = new Path(rootPath, ".building")
-    if (fs.exists(building))
+    if (fs.exists(building)) {
+      // liveness by NEWEST recursive mtime, not the dir's own: a
+      // large build writes files continuously, so a still-running
+      // builder's scratch always has a recent child even when the
+      // scratch dir itself was created hours ago — only a scratch
+      // with NO write activity for an hour is a crashed writer
+      def newest(st: FileStatus): Long =
+        if (st.isDirectory) {
+          val kids = fs.listStatus(st.getPath)
+          (st.getModificationTime +: kids.map(newest).toSeq).max
+        } else st.getModificationTime
       fs.listStatus(building).foreach { st =>
-        if (now - st.getModificationTime > 3600L * 1000) {
+        if (now - newest(st) > 3600L * 1000) {
           fs.delete(st.getPath, true); ()
         }
       }
+    }
     n
   }
 

@@ -361,7 +361,8 @@ object PairStage {
     * caller's guard name always rode its own staging write. */
   def semanticCorpusIndex(spark: SparkSession, dir: String,
                           nCentroids: Int, iters: Int,
-                          excludeMod: Int, maxCell: Long = 4096L,
+                          excludeMod: Int,
+                          maxCell: Long = Similarity.DefaultMaxCell,
                           guardName: String = "stream_semgate_mega_cell")
       : DataFrame = {
     val a = staged(spark, "semidx", Seq(embs(dir)),

@@ -864,6 +864,15 @@ object Similarity {
     * this count scan on every gate construction). The occupancy
     * window shares the cell-keyed shuffle the index build already
     * pays. */
+  /** The default mega-cell cap shared by the staged semantic index
+    * ([[PairStage.semanticCorpusIndex]]) and the streaming gate's
+    * honors-the-cap check ([[graft.streaming.StreamOps.semanticGate]])
+    * — one constant, so the two defaults cannot drift apart (a gate
+    * default below the staging default would refuse a legitimately
+    * staged index at stream start). Callers staging with a custom cap
+    * must thread the same value to the gate. */
+  val DefaultMaxCell = 4096L
+
   def capCells(index: DataFrame, maxCell: Long,
                guardName: String): DataFrame = {
     GuardLog.ensure(index.sparkSession)

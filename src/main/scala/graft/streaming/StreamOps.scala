@@ -450,7 +450,8 @@ object StreamOps {
     * the same bounded-state contract as [[nearDupGate]]. */
   def semanticGate(stream: DataFrame, centroids: DataFrame,
                    corpusIndex: DataFrame, idCol: String, vecCol: String,
-                   eps: Double, maxCell: Long = 4096L,
+                   eps: Double,
+                   maxCell: Long = graft.ext.Similarity.DefaultMaxCell,
                    eventTimeCol: Option[String] = None,
                    horizon: String = "24 hours"): DataFrame = {
     val spark = stream.sparkSession

@@ -149,6 +149,31 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.manifest(s).count() == 1L)
   }
 
+  test("local-FS rename onto an existing dir nests the source — the hazard the commit protocol repairs") {
+    // Hadoop's RawLocalFileSystem falls back to FileUtil.copy when
+    // File.renameTo fails, and checkDest redirects an
+    // existing-directory destination to dest/<srcName> while still
+    // returning TRUE — a race loser would nest its scratch inside the
+    // winner's committed artifact. The store's commit protocol skips
+    // the rename when dest exists and repairs a nested landing; this
+    // pins the hazard itself so a future Hadoop semantics change is
+    // noticed.
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft_rename_pin")
+    Scratch.reclaimOnExit(base.toString)
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val a = new Path(base.toString, "src_dir")
+    val b = new Path(base.toString, "dest_dir")
+    fs.mkdirs(a); fs.mkdirs(b)
+    fs.create(new Path(a, "part-0")).close()
+    fs.create(new Path(b, "part-0")).close()
+    val r = fs.rename(a, b)
+    assert(!r || fs.exists(new Path(b, a.getName)),
+      "rename onto an existing dir neither failed nor nested — " +
+        "the commit protocol's hazard model no longer matches Hadoop")
+  }
+
   test("corpus card over an empty slice fails loudly, not with an NPE") {
     val s = session()
     val dir = java.nio.file.Files.createTempDirectory("graft_store_empty").toString

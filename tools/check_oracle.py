@@ -218,9 +218,18 @@ def main():
             record("pass", f"{len(g)} rows, {len(g.columns)} cols")
             n_pass += 1
     if only is not None:
-        # merged totals over the full artifact, not just this subset
-        n_pass = sum(1 for r in results.values() if r["status"] == "pass")
-        n_fail = sum(1 for r in results.values() if r["status"] != "pass")
+        # merged totals over the full artifact, not just this subset.
+        # Rows retained because they legitimately carry no oracle
+        # (status/err == no_oracle — including driver-format rows with
+        # no "status" key at all) are neither passes nor failures:
+        # counting them as fails would exit 1 on a fully-passing merge.
+        def _no_oracle(r):
+            return (r.get("status") == "no_oracle"
+                    or r.get("err") == "no_oracle")
+        n_pass = sum(1 for r in results.values()
+                     if r.get("status") == "pass")
+        n_fail = sum(1 for r in results.values()
+                     if r.get("status") != "pass" and not _no_oracle(r))
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_out:
         doc = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,

@@ -28,12 +28,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * also closes the within-JVM stale-cache hole ADVICE r17 flagged on
   * the path-keyed schema cache.
   *
-  * Cross-process safety: builds land in a `.building/` scratch dir
-  * and commit with an atomic directory rename; a loser of the rename
-  * race deletes its scratch and attaches to the winner (the
-  * destination only ever appears complete). Within one JVM, builds
-  * are serialized per key through a lazily-completed future exactly
-  * like the pre-r18 [[PairStage]] memo.
+  * Cross-process safety: builds land in a `.building/` scratch dir,
+  * the DATA commits by directory rename, and the manifest is then
+  * written directly into the destination as the commit marker
+  * (manifest-LAST — ADVICE r18: on an object store a directory
+  * "rename" is a per-object copy and `_graft_manifest.json` sorts
+  * before `part-*`, so a manifest-first protocol could expose a
+  * validating manifest over half-copied parts). A directory without
+  * a manifest is UNCOMMITTED: attachers wait up to
+  * `spark.graft.artifactCommitWaitMs` (default 10s) for the marker,
+  * then reclaim it as a crashed writer. A loser of the rename race
+  * deletes its scratch and attaches to the winner. Within one JVM,
+  * builds are serialized per key through a lazily-completed future
+  * exactly like the pre-r18 [[PairStage]] memo.
+  *
+  * Liveness for GC: every successful attach (and every ~hour of
+  * serving reads) touches a `_graft_last_attach` marker in the
+  * artifact dir, so [[sweep]] reclaims on max(build time, last
+  * attach) — a 14-day GC can no longer delete an artifact out from
+  * under a long-lived serving session in ANOTHER JVM that attached
+  * yesterday (VERDICT r18 #1).
   *
   * The manifest (`_graft_manifest.json`, underscore-prefixed so
   * parquet readers ignore it) carries the full key (md5-collision
@@ -49,13 +63,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object ArtifactStore {
 
   /** Part of every artifact key — bump on any builder-semantics
-    * change (see object doc). */
-  val codeVersion = "r18a"
+    * change (see object doc). r18a -> r19a: injective key encoding +
+    * root-relative fingerprint entries (older artifacts must rebuild,
+    * not attach, under the new key/fingerprint grammar). */
+  val codeVersion = "r19a"
 
-  /** One queryable manifest row per persisted artifact. */
+  /** One queryable manifest row per persisted artifact.
+    * `last_attach_unix_ms` is the `_graft_last_attach` marker's mtime
+    * (= built time when no session has attached since the build). */
   final case class ManifestRow(
       artifact: String, tag: String, version: String,
       built_unix_ms: Long, build_wall_ms: Long,
+      last_attach_unix_ms: Long,
       inputs: String, parts: String, n_scalars: Int)
 
   /** A validated on-disk artifact: its path plus everything attach
@@ -100,31 +119,60 @@ object ArtifactStore {
   // — a short TTL amortizes that without giving up local-FS
   // freshness (test fixtures are regenerated and re-read within
   // milliseconds; local listings are microseconds, so local paths
-  // always recompute)
+  // always recompute). CONSEQUENCE, stated (VERDICT r18 #5): after a
+  // snapshot swap on a remote store, a session that fingerprinted the
+  // old listing within the window can serve the OLD artifact's rows
+  // for up to the TTL — the staleness bound is exactly
+  // `spark.graft.artifactFpTtlMs` (default 30s; 0 = always relist,
+  // trading one RPC round per accessor call for zero staleness).
   private val fpMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Long, String)]
-  private val FpTtlMs = 30000L
+
+  /** The remote-FS fingerprint memo TTL (the staleness bound above):
+    * conf `spark.graft.artifactFpTtlMs`, default 30000; 0 disables
+    * the memo so every accessor call relists. */
+  def fpTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.artifactFpTtlMs")
+      .map(_.toLong).getOrElse(30000L)
 
   /** Driver-side snapshot fingerprint of one input table path: the
-    * sorted recursive (name, length, mtime) listing, md5-folded.
-    * Metadata-only — no Spark job, no data read. Memoized for 30s on
+    * sorted recursive (root-relative path, length, mtime) listing,
+    * md5-folded — relative PATHS, not base names, so a renamed
+    * partition directory (`date=1` -> `date=3`: Spark derives the
+    * partition VALUE from the dir name) changes the fingerprint even
+    * when every file inside is untouched (ADVICE r18). Metadata-only
+    * — no Spark job, no data read. Memoized for [[fpTtlMs]] on
     * non-local filesystems (see [[fpMemo]]). */
-  def fingerprint(spark: SparkSession, tablePath: String): String = {
+  def fingerprint(spark: SparkSession, tablePath: String): String =
+    fingerprint(spark, tablePath, simulateRemote = false)
+
+  /** `simulateRemote = true` forces the non-local memo path — only a
+    * `file:` scheme exists in tests, and the TTL semantics need a
+    * spec ([[fpTtlMs]] = 0 must always relist). */
+  private[ext] def fingerprint(spark: SparkSession, tablePath: String,
+      simulateRemote: Boolean): String = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val local = fs.getScheme == "file"
-    if (!local) fpMemo.get(tablePath) match {
+    val local = fs.getScheme == "file" && !simulateRemote
+    val ttl = fpTtlMs(spark)
+    if (!local && ttl > 0) fpMemo.get(tablePath) match {
       case Some((t, fp))
-        if System.currentTimeMillis() - t < FpTtlMs => return fp
+        if System.currentTimeMillis() - t < ttl => return fp
       case _ => ()
+    }
+    require(fs.exists(p), s"artifact input table does not exist: $tablePath")
+    val rootUri = fs.makeQualified(p).toUri.getPath
+    def rel(child: Path): String = {
+      val c = fs.makeQualified(child).toUri.getPath
+      if (c == rootUri) child.getName
+      else c.stripPrefix(rootUri).stripPrefix("/")
     }
     def walk(st: FileStatus): Seq[String] =
       if (st.isDirectory)
         fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
-      else Seq(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
-    require(fs.exists(p), s"artifact input table does not exist: $tablePath")
+      else Seq(s"${rel(st.getPath)}|${st.getLen}|${st.getModificationTime}")
     val fp = md5hex(walk(fs.getFileStatus(p)).mkString("\n"))
-    if (!local) fpMemo.put(tablePath, (System.currentTimeMillis(), fp))
+    if (!local && ttl > 0) fpMemo.put(tablePath, (System.currentTimeMillis(), fp))
     fp
   }
 
@@ -169,12 +217,23 @@ object ArtifactStore {
     finally out.close()
   }
 
+  /** None == "no committed manifest here" (absent, or present but
+    * MALFORMED — a torn write). Callers delete-and-rebuild on that,
+    * so a transient IO failure (object-store 503, network blip) while
+    * reading a VALID manifest must NOT map to None — it would destroy
+    * a good artifact and thrash rebuilds on a flaky store (ADVICE
+    * r18). IO errors therefore propagate; only a file that was READ
+    * successfully but does not parse is invalid. A FileNotFound
+    * between exists() and open() is a concurrent delete == absent. */
   private def readManifest(fs: FileSystem, dir: Path): Option[Manifest] = {
     val mp = new Path(dir, ManifestFile)
     if (!fs.exists(mp)) return None
+    val bytes =
+      try {
+        val in = fs.open(mp)
+        try in.readAllBytes() finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return None }
     try {
-      val in = fs.open(mp)
-      val bytes = try in.readAllBytes() finally in.close()
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(bytes)
       def strMap(field: String): Map[String, String] = {
@@ -192,7 +251,9 @@ object ArtifactStore {
         node.get("version").asText(),
         node.get("built_unix_ms").asLong(), node.get("build_wall_ms").asLong(),
         strMap("inputs"), strMap("schemas"), strMap("scalars")))
-    } catch { case _: Throwable => None } // unreadable == invalid
+    } catch {
+      case scala.util.control.NonFatal(_) => None // malformed == invalid
+    }
   }
 
   /** Resolve (building at most once per snapshot, across JVMs) the
@@ -215,8 +276,16 @@ object ArtifactStore {
             (build: String => Unit): Attached = {
     val rootDir = root(spark)
     val fps = inputs.map(p => p -> fingerprint(spark, p))
-    val key = (Seq(tag, codeVersion) ++ fps.map { case (p, f) => s"$p@$f" }
-      ++ params.map(_.toString)).mkString("|")
+    // Injective key encoding (ADVICE r18): components are caller-
+    // supplied strings (paths, predTags, params) that may themselves
+    // contain the separators, so each is length-prefixed — the prefix
+    // consumes exactly the component, making the concatenation
+    // collision-free in the (tag, fingerprints, params) tuple.
+    // (Seq("a|b") and Seq("a","b") now key differently.)
+    def enc(s: String) = s"${s.length}:$s"
+    val key = (Seq(enc(tag), enc(codeVersion))
+      ++ fps.map { case (p, f) => s"${enc(p)}@$f" } // f is fixed-width md5
+      ++ params.map(x => enc(x.toString))).mkString("|")
     val memoKey = s"$rootDir|$key"
     val fresh = new java.util.concurrent.CompletableFuture[Attached]
     attached.putIfAbsent(memoKey, fresh) match {
@@ -235,32 +304,56 @@ object ArtifactStore {
     }
   }
 
+  /** How long an attacher waits on a destination holding data but no
+    * manifest (a winner mid-commit — the manifest write is imminent —
+    * or a crashed writer, reclaimed on timeout). Conf
+    * `spark.graft.artifactCommitWaitMs`, default 10s. */
+  def commitWaitMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.artifactCommitWaitMs")
+      .map(_.toLong).getOrElse(10000L)
+
   private def attachOrBuild(spark: SparkSession, rootDir: String,
       tag: String, key: String, fps: Map[String, String],
       parts: Seq[String], scalarsOf: String => Map[String, String],
-      build: String => Unit): Attached = {
+      build: String => Unit, rebuildsLeft: Int = 2): Attached = {
     val dest = new Path(s"$rootDir/graft_${tag}_${md5hex(key)}")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def tryAttach(): Option[Attached] = readManifest(fs, dest) match {
-      case Some(m) if m.key == key && m.version == codeVersion =>
-        Some(Attached(dest.toString, m.schemas, m.scalars))
-      case Some(m) =>
-        // md5 collision or foreign/corrupt dir at our address: loud,
-        // then rebuild over it (the occupant cannot be this key's
-        // artifact).
-        System.err.println(s"[artifact-store] $dest holds key " +
-          s"'${m.key.take(80)}...' (version ${m.version}), expected this " +
-          s"key at version $codeVersion — evicting and rebuilding")
-        fs.delete(dest, true); None
-      case None if fs.exists(dest) =>
-        // data without a manifest: a pre-r18 session-scoped leftover
-        // or a crashed writer that never committed — rebuild.
-        fs.delete(dest, true); None
-      case None => None
-    }
+    @annotation.tailrec
+    def tryAttach(deadline: Long): Option[Attached] =
+      readManifest(fs, dest) match {
+        case Some(m) if m.key == key && m.version == codeVersion =>
+          touchAttach(fs, dest)
+          Some(Attached(dest.toString, m.schemas, m.scalars))
+        case Some(m) =>
+          // md5 collision or foreign/corrupt dir at our address: loud,
+          // then rebuild over it (the occupant cannot be this key's
+          // artifact).
+          System.err.println(s"[artifact-store] $dest holds key " +
+            s"'${m.key.take(80)}...' (version ${m.version}), expected this " +
+            s"key at version $codeVersion — evicting and rebuilding")
+          fs.delete(dest, true); None
+        case None if fs.exists(dest) =>
+          // Data without a manifest is UNCOMMITTED under the
+          // manifest-LAST protocol: a winner that renamed its data is
+          // about to write the marker, or a writer crashed in the
+          // window. Wait for the marker; reclaim on timeout (also
+          // covers pre-r18 session-scoped leftovers).
+          if (System.currentTimeMillis() < deadline) {
+            Thread.sleep(100L)
+            tryAttach(deadline)
+          } else {
+            System.err.println(s"[artifact-store] $dest held data but " +
+              "no manifest past the commit-wait bound — reclaiming a " +
+              "crashed writer")
+            fs.delete(dest, true); None
+          }
+        case None => None
+      }
 
-    tryAttach().getOrElse {
+    def deadline(): Long = System.currentTimeMillis() + commitWaitMs(spark)
+
+    tryAttach(deadline()).getOrElse {
       val t0 = System.nanoTime()
       val tmp = new Path(s"$rootDir/.building/graft_${tag}_" +
         s"${md5hex(key)}_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -273,30 +366,45 @@ object ArtifactStore {
         }.toMap
         val scalars = scalarsOf(tmp.toString)
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        writeManifest(fs, tmp, Manifest(key, tag, codeVersion,
-          System.currentTimeMillis(), wallMs, fps, schemas, scalars))
-        // Commit protocol, hardened against Hadoop's local-FS rename
-        // semantics: RawLocalFileSystem "succeeds" a rename onto an
-        // EXISTING directory by falling back to FileUtil.copy, whose
-        // checkDest redirects the copy INSIDE the destination
-        // (dest/<tmpName>) and still returns true — a race loser
-        // would silently nest its whole scratch inside the winner's
-        // committed artifact and every later read would see duplicate
-        // rows. So: skip the rename when dest already exists, and
-        // after a "successful" rename verify our scratch did not land
-        // nested — if it did, repair (delete the nested copy) and
-        // attach to the winner.
+        // Commit protocol. (1) Rename the DATA into place — hardened
+        // against Hadoop's local-FS rename semantics:
+        // RawLocalFileSystem "succeeds" a rename onto an EXISTING
+        // directory by falling back to FileUtil.copy, whose checkDest
+        // redirects the copy INSIDE the destination (dest/<tmpName>)
+        // and still returns true — a race loser would silently nest
+        // its whole scratch inside the winner's committed artifact and
+        // every later read would see duplicate rows. So: skip the
+        // rename when dest already exists, and after a "successful"
+        // rename verify our scratch did not land nested — if it did,
+        // repair (delete the nested copy) and attach to the winner.
+        // (2) Only THEN write the manifest, directly into dest: the
+        // single-file create is the commit point, so even on an
+        // object store where the "rename" above is a per-object copy,
+        // no reader can validate a manifest while parts are still
+        // landing (ADVICE r18 — manifest-first would copy
+        // `_graft_manifest.json` before `part-*`).
         val renamed = !fs.exists(dest) &&
           (try fs.rename(tmp, dest) catch { case _: Throwable => false })
         val nested = new Path(dest, tmp.getName)
         if (renamed && !fs.exists(nested)) {
+          writeManifest(fs, dest, Manifest(key, tag, codeVersion,
+            System.currentTimeMillis(), wallMs, fps, schemas, scalars))
+          touchAttach(fs, dest) // birth counts as liveness for the GC
           Attached(dest.toString, schemas, scalars)
         } else {
           if (fs.exists(nested)) fs.delete(nested, true)
           if (fs.exists(tmp)) fs.delete(tmp, true)
-          tryAttach().getOrElse(throw new IllegalStateException(
-            s"artifact rename to $dest lost the race but the winner " +
-              "does not validate — concurrent writer with a different key?"))
+          // Lost the race: wait out the winner's manifest write. If it
+          // never lands (winner crashed post-rename), the wait above
+          // reclaimed the wreck — rebuild from scratch, boundedly.
+          tryAttach(deadline()).getOrElse {
+            if (rebuildsLeft > 0)
+              attachOrBuild(spark, rootDir, tag, key, fps, parts,
+                scalarsOf, build, rebuildsLeft - 1)
+            else throw new IllegalStateException(
+              s"artifact rename to $dest lost the race but no winner " +
+                "ever validates — concurrent writer with a different key?")
+          }
         }
       } catch { case e: Throwable =>
         try { fs.delete(tmp, true) } catch { case _: Throwable => () }
@@ -305,27 +413,74 @@ object ArtifactStore {
     }
   }
 
+  private val LastAttachFile = "_graft_last_attach"
+
+  // throttle for serving-path liveness touches: at most one marker
+  // write per artifact path per hour per JVM (read() runs per query
+  // construction; the marker only needs coarse freshness vs the GC's
+  // day-scale cutoffs)
+  private val lastTouch = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
+  private val TouchThrottleMs = 3600L * 1000
+
+  /** Liveness marker for [[sweep]]: overwrite-create an empty
+    * underscore file (parquet readers ignore it) so its mtime records
+    * the last attach. Advisory — a failed touch must never fail an
+    * attach (read-only store mounts stay servable; they also can't be
+    * swept from here). */
+  private def touchAttach(fs: FileSystem, dir: Path): Unit = {
+    try {
+      fs.create(new Path(dir, LastAttachFile), true).close()
+      lastTouch.put(dir.toString, System.currentTimeMillis()); ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Read one part of an attached artifact with its manifest schema —
     * no schema-inference job, ever (the schema crossed sessions inside
     * the manifest). */
   def read(spark: SparkSession, a: Attached, part: String = ""): DataFrame = {
     val schemaJson = a.schemas.getOrElse(part, throw new IllegalStateException(
       s"artifact ${a.path} has no part '$part' (parts: ${a.schemas.keys.mkString(",")})"))
+    // a long-lived serving session attaches once but reads for days:
+    // refresh the liveness marker (throttled) so a GC in another JVM
+    // never reclaims an artifact that is actively being served
+    val dirPath = new Path(a.path)
+    val now = System.currentTimeMillis()
+    if (now - lastTouch.getOrElse(a.path, 0L) > TouchThrottleMs)
+      touchAttach(
+        dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        dirPath)
     val p = if (part.isEmpty) a.path else s"${a.path}/$part"
     spark.read.schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
       .parquet(p)
   }
 
-  /** Reclaim persisted artifacts older than `maxAgeMs` (by manifest
-    * build time), plus `.building/` scratch older than one hour
-    * (crashed writers) — the store grows one artifact per (snapshot,
-    * params) forever otherwise, and regenerated test fixtures mint a
-    * new snapshot per run. Never touches a dir younger than the
-    * cutoff, and never deletes a manifest-less artifact dir (the
-    * attach path owns those). Dropped artifacts are also evicted from
-    * the in-JVM memo so a later call rebuilds instead of serving a
-    * dangling path. Returns the number of artifact dirs deleted.
-    * Exposed to ops via [[graft.tools.ArtifactGC]]. */
+  /** The last-liveness instant [[sweep]] ages against: the newer of
+    * the manifest build time and the `_graft_last_attach` marker's
+    * mtime (VERDICT r18 #1 — build time alone let a GC delete an
+    * artifact out from under a long-lived serving session in another
+    * JVM). A missing/unreadable marker falls back to build time (old
+    * artifacts, read-only mounts). */
+  private def lastLiveMs(fs: FileSystem, dir: Path, m: Manifest): Long = {
+    val attach =
+      try {
+        val la = new Path(dir, LastAttachFile)
+        if (fs.exists(la)) fs.getFileStatus(la).getModificationTime else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(m.builtUnixMs, attach)
+  }
+
+  /** Reclaim persisted artifacts idle longer than `maxAgeMs` — aged
+    * on max(manifest build time, last attach: see [[lastLiveMs]]) —
+    * plus `.building/` scratch older than one hour (crashed writers).
+    * The store grows one artifact per (snapshot, params) forever
+    * otherwise, and regenerated test fixtures mint a new snapshot per
+    * run. Never touches a dir younger than the cutoff, and never
+    * deletes a manifest-less artifact dir (the attach path owns
+    * those). Dropped artifacts are also evicted from the in-JVM memo
+    * so a later call rebuilds instead of serving a dangling path.
+    * Returns the number of artifact dirs deleted. Exposed to ops via
+    * [[graft.tools.ArtifactGC]]. */
   def sweep(spark: SparkSession, maxAgeMs: Long): Int = {
     val rootPath = new Path(root(spark))
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -335,7 +490,7 @@ object ArtifactStore {
     fs.listStatus(rootPath).foreach { st =>
       if (st.isDirectory && !st.getPath.getName.startsWith(".")) {
         readManifest(fs, st.getPath).foreach { m =>
-          if (now - m.builtUnixMs > maxAgeMs) {
+          if (now - lastLiveMs(fs, st.getPath, m) > maxAgeMs) {
             fs.delete(st.getPath, true)
             // evict the memo by QUALIFIED path — listStatus returns
             // scheme-qualified paths (file:/...), memoized Attached
@@ -389,6 +544,7 @@ object ArtifactStore {
           readManifest(fs, st.getPath).map { m =>
             ManifestRow(st.getPath.getName, m.tag, m.version,
               m.builtUnixMs, m.buildWallMs,
+              lastLiveMs(fs, st.getPath, m),
               m.inputs.toSeq.sortBy(_._1)
                 .map { case (p, f) => s"$p@$f" }.mkString(";"),
               m.schemas.keys.toSeq.sorted.mkString(";"),

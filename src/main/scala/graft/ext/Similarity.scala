@@ -855,15 +855,6 @@ object Similarity {
         col("stale_ppm"), col("refit_due"))
   }
 
-  /** Cap a cell-keyed index (`centroid_id`, ...) at `maxCell` members
-    * per cell: rows of over-cap cells are dropped LOUDLY — counted by
-    * an `observe` metric that fires when the frame is consumed (at
-    * the staging write for [[PairStage.semanticCorpusIndex]], so the
-    * cap is paid and reported ONCE per staged artifact, not per
-    * downstream read — ADVICE r16; pre-fix the streaming gate re-ran
-    * this count scan on every gate construction). The occupancy
-    * window shares the cell-keyed shuffle the index build already
-    * pays. */
   /** The default mega-cell cap shared by the staged semantic index
     * ([[PairStage.semanticCorpusIndex]]) and the streaming gate's
     * honors-the-cap check ([[graft.streaming.StreamOps.semanticGate]])
@@ -873,6 +864,15 @@ object Similarity {
     * must thread the same value to the gate. */
   val DefaultMaxCell = 4096L
 
+  /** Cap a cell-keyed index (`centroid_id`, ...) at `maxCell` members
+    * per cell: rows of over-cap cells are dropped LOUDLY — counted by
+    * an `observe` metric that fires when the frame is consumed (at
+    * the staging write for [[PairStage.semanticCorpusIndex]], so the
+    * cap is paid and reported ONCE per staged artifact, not per
+    * downstream read — ADVICE r16; pre-fix the streaming gate re-ran
+    * this count scan on every gate construction). The occupancy
+    * window shares the cell-keyed shuffle the index build already
+    * pays. */
   def capCells(index: DataFrame, maxCell: Long,
                guardName: String): DataFrame = {
     GuardLog.ensure(index.sparkSession)

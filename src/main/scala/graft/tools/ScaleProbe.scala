@@ -67,12 +67,14 @@ object ScaleProbe {
     * real 10x of the same workload looks like). region/nation are
     * fixed-cardinality dims by DDL and copy through unchanged. */
   def deriveSf1(spark: SparkSession, baseDir: String, outDir: String,
-                copies: Int = 10): Unit = {
+                copies: Int = 10, nearDupEvery: Int = 16,
+                docsOnly: Boolean = false): Unit = {
     require(copies >= 2, s"need >= 2 copies, got $copies")
+    require(nearDupEvery == 0 || nearDupEvery > 9,
+      s"nearDupEvery must be 0 (off) or > 9 (the %10-residue shift of " +
+        s"the second clone stays collision-free), got $nearDupEvery")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val idStep = 10000000L
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val docCopies = (0 until copies).map { i =>
       val text =
         if (i == 0) col("text")
@@ -81,8 +83,44 @@ object ScaleProbe {
         text.as("text"), col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
     }
-    docCopies.reduce(_.unionAll(_)).repartition(32)
+    // Near-dup mint (VERDICT r18 #3): the copy construction suffixes
+    // EVERY token per copy, so cross-copy word-token Jaccard is 0 —
+    // and at this scale the exact-Jaccard family's df>500 hot-token
+    // cap strips natural-language overlap out of the intersection
+    // while the FULL token count stays in the denominator, so the
+    // derived corpus had no >=0.8 pairs at all (a 0-row hash-match
+    // proves absence agreement, not the operator). Mint a
+    // deterministic slice of near-dup PAIRS: for every base doc with
+    // doc_id % nearDupEvery == 0 and >= 12 tokens, two clones whose
+    // tokens are doc-tagged (token df == 2 — immune to the hot cap),
+    // the second missing its last token: Jaccard (n-1)/n >= 0.8 for
+    // n >= 5 distinct tokens. The second clone's id is adjusted to
+    // the % 10 == 3 residue so each minted pair is a batchxstanding
+    // pair for the incremental form's split too. Pure function of
+    // the base corpus: same input => same derived corpus.
+    val minted = if (nearDupEvery > 0) {
+      val slice = docs
+        .filter(col("doc_id") % nearDupEvery === 0)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 12)
+      val tagged = regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1d"), col("doc_id")))
+      def cloneAt(idCol: org.apache.spark.sql.Column,
+                  text: org.apache.spark.sql.Column) =
+        slice.select(idCol.as("doc_id"), text.as("text"),
+          col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      Seq(
+        cloneAt(col("doc_id") + lit(copies.toLong * idStep), tagged),
+        cloneAt( // …% 10 == 3, collision-free while nearDupEvery > 9
+          col("doc_id") + lit((copies + 1).toLong * idStep)
+            + (lit(3) - col("doc_id") % 10 + 10) % 10,
+          regexp_replace(tagged, "\\s+\\S+\\s*$", "")))
+    } else Seq.empty
+    (docCopies ++ minted).reduce(_.unionAll(_)).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (docsOnly) return
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val embCopies = (0 until math.min(copies, 10)).map { i =>
       val rot =
         if (i == 0) col("embedding")

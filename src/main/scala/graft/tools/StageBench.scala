@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   * (cells -> stats, fit -> cells) are timed AFTER their inputs, so
   * each number is that artifact's OWN work.
   *
-  * Usage: runMain graft.tools.StageBench [sfDir]
+  * Usage: runMain graft.tools.StageBench [sfDir] [family]
+  *
+  * `family` = `all` (default) or `docs`: the docs-only mode prices
+  * just the text-dedup rebuild/incremental rows, for corpora derived
+  * with `DeriveCorpus ... docsOnly=true` (the sf10-scale crossover
+  * measurement, VERDICT r18 #4 — no embeddings table there).
   */
 object StageBench {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val docsOnly = args.length > 1 && args(1) == "docs"
     val freshRoot = java.nio.file.Files
       .createTempDirectory("graft_stagebench_root").toString
     val spark = SparkSession.builder().master("local[32]")
@@ -41,7 +47,7 @@ object StageBench {
     // warm the session (scheduler, codegen, parquet reader) so the
     // first timed build is not billed the JVM cold start
     graft.Tables.load(spark, dir, "documents").count()
-    graft.Tables.load(spark, dir, "embeddings").count()
+    if (!docsOnly) graft.Tables.load(spark, dir, "embeddings").count()
 
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
@@ -51,14 +57,6 @@ object StageBench {
       }
       println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-
-    val (n, _) = { val t0 = System.nanoTime()
-      val c = PairStage.corpusCard(spark, dir)
-      println(f"[stage] corpus_card                  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      c }
-    val nc = Similarity.autoCentroids(n)
-    val ncStanding = Similarity.autoCentroids(
-      PairStage.corpusCard(spark, dir, excludeMod = 7)._1)
 
     // text family
     time("shingle_sets") { PairStage.shingleSets(spark, dir) }
@@ -70,7 +68,22 @@ object StageBench {
     time("simhash_classes") { PairStage.simhashClasses(spark, dir, 7) }
     time("simhash_class_pairs_std") {
       PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7) }
+
+    if (docsOnly) {
+      docIncrements(spark, dir, (n, f) => time(n)(f()))
+      spark.stop()
+      return
+    }
+
     time("bpe_trained") { PairStage.bpeTrained(spark, dir, 30)._2 }
+
+    val (n, _) = { val t0 = System.nanoTime()
+      val c = PairStage.corpusCard(spark, dir)
+      println(f"[stage] corpus_card                  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      c }
+    val nc = Similarity.autoCentroids(n)
+    val ncStanding = Similarity.autoCentroids(
+      PairStage.corpusCard(spark, dir, excludeMod = 7)._1)
 
     // ANN family
     time("ivf_centroids") { PairStage.ivfCentroids(spark, dir, nc, 2) }
@@ -93,14 +106,10 @@ object StageBench {
     // standing artifacts — the upsert contract)
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val batch = emb.filter(col("vec_id") % 10 === 7)
-    val docsBatch = graft.Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 10 === 7)
     val stale = PairStage.ivfCentroidsCorpus(spark, dir, ncStanding, 2, 7)
     time("inc_ivf_batch_assign") {
       Similarity.ivfAssignWith(stale, batch, "vec_id", "embedding")
         .select("vec_id", "centroid_id") }
-    time("inc_minhash_batch_sigs") {
-      Dedup.minhashSignatures(docsBatch, col("doc_id"), col("text"), 3, 32) }
     time("inc_int8_batch_code") {
       Similarity.int8Coded(batch, "vec_id", "embedding",
         "neighbor_id", "cv", "cq") }
@@ -109,25 +118,38 @@ object StageBench {
       // contribution is one slice aggregation
       batch.agg(count(lit(1)), max(Similarity.dot(col("embedding"),
         col("embedding")))) }
+    docIncrements(spark, dir, (n, f) => time(n)(f()))
+
+    spark.stop()
+  }
+
+  /** The document-side incremental rows (VERDICT r17 #5 forms plus
+    * the minhash batch sigs) — shared by the full run and the
+    * docs-only sf10 crossover mode. */
+  private def docIncrements(spark: SparkSession, dir: String,
+      time: (String, () => Any) => Unit): Unit = {
+    import graft.ext.{Dedup, PairStage}
+    val docsBatch = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 7)
+    time("inc_minhash_batch_sigs", () =>
+      Dedup.minhashSignatures(docsBatch, col("doc_id"), col("text"), 3, 32))
     // the r18 incremental forms (VERDICT r17 #5): what re-verifying
     // the exact-truth pair set / the simhash class-pair table costs
     // after an append, INSTEAD of the jaccard_pairs /
     // simhash_class_pairs rebuild rows above
-    time("token_df") { PairStage.tokenDf(spark, dir, 7) }
-    time("doc_token_sizes") { PairStage.docTokenSizes(spark, dir, 7) }
-    time("inc_jaccard_batch_pairs") {
+    time("token_df", () => PairStage.tokenDf(spark, dir, 7))
+    time("doc_token_sizes", () => PairStage.docTokenSizes(spark, dir, 7))
+    time("inc_jaccard_batch_pairs", () =>
       Dedup.jaccardIncrementalFrom(
         PairStage.docTokenSets(spark, dir, 7),
         Dedup.docTokens(docsBatch, col("doc_id"), col("text")),
         threshold = 0.8,
         standingDf = Some(PairStage.tokenDf(spark, dir, 7)),
-        standingSizes = Some(PairStage.docTokenSizes(spark, dir, 7))) }
-    time("inc_simhash_class_merge") {
+        standingSizes = Some(PairStage.docTokenSizes(spark, dir, 7))))
+    time("inc_simhash_class_merge", () =>
       Dedup.simhashPairsIncremental(
         PairStage.simhashClasses(spark, dir, 7),
         PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7),
-        docsBatch, "doc_id", "text") }
-
-    spark.stop()
+        docsBatch, "doc_id", "text"))
   }
 }

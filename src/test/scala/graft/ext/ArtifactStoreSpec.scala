@@ -117,11 +117,15 @@ class ArtifactStoreSpec extends SparkSpec {
     PairStage.corpusCard(s, sf0001) // ensure at least the card exists
     val m = ArtifactStore.manifest(s)
     assert(m.columns.toSet == Set("artifact", "tag", "version",
-      "built_unix_ms", "build_wall_ms", "inputs", "parts", "n_scalars"))
+      "built_unix_ms", "build_wall_ms", "last_attach_unix_ms",
+      "inputs", "parts", "n_scalars"))
     val rows = m.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[String]("version") == ArtifactStore.codeVersion))
     assert(rows.forall(_.getAs[Long]("built_unix_ms") > 0L))
+    // liveness (GC input) is at least the build instant
+    assert(rows.forall(r => r.getAs[Long]("last_attach_unix_ms") >=
+      r.getAs[Long]("built_unix_ms") - 1000L))
     val card = rows.find(_.getAs[String]("tag") == "card")
     assert(card.exists(_.getAs[Int]("n_scalars") == 2),
       s"card manifest must carry (n, max_norm_sq): ${rows.mkString(";")}")

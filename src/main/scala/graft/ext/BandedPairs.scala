@@ -162,6 +162,78 @@ object BandedPairs {
                             idCol: String, hashCol: String,
                             nBands: Int, bandBits: Int, maxHamming: Int,
                             maxBucket: Long, guardName: String): DataFrame = {
+    val (merged, kept, touched) = incrementalCore(standingCls, batchHashes,
+      idCol, hashCol, nBands, bandBits, maxHamming, maxBucket, guardName)
+    val untouchedStanding = standingPairs
+      .join(touched.filter(col("old_rep").isNotNull)
+        .select(col("old_rep").as("doc_a")).distinct(),
+        Seq("doc_a"), "left_anti")
+      .join(touched.filter(col("old_rep").isNotNull)
+        .select(col("old_rep").as("doc_b")).distinct(),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_a"),
+        col("n_b"), col("n_pairs"))
+    untouchedStanding.unionByName(
+      recomputedPairs(merged, kept, touched, maxHamming))
+  }
+
+  /** DELTA-contract incremental [[classPairs]] (r19): the same
+    * class-table merge as [[classPairsIncremental]], but the output is
+    * the CHANGE SET against the persisted standing pair table instead
+    * of the full merged table — `op = 'add'` rows to insert and
+    * `op = 'del'` rows to retract, so
+    * `standingPairs ∖ dels ∪ adds == classPairs(standing UNION batch)`
+    * exactly (spec-pinned).
+    *
+    * Why this form exists: the full-table contract re-WRITES a
+    * corpus-class-sized artifact every increment, which is the term
+    * that plateaus its wall ratio at ~1.06× regardless of scale
+    * (SCALE.md r19 — the simhash plateau finding). The delta touches
+    * the standing pair table only through batch-proportional
+    * semi-joins (rows whose endpoints are touched classes), and its
+    * output is batch-proportional too — the consumer applies it to the
+    * persisted table with a keyed merge (the [[graft.ops.Merge]]
+    * shape) instead of rewriting 100 TB of pairs to change 0.1% of
+    * them. A standing pair NOT touching a touched class is provably
+    * identical in the rebuild, so the symmetric difference of the full
+    * tables equals the symmetric difference of the touched slices —
+    * which is all this computes. */
+  def classPairsDelta(standingCls: DataFrame,
+                      standingPairs: DataFrame,
+                      batchHashes: DataFrame,
+                      idCol: String, hashCol: String,
+                      nBands: Int, bandBits: Int, maxHamming: Int,
+                      maxBucket: Long, guardName: String): DataFrame = {
+    val (merged, kept, touched) = incrementalCore(standingCls, batchHashes,
+      idCol, hashCol, nBands, bandBits, maxHamming, maxBucket, guardName)
+    val touchedOld = touched.filter(col("old_rep").isNotNull)
+    val cols = Seq(col("doc_a"), col("doc_b"), col("hamming"),
+      col("n_a"), col("n_b"), col("n_pairs"))
+    val touchedStanding = Materialize.eager(standingPairs
+      .join(touchedOld.select(col("old_rep").as("doc_a")).distinct(),
+        Seq("doc_a"), "left_semi")
+      .unionByName(standingPairs
+        .join(touchedOld.select(col("old_rep").as("doc_b")).distinct(),
+          Seq("doc_b"), "left_semi"))
+      .select(cols: _*).distinct())
+    val recomputed = Materialize.eager(
+      recomputedPairs(merged, kept, touched, maxHamming).select(cols: _*))
+    recomputed.except(touchedStanding).select(lit("add").as("op") +: cols: _*)
+      .unionByName(touchedStanding.except(recomputed)
+        .select(lit("del").as("op") +: cols: _*))
+  }
+
+  /** The merge/band/cap/touched core shared by
+    * [[classPairsIncremental]] and [[classPairsDelta]] — see the
+    * former's doc for the exact-conservation argument. Returns
+    * (merged class table, capped band rows, touched classes carrying
+    * merged `rep` and standing `old_rep`). */
+  private def incrementalCore(standingCls: DataFrame,
+                              batchHashes: DataFrame,
+                              idCol: String, hashCol: String,
+                              nBands: Int, bandBits: Int, maxHamming: Int,
+                              maxBucket: Long, guardName: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming <= nBands - 1,
       s"banding is lossless only up to Hamming ${nBands - 1} " +
         s"($nBands bands); got $maxHamming")
@@ -211,15 +283,14 @@ object BandedPairs {
         col("rep") === col("_cr"), "left")
       .filter(col("batch_hit") || col("_cr").isNotNull)
       .select(col("rep"), col("old_rep")))
-    val untouchedStanding = standingPairs
-      .join(touched.filter(col("old_rep").isNotNull)
-        .select(col("old_rep").as("doc_a")).distinct(),
-        Seq("doc_a"), "left_anti")
-      .join(touched.filter(col("old_rep").isNotNull)
-        .select(col("old_rep").as("doc_b")).distinct(),
-        Seq("doc_b"), "left_anti")
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_a"),
-        col("n_b"), col("n_pairs"))
+    (merged, kept, touched)
+  }
+
+  /** Pairs touching a touched class, recomputed through the capped
+    * banded join — the additive half of both incremental contracts. */
+  private def recomputedPairs(merged: DataFrame, kept: DataFrame,
+                              touched: DataFrame,
+                              maxHamming: Int): DataFrame = {
     val keptTouched = kept.join(touched.select(col("rep")).distinct(),
       Seq("rep"), "left_semi")
     val deltaCross = keptTouched.as("x").join(kept.as("y"),
@@ -245,6 +316,6 @@ object BandedPairs {
       .select(col("rep").as("doc_a"), col("rep").as("doc_b"),
         lit(0L).as("hamming"), col("n").as("n_a"), col("n").as("n_b"),
         expr("n * (n - 1) div 2").as("n_pairs"))
-    untouchedStanding.unionByName(deltaCross).unionByName(deltaIntra)
+    deltaCross.unionByName(deltaIntra)
   }
 }

@@ -652,6 +652,27 @@ object Dedup {
       "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming, maxBucket,
       "simhash_inc_hot_bucket")
 
+  /** DELTA-contract [[simhashPairsIncremental]] (r19): same class-table
+    * merge, but the output is the change set against the persisted
+    * standing pair table — `op = 'add'` / `op = 'del'` rows such that
+    * `standing ∖ dels ∪ adds == simhashPairs(standing UNION batch)`
+    * exactly. This is the form that breaks the full-table contract's
+    * ~1.06× wall plateau (SCALE.md r19): output and standing-table
+    * access are both batch-proportional, so a deployment applies the
+    * delta with a keyed merge instead of rewriting the corpus-class-
+    * sized pair artifact every append. See
+    * [[BandedPairs.classPairsDelta]]. */
+  def simhashPairsDelta(standingCls: DataFrame,
+                        standingPairs: DataFrame,
+                        batch: DataFrame, idCol: String,
+                        textCol: String, maxHamming: Int = 3,
+                        maxBucket: Long = 2048L): DataFrame =
+    BandedPairs.classPairsDelta(
+      standingCls, standingPairs,
+      batch.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
+      "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming, maxBucket,
+      "simhash_delta_hot_bucket")
+
   /** Connected components over near-dup pairs: every node is labeled
     * with the MINIMUM id reachable in its component — turning pairwise
     * similarity hits into duplicate clusters with a canonical

@@ -114,6 +114,19 @@ object ExtQueriesDedup {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
         "doc_id", "text")
     }),
+    // the DELTA contract of the same merge (r19): add/del rows against
+    // the persisted standing pair table instead of the full merged
+    // table — the batch-proportional OUTPUT form that removes the
+    // corpus-class-sized rewrite the full-table contract pays every
+    // increment (the SCALE.md r19 simhash plateau finding).
+    "dedup_simhash_delta" -> ((s, dir) => {
+      Dedup.simhashPairsDelta(
+        graft.ext.PairStage.simhashClasses(s, dir, excludeMod = 3),
+        graft.ext.PairStage.simhashClassPairs(s, dir, maxHamming = 3,
+          excludeMod = 3),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
+        "doc_id", "text")
+    }),
     // incremental EXACT dedup with a bloom split: a fixed-size Bloom
     // filter over the standing corpus's 60-bit content hashes routes
     // each new-batch doc either straight to "kept" (bloom-negative =>
@@ -346,33 +359,63 @@ object ExtQueriesDedup {
     * reconstructs the entire merged pair table, so its oracle IS the
     * rebuild's; byte-identical text also lets the oracle runner's
     * shared-CTE materialization evaluate the replay once). */
-  private val SimhashPairsOracle: String = s"""
-      WITH tokraw AS (SELECT doc_id,
+  /** The simhash class-pair replay CTE chain over the `documents` rows
+    * matching `where`, every CTE name suffixed `sfx` so two corpus
+    * slices can coexist inside one oracle (the delta oracle replays
+    * full AND standing). Both [[SimhashPairsOracle]] and the delta
+    * oracle's full side instantiate this with ("", "") so their chains
+    * stay byte-identical — which is what lets the gate's shared-CTE
+    * materializer (tools/cte_mat.py) stage the full-corpus replay
+    * once across all simhash oracles. */
+  private def simhashChainSql(sfx: String, where: String): String =
+    s"""tokraw$sfx AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-            FROM documents),
-      tokd AS (SELECT DISTINCT doc_id, token FROM tokraw),
-      h AS (SELECT doc_id, ${hex60Sql("token")} AS th FROM tokd),
-      sg AS (SELECT doc_id,
+            FROM documents$where),
+      tokd$sfx AS (SELECT DISTINCT doc_id, token FROM tokraw$sfx),
+      h$sfx AS (SELECT doc_id, ${hex60Sql("token")} AS th FROM tokd$sfx),
+      sg$sfx AS (SELECT doc_id,
          $SimhashBitSum AS sh
-       FROM h GROUP BY doc_id),
-      cls AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
-              FROM sg GROUP BY sh),
-      chunks AS (SELECT rep, sh, n, unnest([
+       FROM h$sfx GROUP BY doc_id),
+      cls$sfx AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
+              FROM sg$sfx GROUP BY sh),
+      chunks$sfx AS (SELECT rep, sh, n, unnest([
           {c: 0, k: (sh >> 0) & 65535},  {c: 1, k: (sh >> 16) & 65535},
           {c: 2, k: (sh >> 32) & 65535}, {c: 3, k: (sh >> 48) & 65535}])
-          AS ck FROM cls),
-      cand AS (SELECT DISTINCT x.rep AS doc_a, x.sh AS sh_a, x.n AS n_a,
+          AS ck FROM cls$sfx),
+      cand$sfx AS (SELECT DISTINCT x.rep AS doc_a, x.sh AS sh_a, x.n AS n_a,
                       y.rep AS doc_b, y.sh AS sh_b, y.n AS n_b
-               FROM chunks x JOIN chunks y
-                 ON x.ck = y.ck AND x.rep < y.rep)
-      SELECT doc_a, doc_b,
+               FROM chunks$sfx x JOIN chunks$sfx y
+                 ON x.ck = y.ck AND x.rep < y.rep)"""
+
+  /** The pair-table SELECT over a [[simhashChainSql]] chain. */
+  private def simhashSelectSql(sfx: String): String =
+    s"""SELECT doc_a, doc_b,
              CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
              n_a, n_b, CAST(n_a * n_b AS BIGINT) AS n_pairs
-      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      FROM cand$sfx WHERE bit_count(xor(sh_a, sh_b)) <= 3
       UNION ALL
       SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
              n AS n_a, n AS n_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
-      FROM cls WHERE n >= 2"""
+      FROM cls$sfx WHERE n >= 2"""
+
+  private val SimhashPairsOracle: String = s"""
+      WITH ${simhashChainSql("", "")}
+      ${simhashSelectSql("")}"""
+
+  /** dedup_simhash_delta oracle: the symmetric difference of the full
+    * rebuild's pair table and the standing (doc_id % 10 <> 3) pair
+    * table, tagged add/del — exactly the change set the Spark side's
+    * batch-proportional merge must produce. */
+  private val SimhashDeltaOracle: String = s"""
+      WITH ${simhashChainSql("", "")},
+      fullp AS (${simhashSelectSql("")}),
+      standp AS (WITH ${simhashChainSql("_s", " WHERE doc_id % 10 <> 3")}
+        ${simhashSelectSql("_s")})
+      SELECT 'add' AS op, doc_a, doc_b, hamming, n_a, n_b, n_pairs FROM
+        (SELECT * FROM fullp EXCEPT SELECT * FROM standp)
+      UNION ALL
+      SELECT 'del' AS op, doc_a, doc_b, hamming, n_a, n_b, n_pairs FROM
+        (SELECT * FROM standp EXCEPT SELECT * FROM fullp)"""
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -534,6 +577,7 @@ object ExtQueriesDedup {
     // materialization can evaluate the replay once for both)
     "dedup_simhash_incremental" -> SimhashPairsOracle,
     "dedup_simhash" -> SimhashPairsOracle,
+    "dedup_simhash_delta" -> SimhashDeltaOracle,
     // the agreement matrix: minhash + semdedup replays enumerate the
     // union (each embedded as its own WITH-subquery); simhash
     // membership via the class CTEs; the simhash-only cell by exact

@@ -151,5 +151,13 @@ object StageBench {
         PairStage.simhashClasses(spark, dir, 7),
         PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7),
         docsBatch, "doc_id", "text"))
+    // the r19 delta contract: same merge, change-set output — the
+    // full-table write the class-merge row above still pays (its
+    // ~1.06x plateau, SCALE.md r19) is the term this one deletes
+    time("inc_simhash_delta", () =>
+      Dedup.simhashPairsDelta(
+        PairStage.simhashClasses(spark, dir, 7),
+        PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7),
+        docsBatch, "doc_id", "text"))
   }
 }

@@ -144,7 +144,8 @@ object StressGate {
     println(s"[stress] hostile corpus at $outDir: " +
       spark.read.parquet(s"$outDir/documents.parquet").count() + " docs")
 
-    val queries = Seq("dedup_simhash", "dedup_minhash_lsh",
+    val queries = Seq("dedup_simhash", "dedup_simhash_delta",
+      "dedup_minhash_lsh",
       "dedup_incremental", "dedup_ngram_jaccard",
       "analytics_basket_pairs", "mm_phash_pairs", "corpus_curation_v3",
       // the SEMANTIC family (r17): batch SemDeDup over the mega
@@ -175,7 +176,8 @@ object StressGate {
     // listener delivery is async — settle before reading
     val deadline = System.nanoTime() + 15000000000L
     def guards: Map[String, Long] = graft.ext.GuardLog.lastFired
-    val expected = Seq("simhash_hot_bucket", "minhash_hot_bucket",
+    val expected = Seq("simhash_hot_bucket", "simhash_delta_hot_bucket",
+      "minhash_hot_bucket",
       "minhash_inc_corpus_hot_bucket", "minhash_inc_batch_hot_bucket",
       "df_cap", "basket_pairs",
       "semdedup_mega_cell", "semdedup_split_floor",

@@ -121,4 +121,54 @@ class DedupIncrementalSpec extends SparkSpec {
     val inc = rows(q("dedup_simhash_incremental")(spark, sf0001))
     assert(full.nonEmpty && inc == full)
   }
+
+  test("simhash delta conservation: standing ∖ dels ∪ adds == rebuild (randomized)") {
+    // the classPairsIncremental randomized harness, re-asserted for
+    // the delta contract: applying the add/del change set to the
+    // standing pair table must reproduce the rebuild exactly through
+    // count bumps, rep changes, mints, and crossed buckets — and the
+    // delta must never carry a no-op row (an add identical to a
+    // standing row, or a del that the rebuild still contains)
+    val nBands = 4; val bandBits = 4; val maxHamming = 3
+    val maxBucket = 3L
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val items = (1L to 80L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+      val standing = items.filter(_._1 % 10 != 3).toDF("id", "h")
+      val batch = items.filter(_._1 % 10 == 3).toDF("id", "h")
+      val all = standing.unionByName(batch)
+      val rebuild = rows(BandedPairs.classPairs(all, "id", "h", nBands,
+        bandBits, maxHamming, maxBucket, s"delta_spec_rb_$seed"))
+      val standingPairs = BandedPairs.classPairs(standing, "id", "h",
+        nBands, bandBits, maxHamming, maxBucket, s"delta_spec_st_$seed")
+      val delta = BandedPairs.classPairsDelta(
+        BandedPairs.classTable(standing, "id", "h"), standingPairs,
+        batch, "id", "h", nBands, bandBits, maxHamming, maxBucket,
+        s"delta_spec_dl_$seed").cache()
+      val adds = rows(delta.filter(col("op") === "add").drop("op"))
+      val dels = rows(delta.filter(col("op") === "del").drop("op"))
+      val standingSet = rows(standingPairs)
+      assert((standingSet -- dels) ++ adds == rebuild,
+        s"seed=$seed: applying the delta diverged from the rebuild")
+      assert((adds intersect standingSet).isEmpty,
+        s"seed=$seed: an add duplicated a standing row (no-op)")
+      assert((dels intersect rebuild).isEmpty,
+        s"seed=$seed: a del retracted a row the rebuild keeps")
+      assert(dels.subsetOf(standingSet),
+        s"seed=$seed: a del named a row standing never had")
+    }
+  }
+
+  test("registry: dedup_simhash_delta applies onto standing to give dedup_simhash") {
+    val q = graft.registry.ExtQueries.queries
+    val full = rows(q("dedup_simhash")(spark, sf0001))
+    val standing = rows(graft.ext.PairStage.simhashClassPairs(
+      spark, sf0001, maxHamming = 3, excludeMod = 3))
+    val delta = q("dedup_simhash_delta")(spark, sf0001).cache()
+    val adds = rows(delta.filter(col("op") === "add").drop("op"))
+    val dels = rows(delta.filter(col("op") === "del").drop("op"))
+    assert(adds.nonEmpty, "fixture batch must add pairs")
+    assert((standing -- dels) ++ adds == full,
+      "delta applied to the staged standing pairs must equal the rebuild")
+  }
 }

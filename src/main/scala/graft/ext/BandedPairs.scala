@@ -223,6 +223,53 @@ object BandedPairs {
         .select(lit("del").as("op") +: cols: _*))
   }
 
+  /** IDENTITY-delta incremental [[classPairs]] (r19): the change set
+    * on pair IDENTITY `(doc_a, doc_b, hamming)` alone, sizes excluded.
+    *
+    * Why a second delta form: the full-row [[classPairsDelta]] carries
+    * the class-size columns, and a count bump on a large duplicate
+    * class rewrites EVERY pair row of that class even though no pair
+    * appeared or vanished — measured at sf10 (SCALE.md r19), 61% of
+    * the full-row delta is such size-only churn, and on a corpus whose
+    * pair mass concentrates in big duplicate classes (exactly the
+    * corpus worth deduping) a 10% batch touches most heavy classes.
+    * The production artifact should be NORMALIZED: a pair-identity
+    * table (this delta keeps it current) plus the class table
+    * (h, rep, n — [[classTable]], already merged incrementally), with
+    * the sized pair view reconstructed by joining the two at read. The
+    * identity delta contains only pairs that genuinely appeared or
+    * vanished (mints, bucket crossings, evictions, rep changes) — the
+    * term that is actually batch-proportional.
+    *
+    * `identity(standing) ∖ dels ∪ adds == identity(rebuild)` exactly,
+    * and joining the result with the merged class sizes reconstructs
+    * [[classPairs]]' full rows — both spec-pinned. */
+  def classPairsIdentityDelta(standingCls: DataFrame,
+                              standingPairs: DataFrame,
+                              batchHashes: DataFrame,
+                              idCol: String, hashCol: String,
+                              nBands: Int, bandBits: Int, maxHamming: Int,
+                              maxBucket: Long, guardName: String): DataFrame = {
+    val (merged, kept, touched) = incrementalCore(standingCls, batchHashes,
+      idCol, hashCol, nBands, bandBits, maxHamming, maxBucket, guardName)
+    val touchedOld = touched.filter(col("old_rep").isNotNull)
+    val idCols = Seq(col("doc_a"), col("doc_b"), col("hamming"))
+    val touchedStanding = Materialize.eager(standingPairs
+      .join(touchedOld.select(col("old_rep").as("doc_a")).distinct(),
+        Seq("doc_a"), "left_semi")
+      .unionByName(standingPairs
+        .join(touchedOld.select(col("old_rep").as("doc_b")).distinct(),
+          Seq("doc_b"), "left_semi"))
+      .select(idCols: _*).distinct())
+    val recomputed = Materialize.eager(
+      recomputedPairs(merged, kept, touched, maxHamming)
+        .select(idCols: _*).distinct())
+    recomputed.except(touchedStanding)
+      .select(lit("add").as("op") +: idCols: _*)
+      .unionByName(touchedStanding.except(recomputed)
+        .select(lit("del").as("op") +: idCols: _*))
+  }
+
   /** The merge/band/cap/touched core shared by
     * [[classPairsIncremental]] and [[classPairsDelta]] — see the
     * former's doc for the exact-conservation argument. Returns

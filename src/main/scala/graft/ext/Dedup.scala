@@ -673,6 +673,23 @@ object Dedup {
       "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming, maxBucket,
       "simhash_delta_hot_bucket")
 
+  /** IDENTITY-delta [[simhashPairsDelta]] (r19): the change set on
+    * pair identity `(doc_a, doc_b, hamming)` alone — the truly
+    * batch-proportional term once the artifact is normalized (pair
+    * identities + the incrementally-merged class table carrying
+    * sizes). See [[BandedPairs.classPairsIdentityDelta]] for the
+    * measured size-churn argument. */
+  def simhashPairsIdentityDelta(standingCls: DataFrame,
+                                standingPairs: DataFrame,
+                                batch: DataFrame, idCol: String,
+                                textCol: String, maxHamming: Int = 3,
+                                maxBucket: Long = 2048L): DataFrame =
+    BandedPairs.classPairsIdentityDelta(
+      standingCls, standingPairs,
+      batch.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
+      "doc_id", "sh", nBands = 4, bandBits = 16, maxHamming, maxBucket,
+      "simhash_iddelta_hot_bucket")
+
   /** Connected components over near-dup pairs: every node is labeled
     * with the MINIMUM id reachable in its component — turning pairwise
     * similarity hits into duplicate clusters with a canonical

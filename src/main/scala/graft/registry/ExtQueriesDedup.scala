@@ -127,6 +127,19 @@ object ExtQueriesDedup {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
         "doc_id", "text")
     }),
+    // the NORMALIZED-artifact delta (r19): change set on pair IDENTITY
+    // (doc_a, doc_b, hamming) only — sizes live in the class table, so
+    // a count bump on a big duplicate class no longer rewrites every
+    // pair row of that class (61% of the full-row delta at sf10 was
+    // such size-only churn; SCALE.md r19).
+    "dedup_simhash_identity_delta" -> ((s, dir) => {
+      Dedup.simhashPairsIdentityDelta(
+        graft.ext.PairStage.simhashClasses(s, dir, excludeMod = 3),
+        graft.ext.PairStage.simhashClassPairs(s, dir, maxHamming = 3,
+          excludeMod = 3),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3),
+        "doc_id", "text")
+    }),
     // incremental EXACT dedup with a bloom split: a fixed-size Bloom
     // filter over the standing corpus's 60-bit content hashes routes
     // each new-batch doc either straight to "kept" (bloom-negative =>
@@ -417,6 +430,22 @@ object ExtQueriesDedup {
       SELECT 'del' AS op, doc_a, doc_b, hamming, n_a, n_b, n_pairs FROM
         (SELECT * FROM standp EXCEPT SELECT * FROM fullp)"""
 
+  /** dedup_simhash_identity_delta oracle: the same symmetric
+    * difference projected to pair identity (doc_a, doc_b, hamming) —
+    * the normalized-artifact change set. */
+  private val SimhashIdentityDeltaOracle: String = s"""
+      WITH ${simhashChainSql("", "")},
+      fullp AS (${simhashSelectSql("")}),
+      standp AS (WITH ${simhashChainSql("_s", " WHERE doc_id % 10 <> 3")}
+        ${simhashSelectSql("_s")})
+      SELECT 'add' AS op, doc_a, doc_b, hamming FROM
+        (SELECT doc_a, doc_b, hamming FROM fullp
+         EXCEPT SELECT doc_a, doc_b, hamming FROM standp)
+      UNION ALL
+      SELECT 'del' AS op, doc_a, doc_b, hamming FROM
+        (SELECT doc_a, doc_b, hamming FROM standp
+         EXCEPT SELECT doc_a, doc_b, hamming FROM fullp)"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH all_docs AS (
@@ -578,6 +607,7 @@ object ExtQueriesDedup {
     "dedup_simhash_incremental" -> SimhashPairsOracle,
     "dedup_simhash" -> SimhashPairsOracle,
     "dedup_simhash_delta" -> SimhashDeltaOracle,
+    "dedup_simhash_identity_delta" -> SimhashIdentityDeltaOracle,
     // the agreement matrix: minhash + semdedup replays enumerate the
     // union (each embedded as its own WITH-subquery); simhash
     // membership via the class CTEs; the simhash-only cell by exact

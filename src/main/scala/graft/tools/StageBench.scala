@@ -51,11 +51,15 @@ object StageBench {
 
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
-      f match {
+      val rows = f match {
         case d: org.apache.spark.sql.DataFrame => d.count()
-        case _ => ()
+        case _ => -1L
       }
-      println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // rows printed alongside wall: for contract comparisons (full
+      // table vs delta) the OUTPUT VOLUME is the scale argument a
+      // local .count() wall cannot show — a write is priced per row
+      val r = if (rows >= 0) f"$rows%12d rows" else ""
+      println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $r")
     }
 
     // text family
@@ -156,6 +160,13 @@ object StageBench {
     // ~1.06x plateau, SCALE.md r19) is the term this one deletes
     time("inc_simhash_delta", () =>
       Dedup.simhashPairsDelta(
+        PairStage.simhashClasses(spark, dir, 7),
+        PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7),
+        docsBatch, "doc_id", "text"))
+    // identity-only change set (normalized artifact): the row count
+    // here vs the full-row delta above IS the size-churn measurement
+    time("inc_simhash_identity_delta", () =>
+      Dedup.simhashPairsIdentityDelta(
         PairStage.simhashClasses(spark, dir, 7),
         PairStage.simhashClassPairs(spark, dir, 3, excludeMod = 7),
         docsBatch, "doc_id", "text"))

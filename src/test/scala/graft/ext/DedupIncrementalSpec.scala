@@ -159,6 +159,59 @@ class DedupIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("identity delta conservation + normalized view reconstructs full rows (randomized)") {
+    // the normalized-artifact contract: pair IDENTITY kept current by
+    // the identity delta, class sizes by the class-table merge; the
+    // sized pair view (identity join class sizes) must equal the full
+    // rebuild row for row — through the same randomized structural
+    // cases as the other harnesses
+    val nBands = 4; val bandBits = 4; val maxHamming = 3
+    val maxBucket = 3L
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val items = (1L to 80L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+      val standing = items.filter(_._1 % 10 != 3).toDF("id", "h")
+      val batch = items.filter(_._1 % 10 == 3).toDF("id", "h")
+      val all = standing.unionByName(batch)
+      val rebuild = BandedPairs.classPairs(all, "id", "h", nBands,
+        bandBits, maxHamming, maxBucket, s"iddelta_spec_rb_$seed").cache()
+      val standingPairs = BandedPairs.classPairs(standing, "id", "h",
+        nBands, bandBits, maxHamming, maxBucket, s"iddelta_spec_st_$seed")
+      val delta = BandedPairs.classPairsIdentityDelta(
+        BandedPairs.classTable(standing, "id", "h"), standingPairs,
+        batch, "id", "h", nBands, bandBits, maxHamming, maxBucket,
+        s"iddelta_spec_dl_$seed").cache()
+      val idOf = (df: DataFrame) =>
+        rows(df.select(col("doc_a"), col("doc_b"), col("hamming")))
+      val adds = rows(delta.filter(col("op") === "add").drop("op"))
+      val dels = rows(delta.filter(col("op") === "del").drop("op"))
+      assert((idOf(standingPairs) -- dels) ++ adds == idOf(rebuild),
+        s"seed=$seed: identity delta diverged from the rebuild's identities")
+      // normalized view: merged identities joined to merged class
+      // sizes (rep -> n) reconstructs the full sized rows
+      val mergedCls = BandedPairs.classTable(all, "id", "h")
+        .select(col("rep"), col("n"))
+      val mergedIds = standingPairs
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .except(delta.filter(col("op") === "del")
+          .select(col("doc_a"), col("doc_b"), col("hamming")))
+        .unionByName(delta.filter(col("op") === "add")
+          .select(col("doc_a"), col("doc_b"), col("hamming")))
+      val view = mergedIds
+        .join(mergedCls.select(col("rep").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(mergedCls.select(col("rep").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          col("n_a"), col("n_b"),
+          when(col("doc_a") === col("doc_b"),
+            expr("n_a * (n_a - 1) div 2"))
+            .otherwise(col("n_a") * col("n_b")).as("n_pairs"))
+      assert(rows(view) == rows(rebuild),
+        s"seed=$seed: normalized view diverged from the full rebuild")
+    }
+  }
+
   test("registry: dedup_simhash_delta applies onto standing to give dedup_simhash") {
     val q = graft.registry.ExtQueries.queries
     val full = rows(q("dedup_simhash")(spark, sf0001))

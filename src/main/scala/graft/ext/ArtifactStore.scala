@@ -323,8 +323,20 @@ object ArtifactStore {
     def tryAttach(deadline: Long): Option[Attached] =
       readManifest(fs, dest) match {
         case Some(m) if m.key == key && m.version == codeVersion =>
-          touchAttach(fs, dest)
-          Some(Attached(dest.toString, m.schemas, m.scalars))
+          // a validating manifest over a dir with NO data files is an
+          // empty commit (a writer's data was reclaimed mid-wait and
+          // its manifest landed after — see the post-commit data check
+          // in the build path): never serve it, evict and rebuild
+          if (!fs.listStatus(dest).exists(s =>
+              !s.getPath.getName.startsWith("_"))) {
+            System.err.println(s"[artifact-store] $dest carries a " +
+              "validating manifest but no data files (empty commit) — " +
+              "evicting and rebuilding")
+            fs.delete(dest, true); None
+          } else {
+            touchAttach(fs, dest)
+            Some(Attached(dest.toString, m.schemas, m.scalars))
+          }
         case Some(m) =>
           // md5 collision or foreign/corrupt dir at our address: loud,
           // then rebuild over it (the occupant cannot be this key's
@@ -389,8 +401,35 @@ object ArtifactStore {
         if (renamed && !fs.exists(nested)) {
           writeManifest(fs, dest, Manifest(key, tag, codeVersion,
             System.currentTimeMillis(), wallMs, fps, schemas, scalars))
-          touchAttach(fs, dest) // birth counts as liveness for the GC
-          Attached(dest.toString, schemas, scalars)
+          // Post-commit data check (review r19): if this writer stalled
+          // longer than the commit-wait bound between its data rename
+          // and the manifest create, an attacher may have reclaimed the
+          // data-only dir as a crashed writer — the manifest create
+          // above would then re-mint dest holding ONLY the manifest,
+          // and every later session would attach to a silently EMPTY
+          // artifact. Any non-underscore child proves the data
+          // survived (parts are dirs / part-files; markers and the
+          // manifest are underscored).
+          val hasData =
+            try fs.listStatus(dest).exists(s =>
+              !s.getPath.getName.startsWith("_"))
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (hasData) {
+            touchAttach(fs, dest) // birth counts as liveness for the GC
+            Attached(dest.toString, schemas, scalars)
+          } else {
+            System.err.println(s"[artifact-store] $dest lost its data " +
+              "between the rename and the manifest commit (reclaimed " +
+              "mid-wait?) — deleting the empty commit and rebuilding")
+            fs.delete(dest, true)
+            if (rebuildsLeft > 0)
+              attachOrBuild(spark, rootDir, tag, key, fps, parts,
+                scalarsOf, build, rebuildsLeft - 1)
+            else throw new IllegalStateException(
+              s"artifact $dest repeatedly lost its data before the " +
+                "manifest commit — commit-wait bound too short for this " +
+                "store's rename latency? (spark.graft.artifactCommitWaitMs)")
+          }
         } else {
           if (fs.exists(nested)) fs.delete(nested, true)
           if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -429,10 +468,13 @@ object ArtifactStore {
     * attach (read-only store mounts stay servable; they also can't be
     * swept from here). */
   private def touchAttach(fs: FileSystem, dir: Path): Unit = {
-    try {
-      fs.create(new Path(dir, LastAttachFile), true).close()
-      lastTouch.put(dir.toString, System.currentTimeMillis()); ()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // record the ATTEMPT, not the success: on a read-only mount the
+    // create throws every time, and a success-only record would defeat
+    // the hourly throttle on exactly that path — one failing create
+    // RPC per query construction on a hot serving path (review r19)
+    lastTouch.put(dir.toString, System.currentTimeMillis())
+    try fs.create(new Path(dir, LastAttachFile), true).close()
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Read one part of an attached artifact with its manifest schema —
@@ -472,25 +514,61 @@ object ArtifactStore {
 
   /** Reclaim persisted artifacts idle longer than `maxAgeMs` — aged
     * on max(manifest build time, last attach: see [[lastLiveMs]]) —
-    * plus `.building/` scratch older than one hour (crashed writers).
-    * The store grows one artifact per (snapshot, params) forever
-    * otherwise, and regenerated test fixtures mint a new snapshot per
-    * run. Never touches a dir younger than the cutoff, and never
-    * deletes a manifest-less artifact dir (the attach path owns
-    * those). Dropped artifacts are also evicted from the in-JVM memo
-    * so a later call rebuilds instead of serving a dangling path.
-    * Returns the number of artifact dirs deleted. Exposed to ops via
+    * plus `.building/` scratch older than one hour (crashed writers),
+    * plus manifest-LESS artifact dirs with no write activity for an
+    * hour (a writer that crashed between its data rename and the
+    * manifest commit — under the manifest-LAST protocol that wreck
+    * sits in the store root, and only a same-key re-request would
+    * otherwise reclaim it; keys embed snapshot fingerprints, so a
+    * retired key's wreck would leak forever). The store grows one
+    * artifact per (snapshot, params) forever otherwise, and
+    * regenerated test fixtures mint a new snapshot per run. Never
+    * touches a dir younger than its cutoff. The liveness check is
+    * re-read immediately before each delete, shrinking the
+    * sweep-vs-attach race to the stat-to-delete instant (an attacher
+    * landing inside that residual window gets a LOUD
+    * FileNotFoundException on first read, never silent wrong rows).
+    * Dropped artifacts are also evicted from the in-JVM memo so a
+    * later call rebuilds instead of serving a dangling path. Returns
+    * the number of artifact dirs deleted. Exposed to ops via
     * [[graft.tools.ArtifactGC]]. */
   def sweep(spark: SparkSession, maxAgeMs: Long): Int = {
     val rootPath = new Path(root(spark))
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return 0
     val now = System.currentTimeMillis()
+    // liveness by NEWEST recursive mtime, not the dir's own: a large
+    // build writes files continuously, so a still-running builder's
+    // scratch always has a recent child even when the dir itself was
+    // created hours ago — only a tree with NO write activity for an
+    // hour is a crashed writer
+    def newest(st: FileStatus): Long =
+      if (st.isDirectory) {
+        val kids = fs.listStatus(st.getPath)
+        (st.getModificationTime +: kids.map(newest).toSeq).max
+      } else st.getModificationTime
     var n = 0
     fs.listStatus(rootPath).foreach { st =>
       if (st.isDirectory && !st.getPath.getName.startsWith(".")) {
-        readManifest(fs, st.getPath).foreach { m =>
-          if (now - lastLiveMs(fs, st.getPath, m) > maxAgeMs) {
+        val manifest = readManifest(fs, st.getPath)
+        if (manifest.isEmpty) {
+          // data-without-manifest = uncommitted; reclaim only once
+          // write-dead for an hour (same rule as .building scratch),
+          // so an in-flight commit-wait window is never raced from here
+          if (now - newest(st) > 3600L * 1000) {
+            System.err.println(s"[artifact-store] sweep: reclaiming " +
+              s"uncommitted wreck ${st.getPath} (no manifest, no write " +
+              "activity for an hour)")
+            fs.delete(st.getPath, true)
+            n += 1
+          }
+        }
+        manifest.foreach { m =>
+          // re-read liveness at the last instant: an attach can land
+          // between a sweep-start snapshot and this delete
+          if (now - lastLiveMs(fs, st.getPath, m) > maxAgeMs &&
+            System.currentTimeMillis() -
+              lastLiveMs(fs, st.getPath, m) > maxAgeMs) {
             fs.delete(st.getPath, true)
             // evict the memo by QUALIFIED path — listStatus returns
             // scheme-qualified paths (file:/...), memoized Attached
@@ -511,16 +589,6 @@ object ArtifactStore {
     }
     val building = new Path(rootPath, ".building")
     if (fs.exists(building)) {
-      // liveness by NEWEST recursive mtime, not the dir's own: a
-      // large build writes files continuously, so a still-running
-      // builder's scratch always has a recent child even when the
-      // scratch dir itself was created hours ago — only a scratch
-      // with NO write activity for an hour is a crashed writer
-      def newest(st: FileStatus): Long =
-        if (st.isDirectory) {
-          val kids = fs.listStatus(st.getPath)
-          (st.getModificationTime +: kids.map(newest).toSeq).max
-        } else st.getModificationTime
       fs.listStatus(building).foreach { st =>
         if (now - newest(st) > 3600L * 1000) {
           fs.delete(st.getPath, true); ()

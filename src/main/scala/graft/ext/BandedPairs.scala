@@ -203,25 +203,11 @@ object BandedPairs {
                       batchHashes: DataFrame,
                       idCol: String, hashCol: String,
                       nBands: Int, bandBits: Int, maxHamming: Int,
-                      maxBucket: Long, guardName: String): DataFrame = {
-    val (merged, kept, touched) = incrementalCore(standingCls, batchHashes,
-      idCol, hashCol, nBands, bandBits, maxHamming, maxBucket, guardName)
-    val touchedOld = touched.filter(col("old_rep").isNotNull)
-    val cols = Seq(col("doc_a"), col("doc_b"), col("hamming"),
-      col("n_a"), col("n_b"), col("n_pairs"))
-    val touchedStanding = Materialize.eager(standingPairs
-      .join(touchedOld.select(col("old_rep").as("doc_a")).distinct(),
-        Seq("doc_a"), "left_semi")
-      .unionByName(standingPairs
-        .join(touchedOld.select(col("old_rep").as("doc_b")).distinct(),
-          Seq("doc_b"), "left_semi"))
-      .select(cols: _*).distinct())
-    val recomputed = Materialize.eager(
-      recomputedPairs(merged, kept, touched, maxHamming).select(cols: _*))
-    recomputed.except(touchedStanding).select(lit("add").as("op") +: cols: _*)
-      .unionByName(touchedStanding.except(recomputed)
-        .select(lit("del").as("op") +: cols: _*))
-  }
+                      maxBucket: Long, guardName: String): DataFrame =
+    changeSet(standingCls, standingPairs, batchHashes, idCol, hashCol,
+      nBands, bandBits, maxHamming, maxBucket, guardName,
+      Seq(col("doc_a"), col("doc_b"), col("hamming"),
+        col("n_a"), col("n_b"), col("n_pairs")))
 
   /** IDENTITY-delta incremental [[classPairs]] (r19): the change set
     * on pair IDENTITY `(doc_a, doc_b, hamming)` alone, sizes excluded.
@@ -249,25 +235,44 @@ object BandedPairs {
                               batchHashes: DataFrame,
                               idCol: String, hashCol: String,
                               nBands: Int, bandBits: Int, maxHamming: Int,
-                              maxBucket: Long, guardName: String): DataFrame = {
+                              maxBucket: Long, guardName: String): DataFrame =
+    changeSet(standingCls, standingPairs, batchHashes, idCol, hashCol,
+      nBands, bandBits, maxHamming, maxBucket, guardName,
+      Seq(col("doc_a"), col("doc_b"), col("hamming")))
+
+  /** The shared delta assembly behind [[classPairsDelta]] (full rows)
+    * and [[classPairsIdentityDelta]] (pair identity): run the merge
+    * core, slice the standing pairs touching a touched class (two
+    * broadcastable semi-joins on the batch-proportional touched set —
+    * the big pair table is scanned, never shuffled), recompute the
+    * touched slice, and emit the symmetric difference tagged
+    * add/del. `outCols` is the contract projection; both sides are
+    * projected BEFORE the excepts so the difference is taken in the
+    * contract's own column space. */
+  private def changeSet(standingCls: DataFrame, standingPairs: DataFrame,
+                        batchHashes: DataFrame,
+                        idCol: String, hashCol: String,
+                        nBands: Int, bandBits: Int, maxHamming: Int,
+                        maxBucket: Long, guardName: String,
+                        outCols: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
     val (merged, kept, touched) = incrementalCore(standingCls, batchHashes,
       idCol, hashCol, nBands, bandBits, maxHamming, maxBucket, guardName)
     val touchedOld = touched.filter(col("old_rep").isNotNull)
-    val idCols = Seq(col("doc_a"), col("doc_b"), col("hamming"))
     val touchedStanding = Materialize.eager(standingPairs
       .join(touchedOld.select(col("old_rep").as("doc_a")).distinct(),
         Seq("doc_a"), "left_semi")
       .unionByName(standingPairs
         .join(touchedOld.select(col("old_rep").as("doc_b")).distinct(),
           Seq("doc_b"), "left_semi"))
-      .select(idCols: _*).distinct())
+      .select(outCols: _*).distinct())
     val recomputed = Materialize.eager(
       recomputedPairs(merged, kept, touched, maxHamming)
-        .select(idCols: _*).distinct())
+        .select(outCols: _*).distinct())
     recomputed.except(touchedStanding)
-      .select(lit("add").as("op") +: idCols: _*)
+      .select(lit("add").as("op") +: outCols: _*)
       .unionByName(touchedStanding.except(recomputed)
-        .select(lit("del").as("op") +: idCols: _*))
+        .select(lit("del").as("op") +: outCols: _*))
   }
 
   /** The merge/band/cap/touched core shared by

@@ -6,8 +6,12 @@ import org.apache.spark.sql.SparkSession
   * persistent store: artifacts are keyed by (builder version, corpus
   * snapshot fingerprint, params) and never expire on their own, so
   * every regenerated fixture or version bump strands its
-  * predecessors. This sweeps artifacts whose manifest build time is
-  * older than the cutoff plus hour-old crashed-build scratch.
+  * predecessors. This sweeps artifacts IDLE longer than the cutoff —
+  * aged on max(manifest build time, last attach/serving touch), so an
+  * old artifact a live session still reads is retained indefinitely
+  * (the `_graft_last_attach` marker, refreshed hourly by serving
+  * reads, is what keeps it alive) — plus hour-old crashed-build
+  * scratch and hour-dead uncommitted (manifest-less) wrecks.
   *
   * Usage: runMain graft.tools.ArtifactGC [maxAgeDays] [root]
   * (default 14 days, default store root). Prints the manifest before
@@ -26,7 +30,7 @@ object ArtifactGC {
       graft.ext.ArtifactStore.root(spark))
     val n = graft.ext.ArtifactStore.sweep(spark,
       (days * 24 * 3600 * 1000).toLong)
-    println(s"[gc] swept $n artifact(s) older than $days day(s); " +
+    println(s"[gc] swept $n artifact(s) idle longer than $days day(s); " +
       s"${before.length - n} remain")
     spark.stop()
   }

@@ -178,6 +178,68 @@ class ArtifactStoreSpec extends SparkSpec {
         "the commit protocol's hazard model no longer matches Hadoop")
   }
 
+  test("an empty commit (manifest without data files) is evicted and rebuilt, never served") {
+    // the on-disk shape left when a commit-wait attacher reclaims a
+    // stalled writer's data and the writer's manifest lands after
+    // (review r19): a validating manifest over a dir with zero data
+    // files. Both the attach path and the post-commit data check must
+    // refuse to serve it — an attach here would return empty frames
+    // with no error, forever.
+    import org.apache.hadoop.fs.Path
+    val s1 = session()
+    val want = serving(s1, "dedup_simhash")
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty)
+    val fs = new Path(tmpRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var stripped = 0
+    fs.listStatus(new Path(tmpRoot)).foreach { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith(".")) {
+        fs.listStatus(st.getPath).foreach { c =>
+          if (!c.getPath.getName.startsWith("_")) {
+            fs.delete(c.getPath, true); stripped += 1
+          }
+        }
+      }
+    }
+    assert(stripped > 0, "fixture must strip real data files")
+    ArtifactStore.resetMemosForTest(tmpRoot)
+    val s2 = session()
+    val got = serving(s2, "dedup_simhash")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "an empty commit must be evicted and rebuilt, not served as 0 rows")
+  }
+
+  test("sweep reclaims hour-dead uncommitted wrecks, spares write-recent ones") {
+    // a writer that crashed between its data rename and the manifest
+    // commit leaves a manifest-less dir in the store ROOT; only a
+    // same-key re-request would reclaim it, and keys embed snapshot
+    // fingerprints — a retired key's wreck would leak forever unless
+    // sweep takes it (review r19). The same rule as crashed .building
+    // scratch: no write activity for an hour.
+    import org.apache.hadoop.fs.Path
+    val s = session()
+    val fs = new Path(tmpRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wreck = new Path(s"$tmpRoot/graft_wrecktest_${System.nanoTime()}")
+    fs.mkdirs(wreck)
+    fs.create(new Path(wreck, "part-00000"), true).close()
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    assert(new java.io.File(s"${wreck.toUri.getPath}/part-00000")
+      .setLastModified(old))
+    assert(new java.io.File(wreck.toUri.getPath).setLastModified(old))
+    val fresh = new Path(s"$tmpRoot/graft_freshtest_${System.nanoTime()}")
+    fs.mkdirs(fresh)
+    fs.create(new Path(fresh, "part-00000"), true).close()
+    ArtifactStore.sweep(s, maxAgeMs = 14L * 24 * 3600 * 1000)
+    assert(!fs.exists(wreck),
+      "hour-dead uncommitted wreck must be reclaimed by sweep")
+    assert(fs.exists(fresh),
+      "write-recent uncommitted dir is an in-flight commit — spared")
+    fs.delete(fresh, true)
+  }
+
   test("corpus card over an empty slice fails loudly, not with an NPE") {
     val s = session()
     val dir = java.nio.file.Files.createTempDirectory("graft_store_empty").toString

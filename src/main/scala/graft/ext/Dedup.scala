@@ -55,6 +55,28 @@ object Dedup {
       Seq("token"), "left_anti")
   }
 
+  /** LAZY twin of [[hotKeys]] (r19 optimization): the hot-key frame
+    * with the logged-drop guard attached as an `observe` metric
+    * instead of an eager materialize + count. Construction stays
+    * plan-only — no blocking localCheckpoint job, no count job, no
+    * driver round-trips before the query runs — and the guard fires
+    * AT EXECUTION through [[GuardLog]] with the executed hot-key
+    * count (the r15 basket-pairs discipline). Correct ONLY when the
+    * returned frame feeds a SINGLE consumer (the anti-join build
+    * side): a second consumer would recompute the full-corpus
+    * aggregate, which is exactly what [[hotKeys]]' materialization
+    * exists to prevent — [[docTokensCapped]] and every multi-consumer
+    * caller stay on the eager form. */
+  private def lazyHotKeys(exploded: DataFrame, keyCol: String,
+                          maxDf: Long, guard: String): DataFrame = {
+    GuardLog.ensure(exploded.sparkSession)
+    exploded.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxDf)
+      .observe(GuardLog.uniqueName(guard), count(lit(1)).as("n_hot_keys"))
+      .select(col(keyCol))
+  }
+
   /** Keys (tokens or shingle hashes) whose document frequency exceeds
     * maxDf, kept as a DISTRIBUTED DataFrame for the caller's anti-join
     * — never collected to the driver. On a web-scale corpus every
@@ -113,25 +135,34 @@ object Dedup {
 
   /** Shared pair-overlap core of [[jaccardPairs]]:
     * (doc_a, doc_b, n_inter, n_a, n_b) for every co-token pair with
-    * doc_a < doc_b, hot tokens df-capped out of the pair join. */
+    * doc_a < doc_b, hot tokens df-capped out of the pair join.
+    *
+    * Restructured r19 (optimization round; value-identical, oracle
+    * re-verified): the per-doc set size rides the exploded rows as a
+    * column (`size(array_distinct(tokens))` — the pre-cap size by
+    * construction, computed before the explode) and surfaces as
+    * `min()` in the pair aggregate, instead of a separate sizes
+    * aggregate joined back twice. Plan effect at sf0.1: 2 exchanges
+    * + 2 joins of the pair table GONE, and the df-cap guard went
+    * from eager materialize+count (2 blocking jobs per call) to the
+    * lazy observe form. The input is [[Spread]] first: the explode's
+    * hash/tokenize CPU is orders denser than its input bytes, so a
+    * byte-planned single-split scan serializes it (measured 2.3x on
+    * the containment twin). */
   private def tokenOverlapPairs(df: DataFrame, idCol: String,
                                 textCol: String, maxDf: Long): DataFrame = {
-    val all = docTokens(df, col(idCol), col(textCol))
-    // true set sizes (pre-cap): the overlap denominator must not shrink
-    val sizes = all.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val hot = hotKeys(all, "token", maxDf, "tokens")
+    val all = Spread(df).select(col(idCol).as("doc_id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_t"),
+        explode(col("ts")).as("token"))
+    val hot = lazyHotKeys(all, "token", maxDf, "df_cap")
     val toks = all.join(hot, Seq("token"), "left_anti")
     val a = toks.as("a"); val b = toks.as("b")
-    val inter = a.join(b, col("a.token") === col("b.token")
+    a.join(b, col("a.token") === col("b.token")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_tokens", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_tokens", "n_b"), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        min(col("a.n_t")).as("n_a"), min(col("b.n_t")).as("n_b"))
   }
 
   /** Exact word-SHINGLE Jaccard pairs — the ground-truth twin of
@@ -185,22 +216,23 @@ object Dedup {
   private def shingleOverlapPairs(df: DataFrame, idCol: String,
                                   textCol: String, shingleN: Int,
                                   maxDf: Long): DataFrame = {
-    // shingleHex60 emits the DISTINCT shingle-hash set per doc
-    val all = df.select(col(idCol).as("doc_id"),
-      explode(graft.functions.VectorFunctions
-        .shingleHex60(col(textCol), shingleN)).as("h"))
-    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hot = hotKeys(all, "h", maxDf, "shingles")
+    // shingleHex60 emits the DISTINCT shingle-hash set per doc, so
+    // size(hs) IS the pre-cap set size — carried through the pair
+    // join as a column and surfaced with min() instead of a separate
+    // sizes aggregate joined back twice (r19 restructure; same shape
+    // and rationale as [[tokenOverlapPairs]], value-identical)
+    val all = Spread(df).select(col(idCol).as("doc_id"),
+      graft.functions.VectorFunctions
+        .shingleHex60(col(textCol), shingleN).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+    val hot = lazyHotKeys(all, "h", maxDf, "df_cap")
     val kept = all.join(hot, Seq("h"), "left_anti")
-    val inter = kept.as("a").join(kept.as("b"), col("a.h") === col("b.h")
+    kept.as("a").join(kept.as("b"), col("a.h") === col("b.h")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
   }
 
   /** Universal-hash family modulus (Mersenne prime 2^31 - 1): products
@@ -268,8 +300,10 @@ object Dedup {
                         shingleN: Int, k: Int): DataFrame = {
     // native one-pass shingle hashing (value-identical to
     // hex60(array_distinct(wordShingles)) but codegen'd — the
-    // interpreted HOF chain was the dominant cost of the whole LSH job)
-    val shingled = df.select(id.as("doc_id"),
+    // interpreted HOF chain was the dominant cost of the whole LSH
+    // job). Spread first (r19): the hashing CPU is byte-dense, a
+    // single-split scan serializes it.
+    val shingled = Spread(df).select(id.as("doc_id"),
       explode(graft.functions.VectorFunctions.shingleHex60(text, shingleN))
         .as("h"))
     val based = shingled.select(col("doc_id"), (col("h") % MinhashP).as("b"))
@@ -877,11 +911,12 @@ object Dedup {
                          textCol: String, shingleN: Int = 13,
                          maxDf: Long = 500L): DataFrame = {
     def shingles(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
+      Spread(df).select(col(idCol).as(as),
         explode(graft.functions.VectorFunctions
           .shingleHex60(col(textCol), shingleN)).as("h"))
     val tr = shingles(train, "train_id")
-    val hot = hotKeys(tr, "h", maxDf, "train shingles")
+    // lazy df-cap (r19): single consumer, guard fires at execution
+    val hot = lazyHotKeys(tr, "h", maxDf, "df_cap")
     tr.join(hot, Seq("h"), "left_anti")
       .join(shingles(test, "test_id"), Seq("h"))
       .groupBy(col("train_id"), col("test_id"))

@@ -52,8 +52,16 @@ object GuardLog {
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit =
-      qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith(Prefix) && !row.isNullAt(0)) {
+      qe.observedMetrics.foreach { case (rawName, row) =>
+        if (rawName.startsWith(Prefix) && !row.isNullAt(0)) {
+          // a '#'-suffixed name (graft_guard_df_cap#17) is a
+          // UNIQUIFIED instance of the base guard: Spark requires
+          // observation names to be distinct per query, so operators
+          // that can appear several times in one fused plan (the
+          // lazy df-cap) append a per-call counter; the ledger key
+          // stays the base name so specs and the stress gate read
+          // every instance through one surface
+          val name = rawName.split('#')(0)
           val n = row.getLong(0)
           if (n > 0) {
             // CAS loop: listener buses from multiple sessions deliver
@@ -73,6 +81,16 @@ object GuardLog {
   /** Idempotently register the guard listener on this session. */
   def ensure(s: SparkSession): Unit =
     if (installed.add(s)) s.listenerManager.register(listener)
+
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** A per-call-unique observation name for guard `base`: Spark
+    * rejects two DIFFERENT CollectMetrics nodes sharing one name in a
+    * query, and a fused plan (the curation chains) can contain the
+    * same guarding operator several times. The listener strips the
+    * '#'-suffix, so the guard ledger still reads `Prefix + base`. */
+  def uniqueName(base: String): String =
+    Prefix + base + "#" + nameSeq.incrementAndGet()
 
   /** Record an EAGERLY-counted guard firing (the [[Dedup.hotKeys]]
     * df-cap counts at staging time, not through an observe metric) so
